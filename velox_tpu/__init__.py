@@ -1,0 +1,31 @@
+"""velox_tpu — a TPU-native vectorized query-execution engine.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+facebookincubator/velox (reference mounted at /root/reference): columnar
+device batches in HBM, a mask-aware vectorized expression engine, relational
+operators (FilterProject, HashAggregation, hash joins, OrderBy/TopN) as
+XLA/Pallas kernels, and a hash-partitioned distributed shuffle over a
+jax.sharding.Mesh (ICI collectives instead of Velox's ExchangeSource/
+OutputBufferManager protocol).
+
+Layer map (mirrors SURVEY.md §1, bottom-up):
+  types/     — logical types, filter pushdown        (velox/type)
+  vector/    — device columns/batches, Arrow bridge  (velox/vector, buffer)
+  expr/      — expression IR + compiler to XLA       (velox/expression)
+  functions/ — Presto-semantics scalar + aggregate fns (velox/functions)
+  plan/      — PlanNode IR + PlanBuilder             (velox/core)
+  exec/      — operators, pipelines, Task driver     (velox/exec)
+  ops/       — device kernels: hash agg, join, sort, compaction, partition
+  parallel/  — mesh, distributed shuffle, SPMD runner
+  io/        — TPC-H datagen, Parquet/Arrow ingest   (velox/tpch, dwio)
+  utils/     — config, metrics                       (velox/common)
+"""
+
+import jax
+
+# The engine computes BIGINT/DECIMAL lanes in int64 and DOUBLE in float64
+# (Presto semantics demand 64-bit integer/floating behavior, velox/type/
+# DecimalUtil.h). Enable x64 before any tracing happens.
+jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"

@@ -1,0 +1,153 @@
+"""Arrow <-> device Batch bridge.
+
+Analog of velox/vector/arrow/Bridge.h:80,127 (zero-copy Arrow C-ABI import/
+export). Here the bridge is the *host ingest path*: Arrow columnar buffers →
+padded device arrays (one H2D transfer per column), with strings dictionary-
+encoded on host. Export materializes active rows back into an Arrow table —
+the result surface used by tests and the oracle comparison.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+import pyarrow as pa
+
+from velox_tpu.types import (
+    DataType, BIGINT, BOOLEAN, DATE, DOUBLE, INTEGER, REAL, SMALLINT,
+    TINYINT, TIMESTAMP, VARCHAR,
+)
+from velox_tpu.types.types import DecimalType, TypeKind
+from velox_tpu.vector.batch import Batch, round_capacity
+from velox_tpu.vector.column import Column, Dictionary
+
+_ARROW_TO_TYPE = {
+    pa.bool_(): BOOLEAN,
+    pa.int8(): TINYINT,
+    pa.int16(): SMALLINT,
+    pa.int32(): INTEGER,
+    pa.int64(): BIGINT,
+    pa.float32(): REAL,
+    pa.float64(): DOUBLE,
+    pa.string(): VARCHAR,
+    pa.large_string(): VARCHAR,
+    pa.date32(): DATE,
+}
+
+
+def type_from_arrow(at: pa.DataType) -> DataType:
+    if at in _ARROW_TO_TYPE:
+        return _ARROW_TO_TYPE[at]
+    if pa.types.is_decimal(at):
+        return DecimalType(TypeKind.DECIMAL, at.precision, at.scale)
+    if pa.types.is_timestamp(at):
+        return TIMESTAMP
+    if pa.types.is_dictionary(at):
+        return type_from_arrow(at.value_type)
+    raise TypeError(f"unsupported arrow type {at}")
+
+
+def type_to_arrow(t: DataType) -> pa.DataType:
+    if isinstance(t, DecimalType):
+        return pa.decimal128(t.precision, t.scale)
+    rev = {
+        TypeKind.BOOLEAN: pa.bool_(), TypeKind.TINYINT: pa.int8(),
+        TypeKind.SMALLINT: pa.int16(), TypeKind.INTEGER: pa.int32(),
+        TypeKind.BIGINT: pa.int64(), TypeKind.REAL: pa.float32(),
+        TypeKind.DOUBLE: pa.float64(), TypeKind.VARCHAR: pa.string(),
+        TypeKind.DATE: pa.date32(), TypeKind.TIMESTAMP: pa.timestamp("us"),
+    }
+    return rev[t.kind]
+
+
+def _ingest_array(arr: pa.ChunkedArray, cap: int) -> Column:
+    """One Arrow column -> padded device Column."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = type_from_arrow(arr.type)
+    n = len(arr)
+
+    if t.is_string:
+        # dictionary-encode on host (Arrow does this vectorized in C++)
+        if not pa.types.is_dictionary(arr.type):
+            arr = arr.dictionary_encode()
+        dict_vals = arr.dictionary.to_pylist()
+        null_mask = arr.is_null().to_numpy(zero_copy_only=False)
+        # fill nulls before to_numpy: null indices otherwise surface as NaN
+        codes = arr.indices.fill_null(-1).to_numpy(
+            zero_copy_only=False).astype(np.int32)
+        codes = np.where(null_mask, -1, codes)
+        vals = np.full(cap, -1, dtype=np.int32)
+        vals[:n] = codes
+        valid = None
+        if null_mask.any():
+            v = np.zeros(cap, dtype=bool)
+            v[:n] = ~null_mask
+            valid = jnp.asarray(v)
+        return Column(t, jnp.asarray(vals), valid, Dictionary(dict_vals))
+
+    if pa.types.is_decimal(arr.type):
+        # unscaled int64 lane
+        np_vals = np.array(
+            [0 if v is None else int(v.scaleb(arr.type.scale))
+             for v in arr.to_pylist()], dtype=np.int64)
+    elif pa.types.is_date32(arr.type):
+        np_vals = arr.cast(pa.int32()).to_numpy(zero_copy_only=False)
+    elif pa.types.is_timestamp(arr.type):
+        np_vals = arr.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+    else:
+        np_vals = arr.to_numpy(zero_copy_only=False)
+
+    null_mask = arr.is_null().to_numpy(zero_copy_only=False)
+    if null_mask.any():
+        np_vals = np.where(null_mask, 0, np_vals)
+    vals = np.zeros(cap, dtype=t.dtype)
+    vals[:n] = np_vals.astype(t.dtype, copy=False)
+    valid = None
+    if null_mask.any():
+        v = np.zeros(cap, dtype=bool)
+        v[:n] = ~null_mask
+        valid = jnp.asarray(v)
+    return Column(t, jnp.asarray(vals), valid)
+
+
+def from_arrow(table: pa.Table, capacity: Optional[int] = None) -> Batch:
+    n = table.num_rows
+    cap = capacity if capacity is not None else round_capacity(n)
+    cols = {
+        name: _ingest_array(table.column(name), cap)
+        for name in table.column_names
+    }
+    sel = np.zeros(cap, dtype=bool)
+    sel[:n] = True
+    return Batch(cols, jnp.asarray(sel), num_rows=n)
+
+
+def to_arrow(batch: Batch) -> pa.Table:
+    """Materialize active rows into an Arrow table (host gather)."""
+    data = batch.to_pydict()
+    arrays = {}
+    for name, col in batch.columns.items():
+        at = type_to_arrow(col.dtype)
+        vals = data[name]
+        if isinstance(col.dtype, DecimalType):
+            import decimal
+            s = col.dtype.scale
+            vals = [
+                None if v is None else decimal.Decimal(int(v)).scaleb(-s)
+                for v in vals
+            ]
+        arrays[name] = pa.array(vals, type=at)
+    return pa.table(arrays)
+
+
+def from_pydict(data: Dict[str, Sequence], types: Dict[str, DataType],
+                capacity: Optional[int] = None) -> Batch:
+    return Batch.from_pydict(data, types, capacity)
+
+
+def to_pydict(batch: Batch) -> Dict[str, list]:
+    return batch.to_pydict()

@@ -1,0 +1,160 @@
+"""Batch: a set of named Columns + a device selection mask.
+
+This is the RowVector + SelectivityVector pair of the reference
+(velox/vector/ComplexVector.h:31; velox/vector/SelectivityVector.h:39) fused
+into one TPU-friendly object:
+
+* ``capacity`` is static (padded), so every kernel compiled against a batch
+  shape is reusable — XLA never sees a dynamic dimension.
+* ``sel`` is a device bool mask of active rows. Filters, join-row masks and
+  padding all flow through it; no host sync is needed to apply a filter.
+* ``num_rows`` is an optional host-known row count (rows beyond it are
+  guaranteed unselected). After device-side filtering it becomes unknown
+  (None) until the host explicitly syncs via ``selected_count()``.
+
+Batches are immutable; transformations return new Batches sharing unchanged
+device buffers (copy-on-write comes free from functional JAX).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from velox_tpu.types import DataType
+from velox_tpu.types.types import RowType, TypeKind, row_type
+from velox_tpu.vector.column import Column, make_column
+
+#: pad batch capacities to a multiple of the TPU lane count
+LANE = 128
+
+
+def round_capacity(n: int) -> int:
+    """Round up to a shape-bucket: next power of two, at least one lane.
+
+    Bucketing capacities keeps the jit compile cache small (few distinct
+    shapes) — the analog of Velox's preferred_output_batch_rows sizing
+    (velox/core/QueryConfig.h:479) but driven by XLA's static-shape needs.
+    """
+    n = max(n, LANE)
+    return 1 << (n - 1).bit_length()
+
+
+class Batch:
+    __slots__ = ("columns", "sel", "num_rows")
+
+    def __init__(
+        self,
+        columns: Dict[str, Column],
+        sel: jax.Array,
+        num_rows: Optional[int] = None,
+    ):
+        self.columns = dict(columns)
+        self.sel = sel
+        self.num_rows = num_rows
+        cap = sel.shape[0]
+        for name, col in self.columns.items():
+            assert col.capacity == cap, (
+                f"column {name} capacity {col.capacity} != batch {cap}"
+            )
+
+    # ---------------------------------------------------------- properties
+    @property
+    def capacity(self) -> int:
+        return self.sel.shape[0]
+
+    @property
+    def names(self) -> List[str]:
+        return list(self.columns.keys())
+
+    @property
+    def schema(self) -> RowType:
+        return row_type(self.names, [c.dtype for c in self.columns.values()])
+
+    def column(self, name: str) -> Column:
+        return self.columns[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.columns
+
+    # -------------------------------------------------------- construction
+    @staticmethod
+    def from_pydict(
+        data: Dict[str, Sequence],
+        types: Dict[str, DataType],
+        capacity: Optional[int] = None,
+    ) -> "Batch":
+        names = list(data.keys())
+        n = len(data[names[0]]) if names else 0
+        cap = capacity if capacity is not None else round_capacity(n)
+        cols = {}
+        for name in names:
+            col, _ = make_column(types[name], data[name], cap)
+            cols[name] = col
+        sel = np.zeros(cap, dtype=bool)
+        sel[:n] = True
+        return Batch(cols, jnp.asarray(sel), num_rows=n)
+
+    @staticmethod
+    def empty_like(schema: RowType, capacity: int) -> "Batch":
+        cols = {}
+        for name, t in zip(schema.names, schema.children):
+            cols[name] = Column(t, jnp.zeros((capacity,), dtype=t.dtype))
+        return Batch(cols, jnp.zeros((capacity,), dtype=jnp.bool_), num_rows=0)
+
+    # ------------------------------------------------------ transformations
+    def with_sel(self, sel: jax.Array, num_rows: Optional[int] = None) -> "Batch":
+        return Batch(self.columns, sel, num_rows)
+
+    def with_column(self, name: str, col: Column) -> "Batch":
+        cols = dict(self.columns)
+        cols[name] = col
+        return Batch(cols, self.sel, self.num_rows)
+
+    def project(self, names: Iterable[str]) -> "Batch":
+        return Batch({n: self.columns[n] for n in names}, self.sel, self.num_rows)
+
+    def rename(self, mapping: Dict[str, str]) -> "Batch":
+        cols = {mapping.get(n, n): c for n, c in self.columns.items()}
+        return Batch(cols, self.sel, self.num_rows)
+
+    def gather(self, indices: jax.Array, sel: jax.Array,
+               num_rows: Optional[int] = None) -> "Batch":
+        """Row gather of every column (indices may exceed capacity: clipped;
+        callers must mask garbage via ``sel``)."""
+        cols = {n: c.gather(indices) for n, c in self.columns.items()}
+        return Batch(cols, sel, num_rows)
+
+    # ------------------------------------------------------------- queries
+    def selected_count(self) -> int:
+        """Host sync: number of active rows."""
+        return int(jnp.sum(self.sel))
+
+    # --------------------------------------------------------- host output
+    def to_pydict(self, limit: Optional[int] = None) -> Dict[str, list]:
+        """Materialize active rows on host (for tests/results)."""
+        sel = np.asarray(self.sel)
+        idx = np.nonzero(sel)[0]
+        if limit is not None:
+            idx = idx[:limit]
+        out: Dict[str, list] = {}
+        for name, col in self.columns.items():
+            vals = np.asarray(col.values)[idx]
+            if col.dictionary is not None:
+                vals = col.dictionary.decode(vals)
+            if col.valid is not None:
+                valid = np.asarray(col.valid)[idx]
+                out[name] = [
+                    (v if ok else None) for v, ok in zip(vals.tolist(), valid)
+                ]
+            else:
+                out[name] = list(vals.tolist()) if vals.dtype != object else list(vals)
+        return out
+
+    def __repr__(self) -> str:
+        fields = ", ".join(f"{n}:{c.dtype}" for n, c in self.columns.items())
+        nr = self.num_rows if self.num_rows is not None else "?"
+        return f"Batch[{fields}; rows={nr}/{self.capacity}]"

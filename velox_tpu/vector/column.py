@@ -1,0 +1,162 @@
+"""Column: fixed-width device value lane + validity + optional dictionary.
+
+Replaces velox/vector/FlatVector.h:34 and DictionaryVector.h:30 with a single
+SoA representation. Validity follows Velox's null convention inverted for
+clarity: ``valid[i] == True`` means row i is non-null (Velox stores 1 =
+non-null too, velox/common/base/Nulls.h). ``valid is None`` means
+all-non-null and lets kernels skip mask work entirely — the common TPC-H case.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from velox_tpu.types import DataType, TypeKind
+
+
+class Dictionary:
+    """Host-side value table for string columns.
+
+    Device arrays hold int32 codes indexing this table. Code -1 is reserved
+    for "null/padding" so gathers on padded rows stay in range after
+    clamping. Dictionaries are immutable and shared by reference between
+    columns/batches (cheap slicing/wrap like Velox's wrapInDictionary,
+    velox/vector/BaseVector.h wrapInDictionary).
+    """
+
+    __slots__ = ("values", "_index")
+
+    def __init__(self, values: Sequence[str]):
+        self.values = np.asarray(values, dtype=object)
+        self._index = {v: i for i, v in enumerate(self.values)}
+
+    def __len__(self) -> int:
+        return len(self.values)
+
+    def code_of(self, value: str) -> int:
+        """Code for a string literal, or -2 if absent (never matches)."""
+        return self._index.get(value, -2)
+
+    def codes_of(self, values: Sequence[str]) -> list:
+        return [self.code_of(v) for v in values]
+
+    def decode(self, codes: np.ndarray) -> np.ndarray:
+        """Host-side gather codes -> strings (None for negative codes)."""
+        out = np.empty(len(codes), dtype=object)
+        codes = np.asarray(codes)
+        in_range = codes >= 0
+        out[~in_range] = None
+        out[in_range] = self.values[codes[in_range]]
+        return out
+
+    @staticmethod
+    def encode(values: Sequence) -> tuple["Dictionary", np.ndarray]:
+        """Build a dictionary + codes from raw strings; None -> code -1."""
+        arr = np.asarray(values, dtype=object)
+        mask = np.array([v is not None for v in arr], dtype=bool)
+        uniq, inv = np.unique(arr[mask].astype(str), return_inverse=True)
+        codes = np.full(len(arr), -1, dtype=np.int32)
+        codes[mask] = inv.astype(np.int32)
+        return Dictionary(list(uniq)), codes
+
+
+@dataclass(frozen=True)
+class Column:
+    """One column of a Batch. ``values`` has the batch's static capacity."""
+
+    dtype: DataType
+    values: jax.Array                      # (capacity,) device array
+    valid: Optional[jax.Array] = None      # (capacity,) bool, None = all valid
+    dictionary: Optional[Dictionary] = None
+
+    @property
+    def capacity(self) -> int:
+        return self.values.shape[0]
+
+    @property
+    def is_dictionary(self) -> bool:
+        return self.dictionary is not None
+
+    def validity(self) -> jax.Array:
+        """Materialized validity mask (DecodedVector analog)."""
+        if self.valid is not None:
+            return self.valid
+        return jnp.ones((self.capacity,), dtype=jnp.bool_)
+
+    def with_values(self, values: jax.Array) -> "Column":
+        return replace(self, values=values)
+
+    def with_valid(self, valid: Optional[jax.Array]) -> "Column":
+        return replace(self, valid=valid)
+
+    def gather(self, indices: jax.Array) -> "Column":
+        """Row gather (dictionary wrap analog: indices select base rows).
+
+        ``indices`` may point anywhere in [0, capacity); callers mask out
+        garbage rows via the batch selection mask.
+        """
+        vals = jnp.take(self.values, indices, mode="clip")
+        valid = (
+            jnp.take(self.valid, indices, mode="clip")
+            if self.valid is not None else None
+        )
+        return Column(self.dtype, vals, valid, self.dictionary)
+
+    def to_numpy(self, num_rows: Optional[int] = None):
+        """Host copy of value lane (first num_rows rows)."""
+        v = np.asarray(self.values)
+        return v[:num_rows] if num_rows is not None else v
+
+    def to_pylist(self, num_rows: Optional[int] = None) -> list:
+        """Host materialization with nulls + dictionary decode."""
+        vals = self.to_numpy(num_rows)
+        if self.dictionary is not None:
+            decoded = self.dictionary.decode(vals)
+        else:
+            decoded = vals
+        if self.valid is None:
+            return list(decoded)
+        valid = np.asarray(self.valid)
+        valid = valid[: len(vals)]
+        return [decoded[i] if valid[i] else None for i in range(len(vals))]
+
+
+def make_column(
+    dtype: DataType,
+    data: Sequence,
+    capacity: Optional[int] = None,
+) -> tuple[Column, int]:
+    """Host list/array -> padded device Column. Returns (column, num_rows)."""
+    n = len(data)
+    cap = capacity if capacity is not None else n
+    assert cap >= n
+    if dtype.is_string:
+        dictionary, codes = Dictionary.encode(data)
+        vals = np.full(cap, -1, dtype=np.int32)
+        vals[:n] = codes
+        valid_np = codes >= 0
+        has_null = not valid_np.all()
+        valid = None
+        if has_null:
+            v = np.zeros(cap, dtype=bool)
+            v[:n] = valid_np
+            valid = jnp.asarray(v)
+        return Column(dtype, jnp.asarray(vals), valid, dictionary), n
+
+    arr = np.asarray(
+        [0 if x is None else x for x in data], dtype=dtype.dtype
+    )
+    has_null = any(x is None for x in data)
+    vals = np.zeros(cap, dtype=dtype.dtype)
+    vals[:n] = arr
+    valid = None
+    if has_null:
+        v = np.zeros(cap, dtype=bool)
+        v[:n] = np.array([x is not None for x in data], dtype=bool)
+        valid = jnp.asarray(v)
+    return Column(dtype, jnp.asarray(vals), valid), n
