@@ -13,6 +13,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field as dc_field
 from typing import Any, Optional, Sequence, Tuple
 
+import numpy as np
+
 from velox_tpu.types import DataType, BOOLEAN
 from velox_tpu.types.types import TypeKind
 
@@ -40,12 +42,27 @@ class FieldRef(Expr):
         return self.name
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class Literal(Expr):
     value: Any = None
 
     def __str__(self) -> str:
         return repr(self.value)
+
+    # ndarray payloads (bound lookup tables) aren't hashable/eq-comparable;
+    # compare those by object identity so CSE memo dicts still work.
+    def __eq__(self, other):
+        if not isinstance(other, Literal):
+            return NotImplemented
+        if isinstance(self.value, np.ndarray) or isinstance(
+                getattr(other, "value", None), np.ndarray):
+            return self is other
+        return self.dtype == other.dtype and self.value == other.value
+
+    def __hash__(self):
+        if isinstance(self.value, np.ndarray):
+            return hash((self.dtype, id(self.value)))
+        return hash((self.dtype, self.value))
 
 
 @dataclass(frozen=True)

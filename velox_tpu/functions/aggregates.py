@@ -1,0 +1,394 @@
+"""Aggregate functions as masked segment reductions.
+
+Analog of velox/exec/Aggregate.h:47 (addRawInput :179,
+addIntermediateResults :227, extractValues) re-designed TPU-first: an
+accumulator is a struct-of-arrays — one device array of shape (num_groups,)
+per accumulator lane — and accumulation is a single scatter-reduce
+(``array.at[group_ids].add/min/max``) over the whole batch, which XLA lowers
+to an efficient sorted-segment reduction on TPU. There is no per-row
+accumulator object and no RowContainer.
+
+Each function also serves as its own "companion" (velox/exec/
+AggregateCompanionAdapter.h:24): partial aggregation produces the raw
+accumulator lanes as columns; final aggregation consumes them via
+``combine``. So partial/final planning needs no extra registration.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from velox_tpu.types import BIGINT, BOOLEAN, DOUBLE, DataType, REAL
+from velox_tpu.types.types import DecimalType, TypeKind
+
+
+@dataclass(frozen=True)
+class AccLane:
+    """One accumulator lane: a named device array with an identity value."""
+
+    name: str
+    dtype_of: Callable[[Optional[DataType]], np.dtype]
+    init_of: Callable[[Optional[DataType]], object]
+
+
+@dataclass(frozen=True)
+class AggregateFunction:
+    name: str
+    #: input type (or None for count(*)) -> result type
+    resolve_type: Callable[[Optional[DataType]], DataType]
+    #: accumulator lanes
+    lanes: Tuple[AccLane, ...]
+    #: accumulate(accs, gids, values, mask) -> new accs
+    #: values is None for count(*); mask already includes input validity
+    accumulate: Callable
+    #: combine(accs, gids, partial_lane_arrays, mask) -> new accs
+    combine: Callable
+    #: extract(accs, group_mask) -> (values, valid) of result type
+    extract: Callable
+    #: intermediate (partial) output types, parallel to lanes
+    lane_types: Callable[[Optional[DataType]], Tuple[DataType, ...]]
+
+
+aggregate_registry: Dict[str, AggregateFunction] = {}
+
+
+def register_aggregate(fn: AggregateFunction) -> None:
+    aggregate_registry[fn.name] = fn
+
+
+def lookup_aggregate(name: str) -> AggregateFunction:
+    try:
+        return aggregate_registry[name]
+    except KeyError:
+        raise KeyError(
+            f"no aggregate {name!r}; registered: {sorted(aggregate_registry)}"
+        )
+
+
+# ------------------------------------------------------------------ helpers
+
+def _masked(values, mask, identity):
+    return jnp.where(mask, values, jnp.asarray(identity, dtype=values.dtype))
+
+
+def _sum_result_type(t: Optional[DataType]) -> DataType:
+    assert t is not None
+    if isinstance(t, DecimalType):
+        # Presto: sum(decimal(p,s)) -> decimal(38,s); we keep int64 lane
+        return DecimalType(TypeKind.DECIMAL, 18, t.scale)
+    if t.is_integer:
+        return BIGINT
+    if t.kind == TypeKind.REAL:
+        return REAL
+    return DOUBLE
+
+
+def _sum_lane_dtype(t: Optional[DataType]) -> np.dtype:
+    return _sum_result_type(t).dtype
+
+
+# ---------------------------------------------------------------------- sum
+
+def _sum_acc(accs, gids, values, mask):
+    (s, cnt) = accs
+    v = _masked(values.astype(s.dtype), mask, 0)
+    s = s.at[gids].add(v, mode="drop")
+    cnt = cnt.at[gids].add(mask.astype(cnt.dtype), mode="drop")
+    return (s, cnt)
+
+
+def _sum_combine(accs, gids, lanes, mask):
+    (s, cnt) = accs
+    ps, pcnt = lanes
+    s = s.at[gids].add(_masked(ps, mask, 0), mode="drop")
+    cnt = cnt.at[gids].add(_masked(pcnt, mask, 0), mode="drop")
+    return (s, cnt)
+
+
+def _sum_extract(accs, group_mask):
+    (s, cnt) = accs
+    return s, jnp.logical_and(group_mask, cnt > 0)
+
+
+register_aggregate(AggregateFunction(
+    name="sum",
+    resolve_type=_sum_result_type,
+    lanes=(
+        AccLane("sum", _sum_lane_dtype, lambda t: 0),
+        AccLane("count", lambda t: np.dtype(np.int64), lambda t: 0),
+    ),
+    accumulate=_sum_acc,
+    combine=_sum_combine,
+    extract=_sum_extract,
+    lane_types=lambda t: (_sum_result_type(t), BIGINT),
+))
+
+
+# -------------------------------------------------------------------- count
+
+def _count_acc(accs, gids, values, mask):
+    (cnt,) = accs
+    return (cnt.at[gids].add(mask.astype(cnt.dtype), mode="drop"),)
+
+
+def _count_combine(accs, gids, lanes, mask):
+    (cnt,) = accs
+    (pcnt,) = lanes
+    return (cnt.at[gids].add(_masked(pcnt, mask, 0), mode="drop"),)
+
+
+register_aggregate(AggregateFunction(
+    name="count",
+    resolve_type=lambda t: BIGINT,
+    lanes=(AccLane("count", lambda t: np.dtype(np.int64), lambda t: 0),),
+    accumulate=_count_acc,
+    combine=_count_combine,
+    extract=lambda accs, gm: (accs[0], gm),
+    lane_types=lambda t: (BIGINT,),
+))
+
+register_aggregate(AggregateFunction(
+    name="count_if",
+    resolve_type=lambda t: BIGINT,
+    lanes=(AccLane("count", lambda t: np.dtype(np.int64), lambda t: 0),),
+    accumulate=lambda accs, gids, values, mask: (
+        accs[0].at[gids].add(
+            jnp.logical_and(mask, values).astype(accs[0].dtype),
+            mode="drop"),),
+    combine=_count_combine,
+    extract=lambda accs, gm: (accs[0], gm),
+    lane_types=lambda t: (BIGINT,),
+))
+
+
+# ------------------------------------------------------------------ min/max
+
+def _minmax_identity(t: DataType, is_min: bool):
+    dt = t.dtype
+    if np.issubdtype(dt, np.floating):
+        return np.inf if is_min else -np.inf
+    if dt == np.dtype(np.bool_):
+        return True if is_min else False
+    info = np.iinfo(dt)
+    return info.max if is_min else info.min
+
+
+def _make_minmax(name: str, is_min: bool):
+    def acc_fn(accs, gids, values, mask):
+        (m, cnt) = accs
+        ident = _minmax_identity_for(m.dtype, is_min)
+        v = _masked(values.astype(m.dtype), mask, ident)
+        m = (m.at[gids].min(v, mode="drop") if is_min
+             else m.at[gids].max(v, mode="drop"))
+        cnt = cnt.at[gids].add(mask.astype(cnt.dtype), mode="drop")
+        return (m, cnt)
+
+    def combine_fn(accs, gids, lanes, mask):
+        (m, cnt) = accs
+        pm, pcnt = lanes
+        ident = _minmax_identity_for(m.dtype, is_min)
+        v = _masked(pm, mask, ident)
+        m = (m.at[gids].min(v, mode="drop") if is_min
+             else m.at[gids].max(v, mode="drop"))
+        cnt = cnt.at[gids].add(_masked(pcnt, mask, 0), mode="drop")
+        return (m, cnt)
+
+    register_aggregate(AggregateFunction(
+        name=name,
+        resolve_type=lambda t: t,
+        lanes=(
+            AccLane(name, lambda t: t.dtype,
+                    lambda t: _minmax_identity(t, is_min)),
+            AccLane("count", lambda t: np.dtype(np.int64), lambda t: 0),
+        ),
+        accumulate=acc_fn,
+        combine=combine_fn,
+        extract=lambda accs, gm: (
+            accs[0], jnp.logical_and(gm, accs[1] > 0)),
+        lane_types=lambda t: (t, BIGINT),
+    ))
+
+
+def _minmax_identity_for(dt, is_min: bool):
+    if jnp.issubdtype(dt, jnp.floating):
+        return jnp.inf if is_min else -jnp.inf
+    if dt == jnp.bool_:
+        return True if is_min else False
+    info = jnp.iinfo(dt)
+    return info.max if is_min else info.min
+
+
+_make_minmax("min", True)
+_make_minmax("max", False)
+
+
+# ---------------------------------------------------------------------- avg
+
+def _avg_result_type(t):
+    if isinstance(t, DecimalType):
+        return t
+    if t.kind == TypeKind.REAL:
+        return REAL
+    return DOUBLE
+
+
+def _avg_extract(accs, gm):
+    (s, cnt) = accs
+    safe = jnp.maximum(cnt, 1)
+    if jnp.issubdtype(s.dtype, jnp.integer):
+        # decimal avg: integer division with round-half-up on the lane
+        q = jnp.sign(s) * ((jnp.abs(s) + safe // 2) // safe)
+        vals = q
+    else:
+        vals = s / safe.astype(s.dtype)
+    return vals, jnp.logical_and(gm, cnt > 0)
+
+
+register_aggregate(AggregateFunction(
+    name="avg",
+    resolve_type=_avg_result_type,
+    lanes=(
+        AccLane("sum", lambda t: _avg_result_type(t).dtype
+                if isinstance(t, DecimalType) else np.dtype(np.float64),
+                lambda t: 0),
+        AccLane("count", lambda t: np.dtype(np.int64), lambda t: 0),
+    ),
+    accumulate=_sum_acc,
+    combine=_sum_combine,
+    extract=_avg_extract,
+    lane_types=lambda t: (
+        DOUBLE if not isinstance(t, DecimalType) else t, BIGINT),
+))
+
+
+# ---------------------------------------------------------- variance family
+
+def _var_lanes():
+    return (
+        AccLane("n", lambda t: np.dtype(np.int64), lambda t: 0),
+        AccLane("sum", lambda t: np.dtype(np.float64), lambda t: 0.0),
+        AccLane("sumsq", lambda t: np.dtype(np.float64), lambda t: 0.0),
+    )
+
+
+def _var_acc(accs, gids, values, mask):
+    n, s, ss = accs
+    v = _masked(values.astype(jnp.float64), mask, 0.0)
+    n = n.at[gids].add(mask.astype(n.dtype), mode="drop")
+    s = s.at[gids].add(v, mode="drop")
+    ss = ss.at[gids].add(v * v, mode="drop")
+    return (n, s, ss)
+
+
+def _var_combine(accs, gids, lanes, mask):
+    n, s, ss = accs
+    pn, ps, pss = lanes
+    n = n.at[gids].add(_masked(pn, mask, 0), mode="drop")
+    s = s.at[gids].add(_masked(ps, mask, 0.0), mode="drop")
+    ss = ss.at[gids].add(_masked(pss, mask, 0.0), mode="drop")
+    return (n, s, ss)
+
+
+def _make_var(name: str, sample: bool, stddev: bool):
+    def extract(accs, gm):
+        n, s, ss = accs
+        nf = n.astype(jnp.float64)
+        safe_n = jnp.maximum(nf, 1.0)
+        m2 = ss - s * s / safe_n
+        denom = jnp.maximum(nf - 1.0, 1.0) if sample else safe_n
+        var = jnp.maximum(m2, 0.0) / denom
+        out = jnp.sqrt(var) if stddev else var
+        min_n = 2 if sample else 1
+        return out, jnp.logical_and(gm, n >= min_n)
+
+    register_aggregate(AggregateFunction(
+        name=name,
+        resolve_type=lambda t: DOUBLE,
+        lanes=_var_lanes(),
+        accumulate=_var_acc,
+        combine=_var_combine,
+        extract=extract,
+        lane_types=lambda t: (BIGINT, DOUBLE, DOUBLE),
+    ))
+
+
+_make_var("variance", True, False)
+_make_var("var_samp", True, False)
+_make_var("var_pop", False, False)
+_make_var("stddev", True, True)
+_make_var("stddev_samp", True, True)
+_make_var("stddev_pop", False, True)
+
+
+# ------------------------------------------------------------ bool_and/or
+
+register_aggregate(AggregateFunction(
+    name="bool_and",
+    resolve_type=lambda t: BOOLEAN,
+    lanes=(
+        AccLane("all", lambda t: np.dtype(np.bool_), lambda t: True),
+        AccLane("count", lambda t: np.dtype(np.int64), lambda t: 0),
+    ),
+    accumulate=lambda accs, gids, values, mask: (
+        accs[0].at[gids].min(_masked(values, mask, True), mode="drop"),
+        accs[1].at[gids].add(mask.astype(accs[1].dtype), mode="drop"),
+    ),
+    combine=lambda accs, gids, lanes, mask: (
+        accs[0].at[gids].min(_masked(lanes[0], mask, True), mode="drop"),
+        accs[1].at[gids].add(_masked(lanes[1], mask, 0), mode="drop"),
+    ),
+    extract=lambda accs, gm: (accs[0], jnp.logical_and(gm, accs[1] > 0)),
+    lane_types=lambda t: (BOOLEAN, BIGINT),
+))
+
+register_aggregate(AggregateFunction(
+    name="bool_or",
+    resolve_type=lambda t: BOOLEAN,
+    lanes=(
+        AccLane("any", lambda t: np.dtype(np.bool_), lambda t: False),
+        AccLane("count", lambda t: np.dtype(np.int64), lambda t: 0),
+    ),
+    accumulate=lambda accs, gids, values, mask: (
+        accs[0].at[gids].max(_masked(values, mask, False), mode="drop"),
+        accs[1].at[gids].add(mask.astype(accs[1].dtype), mode="drop"),
+    ),
+    combine=lambda accs, gids, lanes, mask: (
+        accs[0].at[gids].max(_masked(lanes[0], mask, False), mode="drop"),
+        accs[1].at[gids].add(_masked(lanes[1], mask, 0), mode="drop"),
+    ),
+    extract=lambda accs, gm: (accs[0], jnp.logical_and(gm, accs[1] > 0)),
+    lane_types=lambda t: (BOOLEAN, BIGINT),
+))
+
+
+# -------------------------------------------------------- arbitrary / any
+
+register_aggregate(AggregateFunction(
+    name="arbitrary",
+    resolve_type=lambda t: t,
+    lanes=(
+        AccLane("val", lambda t: t.dtype, lambda t: 0),
+        AccLane("count", lambda t: np.dtype(np.int64), lambda t: 0),
+    ),
+    # keep max value (any deterministic choice works for "arbitrary")
+    accumulate=lambda accs, gids, values, mask: (
+        accs[0].at[gids].max(
+            _masked(values, mask,
+                    _minmax_identity_for(accs[0].dtype, True)),
+            mode="drop"),
+        accs[1].at[gids].add(mask.astype(accs[1].dtype), mode="drop"),
+    ),
+    combine=lambda accs, gids, lanes, mask: (
+        accs[0].at[gids].max(
+            _masked(lanes[0], mask,
+                    _minmax_identity_for(accs[0].dtype, True)),
+            mode="drop"),
+        accs[1].at[gids].add(_masked(lanes[1], mask, 0), mode="drop"),
+    ),
+    extract=lambda accs, gm: (accs[0], jnp.logical_and(gm, accs[1] > 0)),
+    lane_types=lambda t: (t, BIGINT),
+))

@@ -1,0 +1,329 @@
+"""Default scalar function package (Presto semantics subset).
+
+Covers the function surface TPC-H needs plus the common core: arithmetic,
+comparisons, boolean special-form kernels, date part extraction, IN-lists.
+Reference semantics: velox/functions/prestosql (Arithmetic.h,
+Comparisons.cpp, DateTimeFunctions.h). Notable Presto rules implemented:
+
+* integer division truncates toward zero; modulus sign follows the dividend
+* division/modulus by zero yields NULL here (Presto throws; the engine has no
+  row-level exceptions, so errors surface as nulls — TRY semantics are the
+  default, velox/expression/TryExpr.h analog)
+* AND/OR use Kleene three-valued logic (velox/expression/ConjunctExpr.h)
+* IF with a NULL condition takes the else branch
+
+Date math uses Howard Hinnant's civil-from-days algorithm in pure integer
+lanes (no table lookups — VPU-friendly).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from velox_tpu.types import (
+    BIGINT, BOOLEAN, DATE, DOUBLE, INTEGER, REAL, DataType,
+)
+from velox_tpu.types.types import DecimalType, TypeKind, common_numeric_type
+from velox_tpu.functions.registry import ScalarFunction, register_function
+
+
+# ------------------------------------------------------------------ helpers
+
+def _all_valid(values):
+    return jnp.ones(values.shape, dtype=jnp.bool_)
+
+
+def _arith_type(args):
+    if len(args) != 2:
+        raise TypeError("binary arithmetic takes 2 args")
+    a, b = args
+    if isinstance(a, DecimalType) or isinstance(b, DecimalType):
+        raise TypeError("decimal arithmetic resolved by compiler")
+    return common_numeric_type(a, b)
+
+
+def _compare_type(args):
+    return BOOLEAN
+
+
+def _same_type(args):
+    return args[0]
+
+
+def _trunc_div(a, b):
+    """Truncate-toward-zero integer division (Presto int division)."""
+    if jnp.issubdtype(a.dtype, jnp.integer):
+        q = jnp.abs(a) // jnp.maximum(jnp.abs(b), 1)
+        return jnp.where((a < 0) ^ (b < 0), -q, q)
+    return a / b
+
+
+# -------------------------------------------------------------- arithmetic
+
+def _div_impl(pairs0, pairs1):
+    (a, va), (b, vb) = pairs0, pairs1
+    zero = b == 0 if jnp.issubdtype(b.dtype, jnp.integer) else None
+    if zero is not None:
+        safe_b = jnp.where(zero, 1, b)
+        vals = _trunc_div(a, safe_b)
+        valid = jnp.logical_and(
+            va if va is not None else _all_valid(a),
+            vb if vb is not None else _all_valid(b),
+        )
+        valid = jnp.logical_and(valid, jnp.logical_not(zero))
+        return vals, valid
+    vals = a / b
+    valid = None
+    if va is not None or vb is not None:
+        valid = jnp.logical_and(
+            va if va is not None else _all_valid(a),
+            vb if vb is not None else _all_valid(b),
+        )
+    return vals, valid
+
+
+def _mod_impl(pairs0, pairs1):
+    (a, va), (b, vb) = pairs0, pairs1
+    if jnp.issubdtype(a.dtype, jnp.integer):
+        zero = b == 0
+        safe_b = jnp.where(zero, 1, b)
+        vals = a - _trunc_div(a, safe_b) * safe_b
+        valid = jnp.logical_and(
+            va if va is not None else _all_valid(a),
+            vb if vb is not None else _all_valid(b),
+        )
+        valid = jnp.logical_and(valid, jnp.logical_not(zero))
+        return vals, valid
+    # float fmod: sign follows dividend
+    vals = jnp.fmod(a, b)
+    valid = None
+    if va is not None or vb is not None:
+        valid = jnp.logical_and(
+            va if va is not None else _all_valid(a),
+            vb if vb is not None else _all_valid(b),
+        )
+    return vals, valid
+
+
+register_function(ScalarFunction("plus", _arith_type, lambda a, b: a + b))
+register_function(ScalarFunction("minus", _arith_type, lambda a, b: a - b))
+register_function(ScalarFunction("multiply", _arith_type, lambda a, b: a * b))
+register_function(ScalarFunction(
+    "divide", _arith_type, _div_impl, default_nulls=False))
+register_function(ScalarFunction(
+    "mod", _arith_type, _mod_impl, default_nulls=False))
+register_function(ScalarFunction("negate", lambda a: a[0], lambda a: -a))
+register_function(ScalarFunction("abs", lambda a: a[0], lambda a: jnp.abs(a)))
+register_function(ScalarFunction(
+    "round",
+    lambda a: a[0],
+    lambda a: jnp.round(a) if jnp.issubdtype(a.dtype, jnp.floating) else a,
+))
+register_function(ScalarFunction("sqrt", lambda a: DOUBLE, lambda a: jnp.sqrt(a)))
+register_function(ScalarFunction("exp", lambda a: DOUBLE, lambda a: jnp.exp(a)))
+register_function(ScalarFunction("ln", lambda a: DOUBLE, lambda a: jnp.log(a)))
+register_function(ScalarFunction(
+    "power", lambda a: DOUBLE, lambda a, b: jnp.power(a, b)))
+register_function(ScalarFunction(
+    "floor", lambda a: a[0], lambda a: jnp.floor(a)))
+register_function(ScalarFunction(
+    "ceil", lambda a: a[0], lambda a: jnp.ceil(a)))
+register_function(ScalarFunction(
+    "greatest", lambda a: a[0], lambda a, b: jnp.maximum(a, b)))
+register_function(ScalarFunction(
+    "least", lambda a: a[0], lambda a, b: jnp.minimum(a, b)))
+
+# ------------------------------------------------------------- comparisons
+
+register_function(ScalarFunction(
+    "eq", _compare_type, lambda a, b: a == b, dictionary_safe=True))
+register_function(ScalarFunction(
+    "neq", _compare_type, lambda a, b: a != b, dictionary_safe=True))
+register_function(ScalarFunction("lt", _compare_type, lambda a, b: a < b))
+register_function(ScalarFunction("lte", _compare_type, lambda a, b: a <= b))
+register_function(ScalarFunction("gt", _compare_type, lambda a, b: a > b))
+register_function(ScalarFunction("gte", _compare_type, lambda a, b: a >= b))
+register_function(ScalarFunction(
+    "between", _compare_type,
+    lambda x, lo, hi: jnp.logical_and(x >= lo, x <= hi)))
+
+
+def _in_impl(x, *consts):
+    m = x == consts[0]
+    for c in consts[1:]:
+        m = jnp.logical_or(m, x == c)
+    return m
+
+
+register_function(ScalarFunction(
+    "in", _compare_type, _in_impl, dictionary_safe=True))
+
+
+def _like_unbound(*a):  # pragma: no cover
+    raise RuntimeError(
+        "LIKE must be bound against a dictionary column (bind_strings) "
+        "before device evaluation")
+
+
+# LIKE resolves to BOOLEAN; the compiler's bind phase rewrites it into a
+# host-evaluated dictionary lookup table (see expr/compiler.py bind_strings).
+register_function(ScalarFunction("like", _compare_type, _like_unbound))
+
+# ------------------------------------------------- boolean (special forms)
+
+
+def _kleene_and(*pairs):
+    vals, valid = pairs[0]
+    if valid is None:
+        valid = _all_valid(vals)
+    vals = jnp.logical_and(vals, valid)  # canonicalize: null lanes -> False
+    false = jnp.logical_and(valid, jnp.logical_not(vals))
+    for v2, va2 in pairs[1:]:
+        if va2 is None:
+            va2 = _all_valid(v2)
+        f2 = jnp.logical_and(va2, jnp.logical_not(v2))
+        false = jnp.logical_or(false, f2)
+        vals = jnp.logical_and(vals, jnp.logical_and(v2, va2))
+        valid = jnp.logical_or(false, jnp.logical_and(valid, va2))
+    return vals, valid
+
+
+def _kleene_or(*pairs):
+    vals, valid = pairs[0]
+    if valid is None:
+        valid = _all_valid(vals)
+    vals = jnp.logical_and(vals, valid)
+    true = vals
+    for v2, va2 in pairs[1:]:
+        if va2 is None:
+            va2 = _all_valid(v2)
+        t2 = jnp.logical_and(va2, v2)
+        true = jnp.logical_or(true, t2)
+        vals = jnp.logical_or(vals, t2)
+        valid = jnp.logical_or(true, jnp.logical_and(valid, va2))
+    return vals, valid
+
+
+def _not_impl(pair):
+    vals, valid = pair
+    return jnp.logical_not(vals), valid
+
+
+def _is_null_impl(pair):
+    vals, valid = pair
+    if valid is None:
+        return jnp.zeros(vals.shape, dtype=jnp.bool_), None
+    return jnp.logical_not(valid), None
+
+
+def _is_not_null_impl(pair):
+    vals, valid = pair
+    if valid is None:
+        return jnp.ones(vals.shape, dtype=jnp.bool_), None
+    return valid, None
+
+
+def _coalesce_impl(*pairs):
+    vals, valid = pairs[0]
+    if valid is None:
+        return vals, None
+    for v2, va2 in pairs[1:]:
+        vals = jnp.where(valid, vals, v2)
+        if va2 is None:
+            return vals, None
+        valid = jnp.logical_or(valid, va2)
+    return vals, valid
+
+
+def _if_impl(cond_pair, then_pair, *else_pair):
+    cv, cvalid = cond_pair
+    taken = cv if cvalid is None else jnp.logical_and(cv, cvalid)
+    tv, tvalid = then_pair
+    if else_pair:
+        ev, evalid = else_pair[0]
+    else:
+        ev, evalid = jnp.zeros_like(tv), jnp.zeros(tv.shape, dtype=jnp.bool_)
+    vals = jnp.where(taken, tv, ev)
+    if tvalid is None and evalid is None:
+        return vals, None
+    tvalid = tvalid if tvalid is not None else _all_valid(tv)
+    evalid = evalid if evalid is not None else _all_valid(ev)
+    return vals, jnp.where(taken, tvalid, evalid)
+
+
+def _switch_impl(*pairs):
+    """switch(c1, v1, c2, v2, ..., [else]) — first true condition wins."""
+    n = len(pairs)
+    has_else = n % 2 == 1
+    npairs = n // 2
+    ev, evalid = (pairs[-1] if has_else
+                  else (jnp.zeros_like(pairs[1][0]),
+                        jnp.zeros(pairs[1][0].shape, dtype=jnp.bool_)))
+    vals, valid = ev, (evalid if evalid is not None else _all_valid(ev))
+    # fold back-to-front so the first condition has priority
+    for i in reversed(range(npairs)):
+        cv, cvalid = pairs[2 * i]
+        tv, tvalid = pairs[2 * i + 1]
+        taken = cv if cvalid is None else jnp.logical_and(cv, cvalid)
+        vals = jnp.where(taken, tv, vals)
+        tvalid = tvalid if tvalid is not None else _all_valid(tv)
+        valid = jnp.where(taken, tvalid, valid)
+    return vals, valid
+
+
+register_function(ScalarFunction(
+    "and", lambda a: BOOLEAN, _kleene_and, default_nulls=False,
+    dictionary_safe=True))
+register_function(ScalarFunction(
+    "or", lambda a: BOOLEAN, _kleene_or, default_nulls=False,
+    dictionary_safe=True))
+register_function(ScalarFunction(
+    "not", lambda a: BOOLEAN, _not_impl, default_nulls=False))
+register_function(ScalarFunction(
+    "is_null", lambda a: BOOLEAN, _is_null_impl, default_nulls=False,
+    dictionary_safe=True))
+register_function(ScalarFunction(
+    "is_not_null", lambda a: BOOLEAN, _is_not_null_impl, default_nulls=False,
+    dictionary_safe=True))
+register_function(ScalarFunction(
+    "coalesce", lambda a: a[0], _coalesce_impl, default_nulls=False))
+register_function(ScalarFunction(
+    "if", lambda a: a[1], _if_impl, default_nulls=False))
+register_function(ScalarFunction(
+    "switch", lambda a: a[1], _switch_impl, default_nulls=False))
+
+# -------------------------------------------------------------- date parts
+# Howard Hinnant civil-from-days; all ops stay in int32 lanes.
+
+
+def _civil_from_days(days):
+    z = days.astype(jnp.int32) + 719468
+    era = jnp.floor_divide(z, 146097)
+    doe = z - era * 146097
+    yoe = jnp.floor_divide(
+        doe - jnp.floor_divide(doe, 1460) + jnp.floor_divide(doe, 36524)
+        - jnp.floor_divide(doe, 146096), 365)
+    y = yoe + era * 400
+    doy = doe - (365 * yoe + jnp.floor_divide(yoe, 4)
+                 - jnp.floor_divide(yoe, 100))
+    mp = jnp.floor_divide(5 * doy + 2, 153)
+    d = doy - jnp.floor_divide(153 * mp + 2, 5) + 1
+    m = mp + jnp.where(mp < 10, 3, -9)
+    y = y + (m <= 2)
+    return y, m, d
+
+
+register_function(ScalarFunction(
+    "year", lambda a: BIGINT,
+    lambda a: _civil_from_days(a)[0].astype(jnp.int64)))
+register_function(ScalarFunction(
+    "month", lambda a: BIGINT,
+    lambda a: _civil_from_days(a)[1].astype(jnp.int64)))
+register_function(ScalarFunction(
+    "day", lambda a: BIGINT,
+    lambda a: _civil_from_days(a)[2].astype(jnp.int64)))
+register_function(ScalarFunction(
+    "quarter", lambda a: BIGINT,
+    lambda a: (jnp.floor_divide(_civil_from_days(a)[1] - 1, 3) + 1
+               ).astype(jnp.int64)))
