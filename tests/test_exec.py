@@ -1,0 +1,428 @@
+"""End-to-end operator tests with pandas oracles.
+
+The analog of velox's OperatorTestBase + AssertQueryBuilder suites
+(velox/exec/tests/utils/QueryAssertions.h:47 — DuckDB oracle); here the
+oracle is pandas over identical inputs.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from velox_tpu.plan import PlanBuilder
+from velox_tpu.exec import run_plan, run_plan_pydict
+from velox_tpu.vector import from_arrow
+from velox_tpu.io import register_arrow, drop_table
+
+
+def make_batch(d):
+    return from_arrow(pa.table(d))
+
+
+def sorted_records(table_or_dict):
+    if isinstance(table_or_dict, pa.Table):
+        d = table_or_dict.to_pydict()
+    else:
+        d = table_or_dict
+    cols = sorted(d)
+    rows = list(zip(*[d[c] for c in cols]))
+    return cols, sorted(rows, key=lambda r: tuple(
+        (v is None, v) for v in r))
+
+
+def assert_same(got, expected):
+    gc, gr = sorted_records(got)
+    ec, er = sorted_records(expected)
+    assert gc == ec, (gc, ec)
+    assert len(gr) == len(er), f"{len(gr)} rows != {len(er)}"
+    for a, b in zip(gr, er):
+        for x, y in zip(a, b):
+            if isinstance(x, float) and isinstance(y, float):
+                assert x == pytest.approx(y, rel=1e-12), (a, b)
+            else:
+                assert x == y, (a, b)
+
+
+# ----------------------------------------------------------------- basics
+
+def test_values_filter_project():
+    b = make_batch({
+        "a": [1, 2, 3, 4, 5], "b": [10.0, 20.0, 30.0, 40.0, 50.0]})
+    out = run_plan_pydict(
+        PlanBuilder().values([b])
+        .filter("a >= 2 AND a < 5")
+        .project(["a", "b * 2.0 AS b2"]))
+    assert_same(out, {"a": [2, 3, 4], "b2": [40.0, 60.0, 80.0]})
+
+
+def test_filter_nulls_and_strings():
+    b = make_batch({
+        "s": ["apple", None, "banana", "cherry", "apple"],
+        "x": [1, 2, 3, None, 5]})
+    out = run_plan_pydict(
+        PlanBuilder().values([b]).filter("s = 'apple' AND x IS NOT NULL"))
+    assert_same(out, {"s": ["apple", "apple"], "x": [1, 5]})
+
+
+def test_string_range_and_like():
+    b = make_batch({
+        "s": ["apple", "banana", "cherry", "apricot", "fig"]})
+    out = run_plan_pydict(
+        PlanBuilder().values([b]).filter("s > 'apple' AND s LIKE '%a%'"))
+    assert_same(out, {"s": ["banana", "apricot"]})
+
+
+# ------------------------------------------------------------ aggregation
+
+def test_global_aggregation():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=1000)
+    b = make_batch({"x": x.tolist()})
+    out = run_plan_pydict(
+        PlanBuilder().values([b]).aggregate(
+            [], ["sum(x) AS s", "count(*) AS c", "min(x) AS lo",
+                 "max(x) AS hi", "avg(x) AS m"]))
+    assert out["c"] == [1000]
+    assert out["s"][0] == pytest.approx(float(x.sum()))
+    assert out["lo"][0] == pytest.approx(float(x.min()))
+    assert out["hi"][0] == pytest.approx(float(x.max()))
+    assert out["m"][0] == pytest.approx(float(x.mean()))
+
+
+def test_global_aggregation_empty_input():
+    b = make_batch({"x": [1.0, 2.0]})
+    out = run_plan_pydict(
+        PlanBuilder().values([b]).filter("x > 100.0")
+        .aggregate([], ["count(*) AS c", "sum(x) AS s"]))
+    assert out["c"] == [0]
+    assert out["s"] == [None]
+
+
+def test_group_by_int_keys_multi_batch():
+    rng = np.random.default_rng(2)
+    dfs = []
+    batches = []
+    for _ in range(3):
+        k = rng.integers(0, 7, 500)
+        v = rng.normal(size=500)
+        dfs.append(pd.DataFrame({"k": k, "v": v}))
+        batches.append(make_batch(
+            {"k": k.tolist(), "v": v.tolist()}))
+    df = pd.concat(dfs)
+    expected = (
+        df.groupby("k").agg(s=("v", "sum"), c=("v", "count"),
+                            lo=("v", "min"))
+        .reset_index())
+    out = run_plan_pydict(
+        PlanBuilder().values(batches).aggregate(
+            ["k"], ["sum(v) AS s", "count(v) AS c", "min(v) AS lo"]))
+    assert_same(out, {
+        "k": expected["k"].tolist(), "s": expected["s"].tolist(),
+        "c": expected["c"].tolist(), "lo": expected["lo"].tolist()})
+
+
+def test_group_by_string_keys_karray_mode():
+    k = ["a", "b", "a", "c", "b", "a", None, "c"]
+    v = [1, 2, 3, 4, 5, 6, 7, 8]
+    b = make_batch({"k": k, "v": v})
+    out = run_plan_pydict(
+        PlanBuilder().values([b]).aggregate(["k"], ["sum(v) AS s"]))
+    df = pd.DataFrame({"k": k, "v": v})
+    expected = df.groupby("k", dropna=False)["v"].sum().reset_index()
+    assert_same(out, {
+        "k": [None if pd.isna(x) else x for x in expected["k"]],
+        "s": expected["v"].tolist()})
+
+
+def test_partial_final_aggregation():
+    rng = np.random.default_rng(3)
+    k = rng.integers(0, 5, 300)
+    v = rng.normal(size=300)
+    b = make_batch({"k": k.tolist(), "v": v.tolist()})
+    out = run_plan_pydict(
+        PlanBuilder().values([b])
+        .partial_aggregation(["k"], ["sum(v) AS s", "avg(v) AS m"])
+        .final_aggregation())
+    df = pd.DataFrame({"k": k, "v": v})
+    e = df.groupby("k").agg(s=("v", "sum"), m=("v", "mean")).reset_index()
+    assert_same(out, {"k": e["k"].tolist(), "s": e["s"].tolist(),
+                      "m": e["m"].tolist()})
+
+
+def test_agg_expression_keys_and_args():
+    b = make_batch({"a": [1, 2, 3, 4], "b": [10.0, 20.0, 30.0, 40.0]})
+    out = run_plan_pydict(
+        PlanBuilder().values([b]).aggregate(
+            ["a % 2 AS parity"], ["sum(b + 1.0) AS s"]))
+    assert_same(out, {"parity": [0, 1], "s": [62.0, 42.0]})
+
+
+def test_distinct():
+    b = make_batch({"a": [1, 2, 1, 3, 2, 1]})
+    out = run_plan_pydict(PlanBuilder().values([b]).distinct())
+    assert_same(out, {"a": [1, 2, 3]})
+
+
+def test_variance_stddev():
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=500)
+    b = make_batch({"x": x.tolist()})
+    out = run_plan_pydict(
+        PlanBuilder().values([b]).aggregate(
+            [], ["var_samp(x) AS vs", "var_pop(x) AS vp",
+                 "stddev(x) AS sd"]))
+    assert out["vs"][0] == pytest.approx(float(np.var(x, ddof=1)))
+    assert out["vp"][0] == pytest.approx(float(np.var(x)))
+    assert out["sd"][0] == pytest.approx(float(np.std(x, ddof=1)))
+
+
+# ------------------------------------------------------------------ order
+
+def test_order_by_multi_key():
+    b = make_batch({
+        "a": [2, 1, 2, 1, 3], "b": [5.0, 1.0, 3.0, 2.0, 0.0]})
+    out = run_plan_pydict(
+        PlanBuilder().values([b]).order_by(["a", "b DESC"]))
+    assert out["a"] == [1, 1, 2, 2, 3]
+    assert out["b"] == [2.0, 1.0, 5.0, 3.0, 0.0]
+
+
+def test_top_n_across_batches():
+    rng = np.random.default_rng(5)
+    batches, alls = [], []
+    for _ in range(4):
+        v = rng.integers(0, 1000, 256)
+        alls.extend(v.tolist())
+        batches.append(make_batch({"v": v.tolist()}))
+    out = run_plan_pydict(
+        PlanBuilder().values(batches).top_n(["v DESC"], 10))
+    assert out["v"] == sorted(alls, reverse=True)[:10]
+
+
+def test_limit_offset():
+    b = make_batch({"a": list(range(20))})
+    out = run_plan_pydict(
+        PlanBuilder().values([b]).order_by(["a"]).limit(5, offset=3))
+    assert out["a"] == [3, 4, 5, 6, 7]
+
+
+# ------------------------------------------------------------------ joins
+
+def _join_dfs(n_left=300, n_right=80, seed=6):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame({
+        "lk": rng.integers(0, 60, n_left),
+        "lv": rng.normal(size=n_left).round(3)})
+    right = pd.DataFrame({
+        "rk": rng.integers(0, 60, n_right),
+        "rv": rng.normal(size=n_right).round(3)})
+    return left, right
+
+
+def _run_join(left, right, join_type, output_cols):
+    lb = make_batch({c: left[c].tolist() for c in left.columns})
+    rb = make_batch({c: right[c].tolist() for c in right.columns})
+    rpb = PlanBuilder().values([rb])
+    return run_plan_pydict(
+        PlanBuilder().values([lb]).hash_join(
+            rpb, ["lk"], ["rk"], join_type, output=output_cols))
+
+
+def test_inner_join():
+    left, right = _join_dfs()
+    got = _run_join(left, right, "inner", ["lk", "lv", "rv"])
+    e = left.merge(right, left_on="lk", right_on="rk")
+    assert_same(got, {
+        "lk": e["lk"].tolist(), "lv": e["lv"].tolist(),
+        "rv": e["rv"].tolist()})
+
+
+def test_left_join():
+    left, right = _join_dfs(seed=7)
+    got = _run_join(left, right, "left", ["lk", "lv", "rv"])
+    e = left.merge(right, left_on="lk", right_on="rk", how="left")
+    rv = [None if pd.isna(v) else v for v in e["rv"]]
+    assert_same(got, {
+        "lk": e["lk"].tolist(), "lv": e["lv"].tolist(), "rv": rv})
+
+
+def test_right_join():
+    left, right = _join_dfs(seed=8)
+    got = _run_join(left, right, "right", ["lv", "rk", "rv"])
+    e = left.merge(right, left_on="lk", right_on="rk", how="right")
+    lv = [None if pd.isna(v) else v for v in e["lv"]]
+    assert_same(got, {
+        "lv": lv, "rk": e["rk"].tolist(), "rv": e["rv"].tolist()})
+
+
+def test_full_join():
+    left, right = _join_dfs(seed=9)
+    got = _run_join(left, right, "full", ["lv", "rv"])
+    e = left.merge(right, left_on="lk", right_on="rk", how="outer")
+    assert_same(got, {
+        "lv": [None if pd.isna(v) else v for v in e["lv"]],
+        "rv": [None if pd.isna(v) else v for v in e["rv"]]})
+
+
+def test_semi_and_anti_joins():
+    left, right = _join_dfs(seed=10)
+    got = _run_join(left, right, "left_semi", ["lk", "lv"])
+    e = left[left["lk"].isin(right["rk"])]
+    assert_same(got, {"lk": e["lk"].tolist(), "lv": e["lv"].tolist()})
+
+    got = _run_join(left, right, "anti", ["lk", "lv"])
+    e = left[~left["lk"].isin(right["rk"])]
+    assert_same(got, {"lk": e["lk"].tolist(), "lv": e["lv"].tolist()})
+
+
+def test_join_with_filter():
+    left, right = _join_dfs(seed=11)
+    lb = make_batch({c: left[c].tolist() for c in left.columns})
+    rb = make_batch({c: right[c].tolist() for c in right.columns})
+    got = run_plan_pydict(
+        PlanBuilder().values([lb]).hash_join(
+            PlanBuilder().values([rb]), ["lk"], ["rk"], "inner",
+            output=["lk", "lv", "rv"], filter="lv < rv"))
+    e = left.merge(right, left_on="lk", right_on="rk")
+    e = e[e["lv"] < e["rv"]]
+    assert_same(got, {
+        "lk": e["lk"].tolist(), "lv": e["lv"].tolist(),
+        "rv": e["rv"].tolist()})
+
+
+def test_left_join_with_filter():
+    left, right = _join_dfs(seed=12)
+    lb = make_batch({c: left[c].tolist() for c in left.columns})
+    rb = make_batch({c: right[c].tolist() for c in right.columns})
+    got = run_plan_pydict(
+        PlanBuilder().values([lb]).hash_join(
+            PlanBuilder().values([rb]), ["lk"], ["rk"], "left",
+            output=["lk", "lv", "rv"], filter="lv < rv"))
+    e = left.merge(right, left_on="lk", right_on="rk", how="left")
+    keep = e["lv"] < e["rv"]
+    passing = e[keep]
+    no_pass = (
+        e.groupby(["lk", "lv"], as_index=False)
+        .apply(lambda g: g[keep.loc[g.index]].shape[0] == 0,
+               include_groups=False))
+    # pandas oracle: left rows with no passing match emit null rv
+    exp_rows = []
+    for (lk, lv), grp in e.groupby(["lk", "lv"]):
+        g = grp[keep.loc[grp.index]]
+        if len(g):
+            exp_rows.extend(
+                (lk, lv, rv) for rv in g["rv"].tolist())
+        else:
+            exp_rows.append((lk, lv, None))
+    # account for duplicate (lk, lv) left rows
+    counts = left.groupby(["lk", "lv"]).size()
+    final = []
+    for (lk, lv), cnt in counts.items():
+        grp = e[(e["lk"] == lk) & (e["lv"] == lv)]
+        g = grp[keep.loc[grp.index]]
+        per_row = ([(lk, lv, rv) for rv in g["rv"].tolist()]
+                   or [(lk, lv, None)])
+        # merge already multiplies rows; one left row contributes
+        # len(g)/cnt matches
+        per_one = ([(lk, lv, rv) for rv in
+                    g["rv"].tolist()[: len(g) // cnt]]
+                   if len(g) else [(lk, lv, None)])
+        final.extend(per_one * cnt)
+    got_rows = sorted(zip(got["lk"], got["lv"],
+                          [v if v is not None else None for v in got["rv"]]),
+                      key=lambda r: tuple((x is None, x) for x in r))
+    exp_sorted = sorted(final, key=lambda r: tuple(
+        (x is None, x) for x in r))
+    assert got_rows == exp_sorted
+
+
+def test_join_null_keys_never_match():
+    lb = make_batch({"lk": [1, None, 2], "lv": [1.0, 2.0, 3.0]})
+    rb = make_batch({"rk": [1, None], "rv": [9.0, 8.0]})
+    got = run_plan_pydict(
+        PlanBuilder().values([lb]).hash_join(
+            PlanBuilder().values([rb]), ["lk"], ["rk"], "inner",
+            output=["lv", "rv"]))
+    assert_same(got, {"lv": [1.0], "rv": [9.0]})
+
+
+def test_anti_null_aware():
+    lb = make_batch({"lk": [1, 5, None], "lv": [1.0, 2.0, 3.0]})
+    # build has a null key -> NOT IN returns nothing
+    rb = make_batch({"rk": [1, None], "rv": [9.0, 8.0]})
+    got = run_plan_pydict(
+        PlanBuilder().values([lb]).hash_join(
+            PlanBuilder().values([rb]), ["lk"], ["rk"], "anti",
+            output=["lv"]))
+    assert got["lv"] == []
+    # no null build keys -> unmatched non-null probe rows survive
+    rb2 = make_batch({"rk": [1, 3], "rv": [9.0, 8.0]})
+    got = run_plan_pydict(
+        PlanBuilder().values([lb]).hash_join(
+            PlanBuilder().values([rb2]), ["lk"], ["rk"], "anti",
+            output=["lv"]))
+    assert got["lv"] == [2.0]
+
+
+def test_multi_key_join():
+    rng = np.random.default_rng(13)
+    left = pd.DataFrame({
+        "a": rng.integers(0, 10, 200), "b": rng.integers(-5, 5, 200),
+        "lv": np.arange(200)})
+    right = pd.DataFrame({
+        "c": rng.integers(0, 10, 50), "d": rng.integers(-5, 5, 50),
+        "rv": np.arange(50) * 10})
+    lb = make_batch({c: left[c].tolist() for c in left.columns})
+    rb = make_batch({c: right[c].tolist() for c in right.columns})
+    got = run_plan_pydict(
+        PlanBuilder().values([lb]).hash_join(
+            PlanBuilder().values([rb]), ["a", "b"], ["c", "d"], "inner",
+            output=["lv", "rv"]))
+    e = left.merge(right, left_on=["a", "b"], right_on=["c", "d"])
+    assert_same(got, {"lv": e["lv"].tolist(), "rv": e["rv"].tolist()})
+
+
+def test_string_key_join_cross_dictionary():
+    lb = make_batch({"ls": ["x", "y", "z", "x"], "lv": [1, 2, 3, 4]})
+    rb = make_batch({"rs": ["y", "x", "w"], "rv": [10, 20, 30]})
+    got = run_plan_pydict(
+        PlanBuilder().values([lb]).hash_join(
+            PlanBuilder().values([rb]), ["ls"], ["rs"], "inner",
+            output=["ls", "lv", "rv"]))
+    assert_same(got, {
+        "ls": ["x", "y", "x"], "lv": [1, 2, 4], "rv": [20, 10, 20]})
+
+
+def test_cross_join_with_filter():
+    lb = make_batch({"a": [1, 2, 3]})
+    rb = make_batch({"b": [10, 20]})
+    got = run_plan_pydict(
+        PlanBuilder().values([lb]).cross_join(
+            PlanBuilder().values([rb]), filter="a * 10 < b"))
+    assert_same(got, {"a": [1], "b": [20]})
+
+
+# ------------------------------------------------------------- table scan
+
+def test_table_scan_with_subfilter():
+    t = pa.table({
+        "a": list(range(100)), "b": [float(i) * 0.5 for i in range(100)]})
+    register_arrow("t_scan", t, batch_rows=32)
+    try:
+        out = run_plan_pydict(
+            PlanBuilder()
+            .table_scan("t_scan", columns=["a", "b"], subfilter="a % 10 = 3")
+            .aggregate([], ["count(*) AS c", "sum(b) AS s"]))
+        assert out["c"] == [10]
+        assert out["s"][0] == pytest.approx(
+            sum(i * 0.5 for i in range(100) if i % 10 == 3))
+    finally:
+        drop_table("t_scan")
+
+
+def test_run_plan_returns_arrow():
+    b = make_batch({"a": [3, 1, 2]})
+    t = run_plan(PlanBuilder().values([b]).order_by(["a"]))
+    assert isinstance(t, pa.Table)
+    assert t.column("a").to_pylist() == [1, 2, 3]

@@ -1,0 +1,129 @@
+"""Operator base + shared expression-evaluation machinery.
+
+The Operator ABI mirrors velox/exec/Operator.h:241-299 (addInput /
+needsInput / getOutput / noMoreInput / isFinished) minus the blocking
+futures — in serial mode nothing blocks (velox's BlockingReason machinery
+returns with the parallel driver in velox_tpu/parallel).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from velox_tpu.types.types import RowType
+from velox_tpu.expr.compiler import ExprSet
+from velox_tpu.expr.ir import Expr, FieldRef
+from velox_tpu.vector.batch import Batch
+from velox_tpu.vector.column import Column
+
+
+@dataclass
+class OperatorStats:
+    """Per-operator runtime stats (velox/exec/OperatorStats analog)."""
+
+    operator_type: str = ""
+    plan_node_id: str = ""
+    input_batches: int = 0
+    input_rows: int = 0
+    output_batches: int = 0
+    output_rows: int = 0
+    add_input_wall_s: float = 0.0
+    get_output_wall_s: float = 0.0
+    runtime: Dict[str, float] = field(default_factory=dict)
+
+
+class Operator:
+    """Base operator. Subclasses override add_input/get_output/is_finished."""
+
+    #: blocking operators emit output only after no_more_input
+    blocking = False
+
+    def __init__(self, node):
+        self.node = node
+        self.output_type: RowType = node.output_type
+        self.no_more_input_seen = False
+        self.stats = OperatorStats(
+            operator_type=type(self).__name__, plan_node_id=node.id)
+
+    # -- input side
+    def needs_input(self) -> bool:
+        return not self.no_more_input_seen
+
+    def add_input(self, batch: Batch) -> None:
+        raise NotImplementedError
+
+    def no_more_input(self) -> None:
+        self.no_more_input_seen = True
+
+    # -- output side
+    def get_output(self) -> Optional[Batch]:
+        raise NotImplementedError
+
+    def is_finished(self) -> bool:
+        raise NotImplementedError
+
+
+class ExprEvaluator:
+    """Compile-and-cache ExprSets per (schema, dictionary) signature.
+
+    The dictionary signature matters because string predicates bind against
+    host dictionaries at compile time (velox dictionary peeling analog,
+    velox_tpu/expr/compiler.py bind_strings); the catalog's table-global
+    dictionaries make this a single compile in practice.
+    """
+
+    def __init__(self, exprs: Sequence[Expr], schema: RowType):
+        self.exprs = list(exprs)
+        self.schema = schema
+        self._cache: Dict[tuple, Tuple[ExprSet, Callable]] = {}
+
+    def _get(self, batch: Batch) -> Tuple[ExprSet, Callable]:
+        dicts = {
+            n: c.dictionary for n, c in batch.columns.items()
+            if c.dictionary is not None
+        }
+        sig = tuple(sorted((n, id(d)) for n, d in dicts.items()))
+        hit = self._cache.get(sig)
+        if hit is None:
+            expr_set = ExprSet(self.exprs, self.schema, dicts)
+            jitted = jax.jit(expr_set.evaluate)
+            hit = (expr_set, jitted)
+            self._cache[sig] = hit
+        return hit
+
+    def evaluate(self, batch: Batch) -> List[Tuple[jax.Array, Optional[jax.Array]]]:
+        expr_set, jitted = self._get(batch)
+        arrays = {
+            name: (batch.column(name).values, batch.column(name).valid)
+            for name in expr_set.field_names
+        }
+        return jitted(arrays)
+
+
+def result_column(dtype, pair, source_expr: Optional[Expr] = None,
+                  batch: Optional[Batch] = None) -> Column:
+    """Wrap an eval result into a Column, preserving dictionaries for
+    passthrough field references."""
+    values, valid = pair
+    if (
+        source_expr is not None
+        and isinstance(source_expr, FieldRef)
+        and batch is not None
+        and source_expr.name in batch
+    ):
+        src = batch.column(source_expr.name)
+        if src.dictionary is not None:
+            return Column(src.dtype, values, valid, src.dictionary)
+    return Column(dtype, values, valid)
+
+
+def key_pairs(batch: Batch, names: Sequence[str]):
+    """(values, valid) pairs for grouping/partition keys."""
+    return [
+        (batch.column(n).values, batch.column(n).valid) for n in names
+    ]

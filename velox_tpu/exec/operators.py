@@ -1,0 +1,1143 @@
+"""Relational operators.
+
+Each class mirrors one velox/exec operator (cited per class) with the
+compute re-designed as jitted XLA kernels over fixed-capacity device
+batches. Serial-mode contract (see exec/__init__.py): add_input may queue
+output; blocking operators emit only after no_more_input.
+"""
+
+from __future__ import annotations
+
+import collections
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from velox_tpu.types import BOOLEAN, DataType
+from velox_tpu.types.types import TypeKind
+from velox_tpu.expr.ir import FieldRef
+from velox_tpu.vector.batch import Batch, concat_batches, round_capacity
+from velox_tpu.vector.column import Column, Dictionary
+from velox_tpu.exec.operator import (
+    ExprEvaluator, Operator, key_pairs, result_column,
+)
+from velox_tpu.functions.aggregates import lookup_aggregate
+from velox_tpu.ops.groupby import group_ids_array, group_ids_sorted
+from velox_tpu.ops.join import (
+    build_join_index, build_matched_flags, expand_matches, match_total,
+    probe_join_index,
+)
+from velox_tpu.ops.sort import sort_indices, top_n_indices
+from velox_tpu.plan.nodes import (
+    AggStep, AggregationNode, CrossJoinNode, HashJoinNode, JoinType,
+)
+
+_F64_NAN = float("nan")
+
+
+# --------------------------------------------------------------- leaf ops
+
+class ValuesOp(Operator):
+    """velox/core/PlanNode.h ValuesNode executor."""
+
+    def __init__(self, node):
+        super().__init__(node)
+        self._queue = collections.deque(node.batches)
+
+    def get_output(self) -> Optional[Batch]:
+        return self._queue.popleft() if self._queue else None
+
+    def is_finished(self) -> bool:
+        return not self._queue
+
+
+class TableScanOp(Operator):
+    """velox/exec/TableScan.cpp:146 — drains catalog splits, applies the
+    pushed-down subfilter on device (ScanSpec analog)."""
+
+    def __init__(self, node):
+        super().__init__(node)
+        from velox_tpu.io.catalog import get_table
+
+        self._splits = collections.deque(get_table(node.table).batches)
+        self._filter = (
+            ExprEvaluator([node.subfilter], node.output_type)
+            if node.subfilter is not None else None)
+        # dynamic filters pushed down mid-query by joins
+        # (velox/exec/HashProbe.cpp:419-444 analog)
+        self.dynamic_filters: List[ExprEvaluator] = []
+
+    def get_output(self) -> Optional[Batch]:
+        if not self._splits:
+            return None
+        b = self._splits.popleft()
+        b = b.project(self.node.columns)
+        if self._filter is not None:
+            (vals, valid) = self._filter.evaluate(b)[0]
+            sel = jnp.logical_and(b.sel, vals)
+            if valid is not None:
+                sel = jnp.logical_and(sel, valid)
+            b = b.with_sel(sel)
+        for df in self.dynamic_filters:
+            (vals, valid) = df.evaluate(b)[0]
+            sel = jnp.logical_and(b.sel, vals)
+            if valid is not None:
+                sel = jnp.logical_and(sel, valid)
+            b = b.with_sel(sel)
+        self.stats.output_batches += 1
+        return b
+
+    def is_finished(self) -> bool:
+        return not self._splits
+
+
+# --------------------------------------------------------- filter/project
+
+class FilterOp(Operator):
+    """velox/exec/FilterProject.cpp filter half: predicate -> sel mask."""
+
+    def __init__(self, node):
+        super().__init__(node)
+        self._eval = ExprEvaluator(
+            [node.predicate], node.source.output_type)
+        self._queue: collections.deque = collections.deque()
+
+    def add_input(self, batch: Batch) -> None:
+        (vals, valid) = self._eval.evaluate(batch)[0]
+        sel = jnp.logical_and(batch.sel, vals)
+        if valid is not None:
+            sel = jnp.logical_and(sel, valid)
+        self._queue.append(batch.with_sel(sel))
+
+    def get_output(self) -> Optional[Batch]:
+        return self._queue.popleft() if self._queue else None
+
+    def is_finished(self) -> bool:
+        return self.no_more_input_seen and not self._queue
+
+
+class ProjectOp(Operator):
+    """velox/exec/FilterProject.cpp project half."""
+
+    def __init__(self, node):
+        super().__init__(node)
+        self._eval = ExprEvaluator(node.exprs, node.source.output_type)
+        self._queue: collections.deque = collections.deque()
+
+    def add_input(self, batch: Batch) -> None:
+        results = self._eval.evaluate(batch)
+        cols = {}
+        for name, dtype, expr, pair in zip(
+                self.node.names, self.output_type.children,
+                self.node.exprs, results):
+            vals, valid = pair
+            if vals.ndim == 0:  # scalar literal -> broadcast
+                vals = jnp.broadcast_to(vals, (batch.capacity,))
+                if valid is not None and valid.ndim == 0:
+                    valid = jnp.broadcast_to(valid, (batch.capacity,))
+            cols[name] = result_column(dtype, (vals, valid), expr, batch)
+        self._queue.append(Batch(cols, batch.sel, batch.num_rows))
+
+    def get_output(self) -> Optional[Batch]:
+        return self._queue.popleft() if self._queue else None
+
+    def is_finished(self) -> bool:
+        return self.no_more_input_seen and not self._queue
+
+
+# ------------------------------------------------------------ aggregation
+
+#: kArray mode cap: direct-addressed accumulators
+# (velox/exec/HashTable.h:143 kArrayHashMaxSize analog)
+_MAX_ARRAY_GROUPS = 1 << 20
+
+
+class HashAggregationOp(Operator):
+    """velox/exec/HashAggregation.cpp + GroupingSet.cpp re-designed:
+
+    * kArray mode (all keys dictionary-encoded, small product): persistent
+      direct-addressed accumulators, one scatter-reduce per batch
+      (VectorHasher value-id mode, velox/exec/VectorHasher.h:127-136).
+    * generic mode: per-batch sort-based grouping producing (group keys,
+      accumulator lanes) partials; one global merge at output — the
+      partial/final companion pattern (velox/exec/
+      AggregateCompanionAdapter.h:24) done inside one operator.
+    """
+
+    blocking = True
+
+    def __init__(self, node: AggregationNode):
+        super().__init__(node)
+        self.step = node.step
+        self.keys = list(node.keys)
+        self.specs = list(node.aggregates)
+        self.agg_names = list(node.agg_names)
+        in_schema = node.source.output_type
+        self.fns = [lookup_aggregate(s.fn) for s in self.specs]
+        for s in self.specs:
+            if s.distinct:
+                raise NotImplementedError("distinct aggregates")
+        # input value types per aggregate (None for count(*)); for FINAL
+        # the first lane's type stands in for the raw input type (every
+        # aggregate's lane-0 dtype equals its input-derived dtype)
+        self.arg_types: List[Optional[DataType]] = []
+        for s, name in zip(self.specs, node.agg_names):
+            if self.step == AggStep.FINAL:
+                self.arg_types.append(in_schema.find_child(f"{name}$0"))
+            else:
+                self.arg_types.append(
+                    in_schema.find_child(s.arg) if s.arg else None)
+        self._entries: List[dict] = []  # generic-mode partials
+        self._array_state = None        # kArray mode persistent accs
+        self._mode: Optional[str] = None
+        self._key_dicts: Dict[str, Dictionary] = {}
+        self._outputs: collections.deque = collections.deque()
+        self._emitted = False
+
+    # ----------------------------------------------------------- helpers
+    def _lane_arrays(self, batch: Batch, name: str, fn) -> Tuple:
+        lanes = []
+        li = 0
+        while f"{name}${li}" in batch:
+            lanes.append(batch.column(f"{name}${li}").values)
+            li += 1
+        assert len(lanes) == len(fn.lanes), f"lane mismatch for {name}"
+        return tuple(lanes)
+
+    def _agg_inputs(self, batch: Batch):
+        """Per-agg (values|lanes, mask) for accumulate/combine."""
+        out = []
+        for spec, fn, at, name in zip(
+                self.specs, self.fns, self.arg_types, self.agg_names):
+            mask = batch.sel
+            if spec.mask is not None:
+                mc = batch.column(spec.mask)
+                mask = jnp.logical_and(mask, mc.values)
+                if mc.valid is not None:
+                    mask = jnp.logical_and(mask, mc.valid)
+            if self.step == AggStep.FINAL:
+                lanes = self._lane_arrays(batch, name, fn)
+                out.append((lanes, mask))
+            elif spec.arg is None:
+                out.append((None, mask))
+            else:
+                col = batch.column(spec.arg)
+                if col.valid is not None:
+                    mask = jnp.logical_and(mask, col.valid)
+                out.append((col.values, mask))
+        return out
+
+    def _decide_mode(self, batch: Batch) -> str:
+        if self._mode is not None:
+            return self._mode
+        if self.keys:
+            dicts = []
+            for k in self.keys:
+                col = batch.column(k)
+                if col.dictionary is None:
+                    dicts = None
+                    break
+                dicts.append(col.dictionary)
+            if dicts is not None:
+                prod = 1
+                for d in dicts:
+                    prod *= len(d) + 1  # +1 null slot
+                if prod <= _MAX_ARRAY_GROUPS:
+                    self._mode = "array"
+                    self._radices = [len(d) + 1 for d in dicts]
+                    self._num_groups = prod
+                    self._key_dicts = {
+                        k: d for k, d in zip(self.keys, dicts)}
+                    return self._mode
+        self._mode = "generic"
+        return self._mode
+
+    # ------------------------------------------------------------- input
+    def add_input(self, batch: Batch) -> None:
+        self.stats.input_batches += 1
+        mode = self._decide_mode(batch)
+        for k in self.keys:
+            d = batch.column(k).dictionary
+            if d is not None:
+                self._key_dicts.setdefault(k, d)
+        if mode == "array":
+            self._add_array(batch)
+        else:
+            self._add_generic(batch)
+
+    def _add_array(self, batch: Batch) -> None:
+        G = self._num_groups
+        if self._array_state is None:
+            accs = []
+            for fn, at in zip(self.fns, self.arg_types):
+                if self.step == AggStep.FINAL:
+                    at = self._final_arg_type(fn)
+                accs.append(tuple(
+                    jnp.full((G,), lane.init_of(at),
+                             dtype=lane.dtype_of(at))
+                    for lane in fn.lanes))
+            self._array_state = {
+                "accs": accs,
+                "seen": jnp.zeros((G,), jnp.bool_),
+            }
+        st = self._array_state
+
+        vids = []
+        for k, radix in zip(self.keys, self._radices):
+            col = batch.column(k)
+            code = col.values.astype(jnp.int32)
+            null_id = radix - 1
+            vid = jnp.where(code < 0, jnp.int32(null_id), code)
+            if col.valid is not None:
+                vid = jnp.where(col.valid, vid, jnp.int32(null_id))
+            vids.append(vid)
+        gids = group_ids_array(vids, self._radices, batch.sel, G)
+        st["seen"] = st["seen"].at[gids].set(True, mode="drop")
+        inputs = self._agg_inputs(batch)
+        for i, (fn, (vals, mask)) in enumerate(zip(self.fns, inputs)):
+            if self.step == AggStep.FINAL:
+                st["accs"][i] = fn.combine(st["accs"][i], gids, vals, mask)
+            else:
+                st["accs"][i] = fn.accumulate(st["accs"][i], gids, vals, mask)
+
+    def _add_generic(self, batch: Batch) -> None:
+        if self.step == AggStep.FINAL:
+            # buffer partial groups directly; merge at output
+            entry = {
+                "keys": key_pairs(batch, self.keys),
+                "lanes": [
+                    self._lane_arrays(batch, name, fn)
+                    for name, fn in zip(self.agg_names, self.fns)],
+                "sel": batch.sel,
+            }
+            self._entries.append(entry)
+            return
+
+        cap = batch.capacity
+        pairs = key_pairs(batch, self.keys)
+        gids, group_rows, group_sel, ng = group_ids_sorted(pairs, batch.sel)
+        inputs = self._agg_inputs(batch)
+        lanes_out = []
+        for fn, at, (vals, mask) in zip(self.fns, self.arg_types, inputs):
+            accs = tuple(
+                jnp.full((cap,), lane.init_of(at), dtype=lane.dtype_of(at))
+                for lane in fn.lanes)
+            accs = fn.accumulate(accs, gids, vals, mask)
+            lanes_out.append(accs)
+        gkeys = [
+            (jnp.take(v, group_rows, mode="clip"),
+             None if va is None else jnp.take(va, group_rows, mode="clip"))
+            for (v, va) in pairs]
+        entry = {"keys": gkeys, "lanes": lanes_out, "sel": group_sel}
+        if self.step == AggStep.PARTIAL:
+            self._outputs.append(self._partial_batch(entry, cap))
+        else:
+            self._entries.append(entry)
+
+    def _final_arg_type(self, fn) -> Optional[DataType]:
+        return None
+
+    # ------------------------------------------------------------ output
+    def _partial_batch(self, entry, cap: int) -> Batch:
+        cols = {}
+        in_schema = self.node.source.output_type
+        for k, (v, va) in zip(self.keys, entry["keys"]):
+            cols[k] = Column(
+                self.output_type.find_child(k), v, va,
+                self._key_dicts.get(k))
+        for name, fn, at, lanes in zip(
+                self.agg_names, self.fns, self.arg_types, entry["lanes"]):
+            for li, (lane_arr, lt) in enumerate(
+                    zip(lanes, fn.lane_types(at))):
+                cols[f"{name}${li}"] = Column(lt, lane_arr)
+        return Batch(cols, entry["sel"])
+
+    def get_output(self) -> Optional[Batch]:
+        if self._outputs:
+            return self._outputs.popleft()
+        if not self.no_more_input_seen or self._emitted:
+            return None
+        self._emitted = True
+        if self.step == AggStep.PARTIAL:
+            return None
+        if self._mode == "array":
+            return self._finish_array()
+        return self._finish_generic()
+
+    def _finish_array(self) -> Batch:
+        st = self._array_state
+        assert st is not None, "no input reached array-mode aggregation"
+        G = self._num_groups
+        cap = max(round_capacity(G), G)
+        pad = cap - G
+
+        def padded(a, fill=0):
+            if pad == 0:
+                return a
+            return jnp.concatenate(
+                [a, jnp.full((pad,), fill, dtype=a.dtype)])
+
+        seen = padded(st["seen"], False)
+        cols = {}
+        stride = 1
+        gid_idx = np.arange(G)
+        for k, radix in zip(self.keys, self._radices):
+            codes = ((gid_idx // stride) % radix).astype(np.int32)
+            null_id = radix - 1
+            valid_np = codes != null_id
+            codes = np.where(valid_np, codes, -1).astype(np.int32)
+            stride *= radix
+            v = padded(jnp.asarray(codes), -1)
+            va = padded(jnp.asarray(valid_np), False)
+            cols[k] = Column(
+                self.output_type.find_child(k), v, va, self._key_dicts[k])
+        for name, fn, at, accs in zip(
+                self.agg_names, self.fns, self.arg_types, st["accs"]):
+            accs_p = tuple(padded(a) for a in accs)
+            vals, valid = fn.extract(accs_p, seen)
+            cols[name] = Column(
+                self.output_type.find_child(name), vals, valid)
+        return Batch(cols, seen)
+
+    def _finish_generic(self) -> Batch:
+        if not self._entries:
+            return self._empty_result()
+        total = sum(e["sel"].shape[0] for e in self._entries)
+        cap = round_capacity(total)
+        pad = cap - total
+
+        def cat(parts, dtype=None, fill=0):
+            arrs = list(parts)
+            if pad:
+                arrs.append(jnp.full((pad,), fill,
+                                     dtype=dtype or arrs[0].dtype))
+            return jnp.concatenate(arrs)
+
+        sel = cat([e["sel"] for e in self._entries], jnp.bool_, False)
+        keys = []
+        for ki in range(len(self.keys)):
+            vals = cat([e["keys"][ki][0] for e in self._entries])
+            has_valid = any(
+                e["keys"][ki][1] is not None for e in self._entries)
+            if has_valid:
+                valid = cat([
+                    e["keys"][ki][1] if e["keys"][ki][1] is not None
+                    else jnp.ones_like(e["sel"])
+                    for e in self._entries], jnp.bool_, False)
+            else:
+                valid = None
+            keys.append((vals, valid))
+
+        gids, group_rows, group_sel, ng = group_ids_sorted(keys, sel)
+        if not self.keys:
+            # global aggregation emits exactly one row even on empty input
+            group_sel = jnp.zeros_like(group_sel).at[0].set(True)
+
+        cols = {}
+        for k, (v, va) in zip(self.keys, keys):
+            gv = jnp.take(v, group_rows, mode="clip")
+            gva = None if va is None else jnp.take(va, group_rows, mode="clip")
+            cols[k] = Column(
+                self.output_type.find_child(k), gv, gva,
+                self._key_dicts.get(k))
+        for ai, (name, fn, at) in enumerate(
+                zip(self.agg_names, self.fns, self.arg_types)):
+            accs = tuple(
+                jnp.full((cap,), lane.init_of(at), dtype=lane.dtype_of(at))
+                for lane in fn.lanes)
+            lanes_cat = tuple(
+                cat([e["lanes"][ai][li] for e in self._entries])
+                for li in range(len(fn.lanes)))
+            accs = fn.combine(accs, gids, lanes_cat, sel)
+            vals, valid = fn.extract(accs, group_sel)
+            cols[name] = Column(
+                self.output_type.find_child(name), vals, valid)
+        return Batch(cols, group_sel)
+
+    def _empty_result(self) -> Batch:
+        cap = round_capacity(1)
+        if self.keys:
+            return Batch.empty_like(self.output_type, cap)
+        # keyless: one row of identity aggregates
+        sel = jnp.zeros((cap,), jnp.bool_).at[0].set(True)
+        cols = {}
+        for name, fn, at in zip(self.agg_names, self.fns, self.arg_types):
+            accs = tuple(
+                jnp.full((cap,), lane.init_of(at), dtype=lane.dtype_of(at))
+                for lane in fn.lanes)
+            vals, valid = fn.extract(accs, sel)
+            cols[name] = Column(
+                self.output_type.find_child(name), vals, valid)
+        return Batch(cols, sel)
+
+    def is_finished(self) -> bool:
+        return (self.no_more_input_seen and not self._outputs
+                and (self.step == AggStep.PARTIAL or self._emitted))
+
+
+# ------------------------------------------------------------------ order
+
+class OrderByOp(Operator):
+    """velox/exec/OrderBy.h:34 — buffer all, one bitonic sort at the end."""
+
+    blocking = True
+
+    def __init__(self, node):
+        super().__init__(node)
+        self._buffer: List[Batch] = []
+        self._emitted = False
+
+    def add_input(self, batch: Batch) -> None:
+        self._buffer.append(batch)
+
+    def get_output(self) -> Optional[Batch]:
+        if not self.no_more_input_seen or self._emitted:
+            return None
+        self._emitted = True
+        if not self._buffer:
+            return None
+        big = concat_batches(self._buffer)
+        keys = [
+            (big.column(k.name).values, big.column(k.name).valid,
+             k.descending, k.nulls_first)
+            for k in self.node.keys]
+        perm = sort_indices(keys, big.sel)
+        sel_sorted = jnp.take(big.sel, perm, mode="clip")
+        return big.gather(perm, sel_sorted, big.num_rows)
+
+    def is_finished(self) -> bool:
+        return self.no_more_input_seen and self._emitted
+
+
+class TopNOp(Operator):
+    """velox/exec/TopN.h:23 — carry the running top-N across batches."""
+
+    blocking = True
+
+    def __init__(self, node):
+        super().__init__(node)
+        self._carry: Optional[Batch] = None
+        self._emitted = False
+
+    def add_input(self, batch: Batch) -> None:
+        merged = (batch if self._carry is None
+                  else concat_batches([self._carry, batch]))
+        keys = [
+            (merged.column(k.name).values, merged.column(k.name).valid,
+             k.descending, k.nulls_first)
+            for k in self.node.keys]
+        idx, osel = top_n_indices(keys, merged.sel, self.node.count)
+        self._carry = merged.gather(idx, osel)
+
+    def get_output(self) -> Optional[Batch]:
+        if not self.no_more_input_seen or self._emitted:
+            return None
+        self._emitted = True
+        return self._carry
+
+    def is_finished(self) -> bool:
+        return self.no_more_input_seen and self._emitted
+
+
+class LimitOp(Operator):
+    """velox/exec/Limit.h — offset/limit via selection-rank masking."""
+
+    def __init__(self, node):
+        super().__init__(node)
+        self._skip = node.offset
+        self._left = node.count
+        self._queue: collections.deque = collections.deque()
+
+    def add_input(self, batch: Batch) -> None:
+        if self._left <= 0:
+            return
+        ranks = jnp.cumsum(batch.sel.astype(jnp.int64))
+        keep = jnp.logical_and(
+            batch.sel,
+            jnp.logical_and(ranks > self._skip,
+                            ranks <= self._skip + self._left))
+        n_in = int(ranks[-1])
+        n_kept = min(max(n_in - self._skip, 0), self._left)
+        self._skip = max(self._skip - n_in, 0)
+        self._left -= n_kept
+        if n_kept > 0:
+            self._queue.append(batch.with_sel(keep, n_kept))
+
+    def needs_input(self) -> bool:
+        return super().needs_input() and self._left > 0
+
+    def get_output(self) -> Optional[Batch]:
+        return self._queue.popleft() if self._queue else None
+
+    def is_finished(self) -> bool:
+        return (not self._queue
+                and (self.no_more_input_seen or self._left <= 0))
+
+
+# ------------------------------------------------------------------ joins
+
+class JoinKeyCodec:
+    """Canonicalize join key columns into one int64 key.
+
+    Single-key fast path covers TPC-H; multi-key packs value offsets into a
+    normalized key (velox/exec/VectorHasher.h:130 normalized keys) using
+    build-side min/max stats, with probe-side out-of-range rows invalidated
+    (they cannot match by construction).
+    """
+
+    def __init__(self, build_batch: Batch, build_keys: Sequence[str]):
+        self.build_keys = list(build_keys)
+        self.cols = [build_batch.column(k) for k in build_keys]
+        self.multi = len(self.cols) > 1
+        self.dicts = [c.dictionary for c in self.cols]
+        if self.multi:
+            self.mins, self.bits = [], []
+            for c in self.cols:
+                v = _canon_int(c)
+                act = build_batch.sel
+                if c.valid is not None:
+                    act = jnp.logical_and(act, c.valid)
+                big = jnp.iinfo(jnp.int64).max
+                lo = int(jnp.min(jnp.where(act, v, big)))
+                hi = int(jnp.max(jnp.where(act, v, -big - 1)))
+                if hi < lo:  # empty build side
+                    lo, hi = 0, 0
+                self.mins.append(lo)
+                self.bits.append(max(int(hi - lo).bit_length(), 1))
+            assert sum(self.bits) <= 63, "normalized join key overflow"
+
+    def encode(self, batch: Batch, keys: Sequence[str], is_probe: bool
+               ) -> Tuple[jax.Array, Optional[jax.Array]]:
+        cols = [batch.column(k) for k in keys]
+        valid = None
+
+        def add_valid(v):
+            nonlocal valid
+            valid = v if valid is None else jnp.logical_and(valid, v)
+
+        vals64 = []
+        for i, c in enumerate(cols):
+            v = _canon_int(c)
+            if c.valid is not None:
+                add_valid(c.valid)
+            if self.dicts[i] is not None:
+                # translate probe codes into the build dictionary
+                d_build = self.dicts[i]
+                if is_probe and c.dictionary is not d_build:
+                    assert c.dictionary is not None, (
+                        f"join key {keys[i]}: probe side not "
+                        "dictionary-encoded")
+                    remap = np.full(len(c.dictionary) + 1, -1, np.int64)
+                    for ci, val in enumerate(c.dictionary.values):
+                        remap[ci + 1] = d_build.code_of(val)
+                    v = jnp.take(
+                        jnp.asarray(remap),
+                        jnp.clip(c.values.astype(jnp.int32), -1,
+                                 len(c.dictionary) - 1) + 1)
+                    add_valid(v >= 0)
+            if self.multi:
+                lo, b = self.mins[i], self.bits[i]
+                off = v - lo
+                in_range = jnp.logical_and(off >= 0, off < (1 << b))
+                add_valid(in_range)
+                vals64.append(jnp.where(in_range, off, 0))
+            else:
+                vals64.append(v)
+
+        if not self.multi:
+            return vals64[0], valid
+        key = jnp.zeros_like(vals64[0])
+        shift = 0
+        for off, b in zip(vals64, self.bits):
+            key = key | (off << shift)
+            shift += b
+        return key, valid
+
+
+def _canon_int(col: Column) -> jax.Array:
+    """Column values -> equality-preserving int64."""
+    v = col.values
+    if jnp.issubdtype(v.dtype, jnp.floating):
+        v = jnp.where(v == 0, jnp.zeros((), v.dtype), v)
+        v = jnp.where(jnp.isnan(v), jnp.full((), _F64_NAN, v.dtype), v)
+        width = jnp.int32 if v.dtype == jnp.float32 else jnp.int64
+        v = jax.lax.bitcast_convert_type(v, width)
+    return v.astype(jnp.int64)
+
+
+class JoinBridge:
+    """velox/exec/HashJoinBridge.h analog: build-side handoff + matched
+    flags for right/full joins."""
+
+    def __init__(self, node):
+        self.node = node
+        self.ready = False
+        self.build_batch: Optional[Batch] = None
+        self.codec: Optional[JoinKeyCodec] = None
+        self.sorted_keys = None
+        self.perm = None
+        self.n_active = None
+        self.build_has_null_key = False
+        self.matched = None  # accumulated build-row matched flags
+        self.probe_done = False
+
+
+class HashBuildOp(Operator):
+    """velox/exec/HashBuild.cpp — sink: buffer, concat, sort-by-key."""
+
+    blocking = True
+
+    def __init__(self, node, bridge: JoinBridge):
+        super().__init__(node)
+        self.bridge = bridge
+        self._buffer: List[Batch] = []
+
+    def add_input(self, batch: Batch) -> None:
+        self._buffer.append(batch)
+
+    def no_more_input(self) -> None:
+        if self.no_more_input_seen:
+            return
+        super().no_more_input()
+        node = self.bridge.node
+        if self._buffer:
+            big = concat_batches(self._buffer)
+        else:
+            big = Batch.empty_like(
+                node.right.output_type, round_capacity(1))
+        codec = JoinKeyCodec(big, node.right_keys)
+        key, valid = codec.encode(big, node.right_keys, is_probe=False)
+        sorted_keys, perm, n_active = build_join_index(key, valid, big.sel)
+        br = self.bridge
+        br.build_batch = big
+        br.codec = codec
+        br.sorted_keys, br.perm, br.n_active = sorted_keys, perm, n_active
+        br.matched = jnp.zeros((big.capacity,), jnp.bool_)
+        if valid is not None:
+            br.build_has_null_key = bool(
+                jnp.any(jnp.logical_and(big.sel, jnp.logical_not(valid))))
+        br.ready = True
+
+    def get_output(self) -> Optional[Batch]:
+        return None
+
+    def is_finished(self) -> bool:
+        return self.no_more_input_seen
+
+
+class HashProbeOp(Operator):
+    """velox/exec/HashProbe.cpp — vectorized probe over the sorted build
+    index; all 8 join types."""
+
+    def __init__(self, node: HashJoinNode, bridge: JoinBridge):
+        super().__init__(node)
+        self.bridge = bridge
+        self.jt = node.join_type
+        self._queue: collections.deque = collections.deque()
+        self._filter = None
+        if node.filter is not None:
+            both = _join_filter_schema(node)
+            self._filter = ExprEvaluator([node.filter], both)
+        self._final_emitted = False
+
+    # ------------------------------------------------------------ helpers
+    def _probe(self, batch: Batch):
+        br = self.bridge
+        assert br.ready, "probe before build finished"
+        key, valid = br.codec.encode(
+            batch, self.node.left_keys, is_probe=True)
+        first, count = probe_join_index(
+            br.sorted_keys, br.n_active, key, valid, batch.sel)
+        return first, count, valid
+
+    def _gather_out(self, batch, probe_rows, build_rows, matched, osel):
+        """Joined batch: probe cols by probe_rows, build cols by
+        build_rows (validity &= matched)."""
+        br = self.bridge
+        node = self.node
+        cols = {}
+        lt = node.left.output_type
+        rt = node.right.output_type
+        for n in lt.names:
+            c = batch.column(n)
+            v = jnp.take(c.values, probe_rows, mode="clip")
+            va = (None if c.valid is None
+                  else jnp.take(c.valid, probe_rows, mode="clip"))
+            cols[n] = Column(c.dtype, v, va, c.dictionary)
+        for n in rt.names:
+            c = br.build_batch.column(n)
+            v = jnp.take(c.values, build_rows, mode="clip")
+            va = (matched if c.valid is None
+                  else jnp.logical_and(
+                      jnp.take(c.valid, build_rows, mode="clip"), matched))
+            cols[n] = Column(c.dtype, v, va, c.dictionary)
+        return Batch(cols, osel)
+
+    def _apply_filter(self, joined: Batch) -> jax.Array:
+        (vals, valid) = self._filter.evaluate(joined)[0]
+        passing = jnp.logical_and(joined.sel, vals)
+        if valid is not None:
+            passing = jnp.logical_and(passing, valid)
+        return passing
+
+    def _project_out(self, b: Batch) -> Batch:
+        return Batch(
+            {n: b.columns[n] for n in self.output_type.names}, b.sel,
+            b.num_rows)
+
+    # -------------------------------------------------------------- input
+    def add_input(self, batch: Batch) -> None:
+        jt = self.jt
+        first, count, pvalid = self._probe(batch)
+        br = self.bridge
+
+        if jt in (JoinType.LEFT_SEMI, JoinType.ANTI, JoinType.ANTI_SIMPLE) \
+                and self._filter is None:
+            if jt == JoinType.LEFT_SEMI:
+                sel = jnp.logical_and(batch.sel, count > 0)
+            elif jt == JoinType.ANTI_SIMPLE:
+                sel = jnp.logical_and(batch.sel, count == 0)
+            else:  # null-aware NOT IN
+                if br.build_has_null_key:
+                    sel = jnp.zeros_like(batch.sel)
+                else:
+                    sel = jnp.logical_and(batch.sel, count == 0)
+                    if pvalid is not None:
+                        sel = jnp.logical_and(sel, pvalid)
+            self._queue.append(self._project_out(batch.with_sel(sel)))
+            return
+
+        left_like = jt in (JoinType.LEFT, JoinType.FULL)
+        emit_unmatched = batch.sel if left_like else None
+        total = int(match_total(count, emit_unmatched))
+        if total == 0:
+            # no matches at all: filtered semi/anti still must emit
+            if self._filter is not None and jt in (
+                    JoinType.ANTI, JoinType.ANTI_SIMPLE):
+                sel = batch.sel
+                if jt == JoinType.ANTI:
+                    if br.build_has_null_key:
+                        sel = jnp.zeros_like(sel)
+                    elif pvalid is not None:
+                        sel = jnp.logical_and(sel, pvalid)
+                self._queue.append(self._project_out(batch.with_sel(sel)))
+            return
+        out_cap = round_capacity(total)
+        probe_rows, build_rows, matched, osel = expand_matches(
+            first, count, br.perm, out_cap, emit_unmatched)
+        joined = self._gather_out(
+            batch, probe_rows, build_rows, matched, osel)
+
+        passing = None
+        if self._filter is not None:
+            passing = self._apply_filter(joined)
+
+        if jt in (JoinType.RIGHT, JoinType.FULL, JoinType.RIGHT_SEMI) or (
+                self._filter is not None and jt in (
+                    JoinType.LEFT_SEMI, JoinType.ANTI, JoinType.ANTI_SIMPLE)):
+            hit = jnp.logical_and(matched, osel)
+            if passing is not None:
+                hit = jnp.logical_and(hit, passing)
+            br.matched = jnp.logical_or(
+                br.matched,
+                build_matched_flags(
+                    br.build_batch.capacity, build_rows, hit,
+                    jnp.ones_like(osel)))
+
+        if jt in (JoinType.RIGHT_SEMI,):
+            return  # build rows emitted at finish
+        if self._filter is not None and jt in (
+                JoinType.LEFT_SEMI, JoinType.ANTI, JoinType.ANTI_SIMPLE):
+            # recompute per-probe-row pass counts
+            hit = jnp.logical_and(jnp.logical_and(matched, osel), passing)
+            pass_cnt = (
+                jnp.zeros((batch.capacity,), jnp.int32)
+                .at[jnp.where(hit, probe_rows, batch.capacity)]
+                .add(1, mode="drop"))
+            if jt == JoinType.LEFT_SEMI:
+                sel = jnp.logical_and(batch.sel, pass_cnt > 0)
+            else:
+                sel = jnp.logical_and(batch.sel, pass_cnt == 0)
+                if jt == JoinType.ANTI and br.build_has_null_key:
+                    sel = jnp.zeros_like(sel)
+                if jt == JoinType.ANTI and pvalid is not None:
+                    sel = jnp.logical_and(sel, pvalid)
+            self._queue.append(self._project_out(batch.with_sel(sel)))
+            return
+
+        out_sel = osel
+        if passing is not None:
+            if left_like:
+                hit = jnp.logical_and(jnp.logical_and(matched, osel), passing)
+                pass_cnt = (
+                    jnp.zeros((batch.capacity,), jnp.int32)
+                    .at[jnp.where(hit, probe_rows, batch.capacity)]
+                    .add(1, mode="drop"))
+                keep_matched = jnp.logical_and(matched, passing)
+                # unmatched-representative rows survive only if their probe
+                # row has no passing matches
+                no_pass = jnp.take(pass_cnt, probe_rows, mode="clip") == 0
+                keep_unmatched = jnp.logical_and(
+                    jnp.logical_not(matched), no_pass)
+                out_sel = jnp.logical_and(
+                    osel, jnp.logical_or(keep_matched, keep_unmatched))
+                # probe rows with matches that all failed the filter still
+                # need one null-extended row
+                cnt_pos = count > 0
+                resurrect = jnp.logical_and(
+                    jnp.logical_and(batch.sel, cnt_pos), pass_cnt == 0)
+                n_res = int(jnp.sum(resurrect))
+                if n_res > 0:
+                    self._queue.append(self._null_extended(batch, resurrect))
+                # invalidate build columns of now-unmatched rows
+                joined = self._with_build_validity(
+                    joined, jnp.logical_and(matched, passing))
+            else:
+                out_sel = jnp.logical_and(osel, passing)
+        self._queue.append(
+            self._project_out(joined.with_sel(out_sel)))
+
+    def _with_build_validity(self, joined: Batch, build_valid) -> Batch:
+        cols = dict(joined.columns)
+        for n in self.node.right.output_type.names:
+            c = cols[n]
+            va = build_valid if c.valid is None else jnp.logical_and(
+                c.valid, build_valid)
+            cols[n] = Column(c.dtype, c.values, va, c.dictionary)
+        return Batch(cols, joined.sel, joined.num_rows)
+
+    def _null_extended(self, batch: Batch, sel) -> Batch:
+        """Probe rows + all-null build columns (left-outer no-match)."""
+        cols = {}
+        for n in self.node.left.output_type.names:
+            cols[n] = batch.column(n)
+        for n, t in zip(self.node.right.output_type.names,
+                        self.node.right.output_type.children):
+            c = self.bridge.build_batch.column(n)
+            cols[n] = Column(
+                t, jnp.zeros((batch.capacity,), c.values.dtype),
+                jnp.zeros((batch.capacity,), jnp.bool_), c.dictionary)
+        return self._project_out(Batch(cols, sel))
+
+    # ------------------------------------------------------------- output
+    def get_output(self) -> Optional[Batch]:
+        if self._queue:
+            return self._queue.popleft()
+        if (self.no_more_input_seen and not self._final_emitted
+                and self.jt in (JoinType.RIGHT, JoinType.FULL,
+                                JoinType.RIGHT_SEMI)):
+            self._final_emitted = True
+            return self._emit_build_side()
+        return None
+
+    def _emit_build_side(self) -> Optional[Batch]:
+        br = self.bridge
+        big = br.build_batch
+        if self.jt == JoinType.RIGHT_SEMI:
+            sel = jnp.logical_and(big.sel, br.matched)
+            return self._project_out(big.with_sel(sel))
+        # RIGHT/FULL: unmatched build rows with null probe columns
+        sel = jnp.logical_and(big.sel, jnp.logical_not(br.matched))
+        if int(jnp.sum(sel)) == 0:
+            return None
+        cols = {}
+        for n, t in zip(self.node.left.output_type.names,
+                        self.node.left.output_type.children):
+            cols[n] = Column(
+                t, jnp.zeros((big.capacity,), np.dtype(t.dtype)),
+                jnp.zeros((big.capacity,), jnp.bool_))
+        for n in self.node.right.output_type.names:
+            cols[n] = big.column(n)
+        return self._project_out(Batch(cols, sel))
+
+    def is_finished(self) -> bool:
+        if not self.no_more_input_seen or self._queue:
+            return False
+        if self.jt in (JoinType.RIGHT, JoinType.FULL, JoinType.RIGHT_SEMI):
+            return self._final_emitted
+        return True
+
+
+def _join_filter_schema(node):
+    from velox_tpu.types.types import row_type
+
+    lt, rt = node.left.output_type, node.right.output_type
+    return row_type(
+        tuple(lt.names) + tuple(rt.names),
+        tuple(lt.children) + tuple(rt.children))
+
+
+# ------------------------------------------------------------- cross join
+
+class CrossBuildOp(Operator):
+    """velox/exec/NestedLoopJoinBuild.h:33 — sink the (small) build side."""
+
+    blocking = True
+
+    def __init__(self, node, bridge: JoinBridge):
+        super().__init__(node)
+        self.bridge = bridge
+        self._buffer: List[Batch] = []
+
+    def add_input(self, batch: Batch) -> None:
+        self._buffer.append(batch)
+
+    def no_more_input(self) -> None:
+        if self.no_more_input_seen:
+            return
+        super().no_more_input()
+        node = self.bridge.node
+        if self._buffer:
+            big = concat_batches(self._buffer)
+        else:
+            big = Batch.empty_like(node.right.output_type, round_capacity(1))
+        # compact actives to the front
+        from velox_tpu.ops.sort import compact_indices
+
+        perm = compact_indices(big.sel)
+        sel_sorted = jnp.take(big.sel, perm, mode="clip")
+        self.bridge.build_batch = big.gather(perm, sel_sorted)
+        self.bridge.n_active = int(jnp.sum(big.sel))
+        self.bridge.ready = True
+
+    def get_output(self) -> Optional[Batch]:
+        return None
+
+    def is_finished(self) -> bool:
+        return self.no_more_input_seen
+
+
+class CrossProbeOp(Operator):
+    """velox/exec/NestedLoopJoinProbe.h:68 — cartesian expansion + filter."""
+
+    def __init__(self, node: CrossJoinNode, bridge: JoinBridge):
+        super().__init__(node)
+        self.bridge = bridge
+        if node.join_type != JoinType.INNER:
+            raise NotImplementedError(
+                f"nested-loop join type {node.join_type}")
+        self._filter = None
+        if node.filter is not None:
+            self._filter = ExprEvaluator(
+                [node.filter], _join_filter_schema(node))
+        self._queue: collections.deque = collections.deque()
+
+    def add_input(self, batch: Batch) -> None:
+        br = self.bridge
+        assert br.ready
+        nb = br.n_active
+        if nb == 0:
+            return
+        # compact probe actives
+        from velox_tpu.ops.sort import compact_indices
+
+        perm = compact_indices(batch.sel)
+        sel_sorted = jnp.take(batch.sel, perm, mode="clip")
+        compacted = batch.gather(perm, sel_sorted)
+        np_active = int(jnp.sum(batch.sel))
+        if np_active == 0:
+            return
+        total = np_active * nb
+        cap = round_capacity(total)
+        j = jnp.arange(cap, dtype=jnp.int32)
+        probe_rows = j // nb
+        build_rows = j % nb
+        osel = j < total
+        cols = {}
+        for n in self.node.left.output_type.names:
+            c = compacted.column(n)
+            cols[n] = Column(
+                c.dtype, jnp.take(c.values, probe_rows, mode="clip"),
+                None if c.valid is None
+                else jnp.take(c.valid, probe_rows, mode="clip"),
+                c.dictionary)
+        for n in self.node.right.output_type.names:
+            c = br.build_batch.column(n)
+            cols[n] = Column(
+                c.dtype, jnp.take(c.values, build_rows, mode="clip"),
+                None if c.valid is None
+                else jnp.take(c.valid, build_rows, mode="clip"),
+                c.dictionary)
+        joined = Batch(cols, osel)
+        if self._filter is not None:
+            (vals, valid) = self._filter.evaluate(joined)[0]
+            sel = jnp.logical_and(osel, vals)
+            if valid is not None:
+                sel = jnp.logical_and(sel, valid)
+            joined = joined.with_sel(sel)
+        self._queue.append(Batch(
+            {n: joined.columns[n] for n in self.output_type.names},
+            joined.sel))
+
+    def get_output(self) -> Optional[Batch]:
+        return self._queue.popleft() if self._queue else None
+
+    def is_finished(self) -> bool:
+        return self.no_more_input_seen and not self._queue
+
+
+# ------------------------------------------------------------------- misc
+
+class EnforceSingleRowOp(Operator):
+    """velox/core/PlanNode.h:5069 — scalar subquery guard."""
+
+    blocking = True
+
+    def __init__(self, node):
+        super().__init__(node)
+        self._buffer: List[Batch] = []
+        self._emitted = False
+
+    def add_input(self, batch: Batch) -> None:
+        self._buffer.append(batch)
+
+    def get_output(self) -> Optional[Batch]:
+        if not self.no_more_input_seen or self._emitted:
+            return None
+        self._emitted = True
+        total = sum(b.selected_count() for b in self._buffer)
+        if total > 1:
+            raise RuntimeError(
+                "Expected single row of input. Received " f"{total} rows.")
+        if total == 1:
+            return concat_batches(self._buffer) if len(self._buffer) > 1 \
+                else self._buffer[0]
+        # empty input -> one all-null row (scalar subquery semantics)
+        cap = round_capacity(1)
+        cols = {}
+        for n, t in zip(self.output_type.names, self.output_type.children):
+            cols[n] = Column(
+                t, jnp.zeros((cap,), np.dtype(t.dtype)),
+                jnp.zeros((cap,), jnp.bool_))
+        sel = jnp.zeros((cap,), jnp.bool_).at[0].set(True)
+        return Batch(cols, sel)
+
+    def is_finished(self) -> bool:
+        return self.no_more_input_seen and self._emitted
+
+
+class AssignUniqueIdOp(Operator):
+    """velox/core/PlanNode.h:5153 — monotone unique int64 per row."""
+
+    def __init__(self, node):
+        super().__init__(node)
+        self._next = 0
+        self._queue: collections.deque = collections.deque()
+
+    def add_input(self, batch: Batch) -> None:
+        from velox_tpu.types import BIGINT
+
+        base = (jnp.cumsum(batch.sel.astype(jnp.int64)) - 1) + self._next
+        ids = jnp.where(batch.sel, base, 0) | (
+            jnp.int64(self.node.task_unique_id) << 40)
+        self._next += int(jnp.sum(batch.sel))
+        self._queue.append(batch.with_column(
+            self.node.id_name, Column(BIGINT, ids.astype(jnp.int64))))
+
+    def get_output(self) -> Optional[Batch]:
+        return self._queue.popleft() if self._queue else None
+
+    def is_finished(self) -> bool:
+        return self.no_more_input_seen and not self._queue

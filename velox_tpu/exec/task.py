@@ -1,0 +1,189 @@
+"""Task: plan -> pipelines -> serial driver loop.
+
+Analog of velox/exec/Task.h:44 + LocalPlanner.cpp:374 + Driver.cpp:538 in
+serial pull mode (Task::next, velox/exec/Task.cpp:994). The planner splits
+the node tree into pipelines at join builds (velox/exec/LocalPlanner.cpp:108
+mustStartNewPipeline); build pipelines run to completion first (their sink
+publishes a JoinBridge), then the output pipeline streams. Parallel
+multi-driver execution over device meshes lives in velox_tpu/parallel.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Iterator, List, Optional, Tuple
+
+from velox_tpu.vector.batch import Batch
+from velox_tpu.exec.operator import Operator
+from velox_tpu.exec.operators import (
+    AssignUniqueIdOp, CrossBuildOp, CrossProbeOp, EnforceSingleRowOp,
+    FilterOp, HashAggregationOp, HashBuildOp, HashProbeOp, JoinBridge,
+    LimitOp, OrderByOp, ProjectOp, TableScanOp, TopNOp, ValuesOp,
+)
+from velox_tpu.plan.nodes import (
+    AggregationNode, AssignUniqueIdNode, CrossJoinNode,
+    EnforceSingleRowNode, FilterNode, HashJoinNode, LimitNode,
+    MergeJoinNode, OrderByNode, PlanNode, ProjectNode, TableScanNode,
+    TopNNode, ValuesNode,
+)
+
+#: extension point: node type -> factory(node, pipelines, chain) -> Operator
+#: (velox/exec/Operator.h:452 translator registry analog)
+_OPERATOR_REGISTRY: Dict[type, object] = {}
+
+
+def register_operator(node_type: type, factory) -> None:
+    _OPERATOR_REGISTRY[node_type] = factory
+
+
+class Pipeline:
+    def __init__(self, operators: List[Operator], is_output: bool):
+        self.operators = operators
+        self.is_output = is_output
+
+
+class LocalPlanner:
+    """Split the plan tree into pipelines (velox/exec/LocalPlanner.cpp)."""
+
+    def __init__(self, plan: PlanNode):
+        self.pipelines: List[Pipeline] = []
+        chain = self._lower(plan)
+        self.pipelines.append(Pipeline(chain, is_output=True))
+
+    def _lower(self, node: PlanNode) -> List[Operator]:
+        if isinstance(node, ValuesNode):
+            return [ValuesOp(node)]
+        if isinstance(node, TableScanNode):
+            return [TableScanOp(node)]
+        if isinstance(node, (HashJoinNode, MergeJoinNode)):
+            bridge = JoinBridge(node)
+            build_chain = self._lower(node.right)
+            build_chain.append(HashBuildOp(node, bridge))
+            self.pipelines.append(Pipeline(build_chain, is_output=False))
+            chain = self._lower(node.left)
+            chain.append(HashProbeOp(node, bridge))
+            return chain
+        if isinstance(node, CrossJoinNode):
+            bridge = JoinBridge(node)
+            build_chain = self._lower(node.right)
+            build_chain.append(CrossBuildOp(node, bridge))
+            self.pipelines.append(Pipeline(build_chain, is_output=False))
+            chain = self._lower(node.left)
+            chain.append(CrossProbeOp(node, bridge))
+            return chain
+
+        factory = _OPERATOR_REGISTRY.get(type(node))
+        if factory is not None:
+            chain = self._lower(node.sources[0]) if node.sources else []
+            chain.append(factory(node))
+            return chain
+
+        simple = {
+            FilterNode: FilterOp,
+            ProjectNode: ProjectOp,
+            AggregationNode: HashAggregationOp,
+            OrderByNode: OrderByOp,
+            TopNNode: TopNOp,
+            LimitNode: LimitOp,
+            EnforceSingleRowNode: EnforceSingleRowOp,
+            AssignUniqueIdNode: AssignUniqueIdOp,
+        }
+        cls = simple.get(type(node))
+        if cls is None:
+            raise NotImplementedError(
+                f"no operator for {type(node).__name__}")
+        chain = self._lower(node.sources[0])
+        chain.append(cls(node))
+        return chain
+
+
+def _stream(ops: List[Operator], i: int) -> Iterator[Batch]:
+    """Serial driver inner loop (velox/exec/Driver.cpp:615-720 analog)."""
+    op = ops[i]
+    if i == 0:
+        while not op.is_finished():
+            b = op.get_output()
+            if b is None:
+                break
+            yield b
+        return
+    upstream = _stream(ops, i - 1)
+    for b in upstream:
+        if not op.needs_input():
+            break
+        op.stats.input_batches += 1
+        op.add_input(b)
+        while True:
+            out = op.get_output()
+            if out is None:
+                break
+            op.stats.output_batches += 1
+            yield out
+            if op.is_finished():
+                upstream.close()
+                return
+    op.no_more_input()
+    while not op.is_finished():
+        out = op.get_output()
+        if out is None:
+            if op.is_finished():
+                break
+            # blocking op produced everything
+            break
+        op.stats.output_batches += 1
+        yield out
+
+
+class Task:
+    """Owns one plan's execution (velox/exec/Task.h:44, serial mode)."""
+
+    def __init__(self, plan: PlanNode):
+        self.plan = plan
+        self.planner = LocalPlanner(plan)
+
+    def run(self) -> Iterator[Batch]:
+        # run non-output (join build) pipelines to completion, in creation
+        # order: a pipeline's bridges are always created (and appended)
+        # while lowering its chain, before the pipeline itself is appended,
+        # so creation order is a topological order of the bridge DAG
+        for p in self.planner.pipelines:
+            if p.is_output:
+                continue
+            for _ in _stream(p.operators, len(p.operators) - 1):
+                pass
+            p.operators[-1].no_more_input()
+        out = next(
+            p for p in self.planner.pipelines if p.is_output)
+        yield from _stream(out.operators, len(out.operators) - 1)
+
+    def stats(self):
+        return [
+            op.stats
+            for p in self.planner.pipelines for op in p.operators
+        ]
+
+
+def run_plan(plan) -> "pa.Table":
+    """Execute and materialize as an Arrow table (result surface)."""
+    import pyarrow as pa
+
+    from velox_tpu.plan.builder import PlanBuilder
+    from velox_tpu.vector.arrow_bridge import to_arrow, type_to_arrow
+
+    if isinstance(plan, PlanBuilder):
+        plan = plan.build()
+    tables = [to_arrow(b) for b in Task(plan).run()]
+    tables = [t for t in tables if t.num_rows >= 0]
+    if not tables:
+        schema = pa.schema([
+            (n, type_to_arrow(t))
+            for n, t in zip(plan.output_type.names,
+                            plan.output_type.children)])
+        return pa.table(
+            {n: pa.array([], type=f.type) for n, f in zip(
+                schema.names, schema)}, schema=schema)
+    return pa.concat_tables(tables)
+
+
+def run_plan_pydict(plan) -> Dict[str, list]:
+    return run_plan(plan).to_pydict()

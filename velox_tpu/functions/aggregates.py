@@ -51,6 +51,14 @@ class AggregateFunction:
     extract: Callable
     #: intermediate (partial) output types, parallel to lanes
     lane_types: Callable[[Optional[DataType]], Tuple[DataType, ...]]
+    #: result type from lane types (standalone FINAL planning where the raw
+    #: input type is unavailable); default: first lane's type
+    final_type: Optional[Callable[[Tuple[DataType, ...]], DataType]] = None
+
+    def resolve_final_type(self, lane_types: Tuple[DataType, ...]) -> DataType:
+        if self.final_type is not None:
+            return self.final_type(lane_types)
+        return lane_types[0]
 
 
 aggregate_registry: Dict[str, AggregateFunction] = {}
@@ -313,6 +321,7 @@ def _make_var(name: str, sample: bool, stddev: bool):
         combine=_var_combine,
         extract=extract,
         lane_types=lambda t: (BIGINT, DOUBLE, DOUBLE),
+        final_type=lambda lanes: DOUBLE,
     ))
 
 

@@ -1,0 +1,474 @@
+"""Fluent PlanBuilder.
+
+Analog of velox/exec/tests/utils/PlanBuilder.h:92, promoted to the primary
+embedding API (like PyPlanBuilder, velox/python/runner/PyLocalRunner.h).
+Resolves output schemas eagerly, lowers expression-valued aggregation
+keys/args into pre-projections (what velox's AggregationNode planning does
+via PlanBuilder::aggregation), and parses the SQL expression dialect of
+velox_tpu/expr/parser.py.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+from velox_tpu.types import BIGINT, BOOLEAN, DataType
+from velox_tpu.types.types import RowType, row_type
+from velox_tpu.expr.ir import Call, Expr, FieldRef
+from velox_tpu.expr.parser import parse_expr
+from velox_tpu.expr.compiler import resolve_types
+from velox_tpu.functions.aggregates import lookup_aggregate
+from velox_tpu.plan.nodes import (
+    AggStep, AggregateSpec, AggregationNode, AssignUniqueIdNode,
+    CrossJoinNode, EnforceSingleRowNode, ExchangeNode, FilterNode,
+    HashJoinNode, JoinType, LimitNode, LocalPartitionNode, MarkDistinctNode,
+    MergeJoinNode, OrderByNode, PlanNode, ProjectNode, RowNumberNode,
+    SortField, TableScanNode, TopNNode, TopNRowNumberNode, UnnestNode,
+    ValuesNode, WindowNode, WindowSpec, new_id,
+)
+
+_ALIAS_RE = re.compile(r"\s+[Aa][Ss]\s+([A-Za-z_]\w*)\s*$")
+_AGG_RE = re.compile(r"(?is)^\s*([A-Za-z_]\w*)\s*\((.*)\)\s*$")
+_SORT_RE = re.compile(
+    r"(?i)^\s*(.*?)\s*(asc|desc)?\s*(?:nulls\s+(first|last))?\s*$")
+
+
+def parse_named_expr(text: str, default_name: Optional[str] = None
+                     ) -> Tuple[str, Expr]:
+    """Parse ``<expr> [AS alias]``; plain fields name themselves."""
+    m = _ALIAS_RE.search(text)
+    if m and text[: m.start()].count("(") == text[: m.start()].count(")"):
+        return m.group(1), parse_expr(text[: m.start()])
+    e = parse_expr(text)
+    if isinstance(e, FieldRef):
+        return e.name, e
+    return default_name or text.strip(), e
+
+
+def _parse_sort(text: str) -> SortField:
+    m = _SORT_RE.match(text)
+    assert m, text
+    name = m.group(1)
+    desc = (m.group(2) or "asc").lower() == "desc"
+    nulls = m.group(3)
+    nulls_first = (nulls or ("first" if desc else "last")).lower() == "first"
+    # SQL default: NULLS LAST for ASC, NULLS FIRST for DESC (Presto)
+    return SortField(name, desc, nulls_first)
+
+
+def _parse_agg(text: str, default_name: str
+               ) -> Tuple[str, str, Optional[Expr], bool]:
+    """'sum(x) AS s' -> (name, fn, arg_expr|None, distinct)."""
+    name = default_name
+    m = _ALIAS_RE.search(text)
+    body = text
+    if m and text[: m.start()].count("(") == text[: m.start()].count(")"):
+        name, body = m.group(1), text[: m.start()]
+    cm = _AGG_RE.match(body)
+    if not cm:
+        raise SyntaxError(f"not an aggregate call: {text!r}")
+    fn = cm.group(1).lower()
+    inner = cm.group(2).strip()
+    distinct = False
+    if re.match(r"(?i)^distinct\s", inner):
+        distinct = True
+        inner = inner[len("distinct"):].strip()
+    if inner in ("", "*"):
+        arg = None
+    else:
+        arg = parse_expr(inner)
+    return name, fn, arg, distinct
+
+
+class PlanBuilder:
+    """Build a plan tree fluently; every method returns self."""
+
+    def __init__(self, node: Optional[PlanNode] = None):
+        self.node = node
+
+    # ------------------------------------------------------------- leaves
+    def values(self, batches: Sequence) -> "PlanBuilder":
+        schema = batches[0].schema
+        self.node = ValuesNode(new_id(), schema, tuple(batches))
+        return self
+
+    def table_scan(
+        self, table: str, columns: Optional[Sequence[str]] = None,
+        subfilter: Optional[str] = None,
+    ) -> "PlanBuilder":
+        from velox_tpu.io.catalog import get_table
+
+        t = get_table(table)
+        names = list(columns) if columns else list(t.schema.names)
+        types = [t.schema.find_child(n) for n in names]
+        schema = row_type(names, types)
+        sf = None
+        if subfilter is not None:
+            sf = resolve_types(parse_expr(subfilter), schema)
+        self.node = TableScanNode(
+            new_id(), schema, table, tuple(names), sf)
+        return self
+
+    def exchange(self, schema: RowType, num_partitions: int = 1
+                 ) -> "PlanBuilder":
+        self.node = ExchangeNode(new_id(), schema, num_partitions)
+        return self
+
+    # --------------------------------------------------------- row-by-row
+    def filter(self, predicate: Union[str, Expr]) -> "PlanBuilder":
+        e = parse_expr(predicate) if isinstance(predicate, str) else predicate
+        e = resolve_types(e, self.node.output_type)
+        self.node = FilterNode(
+            new_id(), self.node.output_type, self.node, e)
+        return self
+
+    def project(self, projections: Sequence[Union[str, Tuple[str, Expr]]]
+                ) -> "PlanBuilder":
+        names: List[str] = []
+        exprs: List[Expr] = []
+        for i, p in enumerate(projections):
+            if isinstance(p, tuple):
+                name, e = p
+            else:
+                name, e = parse_named_expr(p, f"p{i}")
+            e = resolve_types(e, self.node.output_type)
+            names.append(name)
+            exprs.append(e)
+        schema = row_type(names, [e.dtype for e in exprs])
+        self.node = ProjectNode(
+            new_id(), schema, self.node, tuple(names), tuple(exprs))
+        return self
+
+    # -------------------------------------------------------- aggregation
+    def aggregate(
+        self,
+        keys: Sequence[str],
+        aggs: Sequence[str],
+        step: Union[str, AggStep] = AggStep.SINGLE,
+        masks: Optional[Dict[str, str]] = None,
+    ) -> "PlanBuilder":
+        step = AggStep(step) if isinstance(step, str) else step
+        schema = self.node.output_type
+        masks = masks or {}
+
+        key_names: List[str] = []
+        pre_names: List[str] = []
+        pre_exprs: List[Expr] = []
+        need_project = False
+        for i, k in enumerate(keys):
+            name, e = parse_named_expr(k, f"k{i}")
+            e = resolve_types(e, schema)
+            key_names.append(name)
+            pre_names.append(name)
+            pre_exprs.append(e)
+            if not (isinstance(e, FieldRef) and e.name == name):
+                need_project = True
+
+        specs: List[AggregateSpec] = []
+        agg_names: List[str] = []
+        arg_types: List[Optional[DataType]] = []
+        for i, a in enumerate(aggs):
+            name, fn, arg, distinct = _parse_agg(a, f"a{i}")
+            lookup_aggregate(fn)  # validate early
+            arg_field: Optional[str] = None
+            at: Optional[DataType] = None
+            if arg is not None:
+                arg = resolve_types(arg, schema)
+                at = arg.dtype
+                if isinstance(arg, FieldRef):
+                    arg_field = arg.name
+                    if arg_field not in pre_names:
+                        pre_names.append(arg_field)
+                        pre_exprs.append(arg)
+                else:
+                    arg_field = f"{name}_arg"
+                    pre_names.append(arg_field)
+                    pre_exprs.append(arg)
+                    need_project = True
+            mask = masks.get(name)
+            if mask is not None and mask not in pre_names:
+                pre_names.append(mask)
+                pre_exprs.append(resolve_types(FieldRef(None, mask), schema))
+            specs.append(AggregateSpec(fn, arg_field, mask, distinct))
+            agg_names.append(name)
+            arg_types.append(at)
+
+        source = self.node
+        if need_project:
+            pschema = row_type(pre_names, [e.dtype for e in pre_exprs])
+            source = ProjectNode(
+                new_id(), pschema, source, tuple(pre_names), tuple(pre_exprs))
+            schema = pschema
+
+        key_types = [schema.find_child(n) for n in key_names]
+        out_names = list(key_names)
+        out_types = list(key_types)
+        for name, spec, at in zip(agg_names, specs, arg_types):
+            fn = lookup_aggregate(spec.fn)
+            if step == AggStep.PARTIAL:
+                for li, lt in enumerate(fn.lane_types(at)):
+                    out_names.append(f"{name}${li}")
+                    out_types.append(lt)
+            else:
+                out_names.append(name)
+                out_types.append(fn.resolve_type(at))
+        out_schema = row_type(out_names, out_types)
+        self.node = AggregationNode(
+            new_id(), out_schema, source, step, tuple(key_names),
+            tuple(agg_names), tuple(specs))
+        return self
+
+    def partial_aggregation(self, keys, aggs, masks=None) -> "PlanBuilder":
+        return self.aggregate(keys, aggs, AggStep.PARTIAL, masks)
+
+    def final_aggregation(
+        self, keys: Optional[Sequence[str]] = None,
+        aggs: Optional[Sequence[str]] = None,
+    ) -> "PlanBuilder":
+        """Finalize a partial aggregation.
+
+        With no args, infers keys/aggs from the nearest upstream PARTIAL
+        AggregationNode (walking through exchanges); explicit args use the
+        lane-column naming convention ``name$i``.
+        """
+        schema = self.node.output_type
+        if keys is None or aggs is None:
+            src = self.node
+            while src is not None and not (
+                    isinstance(src, AggregationNode)
+                    and src.step == AggStep.PARTIAL):
+                srcs = src.sources
+                src = srcs[0] if srcs else None
+            assert src is not None, "no upstream partial aggregation"
+            key_names = list(src.keys)
+            agg_names = list(src.agg_names)
+            specs = list(src.aggregates)
+        else:
+            key_names = list(keys)
+            agg_names, specs = [], []
+            for i, a in enumerate(aggs):
+                name, fn, arg, distinct = _parse_agg(a, f"a{i}")
+                agg_names.append(name)
+                specs.append(AggregateSpec(fn, None, None, distinct))
+
+        out_names = list(key_names)
+        out_types = [schema.find_child(n) for n in key_names]
+        for name, spec in zip(agg_names, specs):
+            fn = lookup_aggregate(spec.fn)
+            lane_types = []
+            li = 0
+            while schema.contains(f"{name}${li}"):
+                lane_types.append(schema.find_child(f"{name}${li}"))
+                li += 1
+            assert lane_types, f"no partial lanes for {name}"
+            out_names.append(name)
+            out_types.append(fn.resolve_final_type(tuple(lane_types)))
+        out_schema = row_type(out_names, out_types)
+        self.node = AggregationNode(
+            new_id(), out_schema, self.node, AggStep.FINAL,
+            tuple(key_names), tuple(agg_names), tuple(specs))
+        return self
+
+    def distinct(self) -> "PlanBuilder":
+        return self.aggregate(list(self.node.output_type.names), [])
+
+    # -------------------------------------------------------------- order
+    def order_by(self, keys: Sequence[str]) -> "PlanBuilder":
+        sf = tuple(_parse_sort(k) for k in keys)
+        self.node = OrderByNode(
+            new_id(), self.node.output_type, self.node, sf)
+        return self
+
+    def top_n(self, keys: Sequence[str], count: int) -> "PlanBuilder":
+        sf = tuple(_parse_sort(k) for k in keys)
+        self.node = TopNNode(
+            new_id(), self.node.output_type, self.node, sf, count)
+        return self
+
+    def limit(self, count: int, offset: int = 0) -> "PlanBuilder":
+        self.node = LimitNode(
+            new_id(), self.node.output_type, self.node, offset, count)
+        return self
+
+    # -------------------------------------------------------------- joins
+    def hash_join(
+        self,
+        right: Union["PlanBuilder", PlanNode],
+        left_keys: Sequence[str],
+        right_keys: Sequence[str],
+        join_type: Union[str, JoinType] = JoinType.INNER,
+        output: Optional[Sequence[str]] = None,
+        filter: Optional[str] = None,
+        merge: bool = False,
+    ) -> "PlanBuilder":
+        rnode = right.node if isinstance(right, PlanBuilder) else right
+        jt = JoinType(join_type) if isinstance(join_type, str) else join_type
+        lt, rt = self.node.output_type, rnode.output_type
+
+        if jt in (JoinType.LEFT_SEMI, JoinType.ANTI, JoinType.ANTI_SIMPLE):
+            all_names = list(lt.names)
+            all_types = list(lt.children)
+        elif jt == JoinType.RIGHT_SEMI:
+            all_names = list(rt.names)
+            all_types = list(rt.children)
+        else:
+            dup = set(lt.names) & set(rt.names)
+            assert not dup, f"join output name clash: {sorted(dup)}"
+            all_names = list(lt.names) + list(rt.names)
+            all_types = list(lt.children) + list(rt.children)
+
+        if output is not None:
+            keep = {n: t for n, t in zip(all_names, all_types)}
+            all_names = list(output)
+            all_types = [keep[n] for n in all_names]
+        schema = row_type(all_names, all_types)
+
+        fexpr = None
+        if filter is not None:
+            both = row_type(
+                tuple(lt.names) + tuple(rt.names),
+                tuple(lt.children) + tuple(rt.children))
+            fexpr = resolve_types(parse_expr(filter), both)
+
+        cls = MergeJoinNode if merge else HashJoinNode
+        self.node = cls(
+            new_id(), schema, self.node, rnode, jt,
+            tuple(left_keys), tuple(right_keys), fexpr)
+        return self
+
+    def merge_join(self, *args, **kwargs) -> "PlanBuilder":
+        return self.hash_join(*args, merge=True, **kwargs)
+
+    def cross_join(
+        self,
+        right: Union["PlanBuilder", PlanNode],
+        filter: Optional[str] = None,
+        output: Optional[Sequence[str]] = None,
+        join_type: Union[str, JoinType] = JoinType.INNER,
+    ) -> "PlanBuilder":
+        rnode = right.node if isinstance(right, PlanBuilder) else right
+        jt = JoinType(join_type) if isinstance(join_type, str) else join_type
+        lt, rt = self.node.output_type, rnode.output_type
+        all_names = list(lt.names) + list(rt.names)
+        all_types = list(lt.children) + list(rt.children)
+        if output is not None:
+            keep = {n: t for n, t in zip(all_names, all_types)}
+            all_names = list(output)
+            all_types = [keep[n] for n in all_names]
+        schema = row_type(all_names, all_types)
+        fexpr = None
+        if filter is not None:
+            both = row_type(
+                tuple(lt.names) + tuple(rt.names),
+                tuple(lt.children) + tuple(rt.children))
+            fexpr = resolve_types(parse_expr(filter), both)
+        self.node = CrossJoinNode(new_id(), schema, self.node, rnode, jt, fexpr)
+        return self
+
+    # ------------------------------------------------------------- window
+    def window(
+        self, partition_keys: Sequence[str], sort_keys: Sequence[str],
+        functions: Sequence[str],
+    ) -> "PlanBuilder":
+        """functions: e.g. 'row_number() AS rn', 'rank() AS r',
+        'sum(x) AS s'."""
+        schema = self.node.output_type
+        specs: List[WindowSpec] = []
+        out_names = list(schema.names)
+        out_types = list(schema.children)
+        for i, f in enumerate(functions):
+            name, fn, arg, _ = _parse_agg(f, f"w{i}")
+            arg_field = None
+            at = None
+            if arg is not None:
+                assert isinstance(arg, FieldRef), "window arg must be a field"
+                arg_field = arg.name
+                at = resolve_types(arg, schema).dtype
+            specs.append(WindowSpec(name, fn, arg_field))
+            out_names.append(name)
+            out_types.append(_window_result_type(fn, at))
+        self.node = WindowNode(
+            new_id(), row_type(out_names, out_types), self.node,
+            tuple(partition_keys), tuple(_parse_sort(k) for k in sort_keys),
+            tuple(specs))
+        return self
+
+    def row_number(
+        self, partition_keys: Sequence[str],
+        row_number_name: Optional[str] = "row_number",
+        limit: Optional[int] = None,
+    ) -> "PlanBuilder":
+        schema = self.node.output_type
+        if row_number_name is not None:
+            schema = row_type(
+                list(schema.names) + [row_number_name],
+                list(schema.children) + [BIGINT])
+        self.node = RowNumberNode(
+            new_id(), schema, self.node, tuple(partition_keys),
+            row_number_name, limit)
+        return self
+
+    def top_n_row_number(
+        self, partition_keys: Sequence[str], sort_keys: Sequence[str],
+        limit: int, row_number_name: Optional[str] = "row_number",
+    ) -> "PlanBuilder":
+        schema = self.node.output_type
+        if row_number_name is not None:
+            schema = row_type(
+                list(schema.names) + [row_number_name],
+                list(schema.children) + [BIGINT])
+        self.node = TopNRowNumberNode(
+            new_id(), schema, self.node, tuple(partition_keys),
+            tuple(_parse_sort(k) for k in sort_keys), row_number_name, limit)
+        return self
+
+    # --------------------------------------------------------------- misc
+    def mark_distinct(self, marker: str, keys: Sequence[str]) -> "PlanBuilder":
+        schema = self.node.output_type
+        schema = row_type(
+            list(schema.names) + [marker],
+            list(schema.children) + [BOOLEAN])
+        self.node = MarkDistinctNode(
+            new_id(), schema, self.node, marker, tuple(keys))
+        return self
+
+    def assign_unique_id(self, id_name: str = "unique_id",
+                         task_unique_id: int = 0) -> "PlanBuilder":
+        schema = self.node.output_type
+        schema = row_type(
+            list(schema.names) + [id_name],
+            list(schema.children) + [BIGINT])
+        self.node = AssignUniqueIdNode(
+            new_id(), schema, self.node, id_name, task_unique_id)
+        return self
+
+    def enforce_single_row(self) -> "PlanBuilder":
+        self.node = EnforceSingleRowNode(
+            new_id(), self.node.output_type, self.node)
+        return self
+
+    def local_partition(self, keys: Sequence[str],
+                        num_partitions: int) -> "PlanBuilder":
+        self.node = LocalPartitionNode(
+            new_id(), self.node.output_type, self.node, tuple(keys),
+            num_partitions)
+        return self
+
+    def build(self) -> PlanNode:
+        assert self.node is not None
+        return self.node
+
+
+def _window_result_type(fn: str, arg_type: Optional[DataType]) -> DataType:
+    from velox_tpu.types import DOUBLE
+
+    if fn in ("row_number", "rank", "dense_rank", "ntile", "count"):
+        return BIGINT
+    if fn in ("percent_rank", "cume_dist"):
+        return DOUBLE
+    if fn in ("lead", "lag", "first_value", "last_value", "nth_value"):
+        assert arg_type is not None
+        return arg_type
+    # aggregate-as-window
+    return lookup_aggregate(fn).resolve_type(arg_type)

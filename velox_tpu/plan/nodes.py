@@ -1,0 +1,299 @@
+"""PlanNode hierarchy.
+
+Analog of velox/core/PlanNode.h:175 (~36 node types, :354-6501). Nodes are
+immutable descriptions; ``output_type`` is resolved eagerly by PlanBuilder
+so every node carries its schema (velox nodes do the same via outputType()).
+Each node maps to one Operator in velox_tpu/exec (velox/exec/LocalPlanner.cpp
+driver-factory analog).
+"""
+
+from __future__ import annotations
+
+import enum
+import itertools
+from dataclasses import dataclass, field as dc_field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from velox_tpu.types.types import RowType
+from velox_tpu.expr.ir import Expr
+
+_ids = itertools.count()
+
+
+def _next_id() -> str:
+    return str(next(_ids))
+
+
+@dataclass(frozen=True)
+class PlanNode:
+    """Base node: id + resolved output schema."""
+
+    id: str
+    output_type: RowType
+
+    @property
+    def sources(self) -> Tuple["PlanNode", ...]:
+        return ()
+
+    def name(self) -> str:
+        return type(self).__name__.replace("Node", "")
+
+
+@dataclass(frozen=True)
+class SourceNode(PlanNode):
+    """One-input node."""
+
+    source: PlanNode = None  # type: ignore[assignment]
+
+    @property
+    def sources(self) -> Tuple[PlanNode, ...]:
+        return (self.source,)
+
+
+# ------------------------------------------------------------------ leaves
+
+@dataclass(frozen=True)
+class ValuesNode(PlanNode):
+    """Literal batches (velox/core/PlanNode.h ValuesNode :354)."""
+
+    batches: Tuple = ()
+
+
+@dataclass(frozen=True)
+class TableScanNode(PlanNode):
+    """Scan of a catalog table (velox TableScanNode; connector splits come
+    from the session catalog, velox/connectors/Connector.h DataSource
+    analog). ``subfilter`` is an optional pushed-down predicate applied by
+    the scan itself (ScanSpec analog, velox/dwio/common/ScanSpec.h:41)."""
+
+    table: str = ""
+    columns: Tuple[str, ...] = ()
+    subfilter: Optional[Expr] = None
+
+
+@dataclass(frozen=True)
+class ExchangeNode(PlanNode):
+    """Fragment boundary: consumes a remote/distributed source
+    (velox/core/PlanNode.h:2182)."""
+
+    num_partitions: int = 1
+
+
+# ------------------------------------------------------------ row-by-row
+
+@dataclass(frozen=True)
+class FilterNode(SourceNode):
+    predicate: Expr = None  # type: ignore[assignment]
+
+
+@dataclass(frozen=True)
+class ProjectNode(SourceNode):
+    names: Tuple[str, ...] = ()
+    exprs: Tuple[Expr, ...] = ()
+
+
+# ------------------------------------------------------------- aggregation
+
+class AggStep(enum.Enum):
+    SINGLE = "single"
+    PARTIAL = "partial"
+    FINAL = "final"
+
+
+@dataclass(frozen=True)
+class AggregateSpec:
+    """One aggregate call: fn over an input field (None = count(*)),
+    optionally masked by a boolean field and/or distinct
+    (velox/core/PlanNode.h AggregationNode::Aggregate)."""
+
+    fn: str
+    arg: Optional[str]
+    mask: Optional[str] = None
+    distinct: bool = False
+
+
+@dataclass(frozen=True)
+class AggregationNode(SourceNode):
+    step: AggStep = AggStep.SINGLE
+    keys: Tuple[str, ...] = ()
+    agg_names: Tuple[str, ...] = ()
+    aggregates: Tuple[AggregateSpec, ...] = ()
+
+
+@dataclass(frozen=True)
+class ExpandNode(SourceNode):
+    """Each input row -> N rows from N projection lists
+    (velox/core/PlanNode.h:1913, feeds grouping sets)."""
+
+    projections: Tuple[Tuple[Expr, ...], ...] = ()
+    names: Tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
+class GroupIdNode(SourceNode):
+    """GROUPING SETS expansion (velox/core/PlanNode.h:2018)."""
+
+    grouping_sets: Tuple[Tuple[str, ...], ...] = ()
+    group_id_name: str = "group_id"
+
+
+@dataclass(frozen=True)
+class MarkDistinctNode(SourceNode):
+    """Adds a boolean marker on first occurrence per key
+    (velox/core/PlanNode.h:5638)."""
+
+    marker: str = ""
+    keys: Tuple[str, ...] = ()
+
+
+# ------------------------------------------------------------------ order
+
+@dataclass(frozen=True)
+class SortField:
+    name: str
+    descending: bool = False
+    nulls_first: bool = False
+
+
+@dataclass(frozen=True)
+class OrderByNode(SourceNode):
+    keys: Tuple[SortField, ...] = ()
+
+
+@dataclass(frozen=True)
+class TopNNode(SourceNode):
+    keys: Tuple[SortField, ...] = ()
+    count: int = 0
+
+
+@dataclass(frozen=True)
+class LimitNode(SourceNode):
+    offset: int = 0
+    count: int = 0
+
+
+# ------------------------------------------------------------------- joins
+
+class JoinType(enum.Enum):
+    INNER = "inner"
+    LEFT = "left"
+    RIGHT = "right"
+    FULL = "full"
+    LEFT_SEMI = "left_semi"
+    RIGHT_SEMI = "right_semi"
+    ANTI = "anti"          # null-aware: NOT IN semantics
+    ANTI_SIMPLE = "anti_simple"  # NOT EXISTS semantics
+
+
+@dataclass(frozen=True)
+class HashJoinNode(PlanNode):
+    """Equi-join (velox AbstractJoinNode core/PlanNode.h:3238; 10 join
+    types). ``left`` is the probe side, ``right`` the build side (matches
+    velox's convention)."""
+
+    left: PlanNode = None   # type: ignore[assignment]
+    right: PlanNode = None  # type: ignore[assignment]
+    join_type: JoinType = JoinType.INNER
+    left_keys: Tuple[str, ...] = ()
+    right_keys: Tuple[str, ...] = ()
+    filter: Optional[Expr] = None
+
+    @property
+    def sources(self) -> Tuple[PlanNode, ...]:
+        return (self.left, self.right)
+
+
+@dataclass(frozen=True)
+class MergeJoinNode(HashJoinNode):
+    """Join over inputs already sorted on the keys
+    (velox/exec/MergeJoin.h:47)."""
+
+
+@dataclass(frozen=True)
+class CrossJoinNode(PlanNode):
+    """Nested-loop join (velox NestedLoopJoinNode core/PlanNode.h:4089)."""
+
+    left: PlanNode = None   # type: ignore[assignment]
+    right: PlanNode = None  # type: ignore[assignment]
+    join_type: JoinType = JoinType.INNER
+    filter: Optional[Expr] = None
+
+    @property
+    def sources(self) -> Tuple[PlanNode, ...]:
+        return (self.left, self.right)
+
+
+# ------------------------------------------------------------------ window
+
+@dataclass(frozen=True)
+class WindowSpec:
+    """One window function call (velox/core/PlanNode.h:5261 WindowNode)."""
+
+    name: str          # output column
+    fn: str            # row_number, rank, sum, ...
+    arg: Optional[str] = None
+    # frame: only the common defaults for now
+    # (RANGE UNBOUNDED PRECEDING..CURRENT ROW for ranks/aggs)
+
+
+@dataclass(frozen=True)
+class WindowNode(SourceNode):
+    partition_keys: Tuple[str, ...] = ()
+    sort_keys: Tuple[SortField, ...] = ()
+    functions: Tuple[WindowSpec, ...] = ()
+
+
+@dataclass(frozen=True)
+class RowNumberNode(SourceNode):
+    """Partitioned row numbering w/o sort (velox/core/PlanNode.h:5495)."""
+
+    partition_keys: Tuple[str, ...] = ()
+    row_number_name: Optional[str] = "row_number"
+    limit: Optional[int] = None
+
+
+@dataclass(frozen=True)
+class TopNRowNumberNode(SourceNode):
+    """Keep top-N rows per partition (velox/core/PlanNode.h:6000)."""
+
+    partition_keys: Tuple[str, ...] = ()
+    sort_keys: Tuple[SortField, ...] = ()
+    row_number_name: Optional[str] = "row_number"
+    limit: int = 1
+
+
+# ------------------------------------------------------------------- misc
+
+@dataclass(frozen=True)
+class UnnestNode(SourceNode):
+    """Explode array columns (velox/core/PlanNode.h:4860)."""
+
+    replicated: Tuple[str, ...] = ()
+    unnest: Tuple[str, ...] = ()
+    ordinality: Optional[str] = None
+
+
+@dataclass(frozen=True)
+class AssignUniqueIdNode(SourceNode):
+    """(velox/core/PlanNode.h:5153)"""
+
+    id_name: str = "unique_id"
+    task_unique_id: int = 0
+
+
+@dataclass(frozen=True)
+class EnforceSingleRowNode(SourceNode):
+    """Uncorrelated scalar subquery guard (velox/core/PlanNode.h:5069)."""
+
+
+@dataclass(frozen=True)
+class LocalPartitionNode(SourceNode):
+    """In-task repartition (velox/core/PlanNode.h:2545); keys empty =
+    round robin / gather."""
+
+    keys: Tuple[str, ...] = ()
+    num_partitions: int = 1
+
+
+def new_id() -> str:
+    return _next_id()

@@ -158,3 +158,50 @@ class Batch:
         fields = ", ".join(f"{n}:{c.dtype}" for n, c in self.columns.items())
         nr = self.num_rows if self.num_rows is not None else "?"
         return f"Batch[{fields}; rows={nr}/{self.capacity}]"
+
+
+def concat_batches(
+    batches: Sequence["Batch"], capacity: Optional[int] = None
+) -> "Batch":
+    """Concatenate same-schema batches into one padded batch.
+
+    The analog of appending RowVectors into a RowContainer
+    (velox/exec/RowContainer.h:265) — here a single device concatenate per
+    column. String columns must share one Dictionary across inputs (the
+    catalog ingest guarantees table-global dictionaries).
+    """
+    assert batches, "concat of zero batches"
+    if len(batches) == 1 and capacity is None:
+        return batches[0]
+    names = batches[0].names
+    total = sum(b.capacity for b in batches)
+    cap = capacity if capacity is not None else round_capacity(total)
+    assert cap >= total
+
+    pad = cap - total
+    sel = jnp.concatenate(
+        [b.sel for b in batches]
+        + ([jnp.zeros(pad, dtype=jnp.bool_)] if pad else []))
+    cols = {}
+    for n in names:
+        parts = [b.columns[n] for b in batches]
+        dicts = [p.dictionary for p in parts if p.dictionary is not None]
+        d = dicts[0] if dicts else None
+        for other in dicts[1:]:
+            assert other is d, (
+                f"column {n}: differing dictionaries across batches; "
+                "re-encode via catalog ingest")
+        vals = jnp.concatenate(
+            [p.values for p in parts]
+            + ([jnp.zeros(pad, dtype=parts[0].values.dtype)] if pad else []))
+        if any(p.valid is not None for p in parts):
+            valid = jnp.concatenate(
+                [p.validity() for p in parts]
+                + ([jnp.zeros(pad, dtype=jnp.bool_)] if pad else []))
+        else:
+            valid = None
+        cols[n] = Column(parts[0].dtype, vals, valid, d)
+    nr = None
+    if all(b.num_rows is not None for b in batches):
+        nr = sum(b.num_rows for b in batches)
+    return Batch(cols, sel, num_rows=nr)
