@@ -82,27 +82,62 @@ class ExprEvaluator:
         self.schema = schema
         self._cache: Dict[tuple, Tuple[ExprSet, Callable]] = {}
 
-    def _get(self, batch: Batch) -> Tuple[ExprSet, Callable]:
+    def _get(self, batch: Batch, mode: str = "eval"
+             ) -> Tuple[ExprSet, Callable]:
         dicts = {
             n: c.dictionary for n, c in batch.columns.items()
             if c.dictionary is not None
         }
-        sig = tuple(sorted((n, id(d)) for n, d in dicts.items()))
+        sig = (mode,) + tuple(sorted((n, id(d)) for n, d in dicts.items()))
         hit = self._cache.get(sig)
         if hit is None:
             expr_set = ExprSet(self.exprs, self.schema, dicts)
-            jitted = jax.jit(expr_set.evaluate)
-            hit = (expr_set, jitted)
+            if mode == "filter":
+                # one fused program: predicate + sel intersection
+                def run(arrays, sel):
+                    (vals, valid) = expr_set.evaluate(arrays)[0]
+                    out = jnp.logical_and(sel, vals)
+                    if valid is not None:
+                        out = jnp.logical_and(out, valid)
+                    return out
+            elif mode == "project":
+                # one fused program incl. scalar-literal broadcast
+                def run(arrays, sel):
+                    cap = sel.shape[0]
+                    out = []
+                    for vals, valid in expr_set.evaluate(arrays):
+                        if vals.ndim == 0:
+                            vals = jnp.broadcast_to(vals, (cap,))
+                        if valid is not None and valid.ndim == 0:
+                            valid = jnp.broadcast_to(valid, (cap,))
+                        out.append((vals, valid))
+                    return out
+            else:
+                def run(arrays, sel):
+                    return expr_set.evaluate(arrays)
+            hit = (expr_set, jax.jit(run))
             self._cache[sig] = hit
         return hit
 
-    def evaluate(self, batch: Batch) -> List[Tuple[jax.Array, Optional[jax.Array]]]:
-        expr_set, jitted = self._get(batch)
-        arrays = {
+    def _arrays(self, expr_set: ExprSet, batch: Batch):
+        return {
             name: (batch.column(name).values, batch.column(name).valid)
             for name in expr_set.field_names
         }
-        return jitted(arrays)
+
+    def evaluate(self, batch: Batch) -> List[Tuple[jax.Array, Optional[jax.Array]]]:
+        expr_set, jitted = self._get(batch)
+        return jitted(self._arrays(expr_set, batch), batch.sel)
+
+    def filter_sel(self, batch: Batch) -> jax.Array:
+        """Fused predicate eval + selection intersection (one program)."""
+        expr_set, jitted = self._get(batch, "filter")
+        return jitted(self._arrays(expr_set, batch), batch.sel)
+
+    def project_pairs(self, batch: Batch):
+        """Fused projection returning broadcast (values, valid) pairs."""
+        expr_set, jitted = self._get(batch, "project")
+        return jitted(self._arrays(expr_set, batch), batch.sel)
 
 
 def result_column(dtype, pair, source_expr: Optional[Expr] = None,

@@ -2,14 +2,19 @@
 
 Each class mirrors one velox/exec operator (cited per class) with the
 compute re-designed as jitted XLA kernels over fixed-capacity device
-batches. Serial-mode contract (see exec/__init__.py): add_input may queue
-output; blocking operators emit only after no_more_input.
+batches. Per-batch work is fused into a small number of jitted programs
+per operator (cached per dictionary signature / output capacity) — the
+analog of velox's per-operator compiled expression sets, and essential on
+TPU where every eager dispatch pays tunnel latency.
+
+Serial-mode contract (see exec/__init__.py): add_input may queue output;
+blocking operators emit only after no_more_input.
 """
 
 from __future__ import annotations
 
 import collections
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,12 +34,17 @@ from velox_tpu.ops.join import (
     build_join_index, build_matched_flags, expand_matches, match_total,
     probe_join_index,
 )
-from velox_tpu.ops.sort import sort_indices, top_n_indices
+from velox_tpu.ops.sort import compact_indices, sort_indices, top_n_indices
 from velox_tpu.plan.nodes import (
     AggStep, AggregationNode, CrossJoinNode, HashJoinNode, JoinType,
 )
 
 _F64_NAN = float("nan")
+
+
+def _cols_of(batch: Batch, names) -> Dict[str, Tuple]:
+    return {n: (batch.column(n).values, batch.column(n).valid)
+            for n in names}
 
 
 # --------------------------------------------------------------- leaf ops
@@ -75,17 +85,9 @@ class TableScanOp(Operator):
         b = self._splits.popleft()
         b = b.project(self.node.columns)
         if self._filter is not None:
-            (vals, valid) = self._filter.evaluate(b)[0]
-            sel = jnp.logical_and(b.sel, vals)
-            if valid is not None:
-                sel = jnp.logical_and(sel, valid)
-            b = b.with_sel(sel)
+            b = b.with_sel(self._filter.filter_sel(b))
         for df in self.dynamic_filters:
-            (vals, valid) = df.evaluate(b)[0]
-            sel = jnp.logical_and(b.sel, vals)
-            if valid is not None:
-                sel = jnp.logical_and(sel, valid)
-            b = b.with_sel(sel)
+            b = b.with_sel(df.filter_sel(b))
         self.stats.output_batches += 1
         return b
 
@@ -96,7 +98,7 @@ class TableScanOp(Operator):
 # --------------------------------------------------------- filter/project
 
 class FilterOp(Operator):
-    """velox/exec/FilterProject.cpp filter half: predicate -> sel mask."""
+    """velox/exec/FilterProject.cpp filter half: one fused program."""
 
     def __init__(self, node):
         super().__init__(node)
@@ -105,11 +107,7 @@ class FilterOp(Operator):
         self._queue: collections.deque = collections.deque()
 
     def add_input(self, batch: Batch) -> None:
-        (vals, valid) = self._eval.evaluate(batch)[0]
-        sel = jnp.logical_and(batch.sel, vals)
-        if valid is not None:
-            sel = jnp.logical_and(sel, valid)
-        self._queue.append(batch.with_sel(sel))
+        self._queue.append(batch.with_sel(self._eval.filter_sel(batch)))
 
     def get_output(self) -> Optional[Batch]:
         return self._queue.popleft() if self._queue else None
@@ -119,7 +117,7 @@ class FilterOp(Operator):
 
 
 class ProjectOp(Operator):
-    """velox/exec/FilterProject.cpp project half."""
+    """velox/exec/FilterProject.cpp project half: one fused program."""
 
     def __init__(self, node):
         super().__init__(node)
@@ -127,17 +125,12 @@ class ProjectOp(Operator):
         self._queue: collections.deque = collections.deque()
 
     def add_input(self, batch: Batch) -> None:
-        results = self._eval.evaluate(batch)
+        pairs = self._eval.project_pairs(batch)
         cols = {}
         for name, dtype, expr, pair in zip(
                 self.node.names, self.output_type.children,
-                self.node.exprs, results):
-            vals, valid = pair
-            if vals.ndim == 0:  # scalar literal -> broadcast
-                vals = jnp.broadcast_to(vals, (batch.capacity,))
-                if valid is not None and valid.ndim == 0:
-                    valid = jnp.broadcast_to(valid, (batch.capacity,))
-            cols[name] = result_column(dtype, (vals, valid), expr, batch)
+                self.node.exprs, pairs):
+            cols[name] = result_column(dtype, pair, expr, batch)
         self._queue.append(Batch(cols, batch.sel, batch.num_rows))
 
     def get_output(self) -> Optional[Batch]:
@@ -158,7 +151,7 @@ class HashAggregationOp(Operator):
     """velox/exec/HashAggregation.cpp + GroupingSet.cpp re-designed:
 
     * kArray mode (all keys dictionary-encoded, small product): persistent
-      direct-addressed accumulators, one scatter-reduce per batch
+      direct-addressed accumulators, one jitted scatter-reduce per batch
       (VectorHasher value-id mode, velox/exec/VectorHasher.h:127-136).
     * generic mode: per-batch sort-based grouping producing (group keys,
       accumulator lanes) partials; one global merge at output — the
@@ -183,51 +176,61 @@ class HashAggregationOp(Operator):
         # the first lane's type stands in for the raw input type (every
         # aggregate's lane-0 dtype equals its input-derived dtype)
         self.arg_types: List[Optional[DataType]] = []
-        for s, name in zip(self.specs, node.agg_names):
+        self.lane_names: List[List[str]] = []
+        for s, name, fn in zip(self.specs, node.agg_names, self.fns):
             if self.step == AggStep.FINAL:
                 self.arg_types.append(in_schema.find_child(f"{name}$0"))
+                self.lane_names.append(
+                    [f"{name}${i}" for i in range(len(fn.lanes))])
             else:
                 self.arg_types.append(
                     in_schema.find_child(s.arg) if s.arg else None)
+                self.lane_names.append([])
+        self._needed = list(dict.fromkeys(
+            self.keys
+            + [s.arg for s in self.specs if s.arg is not None
+               and self.step != AggStep.FINAL]
+            + [s.mask for s in self.specs if s.mask is not None]
+            + [n for lanes in self.lane_names for n in lanes]))
         self._entries: List[dict] = []  # generic-mode partials
         self._array_state = None        # kArray mode persistent accs
         self._mode: Optional[str] = None
         self._key_dicts: Dict[str, Dictionary] = {}
         self._outputs: collections.deque = collections.deque()
         self._emitted = False
+        self._array_jit = None
+        self._generic_jit = None
+        self._merge_jit = None
 
     # ----------------------------------------------------------- helpers
-    def _lane_arrays(self, batch: Batch, name: str, fn) -> Tuple:
-        lanes = []
-        li = 0
-        while f"{name}${li}" in batch:
-            lanes.append(batch.column(f"{name}${li}").values)
-            li += 1
-        assert len(lanes) == len(fn.lanes), f"lane mismatch for {name}"
-        return tuple(lanes)
-
-    def _agg_inputs(self, batch: Batch):
-        """Per-agg (values|lanes, mask) for accumulate/combine."""
+    def _agg_inputs(self, cols, sel):
+        """Per-agg (values|lanes, mask) for accumulate/combine (traced)."""
         out = []
-        for spec, fn, at, name in zip(
-                self.specs, self.fns, self.arg_types, self.agg_names):
-            mask = batch.sel
+        for spec, fn, at, name, lanes in zip(
+                self.specs, self.fns, self.arg_types, self.agg_names,
+                self.lane_names):
+            mask = sel
             if spec.mask is not None:
-                mc = batch.column(spec.mask)
-                mask = jnp.logical_and(mask, mc.values)
-                if mc.valid is not None:
-                    mask = jnp.logical_and(mask, mc.valid)
+                mvals, mvalid = cols[spec.mask]
+                mask = jnp.logical_and(mask, mvals)
+                if mvalid is not None:
+                    mask = jnp.logical_and(mask, mvalid)
             if self.step == AggStep.FINAL:
-                lanes = self._lane_arrays(batch, name, fn)
-                out.append((lanes, mask))
+                out.append((tuple(cols[n][0] for n in lanes), mask))
             elif spec.arg is None:
                 out.append((None, mask))
             else:
-                col = batch.column(spec.arg)
-                if col.valid is not None:
-                    mask = jnp.logical_and(mask, col.valid)
-                out.append((col.values, mask))
+                avals, avalid = cols[spec.arg]
+                if avalid is not None:
+                    mask = jnp.logical_and(mask, avalid)
+                out.append((avals, mask))
         return out
+
+    def _init_accs(self, cap: int):
+        return [
+            tuple(jnp.full((cap,), lane.init_of(at),
+                           dtype=lane.dtype_of(at)) for lane in fn.lanes)
+            for fn, at in zip(self.fns, self.arg_types)]
 
     def _decide_mode(self, batch: Batch) -> str:
         if self._mode is not None:
@@ -262,87 +265,94 @@ class HashAggregationOp(Operator):
             d = batch.column(k).dictionary
             if d is not None:
                 self._key_dicts.setdefault(k, d)
+        cols = _cols_of(batch, self._needed)
         if mode == "array":
-            self._add_array(batch)
+            self._add_array(cols, batch.sel)
         else:
-            self._add_generic(batch)
+            self._add_generic(cols, batch.sel, batch.capacity)
 
-    def _add_array(self, batch: Batch) -> None:
+    def _add_array(self, cols, sel) -> None:
         G = self._num_groups
         if self._array_state is None:
-            accs = []
-            for fn, at in zip(self.fns, self.arg_types):
-                if self.step == AggStep.FINAL:
-                    at = self._final_arg_type(fn)
-                accs.append(tuple(
-                    jnp.full((G,), lane.init_of(at),
-                             dtype=lane.dtype_of(at))
-                    for lane in fn.lanes))
             self._array_state = {
-                "accs": accs,
+                "accs": self._init_accs(G),
                 "seen": jnp.zeros((G,), jnp.bool_),
             }
+        if self._array_jit is None:
+            radices = self._radices
+            keys = self.keys
+            is_final = self.step == AggStep.FINAL
+
+            def fn(cols, sel, accs_in, seen):
+                vids = []
+                for k, radix in zip(keys, radices):
+                    values, valid = cols[k]
+                    code = values.astype(jnp.int32)
+                    null_id = radix - 1
+                    vid = jnp.where(code < 0, jnp.int32(null_id), code)
+                    if valid is not None:
+                        vid = jnp.where(valid, vid, jnp.int32(null_id))
+                    vids.append(vid)
+                gids = group_ids_array(vids, radices, sel, G)
+                seen = seen.at[gids].set(True, mode="drop")
+                inputs = self._agg_inputs(cols, sel)
+                accs_out = []
+                for f, accs, (vals, mask) in zip(
+                        self.fns, accs_in, inputs):
+                    if is_final:
+                        accs_out.append(f.combine(accs, gids, vals, mask))
+                    else:
+                        accs_out.append(
+                            f.accumulate(accs, gids, vals, mask))
+                return accs_out, seen
+
+            self._array_jit = jax.jit(fn)
         st = self._array_state
+        st["accs"], st["seen"] = self._array_jit(
+            cols, sel, st["accs"], st["seen"])
 
-        vids = []
-        for k, radix in zip(self.keys, self._radices):
-            col = batch.column(k)
-            code = col.values.astype(jnp.int32)
-            null_id = radix - 1
-            vid = jnp.where(code < 0, jnp.int32(null_id), code)
-            if col.valid is not None:
-                vid = jnp.where(col.valid, vid, jnp.int32(null_id))
-            vids.append(vid)
-        gids = group_ids_array(vids, self._radices, batch.sel, G)
-        st["seen"] = st["seen"].at[gids].set(True, mode="drop")
-        inputs = self._agg_inputs(batch)
-        for i, (fn, (vals, mask)) in enumerate(zip(self.fns, inputs)):
-            if self.step == AggStep.FINAL:
-                st["accs"][i] = fn.combine(st["accs"][i], gids, vals, mask)
-            else:
-                st["accs"][i] = fn.accumulate(st["accs"][i], gids, vals, mask)
-
-    def _add_generic(self, batch: Batch) -> None:
+    def _add_generic(self, cols, sel, cap: int) -> None:
         if self.step == AggStep.FINAL:
             # buffer partial groups directly; merge at output
-            entry = {
-                "keys": key_pairs(batch, self.keys),
+            self._entries.append({
+                "keys": [cols[k] for k in self.keys],
                 "lanes": [
-                    self._lane_arrays(batch, name, fn)
-                    for name, fn in zip(self.agg_names, self.fns)],
-                "sel": batch.sel,
-            }
-            self._entries.append(entry)
+                    tuple(cols[n][0] for n in lanes)
+                    for lanes in self.lane_names],
+                "sel": sel,
+            })
             return
+        if self._generic_jit is None:
+            keys = self.keys
 
-        cap = batch.capacity
-        pairs = key_pairs(batch, self.keys)
-        gids, group_rows, group_sel, ng = group_ids_sorted(pairs, batch.sel)
-        inputs = self._agg_inputs(batch)
-        lanes_out = []
-        for fn, at, (vals, mask) in zip(self.fns, self.arg_types, inputs):
-            accs = tuple(
-                jnp.full((cap,), lane.init_of(at), dtype=lane.dtype_of(at))
-                for lane in fn.lanes)
-            accs = fn.accumulate(accs, gids, vals, mask)
-            lanes_out.append(accs)
-        gkeys = [
-            (jnp.take(v, group_rows, mode="clip"),
-             None if va is None else jnp.take(va, group_rows, mode="clip"))
-            for (v, va) in pairs]
+            def fn(cols, sel):
+                cap = sel.shape[0]
+                pairs = [cols[k] for k in keys]
+                gids, group_rows, group_sel, _ = group_ids_sorted(
+                    pairs, sel)
+                inputs = self._agg_inputs(cols, sel)
+                lanes_out = []
+                for f, accs, (vals, mask) in zip(
+                        self.fns, self._init_accs(cap), inputs):
+                    lanes_out.append(f.accumulate(accs, gids, vals, mask))
+                gkeys = [
+                    (jnp.take(v, group_rows, mode="clip"),
+                     None if va is None
+                     else jnp.take(va, group_rows, mode="clip"))
+                    for (v, va) in pairs]
+                return gkeys, lanes_out, group_sel
+
+            self._generic_jit = jax.jit(fn)
+        gkeys, lanes_out, group_sel = self._generic_jit(cols, sel)
         entry = {"keys": gkeys, "lanes": lanes_out, "sel": group_sel}
         if self.step == AggStep.PARTIAL:
-            self._outputs.append(self._partial_batch(entry, cap))
+            self._outputs.append(self._partial_batch(entry))
         else:
             self._entries.append(entry)
 
-    def _final_arg_type(self, fn) -> Optional[DataType]:
-        return None
-
     # ------------------------------------------------------------ output
-    def _partial_batch(self, entry, cap: int) -> Batch:
+    def _partial_batch(self, entry) -> Batch:
         cols = {}
-        in_schema = self.node.source.output_type
         for k, (v, va) in zip(self.keys, entry["keys"]):
             cols[k] = Column(
                 self.output_type.find_child(k), v, va,
@@ -429,29 +439,44 @@ class HashAggregationOp(Operator):
             else:
                 valid = None
             keys.append((vals, valid))
+        lanes_cat = [
+            tuple(
+                cat([e["lanes"][ai][li] for e in self._entries])
+                for li in range(len(fn.lanes)))
+            for ai, fn in enumerate(self.fns)]
 
-        gids, group_rows, group_sel, ng = group_ids_sorted(keys, sel)
-        if not self.keys:
-            # global aggregation emits exactly one row even on empty input
-            group_sel = jnp.zeros_like(group_sel).at[0].set(True)
+        if self._merge_jit is None:
+            keyless = not self.keys
+
+            def merge(keys, lanes_cat, sel):
+                cap = sel.shape[0]
+                gids, group_rows, group_sel, _ = group_ids_sorted(
+                    keys, sel)
+                if keyless:
+                    # global aggregation emits one row even on empty input
+                    group_sel = jnp.zeros_like(group_sel).at[0].set(True)
+                out_keys = [
+                    (jnp.take(v, group_rows, mode="clip"),
+                     None if va is None
+                     else jnp.take(va, group_rows, mode="clip"))
+                    for (v, va) in keys]
+                results = []
+                for fn, accs, lanes in zip(
+                        self.fns, self._init_accs(cap), lanes_cat):
+                    accs = fn.combine(accs, gids, lanes, sel)
+                    results.append(fn.extract(accs, group_sel))
+                return out_keys, results, group_sel
+
+            self._merge_jit = jax.jit(merge)
+        out_keys, results, group_sel = self._merge_jit(
+            keys, lanes_cat, sel)
 
         cols = {}
-        for k, (v, va) in zip(self.keys, keys):
-            gv = jnp.take(v, group_rows, mode="clip")
-            gva = None if va is None else jnp.take(va, group_rows, mode="clip")
+        for k, (gv, gva) in zip(self.keys, out_keys):
             cols[k] = Column(
                 self.output_type.find_child(k), gv, gva,
                 self._key_dicts.get(k))
-        for ai, (name, fn, at) in enumerate(
-                zip(self.agg_names, self.fns, self.arg_types)):
-            accs = tuple(
-                jnp.full((cap,), lane.init_of(at), dtype=lane.dtype_of(at))
-                for lane in fn.lanes)
-            lanes_cat = tuple(
-                cat([e["lanes"][ai][li] for e in self._entries])
-                for li in range(len(fn.lanes)))
-            accs = fn.combine(accs, gids, lanes_cat, sel)
-            vals, valid = fn.extract(accs, group_sel)
+        for name, (vals, valid) in zip(self.agg_names, results):
             cols[name] = Column(
                 self.output_type.find_child(name), vals, valid)
         return Batch(cols, group_sel)
@@ -463,10 +488,9 @@ class HashAggregationOp(Operator):
         # keyless: one row of identity aggregates
         sel = jnp.zeros((cap,), jnp.bool_).at[0].set(True)
         cols = {}
-        for name, fn, at in zip(self.agg_names, self.fns, self.arg_types):
-            accs = tuple(
-                jnp.full((cap,), lane.init_of(at), dtype=lane.dtype_of(at))
-                for lane in fn.lanes)
+        for name, fn, at, accs in zip(
+                self.agg_names, self.fns, self.arg_types,
+                self._init_accs(cap)):
             vals, valid = fn.extract(accs, sel)
             cols[name] = Column(
                 self.output_type.find_child(name), vals, valid)
@@ -499,12 +523,18 @@ class OrderByOp(Operator):
         if not self._buffer:
             return None
         big = concat_batches(self._buffer)
-        keys = [
-            (big.column(k.name).values, big.column(k.name).valid,
-             k.descending, k.nulls_first)
-            for k in self.node.keys]
-        perm = sort_indices(keys, big.sel)
-        sel_sorted = jnp.take(big.sel, perm, mode="clip")
+        spec = [(k.name, k.descending, k.nulls_first)
+                for k in self.node.keys]
+
+        @jax.jit
+        def run(cols, sel):
+            keys = [
+                (cols[n][0], cols[n][1], d, nf) for n, d, nf in spec]
+            perm = sort_indices(keys, sel)
+            return perm, jnp.take(sel, perm, mode="clip")
+
+        perm, sel_sorted = run(
+            _cols_of(big, [k.name for k in self.node.keys]), big.sel)
         return big.gather(perm, sel_sorted, big.num_rows)
 
     def is_finished(self) -> bool:
@@ -520,15 +550,26 @@ class TopNOp(Operator):
         super().__init__(node)
         self._carry: Optional[Batch] = None
         self._emitted = False
+        self._jit = None
 
     def add_input(self, batch: Batch) -> None:
         merged = (batch if self._carry is None
                   else concat_batches([self._carry, batch]))
-        keys = [
-            (merged.column(k.name).values, merged.column(k.name).valid,
-             k.descending, k.nulls_first)
-            for k in self.node.keys]
-        idx, osel = top_n_indices(keys, merged.sel, self.node.count)
+        if self._jit is None:
+            spec = [(k.name, k.descending, k.nulls_first)
+                    for k in self.node.keys]
+            n = self.node.count
+
+            def run(cols, sel):
+                keys = [
+                    (cols[nm][0], cols[nm][1], d, nf)
+                    for nm, d, nf in spec]
+                return top_n_indices(keys, sel, n)
+
+            self._jit = jax.jit(run)
+        idx, osel = self._jit(
+            _cols_of(merged, [k.name for k in self.node.keys]),
+            merged.sel)
         self._carry = merged.gather(idx, osel)
 
     def get_output(self) -> Optional[Batch]:
@@ -584,7 +625,9 @@ class JoinKeyCodec:
     Single-key fast path covers TPC-H; multi-key packs value offsets into a
     normalized key (velox/exec/VectorHasher.h:130 normalized keys) using
     build-side min/max stats, with probe-side out-of-range rows invalidated
-    (they cannot match by construction).
+    (they cannot match by construction). All device work is traceable; the
+    probe-side dictionary remap tables are host constants baked into the
+    probe program (table-global dictionaries -> one compile).
     """
 
     def __init__(self, build_batch: Batch, build_keys: Sequence[str]):
@@ -595,7 +638,7 @@ class JoinKeyCodec:
         if self.multi:
             self.mins, self.bits = [], []
             for c in self.cols:
-                v = _canon_int(c)
+                v = _canon_int(c.values)
                 act = build_batch.sel
                 if c.valid is not None:
                     act = jnp.logical_and(act, c.valid)
@@ -607,10 +650,26 @@ class JoinKeyCodec:
                 self.mins.append(lo)
                 self.bits.append(max(int(hi - lo).bit_length(), 1))
             assert sum(self.bits) <= 63, "normalized join key overflow"
+        self._remaps: Dict[tuple, np.ndarray] = {}
 
-    def encode(self, batch: Batch, keys: Sequence[str], is_probe: bool
-               ) -> Tuple[jax.Array, Optional[jax.Array]]:
-        cols = [batch.column(k) for k in keys]
+    def dict_sig(self, batch: Batch, keys: Sequence[str]) -> tuple:
+        return tuple(
+            id(batch.column(k).dictionary) for k in keys)
+
+    def _remap_table(self, i: int, probe_dict: Dictionary) -> np.ndarray:
+        key = (i, id(probe_dict))
+        t = self._remaps.get(key)
+        if t is None:
+            d_build = self.dicts[i]
+            t = np.full(len(probe_dict) + 1, -1, np.int64)
+            for ci, val in enumerate(probe_dict.values):
+                t[ci + 1] = d_build.code_of(val)
+            self._remaps[key] = t
+        return t
+
+    def encode(self, cols, dicts, is_probe: bool):
+        """Traced: cols = [(values, valid)...] parallel to build_keys;
+        dicts = host Dictionary per col (probe side's own)."""
         valid = None
 
         def add_valid(v):
@@ -618,24 +677,21 @@ class JoinKeyCodec:
             valid = v if valid is None else jnp.logical_and(valid, v)
 
         vals64 = []
-        for i, c in enumerate(cols):
-            v = _canon_int(c)
-            if c.valid is not None:
-                add_valid(c.valid)
+        for i, ((values, cvalid), pdict) in enumerate(zip(cols, dicts)):
+            v = _canon_int(values)
+            if cvalid is not None:
+                add_valid(cvalid)
             if self.dicts[i] is not None:
-                # translate probe codes into the build dictionary
                 d_build = self.dicts[i]
-                if is_probe and c.dictionary is not d_build:
-                    assert c.dictionary is not None, (
-                        f"join key {keys[i]}: probe side not "
+                if is_probe and pdict is not d_build:
+                    assert pdict is not None, (
+                        f"join key {self.build_keys[i]}: probe side not "
                         "dictionary-encoded")
-                    remap = np.full(len(c.dictionary) + 1, -1, np.int64)
-                    for ci, val in enumerate(c.dictionary.values):
-                        remap[ci + 1] = d_build.code_of(val)
+                    remap = jnp.asarray(self._remap_table(i, pdict))
                     v = jnp.take(
-                        jnp.asarray(remap),
-                        jnp.clip(c.values.astype(jnp.int32), -1,
-                                 len(c.dictionary) - 1) + 1)
+                        remap,
+                        jnp.clip(values.astype(jnp.int32), -1,
+                                 len(pdict) - 1) + 1)
                     add_valid(v >= 0)
             if self.multi:
                 lo, b = self.mins[i], self.bits[i]
@@ -656,9 +712,8 @@ class JoinKeyCodec:
         return key, valid
 
 
-def _canon_int(col: Column) -> jax.Array:
-    """Column values -> equality-preserving int64."""
-    v = col.values
+def _canon_int(v: jax.Array) -> jax.Array:
+    """Values -> equality-preserving int64."""
     if jnp.issubdtype(v.dtype, jnp.floating):
         v = jnp.where(v == 0, jnp.zeros((), v.dtype), v)
         v = jnp.where(jnp.isnan(v), jnp.full((), _F64_NAN, v.dtype), v)
@@ -708,16 +763,28 @@ class HashBuildOp(Operator):
             big = Batch.empty_like(
                 node.right.output_type, round_capacity(1))
         codec = JoinKeyCodec(big, node.right_keys)
-        key, valid = codec.encode(big, node.right_keys, is_probe=False)
-        sorted_keys, perm, n_active = build_join_index(key, valid, big.sel)
+
+        cols = [(big.column(k).values, big.column(k).valid)
+                for k in node.right_keys]
+        dicts = [big.column(k).dictionary for k in node.right_keys]
+
+        @jax.jit
+        def build(cols, sel):
+            key, valid = codec.encode(cols, dicts, is_probe=False)
+            sorted_keys, perm, n_active = build_join_index(
+                key, valid, sel)
+            has_null = (
+                jnp.any(jnp.logical_and(sel, jnp.logical_not(valid)))
+                if valid is not None else jnp.asarray(False))
+            return sorted_keys, perm, n_active, has_null
+
+        sorted_keys, perm, n_active, has_null = build(cols, big.sel)
         br = self.bridge
         br.build_batch = big
         br.codec = codec
         br.sorted_keys, br.perm, br.n_active = sorted_keys, perm, n_active
         br.matched = jnp.zeros((big.capacity,), jnp.bool_)
-        if valid is not None:
-            br.build_has_null_key = bool(
-                jnp.any(jnp.logical_and(big.sel, jnp.logical_not(valid))))
+        br.build_has_null_key = bool(has_null)
         br.ready = True
 
     def get_output(self) -> Optional[Batch]:
@@ -729,58 +796,177 @@ class HashBuildOp(Operator):
 
 class HashProbeOp(Operator):
     """velox/exec/HashProbe.cpp — vectorized probe over the sorted build
-    index; all 8 join types."""
+    index; all 8 join types. Two jitted programs per batch shape: probe
+    (counts) and expand+gather (keyed by output capacity)."""
 
     def __init__(self, node: HashJoinNode, bridge: JoinBridge):
         super().__init__(node)
         self.bridge = bridge
         self.jt = node.join_type
         self._queue: collections.deque = collections.deque()
-        self._filter = None
+        self._filter_exprs = None
         if node.filter is not None:
-            both = _join_filter_schema(node)
-            self._filter = ExprEvaluator([node.filter], both)
+            self._filter_exprs = ExprEvaluator(
+                [node.filter], _join_filter_schema(node))
         self._final_emitted = False
+        self._probe_jits: Dict[tuple, Callable] = {}
+        self._expand_jits: Dict[tuple, Callable] = {}
 
     # ------------------------------------------------------------ helpers
-    def _probe(self, batch: Batch):
-        br = self.bridge
-        assert br.ready, "probe before build finished"
-        key, valid = br.codec.encode(
-            batch, self.node.left_keys, is_probe=True)
-        first, count = probe_join_index(
-            br.sorted_keys, br.n_active, key, valid, batch.sel)
-        return first, count, valid
+    @property
+    def _semi_like(self) -> bool:
+        return self.jt in (JoinType.LEFT_SEMI, JoinType.ANTI,
+                           JoinType.ANTI_SIMPLE)
 
-    def _gather_out(self, batch, probe_rows, build_rows, matched, osel):
-        """Joined batch: probe cols by probe_rows, build cols by
-        build_rows (validity &= matched)."""
+    @property
+    def _left_like(self) -> bool:
+        return self.jt in (JoinType.LEFT, JoinType.FULL)
+
+    def _probe_fn(self, batch: Batch) -> Callable:
         br = self.bridge
         node = self.node
-        cols = {}
-        lt = node.left.output_type
-        rt = node.right.output_type
-        for n in lt.names:
-            c = batch.column(n)
-            v = jnp.take(c.values, probe_rows, mode="clip")
-            va = (None if c.valid is None
-                  else jnp.take(c.valid, probe_rows, mode="clip"))
-            cols[n] = Column(c.dtype, v, va, c.dictionary)
-        for n in rt.names:
-            c = br.build_batch.column(n)
-            v = jnp.take(c.values, build_rows, mode="clip")
-            va = (matched if c.valid is None
-                  else jnp.logical_and(
-                      jnp.take(c.valid, build_rows, mode="clip"), matched))
-            cols[n] = Column(c.dtype, v, va, c.dictionary)
-        return Batch(cols, osel)
+        keys = node.left_keys
+        dicts = [batch.column(k).dictionary for k in keys]
+        sig = tuple(id(d) for d in dicts)
+        fn = self._probe_jits.get(sig)
+        if fn is not None:
+            return fn
+        jt = self.jt
+        codec = br.codec
+        no_filter_semi = self._semi_like and self._filter_exprs is None
+        build_has_null = br.build_has_null_key
+        left_like = self._left_like
 
-    def _apply_filter(self, joined: Batch) -> jax.Array:
-        (vals, valid) = self._filter.evaluate(joined)[0]
-        passing = jnp.logical_and(joined.sel, vals)
-        if valid is not None:
-            passing = jnp.logical_and(passing, valid)
-        return passing
+        def probe(cols, sel, sorted_keys, n_active):
+            key, valid = codec.encode(cols, dicts, is_probe=True)
+            first, count = probe_join_index(
+                sorted_keys, n_active, key, valid, sel)
+            if no_filter_semi:
+                if jt == JoinType.LEFT_SEMI:
+                    out = jnp.logical_and(sel, count > 0)
+                elif jt == JoinType.ANTI_SIMPLE:
+                    out = jnp.logical_and(sel, count == 0)
+                else:  # null-aware NOT IN
+                    if build_has_null:
+                        out = jnp.zeros_like(sel)
+                    else:
+                        out = jnp.logical_and(sel, count == 0)
+                        if valid is not None:
+                            out = jnp.logical_and(out, valid)
+                return out
+            emit = sel if left_like else None
+            total = match_total(count, emit)
+            pvalid = valid if valid is not None else jnp.ones_like(sel)
+            return first, count, pvalid, total
+
+        fn = jax.jit(probe)
+        self._probe_jits[sig] = fn
+        return fn
+
+    def _expand_fn(self, batch: Batch, out_cap: int) -> Callable:
+        node = self.node
+        sig = (out_cap,) + tuple(
+            id(batch.column(k).dictionary) for k in node.left_keys)
+        fn = self._expand_jits.get(sig)
+        if fn is not None:
+            return fn
+        jt = self.jt
+        left_like = self._left_like
+        semi_like = self._semi_like
+        lt_names = list(node.left.output_type.names)
+        rt_names = list(node.right.output_type.names)
+        filter_eval = self._filter_exprs
+        bb = self.bridge.build_batch
+        filter_set = None
+        if filter_eval is not None:
+            dicts = {
+                n: c.dictionary for n, c in
+                list(batch.columns.items()) + list(bb.columns.items())
+                if c.dictionary is not None}
+            from velox_tpu.expr.compiler import ExprSet
+
+            filter_set = ExprSet(
+                filter_eval.exprs, filter_eval.schema, dicts)
+        track_matched = jt in (
+            JoinType.RIGHT, JoinType.FULL, JoinType.RIGHT_SEMI) or (
+            filter_set is not None and semi_like)
+
+        def expand(pcols, bcols, first, count, sel, flags):
+            cap = sel.shape[0]
+            bcap = flags.shape[0]
+            emit = sel if left_like else None
+            probe_rows, build_rows, matched, osel = expand_matches(
+                first, count, self.bridge.perm, out_cap, emit)
+            out = {}
+            for n in lt_names:
+                v, va = pcols[n]
+                out[n] = (
+                    jnp.take(v, probe_rows, mode="clip"),
+                    None if va is None
+                    else jnp.take(va, probe_rows, mode="clip"))
+            for n in rt_names:
+                v, va = bcols[n]
+                gv = jnp.take(v, build_rows, mode="clip")
+                gva = (matched if va is None
+                       else jnp.logical_and(
+                           jnp.take(va, build_rows, mode="clip"), matched))
+                out[n] = (gv, gva)
+
+            passing = None
+            if filter_set is not None:
+                arrays = {
+                    n: out[n] for n in filter_set.field_names}
+                (fv, fva) = filter_set.evaluate(arrays)[0]
+                passing = jnp.logical_and(osel, fv)
+                if fva is not None:
+                    passing = jnp.logical_and(passing, fva)
+
+            new_flags = flags
+            if track_matched:
+                hit = jnp.logical_and(matched, osel)
+                if passing is not None:
+                    hit = jnp.logical_and(hit, passing)
+                new_flags = jnp.logical_or(
+                    flags, build_matched_flags(
+                        bcap, build_rows, hit, jnp.ones_like(osel)))
+
+            pass_cnt = None
+            if passing is not None and (left_like or semi_like):
+                hit = jnp.logical_and(
+                    jnp.logical_and(matched, osel), passing)
+                pass_cnt = (
+                    jnp.zeros((cap,), jnp.int32)
+                    .at[jnp.where(hit, probe_rows, cap)]
+                    .add(1, mode="drop"))
+
+            out_sel = osel
+            resurrect = None
+            if passing is not None:
+                if left_like:
+                    keep_matched = jnp.logical_and(matched, passing)
+                    no_pass = jnp.take(
+                        pass_cnt, probe_rows, mode="clip") == 0
+                    keep_unmatched = jnp.logical_and(
+                        jnp.logical_not(matched), no_pass)
+                    out_sel = jnp.logical_and(
+                        osel, jnp.logical_or(keep_matched, keep_unmatched))
+                    resurrect = jnp.logical_and(
+                        jnp.logical_and(sel, count > 0), pass_cnt == 0)
+                    # invalidate build columns of now-unmatched rows
+                    ok = jnp.logical_and(matched, passing)
+                    for n in rt_names:
+                        v, va = out[n]
+                        out[n] = (v, ok if va is None
+                                  else jnp.logical_and(va, ok))
+                elif semi_like:
+                    pass  # handled via pass_cnt below
+                else:
+                    out_sel = jnp.logical_and(osel, passing)
+            return out, out_sel, new_flags, pass_cnt, resurrect
+
+        fn = jax.jit(expand)
+        self._expand_jits[sig] = fn
+        return fn
 
     def _project_out(self, b: Batch) -> Batch:
         return Batch(
@@ -789,124 +975,74 @@ class HashProbeOp(Operator):
 
     # -------------------------------------------------------------- input
     def add_input(self, batch: Batch) -> None:
-        jt = self.jt
-        first, count, pvalid = self._probe(batch)
         br = self.bridge
+        assert br.ready, "probe before build finished"
+        jt = self.jt
+        node = self.node
+        pf = self._probe_fn(batch)
+        key_cols = [(batch.column(k).values, batch.column(k).valid)
+                    for k in node.left_keys]
 
-        if jt in (JoinType.LEFT_SEMI, JoinType.ANTI, JoinType.ANTI_SIMPLE) \
-                and self._filter is None:
-            if jt == JoinType.LEFT_SEMI:
-                sel = jnp.logical_and(batch.sel, count > 0)
-            elif jt == JoinType.ANTI_SIMPLE:
-                sel = jnp.logical_and(batch.sel, count == 0)
-            else:  # null-aware NOT IN
-                if br.build_has_null_key:
-                    sel = jnp.zeros_like(batch.sel)
-                else:
-                    sel = jnp.logical_and(batch.sel, count == 0)
-                    if pvalid is not None:
-                        sel = jnp.logical_and(sel, pvalid)
-            self._queue.append(self._project_out(batch.with_sel(sel)))
+        if self._semi_like and self._filter_exprs is None:
+            new_sel = pf(key_cols, batch.sel, br.sorted_keys, br.n_active)
+            self._queue.append(
+                self._project_out(batch.with_sel(new_sel)))
             return
 
-        left_like = jt in (JoinType.LEFT, JoinType.FULL)
-        emit_unmatched = batch.sel if left_like else None
-        total = int(match_total(count, emit_unmatched))
+        first, count, pvalid, total = pf(
+            key_cols, batch.sel, br.sorted_keys, br.n_active)
+        total = int(total)  # single host sync per batch
         if total == 0:
-            # no matches at all: filtered semi/anti still must emit
-            if self._filter is not None and jt in (
+            if self._filter_exprs is not None and jt in (
                     JoinType.ANTI, JoinType.ANTI_SIMPLE):
                 sel = batch.sel
                 if jt == JoinType.ANTI:
                     if br.build_has_null_key:
                         sel = jnp.zeros_like(sel)
-                    elif pvalid is not None:
+                    else:
                         sel = jnp.logical_and(sel, pvalid)
                 self._queue.append(self._project_out(batch.with_sel(sel)))
             return
         out_cap = round_capacity(total)
-        probe_rows, build_rows, matched, osel = expand_matches(
-            first, count, br.perm, out_cap, emit_unmatched)
-        joined = self._gather_out(
-            batch, probe_rows, build_rows, matched, osel)
+        ef = self._expand_fn(batch, out_cap)
+        pcols = _cols_of(batch, node.left.output_type.names)
+        bcols = _cols_of(br.build_batch, node.right.output_type.names)
+        out, out_sel, new_flags, pass_cnt, resurrect = ef(
+            pcols, bcols, first, count, batch.sel, br.matched)
+        br.matched = new_flags
 
-        passing = None
-        if self._filter is not None:
-            passing = self._apply_filter(joined)
-
-        if jt in (JoinType.RIGHT, JoinType.FULL, JoinType.RIGHT_SEMI) or (
-                self._filter is not None and jt in (
-                    JoinType.LEFT_SEMI, JoinType.ANTI, JoinType.ANTI_SIMPLE)):
-            hit = jnp.logical_and(matched, osel)
-            if passing is not None:
-                hit = jnp.logical_and(hit, passing)
-            br.matched = jnp.logical_or(
-                br.matched,
-                build_matched_flags(
-                    br.build_batch.capacity, build_rows, hit,
-                    jnp.ones_like(osel)))
-
-        if jt in (JoinType.RIGHT_SEMI,):
-            return  # build rows emitted at finish
-        if self._filter is not None and jt in (
-                JoinType.LEFT_SEMI, JoinType.ANTI, JoinType.ANTI_SIMPLE):
-            # recompute per-probe-row pass counts
-            hit = jnp.logical_and(jnp.logical_and(matched, osel), passing)
-            pass_cnt = (
-                jnp.zeros((batch.capacity,), jnp.int32)
-                .at[jnp.where(hit, probe_rows, batch.capacity)]
-                .add(1, mode="drop"))
+        if self._filter_exprs is not None and self._semi_like:
             if jt == JoinType.LEFT_SEMI:
                 sel = jnp.logical_and(batch.sel, pass_cnt > 0)
             else:
                 sel = jnp.logical_and(batch.sel, pass_cnt == 0)
-                if jt == JoinType.ANTI and br.build_has_null_key:
-                    sel = jnp.zeros_like(sel)
-                if jt == JoinType.ANTI and pvalid is not None:
-                    sel = jnp.logical_and(sel, pvalid)
+                if jt == JoinType.ANTI:
+                    if br.build_has_null_key:
+                        sel = jnp.zeros_like(sel)
+                    else:
+                        sel = jnp.logical_and(sel, pvalid)
             self._queue.append(self._project_out(batch.with_sel(sel)))
             return
+        if jt == JoinType.RIGHT_SEMI:
+            return  # build rows emitted at finish
 
-        out_sel = osel
-        if passing is not None:
-            if left_like:
-                hit = jnp.logical_and(jnp.logical_and(matched, osel), passing)
-                pass_cnt = (
-                    jnp.zeros((batch.capacity,), jnp.int32)
-                    .at[jnp.where(hit, probe_rows, batch.capacity)]
-                    .add(1, mode="drop"))
-                keep_matched = jnp.logical_and(matched, passing)
-                # unmatched-representative rows survive only if their probe
-                # row has no passing matches
-                no_pass = jnp.take(pass_cnt, probe_rows, mode="clip") == 0
-                keep_unmatched = jnp.logical_and(
-                    jnp.logical_not(matched), no_pass)
-                out_sel = jnp.logical_and(
-                    osel, jnp.logical_or(keep_matched, keep_unmatched))
-                # probe rows with matches that all failed the filter still
-                # need one null-extended row
-                cnt_pos = count > 0
-                resurrect = jnp.logical_and(
-                    jnp.logical_and(batch.sel, cnt_pos), pass_cnt == 0)
-                n_res = int(jnp.sum(resurrect))
-                if n_res > 0:
-                    self._queue.append(self._null_extended(batch, resurrect))
-                # invalidate build columns of now-unmatched rows
-                joined = self._with_build_validity(
-                    joined, jnp.logical_and(matched, passing))
-            else:
-                out_sel = jnp.logical_and(osel, passing)
-        self._queue.append(
-            self._project_out(joined.with_sel(out_sel)))
+        joined = self._joined_batch(batch, out, out_sel)
+        self._queue.append(self._project_out(joined))
+        if resurrect is not None:
+            self._queue.append(self._null_extended(batch, resurrect))
 
-    def _with_build_validity(self, joined: Batch, build_valid) -> Batch:
-        cols = dict(joined.columns)
-        for n in self.node.right.output_type.names:
-            c = cols[n]
-            va = build_valid if c.valid is None else jnp.logical_and(
-                c.valid, build_valid)
-            cols[n] = Column(c.dtype, c.values, va, c.dictionary)
-        return Batch(cols, joined.sel, joined.num_rows)
+    def _joined_batch(self, batch: Batch, out, out_sel) -> Batch:
+        node = self.node
+        cols = {}
+        for n in node.left.output_type.names:
+            src = batch.column(n)
+            v, va = out[n]
+            cols[n] = Column(src.dtype, v, va, src.dictionary)
+        for n in node.right.output_type.names:
+            src = self.bridge.build_batch.column(n)
+            v, va = out[n]
+            cols[n] = Column(src.dtype, v, va, src.dictionary)
+        return Batch(cols, out_sel)
 
     def _null_extended(self, batch: Batch, sel) -> Batch:
         """Probe rows + all-null build columns (left-outer no-match)."""
@@ -994,8 +1130,6 @@ class CrossBuildOp(Operator):
         else:
             big = Batch.empty_like(node.right.output_type, round_capacity(1))
         # compact actives to the front
-        from velox_tpu.ops.sort import compact_indices
-
         perm = compact_indices(big.sel)
         sel_sorted = jnp.take(big.sel, perm, mode="clip")
         self.bridge.build_batch = big.gather(perm, sel_sorted)
@@ -1030,9 +1164,6 @@ class CrossProbeOp(Operator):
         nb = br.n_active
         if nb == 0:
             return
-        # compact probe actives
-        from velox_tpu.ops.sort import compact_indices
-
         perm = compact_indices(batch.sel)
         sel_sorted = jnp.take(batch.sel, perm, mode="clip")
         compacted = batch.gather(perm, sel_sorted)
@@ -1062,11 +1193,7 @@ class CrossProbeOp(Operator):
                 c.dictionary)
         joined = Batch(cols, osel)
         if self._filter is not None:
-            (vals, valid) = self._filter.evaluate(joined)[0]
-            sel = jnp.logical_and(osel, vals)
-            if valid is not None:
-                sel = jnp.logical_and(sel, valid)
-            joined = joined.with_sel(sel)
+            joined = joined.with_sel(self._filter.filter_sel(joined))
         self._queue.append(Batch(
             {n: joined.columns[n] for n in self.output_type.names},
             joined.sel))
