@@ -426,3 +426,51 @@ def test_run_plan_returns_arrow():
     t = run_plan(PlanBuilder().values([b]).order_by(["a"]))
     assert isinstance(t, pa.Table)
     assert t.column("a").to_pylist() == [1, 2, 3]
+
+
+# ------------------------------------------------- distinct / substr
+
+def test_count_sum_distinct():
+    rng = np.random.default_rng(20)
+    k = rng.integers(0, 5, 200)
+    v = rng.integers(0, 10, 200)
+    b = make_batch({"k": k.tolist(), "v": v.tolist()})
+    out = run_plan_pydict(PlanBuilder().values([b]).aggregate(
+        ["k"], ["count(distinct v) AS cd", "sum(distinct v) AS sd",
+                "count(*) AS c"]))
+    df = pd.DataFrame({"k": k, "v": v})
+    e = df.groupby("k").agg(
+        cd=("v", "nunique"),
+        sd=("v", lambda s: s.drop_duplicates().sum()),
+        c=("v", "count")).reset_index()
+    got = pd.DataFrame(out).sort_values("k").reset_index(drop=True)
+    assert got["cd"].tolist() == e["cd"].tolist()
+    assert got["sd"].tolist() == e["sd"].tolist()
+    assert got["c"].tolist() == e["c"].tolist()
+
+
+def test_substr_filter_group():
+    phones = [f"{cc}-555-{i:04d}" for i, cc in enumerate(
+        np.random.default_rng(21).integers(10, 35, 50))]
+    b = make_batch({"phone": phones, "bal": list(range(50))})
+    out = run_plan_pydict(
+        PlanBuilder().values([b])
+        .filter("substr(phone, 1, 2) IN ('13', '31', '23')")
+        .project(["substr(phone, 1, 2) AS cc", "bal"])
+        .aggregate(["cc"], ["count(*) AS n"]))
+    e = pd.DataFrame({"cc": [p[:2] for p in phones]})
+    e = e[e["cc"].isin(["13", "31", "23"])].groupby(
+        "cc").size().reset_index(name="n")
+    got = pd.DataFrame(out).sort_values("cc").reset_index(drop=True)
+    assert got["cc"].tolist() == e["cc"].tolist()
+    assert got["n"].tolist() == e["n"].tolist()
+
+
+def test_decimal_float_literal_compare():
+    import decimal
+    d = pa.array([decimal.Decimal("0.05"), decimal.Decimal("0.06"),
+                  decimal.Decimal("0.08")], type=pa.decimal128(12, 2))
+    b = from_arrow(pa.table({"disc": d}))
+    out = run_plan_pydict(
+        PlanBuilder().values([b]).filter("disc BETWEEN 0.05 AND 0.07"))
+    assert [str(x) for x in out["disc"]] == ["0.05", "0.06"]

@@ -135,9 +135,10 @@ class ExprEvaluator:
         return jitted(self._arrays(expr_set, batch), batch.sel)
 
     def project_pairs(self, batch: Batch):
-        """Fused projection returning broadcast (values, valid) pairs."""
+        """Fused projection: ((values, valid) pairs, result dictionaries)."""
         expr_set, jitted = self._get(batch, "project")
-        return jitted(self._arrays(expr_set, batch), batch.sel)
+        pairs = jitted(self._arrays(expr_set, batch), batch.sel)
+        return pairs, expr_set.result_dictionaries
 
 
 def result_column(dtype, pair, source_expr: Optional[Expr] = None,

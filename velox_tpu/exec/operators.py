@@ -125,12 +125,12 @@ class ProjectOp(Operator):
         self._queue: collections.deque = collections.deque()
 
     def add_input(self, batch: Batch) -> None:
-        pairs = self._eval.project_pairs(batch)
+        pairs, dicts = self._eval.project_pairs(batch)
         cols = {}
-        for name, dtype, expr, pair in zip(
-                self.node.names, self.output_type.children,
-                self.node.exprs, pairs):
-            cols[name] = result_column(dtype, pair, expr, batch)
+        for name, dtype, pair, d in zip(
+                self.node.names, self.output_type.children, pairs, dicts):
+            vals, valid = pair
+            cols[name] = Column(dtype, vals, valid, d)
         self._queue.append(Batch(cols, batch.sel, batch.num_rows))
 
     def get_output(self) -> Optional[Batch]:
@@ -169,9 +169,10 @@ class HashAggregationOp(Operator):
         self.agg_names = list(node.agg_names)
         in_schema = node.source.output_type
         self.fns = [lookup_aggregate(s.fn) for s in self.specs]
-        for s in self.specs:
-            if s.distinct:
-                raise NotImplementedError("distinct aggregates")
+        self.has_distinct = any(s.distinct for s in self.specs)
+        if self.has_distinct and self.step != AggStep.SINGLE:
+            raise NotImplementedError(
+                "distinct aggregates only in single-step aggregation")
         # input value types per aggregate (None for count(*)); for FINAL
         # the first lane's type stands in for the raw input type (every
         # aggregate's lane-0 dtype equals its input-derived dtype)
@@ -234,6 +235,9 @@ class HashAggregationOp(Operator):
 
     def _decide_mode(self, batch: Batch) -> str:
         if self._mode is not None:
+            return self._mode
+        if self.has_distinct:
+            self._mode = "generic"
             return self._mode
         if self.keys:
             dicts = []
@@ -320,6 +324,7 @@ class HashAggregationOp(Operator):
                     tuple(cols[n][0] for n in lanes)
                     for lanes in self.lane_names],
                 "sel": sel,
+                "distinct": [None] * len(self.specs),
             })
             return
         if self._generic_jit is None:
@@ -332,19 +337,45 @@ class HashAggregationOp(Operator):
                     pairs, sel)
                 inputs = self._agg_inputs(cols, sel)
                 lanes_out = []
-                for f, accs, (vals, mask) in zip(
-                        self.fns, self._init_accs(cap), inputs):
-                    lanes_out.append(f.accumulate(accs, gids, vals, mask))
-                gkeys = [
-                    (jnp.take(v, group_rows, mode="clip"),
-                     None if va is None
-                     else jnp.take(va, group_rows, mode="clip"))
-                    for (v, va) in pairs]
-                return gkeys, lanes_out, group_sel
+                for f, spec, accs, (vals, mask) in zip(
+                        self.fns, self.specs, self._init_accs(cap),
+                        inputs):
+                    if spec.distinct:
+                        lanes_out.append(None)
+                    else:
+                        lanes_out.append(
+                            f.accumulate(accs, gids, vals, mask))
+
+                def take_pairs(pairs, rows):
+                    return [
+                        (jnp.take(v, rows, mode="clip"),
+                         None if va is None
+                         else jnp.take(va, rows, mode="clip"))
+                        for (v, va) in pairs]
+
+                gkeys = take_pairs(pairs, group_rows)
+
+                # distinct aggregates: per-batch (keys, arg) dedupe —
+                # the DistinctAggregations analog
+                # (velox/exec/DistinctAggregations.h)
+                dreps = []
+                for spec, (vals, mask) in zip(self.specs, inputs):
+                    if not spec.distinct:
+                        dreps.append(None)
+                        continue
+                    dpairs = pairs + [(vals, None)]
+                    _, drows, dsel, _ = group_ids_sorted(dpairs, mask)
+                    dreps.append({
+                        "keys": take_pairs(pairs, drows),
+                        "arg": jnp.take(vals, drows, mode="clip"),
+                        "sel": dsel,
+                    })
+                return gkeys, lanes_out, group_sel, dreps
 
             self._generic_jit = jax.jit(fn)
-        gkeys, lanes_out, group_sel = self._generic_jit(cols, sel)
-        entry = {"keys": gkeys, "lanes": lanes_out, "sel": group_sel}
+        gkeys, lanes_out, group_sel, dreps = self._generic_jit(cols, sel)
+        entry = {"keys": gkeys, "lanes": lanes_out, "sel": group_sel,
+                 "distinct": dreps}
         if self.step == AggStep.PARTIAL:
             self._outputs.append(self._partial_batch(entry))
         else:
@@ -414,7 +445,16 @@ class HashAggregationOp(Operator):
     def _finish_generic(self) -> Batch:
         if not self._entries:
             return self._empty_result()
-        total = sum(e["sel"].shape[0] for e in self._entries)
+        # region layout: [regular entry groups..., distinct agg 0 reps...,
+        # distinct agg 1 reps, ...] — one global grouping assigns gids to
+        # all rows; regular lanes combine from their region, distinct args
+        # re-dedupe by (gid, arg) then accumulate
+        n_reg = sum(e["sel"].shape[0] for e in self._entries)
+        d_specs = [i for i, s in enumerate(self.specs) if s.distinct]
+        d_sizes = {
+            i: sum(e["distinct"][i]["sel"].shape[0] for e in self._entries)
+            for i in d_specs}
+        total = n_reg + sum(d_sizes.values())
         cap = round_capacity(total)
         pad = cap - total
 
@@ -425,31 +465,64 @@ class HashAggregationOp(Operator):
                                      dtype=dtype or arrs[0].dtype))
             return jnp.concatenate(arrs)
 
-        sel = cat([e["sel"] for e in self._entries], jnp.bool_, False)
-        keys = []
-        for ki in range(len(self.keys)):
-            vals = cat([e["keys"][ki][0] for e in self._entries])
-            has_valid = any(
-                e["keys"][ki][1] is not None for e in self._entries)
-            if has_valid:
-                valid = cat([
-                    e["keys"][ki][1] if e["keys"][ki][1] is not None
-                    else jnp.ones_like(e["sel"])
-                    for e in self._entries], jnp.bool_, False)
-            else:
-                valid = None
-            keys.append((vals, valid))
+        def cat_pairs(pair_lists, sels):
+            """Concatenate [(vals, valid)...] column-wise over regions."""
+            out = []
+            for ki in range(len(self.keys)):
+                vals = cat([p[ki][0] for p in pair_lists])
+                if any(p[ki][1] is not None for p in pair_lists):
+                    valid = cat([
+                        p[ki][1] if p[ki][1] is not None
+                        else jnp.ones(p[ki][0].shape[0], jnp.bool_)
+                        for p in pair_lists], jnp.bool_, False)
+                else:
+                    valid = None
+                out.append((vals, valid))
+            return out
+
+        key_regions = [e["keys"] for e in self._entries]
+        sel_regions = [e["sel"] for e in self._entries]
+        d_region_off = {}
+        off = n_reg
+        for i in d_specs:
+            d_region_off[i] = off
+            for e in self._entries:
+                key_regions.append(e["distinct"][i]["keys"])
+                sel_regions.append(e["distinct"][i]["sel"])
+            off += d_sizes[i]
+        keys = cat_pairs(key_regions, sel_regions)
+        sel = cat(sel_regions, jnp.bool_, False)
+
+        def region_full(parts, lo, size):
+            """Arrays positioned at [lo, lo+size) in a cap-length array."""
+            dt = parts[0].dtype
+            arrs = []
+            if lo:
+                arrs.append(jnp.zeros((lo,), dt))
+            arrs.extend(parts)
+            tail = cap - lo - size
+            if tail:
+                arrs.append(jnp.zeros((tail,), dt))
+            return jnp.concatenate(arrs) if len(arrs) > 1 else arrs[0]
+
         lanes_cat = [
-            tuple(
-                cat([e["lanes"][ai][li] for e in self._entries])
+            None if self.specs[ai].distinct else tuple(
+                region_full(
+                    [e["lanes"][ai][li] for e in self._entries], 0, n_reg)
                 for li in range(len(fn.lanes)))
             for ai, fn in enumerate(self.fns)]
+        d_args = {
+            i: region_full(
+                [e["distinct"][i]["arg"] for e in self._entries],
+                d_region_off[i], d_sizes[i])
+            for i in d_specs}
 
         if self._merge_jit is None:
             keyless = not self.keys
 
-            def merge(keys, lanes_cat, sel):
+            def merge(keys, lanes_cat, d_args, sel):
                 cap = sel.shape[0]
+                idx = jnp.arange(cap)
                 gids, group_rows, group_sel, _ = group_ids_sorted(
                     keys, sel)
                 if keyless:
@@ -461,15 +534,33 @@ class HashAggregationOp(Operator):
                      else jnp.take(va, group_rows, mode="clip"))
                     for (v, va) in keys]
                 results = []
-                for fn, accs, lanes in zip(
-                        self.fns, self._init_accs(cap), lanes_cat):
-                    accs = fn.combine(accs, gids, lanes, sel)
+                reg_mask = jnp.logical_and(sel, idx < n_reg)
+                for ai, (fn, accs) in enumerate(zip(
+                        self.fns, self._init_accs(cap))):
+                    if not self.specs[ai].distinct:
+                        accs = fn.combine(
+                            tuple(accs), gids, lanes_cat[ai], reg_mask)
+                        results.append(fn.extract(accs, group_sel))
+                        continue
+                    # distinct: global (gid, arg) dedupe within the
+                    # aggregate's region, then accumulate representatives
+                    lo = d_region_off[ai]
+                    hi = lo + d_sizes[ai]
+                    rsel = jnp.logical_and(
+                        sel, jnp.logical_and(idx >= lo, idx < hi))
+                    argv = d_args[ai]
+                    _, drows, dsel, _ = group_ids_sorted(
+                        [(gids, None), (argv, None)], rsel)
+                    rep = (jnp.zeros((cap,), jnp.bool_)
+                           .at[jnp.where(dsel, drows, cap)]
+                           .set(True, mode="drop"))
+                    accs = fn.accumulate(tuple(accs), gids, argv, rep)
                     results.append(fn.extract(accs, group_sel))
                 return out_keys, results, group_sel
 
             self._merge_jit = jax.jit(merge)
         out_keys, results, group_sel = self._merge_jit(
-            keys, lanes_cat, sel)
+            keys, lanes_cat, d_args, sel)
 
         cols = {}
         for k, (gv, gva) in zip(self.keys, out_keys):

@@ -22,6 +22,7 @@ phases:
 from __future__ import annotations
 
 import re
+from dataclasses import dataclass
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -36,6 +37,27 @@ from velox_tpu.expr.ir import (
     Call, Cast, Expr, FieldRef, Literal, TryExpr,
 )
 from velox_tpu.functions.registry import lookup_function
+
+
+@dataclass(frozen=True, eq=False)
+class DictTransform(Expr):
+    """A string function applied to a dictionary column at bind time.
+
+    The TPU answer to evaluating string functions per row: run them ONCE
+    per distinct dictionary value on host (dictionary peeling taken to its
+    limit — velox/expression/Expr.cpp:1280 evalWithMemo memoizes per base
+    value; here the memo is precomputed). Device-side the transform is a
+    single int32 gather ``table[code+1]`` into codes of the NEW (sorted)
+    dictionary.
+    """
+
+    codes: Expr = None          # type: ignore[assignment]
+    table: object = None        # np.ndarray: old code+1 -> new code
+    dictionary: object = None   # vector.column.Dictionary of results
+
+    @property
+    def children(self):
+        return (self.codes,)
 
 _ARITH = {"plus", "minus", "multiply", "divide", "mod"}
 _COMPARE = {"eq", "neq", "lt", "lte", "gt", "gte"}
@@ -65,6 +87,10 @@ def resolve_types(expr: Expr, schema: RowType) -> Expr:
     if isinstance(expr, Call):
         args = tuple(resolve_types(a, schema) for a in expr.args)
         name = expr.name
+
+        if name in ("substr", "substring"):
+            # bound to a dictionary transform in phase 2
+            return Call(VARCHAR, "substr", args)
 
         if name in _ARITH or name in _COMPARE or name == "between":
             args = _unify_numeric(name, args)
@@ -122,10 +148,18 @@ def _unify_numeric(name: str, args: Tuple[Expr, ...]) -> Tuple[Expr, ...]:
     decs = [isinstance(t, DecimalType) for t in types]
     if any(decs):
         if any(t.is_floating for t in types):
-            # decimal op double -> double
-            return tuple(
-                Cast(DOUBLE, a, False) if isinstance(a.dtype, DecimalType)
-                else a for a in args)
+            # prefer exact integer lanes: a float LITERAL against a decimal
+            # column becomes a decimal literal (keeps the whole expression
+            # off the f64 path — crucial on TPU where f64 is emulated)
+            converted = _floats_to_decimal_literals(args)
+            if converted is None:
+                # decimal op double -> double
+                return tuple(
+                    Cast(DOUBLE, a, False)
+                    if isinstance(a.dtype, DecimalType) else a
+                    for a in args)
+            args = converted
+            types = [a.dtype for a in args]
         # integer operands become scale-0 decimals
         out = []
         for a in args:
@@ -149,6 +183,29 @@ def _unify_numeric(name: str, args: Tuple[Expr, ...]) -> Tuple[Expr, ...]:
         target = common_numeric_type(target, t)
     return tuple(
         a if a.dtype == target else Cast(target, a, False) for a in args)
+
+
+def _floats_to_decimal_literals(args):
+    """Convert float literals to exact decimal literals, or None if any
+    float operand is not an exactly-representable literal (scale <= 6)."""
+    out = []
+    for a in args:
+        if isinstance(a.dtype, DecimalType) or not a.dtype.is_floating:
+            out.append(a)
+            continue
+        if not isinstance(a, Literal):
+            return None
+        v = float(a.value)
+        scale = None
+        for s in range(7):
+            scaled = v * (10 ** s)
+            if abs(scaled - round(scaled)) < 1e-9:
+                scale = s
+                break
+        if scale is None:
+            return None
+        out.append(Literal(DecimalType(TypeKind.DECIMAL, 18, scale), v))
+    return tuple(out)
 
 
 def _decimal_result(name: str, a: DataType, b: DataType) -> DataType:
@@ -212,10 +269,8 @@ def _like_to_regex(pattern: str) -> str:
 
 
 def bind_strings(expr: Expr, dictionaries: Dict[str, "Dictionary"]) -> Expr:
-    """Rewrite string predicates into dictionary-code predicates."""
-    if isinstance(expr, FieldRef):
-        return expr
-    if isinstance(expr, Literal):
+    """Rewrite string predicates/functions into dictionary-code programs."""
+    if isinstance(expr, (FieldRef, Literal, DictTransform)):
         return expr
     if isinstance(expr, Cast):
         return Cast(expr.dtype, bind_strings(expr.expr, dictionaries),
@@ -228,35 +283,35 @@ def bind_strings(expr: Expr, dictionaries: Dict[str, "Dictionary"]) -> Expr:
     args = tuple(bind_strings(a, dictionaries) for a in expr.args)
     name = expr.name
 
-    str_field = _dict_field(args, dictionaries)
-    if str_field is not None:
-        fname, d = str_field
+    if name == "substr":
+        return _bind_substr(args, dictionaries)
+
+    src = _dict_source(args, dictionaries)
+    if src is not None:
+        codes_expr, d = src
         if name in ("eq", "neq"):
-            litv = _other_literal(args, fname)
+            litv = _other_literal(args)
             if litv is not None:
                 code = d.code_of(litv)
                 return Call(BOOLEAN, name, (
-                    _as_code_field(args, fname),
-                    Literal(INTEGER, code),
-                ))
+                    codes_expr, Literal(INTEGER, code)))
         elif name in _RANGE_COMPARE:
-            litv = _other_literal(args, fname)
+            litv = _other_literal(args)
             if litv is not None:
-                field_first = isinstance(args[0], FieldRef)
+                field_first = not isinstance(args[0], Literal)
                 rank_l = int(np.searchsorted(
                     d.values.astype(str), litv, side="left"))
                 rank_r = int(np.searchsorted(
                     d.values.astype(str), litv, side="right"))
-                cf = _as_code_field(args, fname)
                 op, rank = _rank_compare(name, field_first, rank_l, rank_r)
-                return Call(BOOLEAN, op, (cf, Literal(INTEGER, rank)))
+                return Call(BOOLEAN, op, (codes_expr,
+                                          Literal(INTEGER, rank)))
         elif name == "in":
             codes = tuple(
                 d.code_of(a.value) for a in args[1:]
                 if isinstance(a, Literal))
             return Call(BOOLEAN, "in", (
-                _as_code_field(args, fname),
-                *[Literal(INTEGER, c) for c in codes]))
+                codes_expr, *[Literal(INTEGER, c) for c in codes]))
         elif name == "like":
             pattern = args[1].value
             rx = re.compile(_like_to_regex(pattern))
@@ -266,9 +321,34 @@ def bind_strings(expr: Expr, dictionaries: Dict[str, "Dictionary"]) -> Expr:
             # prepend False for padding code -1 (gather uses code+1)
             table = np.concatenate([[False], table])
             return Call(BOOLEAN, "dict_lookup_bool", (
-                args[0], Literal(BOOLEAN, table)))
+                codes_expr, Literal(BOOLEAN, table)))
 
     return Call(expr.dtype, name, args)
+
+
+def _bind_substr(args, dictionaries) -> Expr:
+    from velox_tpu.vector.column import Dictionary
+
+    base = args[0]
+    src = _dict_source((base,), dictionaries)
+    assert src is not None, "substr requires a dictionary-encoded input"
+    codes_expr, d = src
+    assert all(isinstance(a, Literal) for a in args[1:]), (
+        "substr start/length must be literals")
+    start = int(args[1].value)
+    length = int(args[2].value) if len(args) > 2 else None
+    lo = start - 1 if start >= 1 else start  # SQL is 1-based
+    out_vals = []
+    for v in d.values:
+        s = str(v)
+        out_vals.append(
+            s[lo:] if length is None else s[lo: lo + length])
+    uniq = sorted(set(out_vals))
+    nd = Dictionary(uniq)
+    table = np.full(len(d.values) + 1, -1, dtype=np.int32)
+    for i, v in enumerate(out_vals):
+        table[i + 1] = nd.code_of(v)
+    return DictTransform(VARCHAR, codes_expr, table, nd)
 
 
 def _rank_compare(name: str, field_first: bool, rank_l: int, rank_r: int):
@@ -290,27 +370,24 @@ def _rank_compare(name: str, field_first: bool, rank_l: int, rank_r: int):
     return "gte", rank_l          # gte: code >= rank_left
 
 
-def _dict_field(args, dictionaries):
+def _dict_source(args, dictionaries):
+    """Find the dictionary-backed string operand: (codes expr, Dictionary)."""
     for a in args:
-        if isinstance(a, FieldRef) and a.dtype is not None and a.dtype.is_string:
+        if isinstance(a, FieldRef) and a.dtype is not None \
+                and a.dtype.is_string:
             d = dictionaries.get(a.name)
             if d is not None:
-                return a.name, d
+                return FieldRef(INTEGER, a.name), d
+        if isinstance(a, DictTransform):
+            return a, a.dictionary
     return None
 
 
-def _other_literal(args, fname):
+def _other_literal(args):
     for a in args:
         if isinstance(a, Literal) and isinstance(a.value, str):
             return a.value
     return None
-
-
-def _as_code_field(args, fname) -> Expr:
-    for a in args:
-        if isinstance(a, FieldRef) and a.name == fname:
-            return FieldRef(INTEGER, a.name)
-    raise AssertionError
 
 
 # ------------------------------------------------------------------ phase 3
@@ -330,6 +407,13 @@ def _eval_node(expr: Expr, arrays: Dict[str, ValuePair],
 def _eval_node_inner(expr, arrays, memo) -> ValuePair:
     if isinstance(expr, FieldRef):
         return arrays[expr.name]
+
+    if isinstance(expr, DictTransform):
+        codes, valid = _eval_node(expr.codes, arrays, memo)
+        table = jnp.asarray(expr.table)
+        idx = jnp.clip(
+            codes.astype(jnp.int32), -1, table.shape[0] - 2) + 1
+        return jnp.take(table, idx, mode="clip"), valid
 
     if isinstance(expr, Literal):
         if expr.value is None:
@@ -440,6 +524,13 @@ class ExprSet:
         resolved = [resolve_types(e, schema) for e in exprs]
         self.exprs = [bind_strings(e, self.dictionaries) for e in resolved]
         self.result_types = [e.dtype for e in self.exprs]
+        #: dictionary of each result column (string passthroughs/transforms)
+        self.result_dictionaries = [
+            e.dictionary if isinstance(e, DictTransform)
+            else (self.dictionaries.get(e.name)
+                  if isinstance(e, FieldRef) and e.dtype is not None
+                  and e.dtype.is_string else None)
+            for e in self.exprs]
         self._field_names = sorted({
             f.name for e in self.exprs for f in _collect_fields(e)})
 
