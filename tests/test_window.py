@@ -1,0 +1,153 @@
+"""Window / RowNumber / TopNRowNumber / MarkDistinct tests vs pandas.
+
+Mirrors velox/exec/tests/WindowTest.cpp + RowNumberTest.cpp style with a
+pandas oracle.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from velox_tpu.plan import PlanBuilder
+from velox_tpu.exec import run_plan_pydict
+from velox_tpu.vector import from_arrow
+
+
+def make_batch(d):
+    return from_arrow(pa.table(d))
+
+
+@pytest.fixture
+def df():
+    rng = np.random.default_rng(42)
+    return pd.DataFrame({
+        "p": rng.integers(0, 5, 200),
+        "o": rng.integers(0, 50, 200),
+        "v": rng.normal(size=200).round(3),
+    })
+
+
+def _run(df, partition, order, functions):
+    b = make_batch({c: df[c].tolist() for c in df.columns})
+    return run_plan_pydict(
+        PlanBuilder().values([b]).window(partition, order, functions))
+
+
+def test_row_number_rank_dense_rank(df):
+    got = pd.DataFrame(_run(
+        df, ["p"], ["o"],
+        ["row_number() AS rn", "rank() AS r", "dense_rank() AS dr"]))
+    g = df.groupby("p")["o"]
+    exp_rn = g.cumcount() + 1  # arrival order within equal o not defined
+    # rank/dense_rank are well-defined
+    exp_r = g.rank(method="min").astype(int)
+    exp_dr = g.rank(method="dense").astype(int)
+    assert got["r"].tolist() == exp_r.tolist()
+    assert got["dr"].tolist() == exp_dr.tolist()
+    # row_number: a permutation of 1..n within each partition,
+    # consistent with the order key
+    for p, grp in got.groupby("p"):
+        assert sorted(grp["rn"]) == list(range(1, len(grp) + 1))
+        s = grp.sort_values("rn")
+        assert s["o"].is_monotonic_increasing
+
+
+def test_percent_rank_cume_dist(df):
+    got = pd.DataFrame(_run(
+        df, ["p"], ["o"],
+        ["percent_rank() AS pr", "cume_dist() AS cd"]))
+    g = df.groupby("p")["o"]
+    n = df.groupby("p")["o"].transform("count")
+    exp_pr = (g.rank(method="min") - 1) / (n - 1).clip(lower=1)
+    exp_cd = g.rank(method="max") / n
+    np.testing.assert_allclose(got["pr"], exp_pr, rtol=1e-12)
+    np.testing.assert_allclose(got["cd"], exp_cd, rtol=1e-12)
+
+
+def test_running_sum_min_max_count_avg(df):
+    got = pd.DataFrame(_run(
+        df, ["p"], ["o"],
+        ["sum(v) AS s", "count(v) AS c", "min(v) AS lo",
+         "max(v) AS hi", "avg(v) AS m"]))
+    # default frame: range unbounded preceding..current row (peers incl.)
+    d = df.copy().reset_index()
+    d = d.sort_values(["p", "o", "index"])
+    for p, grp in d.groupby("p"):
+        run_s = 0.0
+        by_o = grp.groupby("o")
+        for o_val, og in by_o:
+            pass
+    # oracle: for each row, aggregate over rows in partition with o <= o_i
+    for col, fn in [("s", "sum"), ("c", "count"), ("lo", "min"),
+                    ("hi", "max"), ("m", "mean")]:
+        exp = []
+        for i, row in df.iterrows():
+            sub = df[(df["p"] == row["p"]) & (df["o"] <= row["o"])]["v"]
+            exp.append(getattr(sub, fn)())
+        if col == "c":
+            assert got[col].tolist() == exp
+        else:
+            np.testing.assert_allclose(got[col], exp, rtol=1e-9,
+                                       err_msg=col)
+
+
+def test_lead_lag_first_last(df):
+    got = pd.DataFrame(_run(
+        df, ["p"], ["o", "v"],
+        ["lead(v) AS ld", "lag(v) AS lg", "first_value(v) AS fv",
+         "lag(v, 2) AS lg2"]))
+    d = df.sort_values(["p", "o", "v"], kind="stable")
+    g = d.groupby("p")["v"]
+    exp = d.copy()
+    exp["ld"] = g.shift(-1)
+    exp["lg"] = g.shift(1)
+    exp["lg2"] = g.shift(2)
+    exp["fv"] = g.transform("first")
+    merged = exp.sort_index()
+    for c in ["ld", "lg", "lg2", "fv"]:
+        for a, b in zip(got[c], merged[c]):
+            a_null = a is None or (isinstance(a, float) and pd.isna(a))
+            if a_null or pd.isna(b):
+                assert a_null and pd.isna(b), (c, a, b)
+            else:
+                assert abs(a - b) < 1e-9, (c, a, b)
+
+
+def test_ntile(df):
+    got = pd.DataFrame(_run(df, ["p"], ["o", "v"], ["ntile(4) AS nt"]))
+    for p, grp in got.groupby("p"):
+        n = len(grp)
+        counts = grp["nt"].value_counts().sort_index()
+        size, rem = divmod(n, 4)
+        expected_counts = [size + 1] * rem + [size] * (4 - rem)
+        expected_counts = [c for c in expected_counts if c > 0]
+        assert counts.tolist() == expected_counts
+
+
+def test_row_number_operator_with_limit(df):
+    b = make_batch({c: df[c].tolist() for c in df.columns})
+    got = pd.DataFrame(run_plan_pydict(
+        PlanBuilder().values([b]).row_number(["p"], "rn", limit=3)))
+    for p, grp in got.groupby("p"):
+        assert len(grp) == min(3, len(df[df["p"] == p]))
+        assert sorted(grp["rn"]) == list(range(1, len(grp) + 1))
+
+
+def test_top_n_row_number(df):
+    b = make_batch({c: df[c].tolist() for c in df.columns})
+    got = pd.DataFrame(run_plan_pydict(
+        PlanBuilder().values([b])
+        .top_n_row_number(["p"], ["v DESC"], 2, "rn")))
+    for p, grp in df.groupby("p"):
+        top2 = set(grp.sort_values("v", ascending=False).head(2)["v"])
+        sel = got[got["p"] == p]
+        assert set(sel["v"]) == top2
+
+
+def test_mark_distinct(df):
+    b = make_batch({c: df[c].tolist() for c in df.columns})
+    got = pd.DataFrame(run_plan_pydict(
+        PlanBuilder().values([b]).mark_distinct("is_first", ["p", "o"])))
+    exp = ~df.duplicated(["p", "o"])
+    assert got["is_first"].tolist() == exp.tolist()

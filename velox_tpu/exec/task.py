@@ -20,11 +20,15 @@ from velox_tpu.exec.operators import (
     FilterOp, HashAggregationOp, HashBuildOp, HashProbeOp, JoinBridge,
     LimitOp, OrderByOp, ProjectOp, TableScanOp, TopNOp, ValuesOp,
 )
+from velox_tpu.exec.window_ops import (
+    ExpandOp, MarkDistinctOp, RowNumberOp, TopNRowNumberOp, WindowOp,
+)
 from velox_tpu.plan.nodes import (
     AggregationNode, AssignUniqueIdNode, CrossJoinNode,
-    EnforceSingleRowNode, FilterNode, HashJoinNode, LimitNode,
-    MergeJoinNode, OrderByNode, PlanNode, ProjectNode, TableScanNode,
-    TopNNode, ValuesNode,
+    EnforceSingleRowNode, ExpandNode, FilterNode, HashJoinNode, LimitNode,
+    MarkDistinctNode, MergeJoinNode, OrderByNode, PlanNode, ProjectNode,
+    RowNumberNode, TableScanNode, TopNNode, TopNRowNumberNode, ValuesNode,
+    WindowNode,
 )
 
 #: extension point: node type -> factory(node, pipelines, chain) -> Operator
@@ -87,6 +91,11 @@ class LocalPlanner:
             LimitNode: LimitOp,
             EnforceSingleRowNode: EnforceSingleRowOp,
             AssignUniqueIdNode: AssignUniqueIdOp,
+            WindowNode: WindowOp,
+            RowNumberNode: RowNumberOp,
+            TopNRowNumberNode: TopNRowNumberOp,
+            MarkDistinctNode: MarkDistinctOp,
+            ExpandNode: ExpandOp,
         }
         cls = simple.get(type(node))
         if cls is None:

@@ -1,0 +1,396 @@
+"""Window-family operators: Window, RowNumber, TopNRowNumber,
+MarkDistinct, Expand, GroupId.
+
+Window (velox/exec/Window.h:38) uses the sort-once + segmented-scan design
+(velox_tpu/ops/window.py) instead of velox's per-partition iteration: one
+bitonic sort by (partition, order) keys, boundary masks, scans/gathers,
+then a scatter back to arrival order.
+"""
+
+from __future__ import annotations
+
+import collections
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from velox_tpu.types import BIGINT, DOUBLE
+from velox_tpu.vector.batch import Batch, concat_batches
+from velox_tpu.vector.column import Column
+from velox_tpu.exec.operator import ExprEvaluator, Operator
+from velox_tpu.exec.operators import _cols_of
+from velox_tpu.functions.aggregates import lookup_aggregate
+from velox_tpu.ops.groupby import group_ids_sorted
+from velox_tpu.ops.sort import sort_indices
+from velox_tpu.ops.sortkey import encode_sort_key
+from velox_tpu.ops.window import (
+    ranks, row_numbers, segment_ends, segment_starts, segmented_cumsum,
+    segmented_scan,
+)
+
+
+def _changes(sorted_cols, cap):
+    """Boundary mask: row differs from previous on any column."""
+    out = jnp.zeros((cap,), jnp.bool_).at[0].set(True)
+    for k in sorted_cols:
+        out = jnp.logical_or(out, jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_), k[1:] != k[:-1]]))
+    return out
+
+
+def _sorted_key_ops(cols, names_spec, perm):
+    ops = []
+    for item in names_spec:
+        if isinstance(item, str):
+            v, va = cols[item]
+            keys = encode_sort_key(v, va)
+        else:
+            v, va = cols[item.name]
+            keys = encode_sort_key(
+                v, va, descending=item.descending,
+                nulls_first=item.nulls_first)
+        ops.extend(jnp.take(k, perm, mode="clip") for k in keys)
+    return ops
+
+
+class WindowOp(Operator):
+    """velox/exec/Window.h:38 — sorted window evaluation."""
+
+    blocking = True
+
+    def __init__(self, node):
+        super().__init__(node)
+        self._buffer: List[Batch] = []
+        self._emitted = False
+
+    def add_input(self, batch: Batch) -> None:
+        self._buffer.append(batch)
+
+    def get_output(self) -> Optional[Batch]:
+        if not self.no_more_input_seen or self._emitted:
+            return None
+        self._emitted = True
+        if not self._buffer:
+            return None
+        big = concat_batches(self._buffer)
+        node = self.node
+        needed = list(dict.fromkeys(
+            list(node.partition_keys)
+            + [k.name for k in node.sort_keys]
+            + [f.arg for f in node.functions if f.arg is not None]))
+        cols = _cols_of(big, needed)
+
+        @jax.jit
+        def run(cols, sel):
+            cap = sel.shape[0]
+            keys = [
+                (cols[k][0], cols[k][1], False, False)
+                for k in node.partition_keys
+            ] + [
+                (cols[k.name][0], cols[k.name][1], k.descending,
+                 k.nulls_first)
+                for k in node.sort_keys]
+            perm = sort_indices(keys, sel)
+            n_valid = jnp.sum(sel.astype(jnp.int32))
+            part_ops = _sorted_key_ops(
+                cols, list(node.partition_keys), perm)
+            order_ops = _sorted_key_ops(cols, list(node.sort_keys), perm)
+            part_change = _changes(part_ops, cap)
+            peer_change = _changes(order_ops, cap) if order_ops else (
+                jnp.ones((cap,), jnp.bool_))
+            idx = jnp.arange(cap, dtype=jnp.int32)
+            part_start = segment_starts(part_change)
+            part_end = segment_ends(part_change, n_valid)
+            peer_end = segment_ends(
+                jnp.logical_or(part_change, peer_change), n_valid)
+
+            results = []
+            for spec in node.functions:
+                results.append(self._eval_fn(
+                    spec, cols, perm, idx, part_change, peer_change,
+                    part_start, part_end, peer_end, n_valid))
+            # scatter back to arrival order
+            out = []
+            for vals, valid in results:
+                ov = jnp.zeros_like(vals).at[perm].set(vals)
+                ova = (None if valid is None
+                       else jnp.zeros((cap,), jnp.bool_)
+                       .at[perm].set(valid))
+                out.append((ov, ova))
+            return out
+
+        results = run(cols, big.sel)
+        out = Batch(dict(big.columns), big.sel, big.num_rows)
+        for spec, (vals, valid) in zip(node.functions, results):
+            dt = self.output_type.find_child(spec.name)
+            out = out.with_column(spec.name, Column(dt, vals, valid))
+        return out
+
+    def _eval_fn(self, spec, cols, perm, idx, part_change, peer_change,
+                 part_start, part_end, peer_end, n_valid):
+        fn = spec.fn
+        cap = idx.shape[0]
+        if fn == "row_number":
+            return row_numbers(part_change), None
+        if fn in ("rank", "dense_rank"):
+            r, d = ranks(part_change, peer_change)
+            return (r if fn == "rank" else d), None
+        if fn == "percent_rank":
+            r, _ = ranks(part_change, peer_change)
+            n = (part_end - part_start).astype(jnp.float64)
+            return jnp.where(
+                n > 1, (r - 1).astype(jnp.float64) / jnp.maximum(n - 1, 1),
+                0.0), None
+        if fn == "cume_dist":
+            n = (part_end - part_start).astype(jnp.float64)
+            return ((peer_end - part_start).astype(jnp.float64)
+                    / jnp.maximum(n, 1)), None
+        if fn == "ntile":
+            k = int(spec.arg_literal)
+            rn = row_numbers(part_change) - 1
+            n = (part_end - part_start).astype(jnp.int64)
+            size = n // k
+            rem = n % k
+            cut = rem * (size + 1)
+            bucket = jnp.where(
+                rn < cut,
+                rn // jnp.maximum(size + 1, 1),
+                rem + (rn - cut) // jnp.maximum(size, 1))
+            return bucket + 1, None
+
+        # value functions need the sorted argument column
+        if spec.arg is not None:
+            av, ava = cols[spec.arg]
+            sv = jnp.take(av, perm, mode="clip")
+            sva = (None if ava is None
+                   else jnp.take(ava, perm, mode="clip"))
+        else:
+            sv = sva = None
+
+        if fn in ("lead", "lag"):
+            off = int(spec.arg_literal or 1)
+            tgt = idx + off if fn == "lead" else idx - off
+            in_part = jnp.logical_and(
+                tgt >= part_start, tgt < part_end)
+            vals = jnp.take(sv, jnp.clip(tgt, 0, cap - 1), mode="clip")
+            valid = in_part
+            if sva is not None:
+                valid = jnp.logical_and(valid, jnp.take(
+                    sva, jnp.clip(tgt, 0, cap - 1), mode="clip"))
+            return vals, valid
+        if fn == "first_value":
+            vals = jnp.take(sv, part_start, mode="clip")
+            valid = (None if sva is None
+                     else jnp.take(sva, part_start, mode="clip"))
+            return vals, valid
+        if fn == "last_value":
+            # default frame ends at current peer group
+            pos = jnp.maximum(peer_end - 1, 0)
+            vals = jnp.take(sv, pos, mode="clip")
+            valid = None if sva is None else jnp.take(sva, pos, mode="clip")
+            return vals, valid
+        if fn == "nth_value":
+            nth = int(spec.arg_literal)
+            pos = part_start + nth - 1
+            in_frame = pos < peer_end
+            vals = jnp.take(sv, jnp.clip(pos, 0, cap - 1), mode="clip")
+            valid = in_frame
+            if sva is not None:
+                valid = jnp.logical_and(valid, jnp.take(
+                    sva, jnp.clip(pos, 0, cap - 1), mode="clip"))
+            return vals, valid
+
+        # aggregate-as-window, default frame (running to current peers):
+        # segmented inclusive scan, read at peer-group end
+        # (velox/exec/window/AggregateWindow.h incremental-frame analog)
+        pos = jnp.maximum(peer_end - 1, 0)
+        if fn == "count":
+            if sv is None:
+                c = segmented_cumsum(
+                    jnp.ones((cap,), jnp.int64), part_change)
+            else:
+                m = jnp.ones((cap,), jnp.bool_) if sva is None else sva
+                c = segmented_cumsum(m.astype(jnp.int64), part_change)
+            return jnp.take(c, pos, mode="clip"), None
+        if fn in ("sum", "avg"):
+            m = jnp.ones((cap,), jnp.bool_) if sva is None else sva
+            dt = jnp.float64 if jnp.issubdtype(
+                sv.dtype, jnp.floating) else jnp.int64
+            s = segmented_cumsum(
+                jnp.where(m, sv, 0).astype(dt), part_change)
+            c = segmented_cumsum(m.astype(jnp.int64), part_change)
+            s_at = jnp.take(s, pos, mode="clip")
+            c_at = jnp.take(c, pos, mode="clip")
+            if fn == "sum":
+                return s_at, c_at > 0
+            return (s_at.astype(jnp.float64)
+                    / jnp.maximum(c_at, 1).astype(jnp.float64),
+                    c_at > 0)
+        if fn in ("min", "max"):
+            big = (jnp.finfo(sv.dtype).max
+                   if jnp.issubdtype(sv.dtype, jnp.floating)
+                   else jnp.iinfo(sv.dtype).max)
+            ident = big if fn == "min" else (
+                -big if jnp.issubdtype(sv.dtype, jnp.floating)
+                else jnp.iinfo(sv.dtype).min)
+            m = jnp.ones((cap,), jnp.bool_) if sva is None else sva
+            v = jnp.where(m, sv, ident)
+            op = jnp.minimum if fn == "min" else jnp.maximum
+            s = segmented_scan(v, part_change, op)
+            c = segmented_cumsum(m.astype(jnp.int64), part_change)
+            return (jnp.take(s, pos, mode="clip"),
+                    jnp.take(c, pos, mode="clip") > 0)
+        raise NotImplementedError(f"window function {fn}")
+
+    def is_finished(self) -> bool:
+        return self.no_more_input_seen and self._emitted
+
+
+class RowNumberOp(Operator):
+    """velox/exec/RowNumber.h:27 — partition row numbering (arrival
+    order preserved by the stable sort)."""
+
+    blocking = True
+
+    def __init__(self, node):
+        super().__init__(node)
+        self._buffer: List[Batch] = []
+        self._emitted = False
+
+    def add_input(self, batch: Batch) -> None:
+        self._buffer.append(batch)
+
+    def _rn(self, big: Batch, partition_keys, sort_keys):
+        cols = _cols_of(big, list(dict.fromkeys(
+            list(partition_keys) + [k.name for k in sort_keys])))
+
+        @jax.jit
+        def run(cols, sel):
+            cap = sel.shape[0]
+            keys = [
+                (cols[k][0], cols[k][1], False, False)
+                for k in partition_keys
+            ] + [
+                (cols[k.name][0], cols[k.name][1], k.descending,
+                 k.nulls_first) for k in sort_keys]
+            perm = sort_indices(keys, sel)
+            part_ops = _sorted_key_ops(cols, list(partition_keys), perm)
+            part_change = _changes(part_ops, cap)
+            rn_sorted = row_numbers(part_change)
+            return jnp.zeros((cap,), jnp.int64).at[perm].set(rn_sorted)
+
+        return run(cols, big.sel)
+
+    def get_output(self) -> Optional[Batch]:
+        if not self.no_more_input_seen or self._emitted:
+            return None
+        self._emitted = True
+        if not self._buffer:
+            return None
+        big = concat_batches(self._buffer)
+        node = self.node
+        sort_keys = getattr(node, "sort_keys", ())
+        rn = self._rn(big, node.partition_keys, sort_keys)
+        sel = big.sel
+        if node.limit is not None:
+            sel = jnp.logical_and(sel, rn <= node.limit)
+        out = big.with_sel(sel)
+        if node.row_number_name is not None:
+            out = out.with_column(
+                node.row_number_name, Column(BIGINT, rn))
+        return out
+
+    def is_finished(self) -> bool:
+        return self.no_more_input_seen and self._emitted
+
+
+class TopNRowNumberOp(RowNumberOp):
+    """velox/exec/TopNRowNumber.h:79 — top-N rows per partition."""
+
+    def get_output(self) -> Optional[Batch]:
+        if not self.no_more_input_seen or self._emitted:
+            return None
+        self._emitted = True
+        if not self._buffer:
+            return None
+        big = concat_batches(self._buffer)
+        node = self.node
+        rn = self._rn(big, node.partition_keys, node.sort_keys)
+        sel = jnp.logical_and(big.sel, rn <= node.limit)
+        out = big.with_sel(sel)
+        if node.row_number_name is not None:
+            out = out.with_column(
+                node.row_number_name, Column(BIGINT, rn))
+        return out
+
+
+class MarkDistinctOp(Operator):
+    """velox/core/PlanNode.h:5638 — boolean marker on first occurrence."""
+
+    blocking = True
+
+    def __init__(self, node):
+        super().__init__(node)
+        self._buffer: List[Batch] = []
+        self._emitted = False
+
+    def add_input(self, batch: Batch) -> None:
+        self._buffer.append(batch)
+
+    def get_output(self) -> Optional[Batch]:
+        if not self.no_more_input_seen or self._emitted:
+            return None
+        self._emitted = True
+        if not self._buffer:
+            return None
+        big = concat_batches(self._buffer)
+        node = self.node
+        cols = _cols_of(big, list(node.keys))
+
+        @jax.jit
+        def run(cols, sel):
+            cap = sel.shape[0]
+            pairs = [cols[k] for k in node.keys]
+            _, group_rows, group_sel, _ = group_ids_sorted(pairs, sel)
+            return (jnp.zeros((cap,), jnp.bool_)
+                    .at[jnp.where(group_sel, group_rows, cap)]
+                    .set(True, mode="drop"))
+
+        marker = run(cols, big.sel)
+        from velox_tpu.types import BOOLEAN
+
+        return big.with_column(node.marker, Column(BOOLEAN, marker))
+
+    def is_finished(self) -> bool:
+        return self.no_more_input_seen and self._emitted
+
+
+class ExpandOp(Operator):
+    """velox/core/PlanNode.h:1913 — each row -> N projected rows (one
+    output batch per projection list)."""
+
+    def __init__(self, node):
+        super().__init__(node)
+        self._evals = [
+            ExprEvaluator(list(projs), node.source.output_type)
+            for projs in node.projections]
+        self._queue: collections.deque = collections.deque()
+
+    def add_input(self, batch: Batch) -> None:
+        for ev in self._evals:
+            pairs, dicts = ev.project_pairs(batch)
+            cols = {}
+            for name, dtype, pair, d in zip(
+                    self.node.names, self.output_type.children, pairs,
+                    dicts):
+                vals, valid = pair
+                cols[name] = Column(dtype, vals, valid, d)
+            self._queue.append(Batch(cols, batch.sel))
+
+    def get_output(self) -> Optional[Batch]:
+        return self._queue.popleft() if self._queue else None
+
+    def is_finished(self) -> bool:
+        return self.no_more_input_seen and not self._queue

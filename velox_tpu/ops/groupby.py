@@ -59,6 +59,16 @@ def group_ids_sorted(
       * num_groups ()     int32 — device scalar group count.
     """
     cap = sel.shape[0]
+    if not keys:
+        # keyless (global aggregation): no sort needed — one group holding
+        # every active row; group_rows points at any row (keys unused)
+        any_active = jnp.any(sel)
+        gids = jnp.where(sel, jnp.int32(0), jnp.int32(cap))
+        group_rows = jnp.zeros((cap,), jnp.int32)
+        num_groups = any_active.astype(jnp.int32)
+        group_sel = jnp.zeros((cap,), jnp.bool_).at[0].set(any_active)
+        return gids, group_rows, group_sel, num_groups
+
     perm = jnp.arange(cap, dtype=jnp.int32)
     inactive = jnp.where(sel, jnp.int64(0), jnp.int64(1))
     ops = [inactive] + _key_operands(keys)

@@ -57,9 +57,26 @@ def _parse_sort(text: str) -> SortField:
     return SortField(name, desc, nulls_first)
 
 
+def _split_args(inner: str) -> List[str]:
+    out, depth, cur = [], 0, []
+    for ch in inner:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return [a.strip() for a in out if a.strip()]
+
+
 def _parse_agg(text: str, default_name: str
-               ) -> Tuple[str, str, Optional[Expr], bool]:
-    """'sum(x) AS s' -> (name, fn, arg_expr|None, distinct)."""
+               ) -> Tuple[str, str, List[Expr], bool]:
+    """'sum(x) AS s' -> (name, fn, [arg exprs], distinct)."""
     name = default_name
     m = _ALIAS_RE.search(text)
     body = text
@@ -75,10 +92,10 @@ def _parse_agg(text: str, default_name: str
         distinct = True
         inner = inner[len("distinct"):].strip()
     if inner in ("", "*"):
-        arg = None
+        args: List[Expr] = []
     else:
-        arg = parse_expr(inner)
-    return name, fn, arg, distinct
+        args = [parse_expr(a) for a in _split_args(inner)]
+    return name, fn, args, distinct
 
 
 class PlanBuilder:
@@ -169,7 +186,8 @@ class PlanBuilder:
         agg_names: List[str] = []
         arg_types: List[Optional[DataType]] = []
         for i, a in enumerate(aggs):
-            name, fn, arg, distinct = _parse_agg(a, f"a{i}")
+            name, fn, fargs, distinct = _parse_agg(a, f"a{i}")
+            arg = fargs[0] if fargs else None
             lookup_aggregate(fn)  # validate early
             arg_field: Optional[str] = None
             at: Optional[DataType] = None
@@ -248,7 +266,7 @@ class PlanBuilder:
             key_names = list(keys)
             agg_names, specs = [], []
             for i, a in enumerate(aggs):
-                name, fn, arg, distinct = _parse_agg(a, f"a{i}")
+                name, fn, _fargs, distinct = _parse_agg(a, f"a{i}")
                 agg_names.append(name)
                 specs.append(AggregateSpec(fn, None, None, distinct))
 
@@ -378,14 +396,22 @@ class PlanBuilder:
         out_names = list(schema.names)
         out_types = list(schema.children)
         for i, f in enumerate(functions):
-            name, fn, arg, _ = _parse_agg(f, f"w{i}")
+            name, fn, fargs, _ = _parse_agg(f, f"w{i}")
             arg_field = None
+            arg_literal = None
             at = None
-            if arg is not None:
-                assert isinstance(arg, FieldRef), "window arg must be a field"
-                arg_field = arg.name
-                at = resolve_types(arg, schema).dtype
-            specs.append(WindowSpec(name, fn, arg_field))
+            for a in fargs:
+                from velox_tpu.expr.ir import Literal
+
+                if isinstance(a, FieldRef) and arg_field is None:
+                    arg_field = a.name
+                    at = resolve_types(a, schema).dtype
+                elif isinstance(a, Literal) and arg_literal is None:
+                    arg_literal = a.value
+                else:
+                    raise SyntaxError(
+                        f"window arg must be a field or literal: {f!r}")
+            specs.append(WindowSpec(name, fn, arg_field, arg_literal))
             out_names.append(name)
             out_types.append(_window_result_type(fn, at))
         self.node = WindowNode(

@@ -231,7 +231,8 @@ class WindowSpec:
 
     name: str          # output column
     fn: str            # row_number, rank, sum, ...
-    arg: Optional[str] = None
+    arg: Optional[str] = None          # input field
+    arg_literal: Optional[float] = None  # ntile(k) / lead(x, k) constant
     # frame: only the common defaults for now
     # (RANGE UNBOUNDED PRECEDING..CURRENT ROW for ranks/aggs)
 
