@@ -176,7 +176,7 @@ def test_decimal_arithmetic():
               for n in es.field_names}
     (mul, add) = es.evaluate(arrays)
     assert es.result_types[0] == DECIMAL(18, 4)
-    assert es.result_types[1] == DECIMAL(18, 2)
+    assert es.result_types[1] == DECIMAL(13, 2)
     assert np.asarray(mul[0])[:2].tolist() == [30000, 80000]  # 3.0000, 8.0000
     assert np.asarray(add[0])[:2].tolist() == [400, 600]      # 4.00, 6.00
 

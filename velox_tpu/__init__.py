@@ -21,11 +21,24 @@ Layer map (mirrors SURVEY.md §1, bottom-up):
   utils/     — config, metrics                       (velox/common)
 """
 
+import os
+
 import jax
 
 # The engine computes BIGINT/DECIMAL lanes in int64 and DOUBLE in float64
 # (Presto semantics demand 64-bit integer/floating behavior, velox/type/
 # DecimalUtil.h). Enable x64 before any tracing happens.
 jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: some backends (tunneled TPUs) compile
+# certain 64-bit programs pathologically slowly; cache once per machine.
+_cache_dir = os.environ.get(
+    "VELOX_TPU_COMPILE_CACHE", os.path.expanduser("~/.velox_tpu_xla_cache"))
+if _cache_dir:
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax without the knobs
+        pass
 
 __version__ = "0.1.0"

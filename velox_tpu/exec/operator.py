@@ -68,6 +68,11 @@ class Operator:
         raise NotImplementedError
 
 
+#: global (schema, exprs, dictionaries, mode) -> (ExprSet, jitted) cache;
+#: survives across Task executions so re-running a plan never re-traces
+_EVAL_CACHE: Dict[tuple, Tuple["ExprSet", Callable]] = {}
+
+
 class ExprEvaluator:
     """Compile-and-cache ExprSets per (schema, dictionary) signature.
 
@@ -80,7 +85,44 @@ class ExprEvaluator:
     def __init__(self, exprs: Sequence[Expr], schema: RowType):
         self.exprs = list(exprs)
         self.schema = schema
-        self._cache: Dict[tuple, Tuple[ExprSet, Callable]] = {}
+
+    def pure(self, dicts: Dict[str, object], mode: str = "eval"
+             ) -> Tuple[ExprSet, Callable]:
+        """(ExprSet, UNJITTED run fn) for composition into fused kernels."""
+        sig = ("pure", mode, self.schema,
+               tuple(str(e) for e in self.exprs)) + tuple(
+            sorted((n, id(d)) for n, d in dicts.items()))
+        hit = _EVAL_CACHE.get(sig)
+        if hit is None:
+            expr_set = ExprSet(self.exprs, self.schema, dicts)
+            hit = (expr_set, self._make_run(expr_set, mode))
+            _EVAL_CACHE[sig] = hit
+        return hit
+
+    @staticmethod
+    def _make_run(expr_set: "ExprSet", mode: str) -> Callable:
+        if mode == "filter":
+            def run(arrays, sel):
+                (vals, valid) = expr_set.evaluate(arrays)[0]
+                out = jnp.logical_and(sel, vals)
+                if valid is not None:
+                    out = jnp.logical_and(out, valid)
+                return out
+        elif mode == "project":
+            def run(arrays, sel):
+                cap = sel.shape[0]
+                out = []
+                for vals, valid in expr_set.evaluate(arrays):
+                    if vals.ndim == 0:
+                        vals = jnp.broadcast_to(vals, (cap,))
+                    if valid is not None and valid.ndim == 0:
+                        valid = jnp.broadcast_to(valid, (cap,))
+                    out.append((vals, valid))
+                return out
+        else:
+            def run(arrays, sel):
+                return expr_set.evaluate(arrays)
+        return run
 
     def _get(self, batch: Batch, mode: str = "eval"
              ) -> Tuple[ExprSet, Callable]:
@@ -88,35 +130,14 @@ class ExprEvaluator:
             n: c.dictionary for n, c in batch.columns.items()
             if c.dictionary is not None
         }
-        sig = (mode,) + tuple(sorted((n, id(d)) for n, d in dicts.items()))
-        hit = self._cache.get(sig)
+        sig = (
+            mode, self.schema, tuple(str(e) for e in self.exprs),
+        ) + tuple(sorted((n, id(d)) for n, d in dicts.items()))
+        hit = _EVAL_CACHE.get(sig)
         if hit is None:
             expr_set = ExprSet(self.exprs, self.schema, dicts)
-            if mode == "filter":
-                # one fused program: predicate + sel intersection
-                def run(arrays, sel):
-                    (vals, valid) = expr_set.evaluate(arrays)[0]
-                    out = jnp.logical_and(sel, vals)
-                    if valid is not None:
-                        out = jnp.logical_and(out, valid)
-                    return out
-            elif mode == "project":
-                # one fused program incl. scalar-literal broadcast
-                def run(arrays, sel):
-                    cap = sel.shape[0]
-                    out = []
-                    for vals, valid in expr_set.evaluate(arrays):
-                        if vals.ndim == 0:
-                            vals = jnp.broadcast_to(vals, (cap,))
-                        if valid is not None and valid.ndim == 0:
-                            valid = jnp.broadcast_to(valid, (cap,))
-                        out.append((vals, valid))
-                    return out
-            else:
-                def run(arrays, sel):
-                    return expr_set.evaluate(arrays)
-            hit = (expr_set, jax.jit(run))
-            self._cache[sig] = hit
+            hit = (expr_set, jax.jit(self._make_run(expr_set, mode)))
+            _EVAL_CACHE[sig] = hit
         return hit
 
     def _arrays(self, expr_set: ExprSet, batch: Batch):

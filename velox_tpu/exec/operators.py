@@ -28,6 +28,7 @@ from velox_tpu.vector.column import Column, Dictionary
 from velox_tpu.exec.operator import (
     ExprEvaluator, Operator, key_pairs, result_column,
 )
+from velox_tpu.exec.jitcache import cached_jit
 from velox_tpu.functions.aggregates import lookup_aggregate
 from velox_tpu.ops.groupby import group_ids_array, group_ids_sorted
 from velox_tpu.ops.join import (
@@ -234,6 +235,10 @@ class HashAggregationOp(Operator):
             for fn, at in zip(self.fns, self.arg_types)]
 
     def _decide_mode(self, batch: Batch) -> str:
+        return self.decide_mode_dicts({
+            k: batch.column(k).dictionary for k in self.keys})
+
+    def decide_mode_dicts(self, key_dicts) -> str:
         if self._mode is not None:
             return self._mode
         if self.has_distinct:
@@ -242,11 +247,11 @@ class HashAggregationOp(Operator):
         if self.keys:
             dicts = []
             for k in self.keys:
-                col = batch.column(k)
-                if col.dictionary is None:
+                d = key_dicts.get(k)
+                if d is None:
                     dicts = None
                     break
-                dicts.append(col.dictionary)
+                dicts.append(d)
             if dicts is not None:
                 prod = 1
                 for d in dicts:
@@ -275,43 +280,51 @@ class HashAggregationOp(Operator):
         else:
             self._add_generic(cols, batch.sel, batch.capacity)
 
-    def _add_array(self, cols, sel) -> None:
-        G = self._num_groups
+    def ensure_array_state(self) -> dict:
         if self._array_state is None:
+            G = self._num_groups
             self._array_state = {
                 "accs": self._init_accs(G),
                 "seen": jnp.zeros((G,), jnp.bool_),
             }
+        return self._array_state
+
+    def make_array_fn(self):
+        """Pure per-batch kArray step (composable into fused kernels)."""
+        radices = self._radices
+        keys = self.keys
+        is_final = self.step == AggStep.FINAL
+        G = self._num_groups
+
+        def fn(cols, sel, accs_in, seen):
+            vids = []
+            for k, radix in zip(keys, radices):
+                values, valid = cols[k]
+                code = values.astype(jnp.int32)
+                null_id = radix - 1
+                vid = jnp.where(code < 0, jnp.int32(null_id), code)
+                if valid is not None:
+                    vid = jnp.where(valid, vid, jnp.int32(null_id))
+                vids.append(vid)
+            gids = group_ids_array(vids, radices, sel, G)
+            seen = seen.at[gids].set(True, mode="drop")
+            inputs = self._agg_inputs(cols, sel)
+            accs_out = []
+            for f, accs, (vals, mask) in zip(self.fns, accs_in, inputs):
+                if is_final:
+                    accs_out.append(f.combine(accs, gids, vals, mask))
+                else:
+                    accs_out.append(f.accumulate(accs, gids, vals, mask))
+            return accs_out, seen
+
+        return fn
+
+    def _add_array(self, cols, sel) -> None:
+        st = self.ensure_array_state()
         if self._array_jit is None:
-            radices = self._radices
-            keys = self.keys
-            is_final = self.step == AggStep.FINAL
-
-            def fn(cols, sel, accs_in, seen):
-                vids = []
-                for k, radix in zip(keys, radices):
-                    values, valid = cols[k]
-                    code = values.astype(jnp.int32)
-                    null_id = radix - 1
-                    vid = jnp.where(code < 0, jnp.int32(null_id), code)
-                    if valid is not None:
-                        vid = jnp.where(valid, vid, jnp.int32(null_id))
-                    vids.append(vid)
-                gids = group_ids_array(vids, radices, sel, G)
-                seen = seen.at[gids].set(True, mode="drop")
-                inputs = self._agg_inputs(cols, sel)
-                accs_out = []
-                for f, accs, (vals, mask) in zip(
-                        self.fns, accs_in, inputs):
-                    if is_final:
-                        accs_out.append(f.combine(accs, gids, vals, mask))
-                    else:
-                        accs_out.append(
-                            f.accumulate(accs, gids, vals, mask))
-                return accs_out, seen
-
-            self._array_jit = jax.jit(fn)
-        st = self._array_state
+            self._array_jit = cached_jit(
+                ("agg_array", self.node.id, tuple(self._radices)),
+                self.make_array_fn)
         st["accs"], st["seen"] = self._array_jit(
             cols, sel, st["accs"], st["seen"])
 
@@ -328,23 +341,54 @@ class HashAggregationOp(Operator):
             })
             return
         if self._generic_jit is None:
-            keys = self.keys
+            self._generic_jit = cached_jit(
+                ("agg_generic", self.node.id), self.make_generic_fn)
+        gkeys, lanes_out, group_sel, dreps = self._generic_jit(cols, sel)
+        self.push_generic_entry(gkeys, lanes_out, group_sel, dreps)
 
+    def make_generic_fn(self):
+        """Pure per-batch sort-group step (composable into fused kernels)."""
+        keys = self.keys
+
+        if True:
             def fn(cols, sel):
                 cap = sel.shape[0]
-                pairs = [cols[k] for k in keys]
-                gids, group_rows, group_sel, _ = group_ids_sorted(
-                    pairs, sel)
                 inputs = self._agg_inputs(cols, sel)
+                if not keys:
+                    # keyless: 1-slot accumulators, no sort, no big lanes
+                    gids = jnp.where(sel, jnp.int32(0), jnp.int32(1))
+                    group_rows = jnp.zeros((1,), jnp.int32)
+                    group_sel = jnp.zeros((1,), jnp.bool_).at[0].set(
+                        jnp.any(sel))
+                    acc_cap = 1
+                else:
+                    pairs = [cols[k] for k in keys]
+                    gids, group_rows, group_sel, _ = group_ids_sorted(
+                        pairs, sel)
+                    acc_cap = cap
                 lanes_out = []
                 for f, spec, accs, (vals, mask) in zip(
-                        self.fns, self.specs, self._init_accs(cap),
+                        self.fns, self.specs, self._init_accs(acc_cap),
                         inputs):
                     if spec.distinct:
                         lanes_out.append(None)
                     else:
                         lanes_out.append(
                             f.accumulate(accs, gids, vals, mask))
+                if not keys:
+                    dreps = []
+                    for spec, (vals, mask) in zip(self.specs, inputs):
+                        if not spec.distinct:
+                            dreps.append(None)
+                            continue
+                        _, drows, dsel, _ = group_ids_sorted(
+                            [(vals, None)], mask)
+                        dreps.append({
+                            "keys": [],
+                            "arg": jnp.take(vals, drows, mode="clip"),
+                            "sel": dsel,
+                        })
+                    return [], lanes_out, group_sel, dreps
 
                 def take_pairs(pairs, rows):
                     return [
@@ -372,8 +416,10 @@ class HashAggregationOp(Operator):
                     })
                 return gkeys, lanes_out, group_sel, dreps
 
-            self._generic_jit = jax.jit(fn)
-        gkeys, lanes_out, group_sel, dreps = self._generic_jit(cols, sel)
+        return fn
+
+    def push_generic_entry(self, gkeys, lanes_out, group_sel, dreps
+                           ) -> None:
         entry = {"keys": gkeys, "lanes": lanes_out, "sel": group_sel,
                  "distinct": dreps}
         if self.step == AggStep.PARTIAL:
@@ -558,7 +604,11 @@ class HashAggregationOp(Operator):
                     results.append(fn.extract(accs, group_sel))
                 return out_keys, results, group_sel
 
-            self._merge_jit = jax.jit(merge)
+            self._merge_jit = cached_jit(
+                ("agg_merge", self.node.id, n_reg,
+                 tuple(sorted(d_region_off.items())),
+                 tuple(sorted(d_sizes.items()))),
+                lambda: merge)
         out_keys, results, group_sel = self._merge_jit(
             keys, lanes_cat, d_args, sel)
 
@@ -617,13 +667,15 @@ class OrderByOp(Operator):
         spec = [(k.name, k.descending, k.nulls_first)
                 for k in self.node.keys]
 
-        @jax.jit
-        def run(cols, sel):
-            keys = [
-                (cols[n][0], cols[n][1], d, nf) for n, d, nf in spec]
-            perm = sort_indices(keys, sel)
-            return perm, jnp.take(sel, perm, mode="clip")
+        def make():
+            def run(cols, sel):
+                keys = [
+                    (cols[n][0], cols[n][1], d, nf) for n, d, nf in spec]
+                perm = sort_indices(keys, sel)
+                return perm, jnp.take(sel, perm, mode="clip")
+            return run
 
+        run = cached_jit(("orderby", self.node.id), make)
         perm, sel_sorted = run(
             _cols_of(big, [k.name for k in self.node.keys]), big.sel)
         return big.gather(perm, sel_sorted, big.num_rows)
@@ -651,13 +703,15 @@ class TopNOp(Operator):
                     for k in self.node.keys]
             n = self.node.count
 
-            def run(cols, sel):
-                keys = [
-                    (cols[nm][0], cols[nm][1], d, nf)
-                    for nm, d, nf in spec]
-                return top_n_indices(keys, sel, n)
+            def make():
+                def run(cols, sel):
+                    keys = [
+                        (cols[nm][0], cols[nm][1], d, nf)
+                        for nm, d, nf in spec]
+                    return top_n_indices(keys, sel, n)
+                return run
 
-            self._jit = jax.jit(run)
+            self._jit = cached_jit(("topn", self.node.id), make)
         idx, osel = self._jit(
             _cols_of(merged, [k.name for k in self.node.keys]),
             merged.sel)
@@ -742,6 +796,12 @@ class JoinKeyCodec:
                 self.bits.append(max(int(hi - lo).bit_length(), 1))
             assert sum(self.bits) <= 63, "normalized join key overflow"
         self._remaps: Dict[tuple, np.ndarray] = {}
+
+    def key_sig(self) -> tuple:
+        """Host constants baked into traced programs (jit-cache key part)."""
+        if not self.multi:
+            return ()
+        return (tuple(self.mins), tuple(self.bits))
 
     def dict_sig(self, batch: Batch, keys: Sequence[str]) -> tuple:
         return tuple(
@@ -859,16 +919,20 @@ class HashBuildOp(Operator):
                 for k in node.right_keys]
         dicts = [big.column(k).dictionary for k in node.right_keys]
 
-        @jax.jit
-        def build(cols, sel):
-            key, valid = codec.encode(cols, dicts, is_probe=False)
-            sorted_keys, perm, n_active = build_join_index(
-                key, valid, sel)
-            has_null = (
-                jnp.any(jnp.logical_and(sel, jnp.logical_not(valid)))
-                if valid is not None else jnp.asarray(False))
-            return sorted_keys, perm, n_active, has_null
+        def make():
+            def build(cols, sel):
+                key, valid = codec.encode(cols, dicts, is_probe=False)
+                sorted_keys, perm, n_active = build_join_index(
+                    key, valid, sel)
+                has_null = (
+                    jnp.any(jnp.logical_and(sel, jnp.logical_not(valid)))
+                    if valid is not None else jnp.asarray(False))
+                return sorted_keys, perm, n_active, has_null
+            return build
 
+        build = cached_jit(
+            ("join_build", node.id, tuple(id(d) for d in dicts),
+             codec.key_sig()), make)
         sorted_keys, perm, n_active, has_null = build(cols, big.sel)
         br = self.bridge
         br.build_batch = big
@@ -928,29 +992,34 @@ class HashProbeOp(Operator):
         build_has_null = br.build_has_null_key
         left_like = self._left_like
 
-        def probe(cols, sel, sorted_keys, n_active):
-            key, valid = codec.encode(cols, dicts, is_probe=True)
-            first, count = probe_join_index(
-                sorted_keys, n_active, key, valid, sel)
-            if no_filter_semi:
-                if jt == JoinType.LEFT_SEMI:
-                    out = jnp.logical_and(sel, count > 0)
-                elif jt == JoinType.ANTI_SIMPLE:
-                    out = jnp.logical_and(sel, count == 0)
-                else:  # null-aware NOT IN
-                    if build_has_null:
-                        out = jnp.zeros_like(sel)
-                    else:
+        def make():
+            def probe(cols, sel, sorted_keys, n_active):
+                key, valid = codec.encode(cols, dicts, is_probe=True)
+                first, count = probe_join_index(
+                    sorted_keys, n_active, key, valid, sel)
+                if no_filter_semi:
+                    if jt == JoinType.LEFT_SEMI:
+                        out = jnp.logical_and(sel, count > 0)
+                    elif jt == JoinType.ANTI_SIMPLE:
                         out = jnp.logical_and(sel, count == 0)
-                        if valid is not None:
-                            out = jnp.logical_and(out, valid)
-                return out
-            emit = sel if left_like else None
-            total = match_total(count, emit)
-            pvalid = valid if valid is not None else jnp.ones_like(sel)
-            return first, count, pvalid, total
+                    else:  # null-aware NOT IN
+                        if build_has_null:
+                            out = jnp.zeros_like(sel)
+                        else:
+                            out = jnp.logical_and(sel, count == 0)
+                            if valid is not None:
+                                out = jnp.logical_and(out, valid)
+                    return out
+                emit = sel if left_like else None
+                total = match_total(count, emit)
+                pvalid = valid if valid is not None else jnp.ones_like(sel)
+                return first, count, pvalid, total
 
-        fn = jax.jit(probe)
+            return probe
+
+        fn = cached_jit(
+            ("join_probe", node.id, sig, codec.key_sig(),
+             bool(build_has_null)), make)
         self._probe_jits[sig] = fn
         return fn
 
@@ -982,12 +1051,12 @@ class HashProbeOp(Operator):
             JoinType.RIGHT, JoinType.FULL, JoinType.RIGHT_SEMI) or (
             filter_set is not None and semi_like)
 
-        def expand(pcols, bcols, first, count, sel, flags):
+        def expand(pcols, bcols, first, count, sel, flags, build_perm):
             cap = sel.shape[0]
             bcap = flags.shape[0]
             emit = sel if left_like else None
             probe_rows, build_rows, matched, osel = expand_matches(
-                first, count, self.bridge.perm, out_cap, emit)
+                first, count, build_perm, out_cap, emit)
             out = {}
             for n in lt_names:
                 v, va = pcols[n]
@@ -1055,7 +1124,7 @@ class HashProbeOp(Operator):
                     out_sel = jnp.logical_and(osel, passing)
             return out, out_sel, new_flags, pass_cnt, resurrect
 
-        fn = jax.jit(expand)
+        fn = cached_jit(("join_expand", node.id, sig), lambda: expand)
         self._expand_jits[sig] = fn
         return fn
 
@@ -1099,7 +1168,7 @@ class HashProbeOp(Operator):
         pcols = _cols_of(batch, node.left.output_type.names)
         bcols = _cols_of(br.build_batch, node.right.output_type.names)
         out, out_sel, new_flags, pass_cnt, resurrect = ef(
-            pcols, bcols, first, count, batch.sel, br.matched)
+            pcols, bcols, first, count, batch.sel, br.matched, br.perm)
         br.matched = new_flags
 
         if self._filter_exprs is not None and self._semi_like:

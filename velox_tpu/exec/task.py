@@ -50,9 +50,15 @@ class LocalPlanner:
     """Split the plan tree into pipelines (velox/exec/LocalPlanner.cpp)."""
 
     def __init__(self, plan: PlanNode):
+        from velox_tpu.exec.fused import maybe_fuse
+
         self.pipelines: List[Pipeline] = []
         chain = self._lower(plan)
-        self.pipelines.append(Pipeline(chain, is_output=True))
+        # fused-pipeline rewrite (DriverAdapter analog, exec/Driver.h:789)
+        self.pipelines = [
+            Pipeline(maybe_fuse(p.operators), p.is_output)
+            for p in self.pipelines]
+        self.pipelines.append(Pipeline(maybe_fuse(chain), is_output=True))
 
     def _lower(self, node: PlanNode) -> List[Operator]:
         if isinstance(node, ValuesNode):

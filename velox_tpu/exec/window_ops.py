@@ -21,6 +21,7 @@ from velox_tpu.vector.batch import Batch, concat_batches
 from velox_tpu.vector.column import Column
 from velox_tpu.exec.operator import ExprEvaluator, Operator
 from velox_tpu.exec.operators import _cols_of
+from velox_tpu.exec.jitcache import cached_jit
 from velox_tpu.functions.aggregates import lookup_aggregate
 from velox_tpu.ops.groupby import group_ids_sorted
 from velox_tpu.ops.sort import sort_indices
@@ -82,8 +83,7 @@ class WindowOp(Operator):
             + [f.arg for f in node.functions if f.arg is not None]))
         cols = _cols_of(big, needed)
 
-        @jax.jit
-        def run(cols, sel):
+        def run_fn(cols, sel):
             cap = sel.shape[0]
             keys = [
                 (cols[k][0], cols[k][1], False, False)
@@ -121,6 +121,7 @@ class WindowOp(Operator):
                 out.append((ov, ova))
             return out
 
+        run = cached_jit(("window", node.id), lambda: run_fn)
         results = run(cols, big.sel)
         out = Batch(dict(big.columns), big.sel, big.num_rows)
         for spec, (vals, valid) in zip(node.functions, results):
@@ -266,21 +267,24 @@ class RowNumberOp(Operator):
         cols = _cols_of(big, list(dict.fromkeys(
             list(partition_keys) + [k.name for k in sort_keys])))
 
-        @jax.jit
-        def run(cols, sel):
-            cap = sel.shape[0]
-            keys = [
-                (cols[k][0], cols[k][1], False, False)
-                for k in partition_keys
-            ] + [
-                (cols[k.name][0], cols[k.name][1], k.descending,
-                 k.nulls_first) for k in sort_keys]
-            perm = sort_indices(keys, sel)
-            part_ops = _sorted_key_ops(cols, list(partition_keys), perm)
-            part_change = _changes(part_ops, cap)
-            rn_sorted = row_numbers(part_change)
-            return jnp.zeros((cap,), jnp.int64).at[perm].set(rn_sorted)
+        def make():
+            def run(cols, sel):
+                cap = sel.shape[0]
+                keys = [
+                    (cols[k][0], cols[k][1], False, False)
+                    for k in partition_keys
+                ] + [
+                    (cols[k.name][0], cols[k.name][1], k.descending,
+                     k.nulls_first) for k in sort_keys]
+                perm = sort_indices(keys, sel)
+                part_ops = _sorted_key_ops(
+                    cols, list(partition_keys), perm)
+                part_change = _changes(part_ops, cap)
+                rn_sorted = row_numbers(part_change)
+                return jnp.zeros((cap,), jnp.int64).at[perm].set(rn_sorted)
+            return run
 
+        run = cached_jit(("row_number", self.node.id), make)
         return run(cols, big.sel)
 
     def get_output(self) -> Optional[Batch]:
@@ -349,16 +353,18 @@ class MarkDistinctOp(Operator):
         node = self.node
         cols = _cols_of(big, list(node.keys))
 
-        @jax.jit
-        def run(cols, sel):
-            cap = sel.shape[0]
-            pairs = [cols[k] for k in node.keys]
-            _, group_rows, group_sel, _ = group_ids_sorted(pairs, sel)
-            return (jnp.zeros((cap,), jnp.bool_)
-                    .at[jnp.where(group_sel, group_rows, cap)]
-                    .set(True, mode="drop"))
+        def make():
+            def run(cols, sel):
+                cap = sel.shape[0]
+                pairs = [cols[k] for k in node.keys]
+                _, group_rows, group_sel, _ = group_ids_sorted(pairs, sel)
+                return (jnp.zeros((cap,), jnp.bool_)
+                        .at[jnp.where(group_sel, group_rows, cap)]
+                        .set(True, mode="drop"))
+            return run
 
-        marker = run(cols, big.sel)
+        marker = cached_jit(("mark_distinct", self.node.id), make)(
+            cols, big.sel)
         from velox_tpu.types import BOOLEAN
 
         return big.with_column(node.marker, Column(BOOLEAN, marker))

@@ -169,11 +169,17 @@ def _unify_numeric(name: str, args: Tuple[Expr, ...]) -> Tuple[Expr, ...]:
                 out.append(Cast(DecimalType(TypeKind.DECIMAL, 18, 0), a, False))
         args = tuple(out)
         if name in _COMPARE or name in ("plus", "minus") or name == "between":
-            # rescale to common scale
+            # rescale to common scale, widening precision by the shift
             target = max(a.dtype.scale for a in args)
             args = tuple(
                 a if a.dtype.scale == target
-                else Cast(DecimalType(TypeKind.DECIMAL, 18, target), a, False)
+                else Cast(
+                    DecimalType(
+                        TypeKind.DECIMAL,
+                        min(a.dtype.precision + target - a.dtype.scale,
+                            18),
+                        target),
+                    a, False)
                 for a in args)
         return args
     if not all(t.is_numeric for t in types):
@@ -204,17 +210,22 @@ def _floats_to_decimal_literals(args):
                 break
         if scale is None:
             return None
-        out.append(Literal(DecimalType(TypeKind.DECIMAL, 18, scale), v))
+        digits = len(str(abs(int(round(v * 10 ** scale))))) or 1
+        out.append(Literal(
+            DecimalType(TypeKind.DECIMAL, max(digits, 1), scale), v))
     return tuple(out)
 
 
 def _decimal_result(name: str, a: DataType, b: DataType) -> DataType:
     sa = a.scale if isinstance(a, DecimalType) else 0
     sb = b.scale if isinstance(b, DecimalType) else 0
+    pa_ = a.precision if isinstance(a, DecimalType) else 18
+    pb = b.precision if isinstance(b, DecimalType) else 18
     if name in ("plus", "minus"):
-        return DecimalType(TypeKind.DECIMAL, 18, max(sa, sb))
+        return DecimalType(
+            TypeKind.DECIMAL, min(max(pa_, pb) + 1, 18), max(sa, sb))
     if name == "multiply":
-        return DecimalType(TypeKind.DECIMAL, 18, sa + sb)
+        return DecimalType(TypeKind.DECIMAL, min(pa_ + pb, 18), sa + sb)
     if name in ("divide", "mod"):
         return DecimalType(TypeKind.DECIMAL, 18, max(sa, sb))
     raise TypeError(name)
@@ -430,7 +441,7 @@ def _eval_node_inner(expr, arrays, memo) -> ValuePair:
                 "(is the referenced column dictionary-encoded?)")
         if isinstance(expr.dtype, DecimalType):
             v = int(round(expr.value * 10 ** expr.dtype.scale))
-            return jnp.asarray(v, dtype=jnp.int64), None
+            return jnp.asarray(v, dtype=expr.dtype.dtype), None
         return jnp.asarray(expr.value, dtype=expr.dtype.dtype), None
 
     if isinstance(expr, Cast):
@@ -474,14 +485,15 @@ def _eval_cast(v, valid, src: DataType, dst: DataType) -> ValuePair:
     dst_dec = isinstance(dst, DecimalType)
     if src_dec and dst_dec:
         ds = dst.scale - src.scale
+        lane = dst.dtype
         if ds == 0:
-            return v, valid
+            return (v if v.dtype == lane else v.astype(lane)), valid
         if ds > 0:
-            return v * _DECIMAL_POW[ds], valid
+            return v.astype(lane) * _DECIMAL_POW[ds], valid
         p = _DECIMAL_POW[-ds]
         # round half away from zero
         q = jnp.sign(v) * ((jnp.abs(v) + p // 2) // p)
-        return q, valid
+        return q.astype(lane), valid
     if src_dec:
         if dst.is_floating:
             return v.astype(dst.dtype) / _DECIMAL_POW[src.scale], valid
@@ -493,9 +505,9 @@ def _eval_cast(v, valid, src: DataType, dst: DataType) -> ValuePair:
     if dst_dec:
         if src.is_floating:
             scaled = v * _DECIMAL_POW[dst.scale]
-            return jnp.rint(scaled).astype(jnp.int64), valid
+            return jnp.rint(scaled).astype(dst.dtype), valid
         if src.is_integer:
-            return v.astype(jnp.int64) * _DECIMAL_POW[dst.scale], valid
+            return v.astype(dst.dtype) * _DECIMAL_POW[dst.scale], valid
         raise TypeError(f"cast {src} -> {dst}")
     if dst.kind == TypeKind.BOOLEAN:
         return v != 0, valid

@@ -48,9 +48,17 @@ def register_table(name: str, batches: Sequence[Batch]) -> Table:
 
 
 def register_arrow(
-    name: str, table: pa.Table, batch_rows: int = 1 << 20
+    name: str, table: pa.Table, batch_rows: int = 1 << 20,
+    decimal_overrides: Optional[Dict[str, tuple]] = None,
 ) -> Table:
-    """Ingest an Arrow table as device splits of <= batch_rows rows."""
+    """Ingest an Arrow table as device splits of <= batch_rows rows.
+
+    ``decimal_overrides`` maps integer arrow columns to ``(precision,
+    scale)``: the stored ints are taken as UNSCALED decimal values (cents
+    etc.). This is the fast decimal ingest path — vectorized int64
+    transfer, no per-row Decimal boxing (velox's short-decimal flat
+    vectors analog, velox/type/DecimalUtil.h).
+    """
     n = table.num_rows
     batch_rows = min(batch_rows, max(n, 1))
     cap = round_capacity(batch_rows)
@@ -71,6 +79,16 @@ def register_arrow(
         batches.append(Batch(cols, jnp.asarray(sel), num_rows=rows))
     # unify per-column dictionaries across splits (encode over full column)
     batches = _unify_dictionaries(table, batches, cap, batch_rows)
+    if decimal_overrides:
+        from velox_tpu.types.types import DecimalType, TypeKind
+
+        for bi, b in enumerate(batches):
+            for cname, (p, s) in decimal_overrides.items():
+                col = b.columns[cname]
+                dt = DecimalType(TypeKind.DECIMAL, p, s)
+                batches[bi] = batches[bi].with_column(
+                    cname, Column(
+                        dt, col.values.astype(dt.dtype), col.valid))
     t = Table(name, batches[0].schema, batches)
     _TABLES[name] = t
     return t

@@ -124,8 +124,24 @@ class DecimalType(DataType):
                 "long decimals (precision > 18) not supported yet"
             )
 
+    @property
+    def dtype(self) -> np.dtype:
+        return decimal_lane_dtype(self)
+
     def __str__(self) -> str:
         return f"DECIMAL({self.precision},{self.scale})"
+
+
+def decimal_lane_dtype(t: "DecimalType") -> np.dtype:
+    """Device lane for a decimal: int32 in narrow-lane mode when the
+    precision provably fits (TPUs emulate 64-bit; SURVEY.md §7 hard part
+    #5 — int paths never through float, and on TPU never through 64-bit
+    when 32 suffice)."""
+    from velox_tpu.utils.config import config
+
+    if config.narrow_lanes and t.precision <= 9:
+        return np.dtype(np.int32)
+    return np.dtype(np.int64)
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,40 @@
+"""Session configuration.
+
+Analog of velox/core/QueryConfig.h (157 macro-generated properties) pared
+to the knobs this engine honors. One process-wide instance (`config`)
+plus per-query overrides later.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass
+class SessionConfig:
+    #: device lane policy: narrow (32-bit lanes wherever exactness allows)
+    #: is the TPU-native mode — 64-bit integer/float ops are emulated on
+    #: TPU and pathologically slow on some backends. DECIMAL(p<=9) lanes
+    #: become int32; sums use exact digit-split accumulation.
+    narrow_lanes: bool = field(
+        default_factory=lambda: os.environ.get(
+            "VELOX_TPU_NARROW_LANES", "0") == "1")
+
+    #: preferred rows per output batch (velox QueryConfig
+    #: preferred_output_batch_rows analog)
+    preferred_batch_rows: int = 1 << 20
+
+    #: kArray aggregation mode cap (velox kArrayHashMaxSize analog)
+    max_array_groups: int = 1 << 20
+
+    #: abandon partial aggregation when groups/rows exceeds this after
+    #: min_rows (velox abandon_partial_aggregation_min_pct analog)
+    abandon_partial_agg_min_pct: float = 0.8
+    abandon_partial_agg_min_rows: int = 100_000
+
+    #: use the fused linear-pipeline compiler when a pipeline matches
+    fused_pipelines: bool = True
+
+
+config = SessionConfig()

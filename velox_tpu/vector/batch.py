@@ -133,9 +133,31 @@ class Batch:
         """Host sync: number of active rows."""
         return int(jnp.sum(self.sel))
 
+    def compact(self, count: Optional[int] = None) -> "Batch":
+        """Gather active rows to the front of a right-sized batch.
+
+        One host sync for the count (if not given), then a device
+        ``nonzero`` + gather — far cheaper than transferring a padded
+        batch off-device. The analog of copying surviving rows into a
+        dense output vector (velox/exec/OperatorUtils.cpp
+        gatherCopy)."""
+        if count is None:
+            count = self.selected_count()
+        cap2 = round_capacity(max(count, 1))
+        if cap2 >= self.capacity:
+            return self
+        idx = jnp.nonzero(
+            self.sel, size=cap2, fill_value=self.capacity)[0].astype(
+            jnp.int32)
+        sel2 = jnp.arange(cap2, dtype=jnp.int32) < count
+        return self.gather(idx, sel2, count)
+
     # --------------------------------------------------------- host output
     def to_pydict(self, limit: Optional[int] = None) -> Dict[str, list]:
         """Materialize active rows on host (for tests/results)."""
+        if self.capacity > LANE:
+            # shrink device-side before crossing the host boundary
+            self = self.compact()
         sel = np.asarray(self.sel)
         idx = np.nonzero(sel)[0]
         if limit is not None:
