@@ -459,6 +459,13 @@ def _eval_node_inner(expr, arrays, memo) -> ValuePair:
             return vals, valid
 
         pairs = [_eval_node(a, arrays, memo) for a in expr.args]
+        if expr.name in _ARITH and isinstance(expr.dtype, DecimalType):
+            # compute in the RESULT lane: narrow-mode int32 operands must
+            # widen before a multiply whose product exceeds 32 bits
+            lane = expr.dtype.dtype
+            pairs = [
+                (v if v.dtype == lane else v.astype(lane), va)
+                for (v, va) in pairs]
         fn = lookup_function(expr.name)
         if fn.default_nulls:
             vals = fn.impl(*[p[0] for p in pairs])

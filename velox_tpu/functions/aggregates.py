@@ -19,6 +19,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -83,6 +84,72 @@ def _masked(values, mask, identity):
     return jnp.where(mask, values, jnp.asarray(identity, dtype=values.dtype))
 
 
+_CHUNK_BITS = 16  # rows per overflow-safe chunk in narrow accumulation
+
+
+def _narrow_sum_applicable(acc, values) -> bool:
+    """Use the 32-bit digit-split path? (TPU narrow mode; int64 scatters
+    compile pathologically on some TPU backends — accumulate int32 digit
+    lanes chunked so nothing overflows, then combine small i64.)"""
+    from velox_tpu.utils.config import config
+
+    if values is None:
+        return False
+    if not config.narrow_lanes or acc.dtype != jnp.int64:
+        return False
+    if not jnp.issubdtype(values.dtype, jnp.integer):
+        return False
+    if jnp.dtype(values.dtype).itemsize > 4:
+        return False
+    n_groups = acc.shape[0]
+    chunks = (values.shape[0] + (1 << _CHUNK_BITS) - 1) >> _CHUNK_BITS
+    return n_groups * chunks <= (1 << 22)
+
+
+def _narrow_segment_sum(gids, contrib_i32, n_groups: int) -> jnp.ndarray:
+    """Exact int64 per-group sums of int32 contributions without any
+    64-bit scatter/reduce over the data: 3x14-bit digit lanes scattered
+    into (groups x chunks) int32 cells (each cell sums <= 2^16 rows of
+    <= 2^14 => < 2^30, no overflow), then a tiny i64 combine."""
+    n = contrib_i32.shape[0]
+    chunks = (n + (1 << _CHUNK_BITS) - 1) >> _CHUNK_BITS
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    cell = gids.astype(jnp.int32) * chunks + (rows >> _CHUNK_BITS)
+    # out-of-range gids (sentinel) stay out of range after scaling
+    cell = jnp.where(gids < n_groups, cell, n_groups * chunks)
+
+    def digit_sums(v):
+        out64 = jnp.zeros((n_groups,), jnp.int64)
+        for shift in (0, 14, 28):
+            digit = (v >> shift) & 0x3FFF if shift < 28 else (v >> 28)
+            part = (
+                jnp.zeros((n_groups * chunks,), jnp.int32)
+                .at[cell].add(digit, mode="drop")
+                .reshape(n_groups, chunks))
+            out64 = out64 + (
+                jnp.sum(part.astype(jnp.int64), axis=1) << shift)
+        return out64
+
+    v = contrib_i32.astype(jnp.int32)
+    pos = jnp.where(v >= 0, v, 0)
+    neg = jnp.where(v < 0, -v, 0)
+    return digit_sums(pos) - digit_sums(neg)
+
+
+def _narrow_segment_count(gids, mask, n_groups: int) -> jnp.ndarray:
+    """Exact int64 per-group counts via chunked int32 scatter."""
+    n = mask.shape[0]
+    chunks = (n + (1 << _CHUNK_BITS) - 1) >> _CHUNK_BITS
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    cell = gids.astype(jnp.int32) * chunks + (rows >> _CHUNK_BITS)
+    cell = jnp.where(gids < n_groups, cell, n_groups * chunks)
+    part = (
+        jnp.zeros((n_groups * chunks,), jnp.int32)
+        .at[cell].add(mask.astype(jnp.int32), mode="drop")
+        .reshape(n_groups, chunks))
+    return jnp.sum(part.astype(jnp.int64), axis=1)
+
+
 def _sum_result_type(t: Optional[DataType]) -> DataType:
     assert t is not None
     if isinstance(t, DecimalType):
@@ -103,6 +170,11 @@ def _sum_lane_dtype(t: Optional[DataType]) -> np.dtype:
 
 def _sum_acc(accs, gids, values, mask):
     (s, cnt) = accs
+    if _narrow_sum_applicable(s, values):
+        vm = jnp.where(mask, values, jnp.zeros((), values.dtype))
+        s = s + _narrow_segment_sum(gids, vm, s.shape[0])
+        cnt = cnt + _narrow_segment_count(gids, mask, cnt.shape[0])
+        return (s, cnt)
     v = _masked(values.astype(s.dtype), mask, 0)
     s = s.at[gids].add(v, mode="drop")
     cnt = cnt.at[gids].add(mask.astype(cnt.dtype), mode="drop")
@@ -140,6 +212,12 @@ register_aggregate(AggregateFunction(
 
 def _count_acc(accs, gids, values, mask):
     (cnt,) = accs
+    from velox_tpu.utils.config import config
+
+    if config.narrow_lanes and cnt.shape[0] * (
+            (mask.shape[0] + (1 << _CHUNK_BITS) - 1)
+            >> _CHUNK_BITS) <= (1 << 22):
+        return (cnt + _narrow_segment_count(gids, mask, cnt.shape[0]),)
     return (cnt.at[gids].add(mask.astype(cnt.dtype), mode="drop"),)
 
 
@@ -260,7 +338,9 @@ register_aggregate(AggregateFunction(
     name="avg",
     resolve_type=_avg_result_type,
     lanes=(
-        AccLane("sum", lambda t: _avg_result_type(t).dtype
+        # decimal averages accumulate in a WIDE int64 lane regardless of
+        # the (possibly narrow) input lane — sums overflow int32
+        AccLane("sum", lambda t: np.dtype(np.int64)
                 if isinstance(t, DecimalType) else np.dtype(np.float64),
                 lambda t: 0),
         AccLane("count", lambda t: np.dtype(np.int64), lambda t: 0),
