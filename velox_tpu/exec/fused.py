@@ -67,19 +67,22 @@ class FusedScanOp(Operator):
             return hit
         dicts: Dict[str, Optional[Dictionary]] = {
             n: c.dictionary for n, c in batch.columns.items()}
+        ranges = {
+            n: c.stats for n, c in batch.columns.items()
+            if c.stats is not None}
         stages = []
         if self.scan._filter is not None:
             _, run = self.scan._filter.pure(
                 {n: d for n, d in dicts.items() if d is not None},
-                "filter")
+                "filter", ranges)
             stages.append(("filter", run, None))
         for op in self.transforms:
             live = {n: d for n, d in dicts.items() if d is not None}
             if isinstance(op, FilterOp):
-                _, run = op._eval.pure(live, "filter")
+                _, run = op._eval.pure(live, "filter", ranges)
                 stages.append(("filter", run, None))
             else:
-                expr_set, run = op._eval.pure(live, "project")
+                expr_set, run = op._eval.pure(live, "project", ranges)
                 names = list(op.node.names)
                 stages.append(("project", run, names))
                 dicts = {
@@ -151,20 +154,23 @@ class FusedScanAggOp(Operator):
         # thread dictionary metadata through the transform chain (host)
         dicts: Dict[str, Optional[Dictionary]] = {
             n: c.dictionary for n, c in batch.columns.items()}
+        ranges = {
+            n: c.stats for n, c in batch.columns.items()
+            if c.stats is not None}
         stages = []
         scan = self.scan
         if scan._filter is not None:
             _, run = scan._filter.pure(
                 {n: d for n, d in dicts.items() if d is not None},
-                "filter")
+                "filter", ranges)
             stages.append(("filter", run, None))
         for op in self.transforms:
             live = {n: d for n, d in dicts.items() if d is not None}
             if isinstance(op, FilterOp):
-                _, run = op._eval.pure(live, "filter")
+                _, run = op._eval.pure(live, "filter", ranges)
                 stages.append(("filter", run, None))
             else:
-                expr_set, run = op._eval.pure(live, "project")
+                expr_set, run = op._eval.pure(live, "project", ranges)
                 names = list(op.node.names)
                 stages.append(("project", run, names))
                 dicts = {

@@ -86,15 +86,18 @@ class ExprEvaluator:
         self.exprs = list(exprs)
         self.schema = schema
 
-    def pure(self, dicts: Dict[str, object], mode: str = "eval"
+    def pure(self, dicts: Dict[str, object], mode: str = "eval",
+             ranges: Optional[Dict[str, tuple]] = None
              ) -> Tuple[ExprSet, Callable]:
         """(ExprSet, UNJITTED run fn) for composition into fused kernels."""
+        ranges = ranges or {}
         sig = ("pure", mode, self.schema,
                tuple(str(e) for e in self.exprs)) + tuple(
-            sorted((n, id(d)) for n, d in dicts.items()))
+            sorted((n, id(d)) for n, d in dicts.items())) + tuple(
+            sorted(ranges.items()))
         hit = _EVAL_CACHE.get(sig)
         if hit is None:
-            expr_set = ExprSet(self.exprs, self.schema, dicts)
+            expr_set = ExprSet(self.exprs, self.schema, dicts, ranges)
             hit = (expr_set, self._make_run(expr_set, mode))
             _EVAL_CACHE[sig] = hit
         return hit
@@ -130,12 +133,17 @@ class ExprEvaluator:
             n: c.dictionary for n, c in batch.columns.items()
             if c.dictionary is not None
         }
+        ranges = {
+            n: c.stats for n, c in batch.columns.items()
+            if c.stats is not None
+        }
         sig = (
             mode, self.schema, tuple(str(e) for e in self.exprs),
-        ) + tuple(sorted((n, id(d)) for n, d in dicts.items()))
+        ) + tuple(sorted((n, id(d)) for n, d in dicts.items())) + tuple(
+            sorted(ranges.items()))
         hit = _EVAL_CACHE.get(sig)
         if hit is None:
-            expr_set = ExprSet(self.exprs, self.schema, dicts)
+            expr_set = ExprSet(self.exprs, self.schema, dicts, ranges)
             hit = (expr_set, jax.jit(self._make_run(expr_set, mode)))
             _EVAL_CACHE[sig] = hit
         return hit

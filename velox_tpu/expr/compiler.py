@@ -401,6 +401,95 @@ def _other_literal(args):
     return None
 
 
+# ----------------------------------------------------------------- phase 2b
+
+_I32_MIN, _I32_MAX = -(2 ** 31), 2 ** 31 - 1
+
+
+def _interval(e: Expr, ranges: Dict[str, Tuple[int, int]]):
+    """Conservative value interval of an integer/decimal expression, from
+    table stats (velox VectorHasher range analysis analog). None=unknown."""
+    if isinstance(e, Literal):
+        if e.value is None or isinstance(e.value, (bool, str, np.ndarray)):
+            return None
+        if isinstance(e.dtype, DecimalType):
+            v = int(round(e.value * 10 ** e.dtype.scale))
+            return (v, v)
+        if isinstance(e.value, int):
+            return (e.value, e.value)
+        return None
+    if isinstance(e, FieldRef):
+        return ranges.get(e.name)
+    if isinstance(e, Cast):
+        child = _interval(e.expr, ranges)
+        if child is None:
+            return None
+        sdt, ddt = e.expr.dtype, e.dtype
+        if isinstance(sdt, DecimalType) and isinstance(ddt, DecimalType):
+            ds = ddt.scale - sdt.scale
+            if ds >= 0:
+                return (child[0] * 10 ** ds, child[1] * 10 ** ds)
+            p = 10 ** (-ds)
+            return (child[0] // p - 1, child[1] // p + 1)
+        if sdt.is_integer and isinstance(ddt, DecimalType):
+            return (child[0] * 10 ** ddt.scale, child[1] * 10 ** ddt.scale)
+        if sdt.is_integer and ddt.is_integer:
+            return child
+        return None
+    if isinstance(e, Call) and e.name in (
+            "plus", "minus", "multiply", "negate"):
+        ivs = [_interval(a, ranges) for a in e.args]
+        if any(v is None for v in ivs):
+            return None
+        if e.name == "negate":
+            return (-ivs[0][1], -ivs[0][0])
+        (a1, b1), (a2, b2) = ivs
+        if e.name == "plus":
+            return (a1 + a2, b1 + b2)
+        if e.name == "minus":
+            return (a1 - b2, b1 - a2)
+        prods = [a1 * a2, a1 * b2, b1 * a2, b1 * b2]
+        return (min(prods), max(prods))
+    return None
+
+
+def widen_decimal_arith(expr: Expr,
+                        ranges: Dict[str, Tuple[int, int]]) -> Expr:
+    """Insert lane-widening casts on decimal arithmetic whose result may
+    exceed the operand lanes. In narrow mode, results PROVEN (by table
+    stats interval arithmetic) to fit int32 skip the widening and the
+    whole expression stays 32-bit — the difference between a fused i32
+    kernel and emulated i64 on TPU."""
+    from velox_tpu.utils.config import config
+
+    if isinstance(expr, Cast):
+        return Cast(expr.dtype, widen_decimal_arith(expr.expr, ranges),
+                    expr.null_on_failure)
+    if isinstance(expr, TryExpr):
+        return TryExpr(expr.dtype, widen_decimal_arith(expr.expr, ranges))
+    if isinstance(expr, DictTransform):
+        return expr
+    if not isinstance(expr, Call):
+        return expr
+    args = tuple(widen_decimal_arith(a, ranges) for a in expr.args)
+    expr = Call(expr.dtype, expr.name, args)
+    if expr.name not in _ARITH or not isinstance(expr.dtype, DecimalType):
+        return expr
+    if expr.dtype.dtype != np.dtype(np.int64):
+        return expr  # result lane already narrow
+    if config.narrow_lanes:
+        iv = _interval(expr, ranges)
+        if iv is not None and iv[0] >= _I32_MIN and iv[1] <= _I32_MAX:
+            return expr  # proven to fit the operands' 32-bit lanes
+    # widen decimal operands to the wide lane before computing
+    wide_args = tuple(
+        Cast(DecimalType(TypeKind.DECIMAL, 18, a.dtype.scale), a, False)
+        if isinstance(a.dtype, DecimalType)
+        and a.dtype.dtype != np.dtype(np.int64) else a
+        for a in expr.args)
+    return Call(expr.dtype, expr.name, wide_args)
+
+
 # ------------------------------------------------------------------ phase 3
 
 ValuePair = Tuple[jax.Array, Optional[jax.Array]]
@@ -459,13 +548,6 @@ def _eval_node_inner(expr, arrays, memo) -> ValuePair:
             return vals, valid
 
         pairs = [_eval_node(a, arrays, memo) for a in expr.args]
-        if expr.name in _ARITH and isinstance(expr.dtype, DecimalType):
-            # compute in the RESULT lane: narrow-mode int32 operands must
-            # widen before a multiply whose product exceeds 32 bits
-            lane = expr.dtype.dtype
-            pairs = [
-                (v if v.dtype == lane else v.astype(lane), va)
-                for (v, va) in pairs]
         fn = lookup_function(expr.name)
         if fn.default_nulls:
             vals = fn.impl(*[p[0] for p in pairs])
@@ -537,11 +619,14 @@ class ExprSet:
     """
 
     def __init__(self, exprs: Sequence[Expr], schema: RowType,
-                 dictionaries: Optional[Dict[str, "Dictionary"]] = None):
+                 dictionaries: Optional[Dict[str, "Dictionary"]] = None,
+                 ranges: Optional[Dict[str, Tuple[int, int]]] = None):
         self.schema = schema
         self.dictionaries = dictionaries or {}
+        self.ranges = ranges or {}
         resolved = [resolve_types(e, schema) for e in exprs]
-        self.exprs = [bind_strings(e, self.dictionaries) for e in resolved]
+        bound = [bind_strings(e, self.dictionaries) for e in resolved]
+        self.exprs = [widen_decimal_arith(e, self.ranges) for e in bound]
         self.result_types = [e.dtype for e in self.exprs]
         #: dictionary of each result column (string passthroughs/transforms)
         self.result_dictionaries = [

@@ -89,9 +89,40 @@ def register_arrow(
                 batches[bi] = batches[bi].with_column(
                     cname, Column(
                         dt, col.values.astype(dt.dtype), col.valid))
+    _attach_stats(table, batches, decimal_overrides)
     t = Table(name, batches[0].schema, batches)
     _TABLES[name] = t
     return t
+
+
+def _attach_stats(table: pa.Table, batches: List[Batch],
+                  decimal_overrides) -> None:
+    """Table-global (min, max) per integer-lane column
+    (velox/exec/VectorHasher.h:127 stats analog; drives narrow lanes)."""
+    import dataclasses
+
+    import pyarrow.compute as pc
+
+    for cname in table.column_names:
+        arr = table.column(cname)
+        t = arr.type
+        try:
+            if pa.types.is_integer(t):
+                a2 = arr
+            elif pa.types.is_date32(t):
+                a2 = arr.cast(pa.int32())
+            else:
+                continue
+            mm = pc.min_max(a2)
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        except Exception:
+            continue
+        if lo is None:
+            continue
+        for bi, b in enumerate(batches):
+            col = b.columns[cname]
+            batches[bi] = b.with_column(
+                cname, dataclasses.replace(col, stats=(int(lo), int(hi))))
 
 
 def _unify_dictionaries(

@@ -73,6 +73,10 @@ class Column:
     values: jax.Array                      # (capacity,) device array
     valid: Optional[jax.Array] = None      # (capacity,) bool, None = all valid
     dictionary: Optional[Dictionary] = None
+    #: table-global (min, max) of the raw lane values — the VectorHasher
+    #: stats analog (velox/exec/VectorHasher.h:127): drives narrow-lane
+    #: decisions and kArray/normalized-key modes
+    stats: Optional[tuple] = None
 
     @property
     def capacity(self) -> int:
