@@ -474,3 +474,43 @@ def test_decimal_float_literal_compare():
     out = run_plan_pydict(
         PlanBuilder().values([b]).filter("disc BETWEEN 0.05 AND 0.07"))
     assert [str(x) for x in out["disc"]] == ["0.05", "0.06"]
+
+
+def test_plan_stats_and_metrics():
+    from velox_tpu.exec.task import Task
+    from velox_tpu.utils.metrics import reporter
+
+    b = make_batch({"a": list(range(50)), "v": [float(i) for i in range(50)]})
+    plan = (PlanBuilder().values([b]).filter("a % 2 = 0")
+            .aggregate([], ["sum(v) AS s"]).build())
+    t = Task(plan)
+    out = list(t.run())
+    assert len(out) == 1
+    txt = t.print_plan_with_stats()
+    assert "Aggregation" in txt and "Filter" in txt and "Values" in txt
+    assert "rows" in txt
+    snap = reporter.snapshot()
+    assert snap["counters"]["velox_tpu.task_executions"] >= 1
+
+
+def test_spill_to_host_under_memory_pressure():
+    from velox_tpu.utils.config import config as cfg
+    from velox_tpu.utils.metrics import reporter
+
+    cfg.spill_memory_budget_bytes = 1 << 14  # 16KB: force spills
+    try:
+        rng = np.random.default_rng(30)
+        batches = []
+        alls = []
+        for _ in range(8):
+            v = rng.integers(0, 10000, 1024)
+            alls.extend(v.tolist())
+            batches.append(make_batch({"v": v.tolist()}))
+        out = run_plan_pydict(
+            PlanBuilder().values(batches).order_by(["v"]))
+        assert out["v"] == sorted(alls)
+        snap = reporter.snapshot()
+        assert snap["counters"].get("velox_tpu.spill_events", 0) >= 1
+        assert snap["counters"].get("velox_tpu.spilled_bytes", 0) > 0
+    finally:
+        cfg.spill_memory_budget_bytes = None

@@ -29,6 +29,7 @@ from velox_tpu.exec.operator import (
     ExprEvaluator, Operator, key_pairs, result_column,
 )
 from velox_tpu.exec.jitcache import cached_jit
+from velox_tpu.exec.spill import SpillableBuffer
 from velox_tpu.functions.aggregates import lookup_aggregate
 from velox_tpu.ops.groupby import group_ids_array, group_ids_sorted
 from velox_tpu.ops.join import (
@@ -651,7 +652,7 @@ class OrderByOp(Operator):
 
     def __init__(self, node):
         super().__init__(node)
-        self._buffer: List[Batch] = []
+        self._buffer = SpillableBuffer("orderby")
         self._emitted = False
 
     def add_input(self, batch: Batch) -> None:
@@ -661,9 +662,10 @@ class OrderByOp(Operator):
         if not self.no_more_input_seen or self._emitted:
             return None
         self._emitted = True
-        if not self._buffer:
+        batches = self._buffer.drain()
+        if not batches:
             return None
-        big = concat_batches(self._buffer)
+        big = concat_batches(batches)
         spec = [(k.name, k.descending, k.nulls_first)
                 for k in self.node.keys]
 
@@ -898,7 +900,7 @@ class HashBuildOp(Operator):
     def __init__(self, node, bridge: JoinBridge):
         super().__init__(node)
         self.bridge = bridge
-        self._buffer: List[Batch] = []
+        self._buffer = SpillableBuffer("hash_build")
 
     def add_input(self, batch: Batch) -> None:
         self._buffer.append(batch)
@@ -908,8 +910,9 @@ class HashBuildOp(Operator):
             return
         super().no_more_input()
         node = self.bridge.node
-        if self._buffer:
-            big = concat_batches(self._buffer)
+        batches = self._buffer.drain()
+        if batches:
+            big = concat_batches(batches)
         else:
             big = Batch.empty_like(
                 node.right.output_type, round_capacity(1))
@@ -1275,7 +1278,7 @@ class CrossBuildOp(Operator):
     def __init__(self, node, bridge: JoinBridge):
         super().__init__(node)
         self.bridge = bridge
-        self._buffer: List[Batch] = []
+        self._buffer = SpillableBuffer("cross_build")
 
     def add_input(self, batch: Batch) -> None:
         self._buffer.append(batch)
@@ -1285,8 +1288,9 @@ class CrossBuildOp(Operator):
             return
         super().no_more_input()
         node = self.bridge.node
-        if self._buffer:
-            big = concat_batches(self._buffer)
+        batches = self._buffer.drain()
+        if batches:
+            big = concat_batches(batches)
         else:
             big = Batch.empty_like(node.right.output_type, round_capacity(1))
         # compact actives to the front

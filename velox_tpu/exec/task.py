@@ -112,14 +112,24 @@ class LocalPlanner:
         return chain
 
 
+def _record_out(op: Operator, b: Optional[Batch]) -> None:
+    if b is not None:
+        op.stats.output_batches += 1
+        if b.num_rows is not None:
+            op.stats.output_rows += b.num_rows
+
+
 def _stream(ops: List[Operator], i: int) -> Iterator[Batch]:
     """Serial driver inner loop (velox/exec/Driver.cpp:615-720 analog)."""
     op = ops[i]
     if i == 0:
         while not op.is_finished():
+            t0 = time.perf_counter()
             b = op.get_output()
+            op.stats.get_output_wall_s += time.perf_counter() - t0
             if b is None:
                 break
+            _record_out(op, b)
             yield b
         return
     upstream = _stream(ops, i - 1)
@@ -127,25 +137,30 @@ def _stream(ops: List[Operator], i: int) -> Iterator[Batch]:
         if not op.needs_input():
             break
         op.stats.input_batches += 1
+        if b.num_rows is not None:
+            op.stats.input_rows += b.num_rows
+        t0 = time.perf_counter()
         op.add_input(b)
+        op.stats.add_input_wall_s += time.perf_counter() - t0
         while True:
+            t0 = time.perf_counter()
             out = op.get_output()
+            op.stats.get_output_wall_s += time.perf_counter() - t0
             if out is None:
                 break
-            op.stats.output_batches += 1
+            _record_out(op, out)
             yield out
             if op.is_finished():
                 upstream.close()
                 return
     op.no_more_input()
     while not op.is_finished():
+        t0 = time.perf_counter()
         out = op.get_output()
+        op.stats.get_output_wall_s += time.perf_counter() - t0
         if out is None:
-            if op.is_finished():
-                break
-            # blocking op produced everything
             break
-        op.stats.output_batches += 1
+        _record_out(op, out)
         yield out
 
 
@@ -157,6 +172,9 @@ class Task:
         self.planner = LocalPlanner(plan)
 
     def run(self) -> Iterator[Batch]:
+        from velox_tpu.utils.metrics import METRIC_TASK_EXECUTIONS, reporter
+
+        reporter.add_counter(METRIC_TASK_EXECUTIONS)
         # run non-output (join build) pipelines to completion, in creation
         # order: a pipeline's bridges are always created (and appended)
         # while lowering its chain, before the pipeline itself is appended,
@@ -176,6 +194,36 @@ class Task:
             op.stats
             for p in self.planner.pipelines for op in p.operators
         ]
+
+    def print_plan_with_stats(self) -> str:
+        """Annotated plan tree (velox printPlanWithStats analog,
+        docs/develop/debugging/print-plan-with-stats.rst)."""
+        by_node: Dict[str, list] = {}
+        for p in self.planner.pipelines:
+            for op in p.operators:
+                by_node.setdefault(op.stats.plan_node_id, []).append(
+                    op.stats)
+
+        lines: List[str] = []
+
+        def walk(node, depth):
+            pad = "  " * depth
+            stats = by_node.get(node.id, [])
+            ann = ""
+            if stats:
+                s = stats[0]
+                ann = (
+                    f"  [{s.operator_type}: in {s.input_rows} rows/"
+                    f"{s.input_batches} batches, out {s.output_rows} rows/"
+                    f"{s.output_batches} batches, "
+                    f"add {s.add_input_wall_s * 1e3:.1f}ms, "
+                    f"get {s.get_output_wall_s * 1e3:.1f}ms]")
+            lines.append(f"{pad}- {node.name()}(id={node.id}){ann}")
+            for src in node.sources:
+                walk(src, depth + 1)
+
+        walk(self.plan, 0)
+        return "\n".join(lines)
 
 
 def run_plan(plan) -> "pa.Table":

@@ -22,6 +22,7 @@ from velox_tpu.vector.column import Column
 from velox_tpu.exec.operator import ExprEvaluator, Operator
 from velox_tpu.exec.operators import _cols_of
 from velox_tpu.exec.jitcache import cached_jit
+from velox_tpu.exec.spill import SpillableBuffer
 from velox_tpu.functions.aggregates import lookup_aggregate
 from velox_tpu.ops.groupby import group_ids_sorted
 from velox_tpu.ops.sort import sort_indices
@@ -63,7 +64,7 @@ class WindowOp(Operator):
 
     def __init__(self, node):
         super().__init__(node)
-        self._buffer: List[Batch] = []
+        self._buffer = SpillableBuffer("window")
         self._emitted = False
 
     def add_input(self, batch: Batch) -> None:
@@ -73,9 +74,10 @@ class WindowOp(Operator):
         if not self.no_more_input_seen or self._emitted:
             return None
         self._emitted = True
-        if not self._buffer:
+        batches = self._buffer.drain()
+        if not batches:
             return None
-        big = concat_batches(self._buffer)
+        big = concat_batches(batches)
         node = self.node
         needed = list(dict.fromkeys(
             list(node.partition_keys)
@@ -257,7 +259,7 @@ class RowNumberOp(Operator):
 
     def __init__(self, node):
         super().__init__(node)
-        self._buffer: List[Batch] = []
+        self._buffer = SpillableBuffer("row_number")
         self._emitted = False
 
     def add_input(self, batch: Batch) -> None:
@@ -291,9 +293,10 @@ class RowNumberOp(Operator):
         if not self.no_more_input_seen or self._emitted:
             return None
         self._emitted = True
-        if not self._buffer:
+        batches = self._buffer.drain()
+        if not batches:
             return None
-        big = concat_batches(self._buffer)
+        big = concat_batches(batches)
         node = self.node
         sort_keys = getattr(node, "sort_keys", ())
         rn = self._rn(big, node.partition_keys, sort_keys)
@@ -317,9 +320,10 @@ class TopNRowNumberOp(RowNumberOp):
         if not self.no_more_input_seen or self._emitted:
             return None
         self._emitted = True
-        if not self._buffer:
+        batches = self._buffer.drain()
+        if not batches:
             return None
-        big = concat_batches(self._buffer)
+        big = concat_batches(batches)
         node = self.node
         rn = self._rn(big, node.partition_keys, node.sort_keys)
         sel = jnp.logical_and(big.sel, rn <= node.limit)
@@ -337,7 +341,7 @@ class MarkDistinctOp(Operator):
 
     def __init__(self, node):
         super().__init__(node)
-        self._buffer: List[Batch] = []
+        self._buffer = SpillableBuffer("mark_distinct")
         self._emitted = False
 
     def add_input(self, batch: Batch) -> None:
@@ -347,9 +351,10 @@ class MarkDistinctOp(Operator):
         if not self.no_more_input_seen or self._emitted:
             return None
         self._emitted = True
-        if not self._buffer:
+        batches = self._buffer.drain()
+        if not batches:
             return None
-        big = concat_batches(self._buffer)
+        big = concat_batches(batches)
         node = self.node
         cols = _cols_of(big, list(node.keys))
 

@@ -113,6 +113,28 @@ def _narrow_segment_sum(gids, contrib_i32, n_groups: int) -> jnp.ndarray:
     <= 2^14 => < 2^30, no overflow), then a tiny i64 combine."""
     n = contrib_i32.shape[0]
     chunks = (n + (1 << _CHUNK_BITS) - 1) >> _CHUNK_BITS
+
+    if n_groups == 1:
+        # keyless: pure chunked reductions, no scatters at all
+        masked = jnp.where(gids < 1, contrib_i32.astype(jnp.int32), 0)
+        pad = chunks * (1 << _CHUNK_BITS) - n
+        if pad:
+            masked = jnp.concatenate(
+                [masked, jnp.zeros((pad,), jnp.int32)])
+        pos = jnp.where(masked >= 0, masked, 0)
+        neg = jnp.where(masked < 0, -masked, 0)
+
+        def digit_total(v):
+            out = jnp.zeros((), jnp.int64)
+            for shift in (0, 14, 28):
+                d = (v >> shift) & 0x3FFF if shift < 28 else (v >> 28)
+                per_chunk = jnp.sum(
+                    d.reshape(chunks, 1 << _CHUNK_BITS), axis=1)
+                out = out + (jnp.sum(per_chunk.astype(jnp.int64)) << shift)
+            return out
+
+        return (digit_total(pos) - digit_total(neg))[None]
+
     rows = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
     cell = gids.astype(jnp.int32) * chunks + (rows >> _CHUNK_BITS)
     # out-of-range gids (sentinel) stay out of range after scaling
@@ -140,6 +162,13 @@ def _narrow_segment_count(gids, mask, n_groups: int) -> jnp.ndarray:
     """Exact int64 per-group counts via chunked int32 scatter."""
     n = mask.shape[0]
     chunks = (n + (1 << _CHUNK_BITS) - 1) >> _CHUNK_BITS
+    if n_groups == 1:
+        m = jnp.logical_and(gids < 1, mask).astype(jnp.int32)
+        pad = chunks * (1 << _CHUNK_BITS) - n
+        if pad:
+            m = jnp.concatenate([m, jnp.zeros((pad,), jnp.int32)])
+        per_chunk = jnp.sum(m.reshape(chunks, 1 << _CHUNK_BITS), axis=1)
+        return jnp.sum(per_chunk.astype(jnp.int64))[None]
     rows = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
     cell = gids.astype(jnp.int32) * chunks + (rows >> _CHUNK_BITS)
     cell = jnp.where(gids < n_groups, cell, n_groups * chunks)

@@ -36,5 +36,10 @@ class SessionConfig:
     #: use the fused linear-pipeline compiler when a pipeline matches
     fused_pipelines: bool = True
 
+    #: HBM budget for buffered (blocking-operator) batches; exceeding it
+    #: spills buffers to host RAM (velox memory arbitration analog).
+    #: None = unlimited.
+    spill_memory_budget_bytes: "int | None" = None
+
 
 config = SessionConfig()
