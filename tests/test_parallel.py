@@ -119,3 +119,60 @@ def test_distributed_keyless_aggregate(mesh):
     assert np.asarray(results[0])[0] == pytest.approx(vals[sel].sum())
     assert int(np.asarray(results[1])[0]) == int(sel.sum())
     assert np.asarray(results[2])[0] == pytest.approx(vals[sel].max())
+
+
+def test_run_plan_distributed_matches_serial(mesh):
+    import pyarrow as pa
+
+    from velox_tpu.io import register_arrow, drop_table
+    from velox_tpu.plan import PlanBuilder
+    from velox_tpu.exec import run_plan
+    from velox_tpu.parallel.runner import run_plan_distributed
+
+    rng = np.random.default_rng(7)
+    n = 4096
+    register_arrow("dist_t", pa.table({
+        "k": rng.integers(0, 23, n), "v": rng.normal(size=n),
+        "w": rng.integers(0, 100, n)}), batch_rows=512)
+    try:
+        def plan():
+            return (PlanBuilder().table_scan("dist_t")
+                    .filter("w < 80")
+                    .project(["k", "v * 2.0 AS v2"])
+                    .aggregate(["k"], ["sum(v2) AS s", "count(*) AS c",
+                                       "min(v2) AS lo"]))
+
+        serial = run_plan(plan()).to_pandas().sort_values(
+            "k").reset_index(drop=True)
+        dist = run_plan_distributed(plan(), mesh).to_pandas().sort_values(
+            "k").reset_index(drop=True)
+        assert serial["k"].tolist() == dist["k"].tolist()
+        np.testing.assert_allclose(serial["s"], dist["s"], rtol=1e-12)
+        assert serial["c"].tolist() == dist["c"].tolist()
+        np.testing.assert_allclose(serial["lo"], dist["lo"], rtol=1e-12)
+    finally:
+        drop_table("dist_t")
+
+
+def test_run_plan_distributed_keyless(mesh):
+    import pyarrow as pa
+
+    from velox_tpu.io import register_arrow, drop_table
+    from velox_tpu.plan import PlanBuilder
+    from velox_tpu.exec import run_plan
+    from velox_tpu.parallel.runner import run_plan_distributed
+
+    rng = np.random.default_rng(8)
+    register_arrow("dist_g", pa.table({
+        "v": rng.normal(size=3000)}), batch_rows=500)
+    try:
+        p = (PlanBuilder().table_scan("dist_g")
+             .aggregate([], ["sum(v) AS s", "count(*) AS c"]))
+        serial = run_plan(p).to_pydict()
+        p2 = (PlanBuilder().table_scan("dist_g")
+              .aggregate([], ["sum(v) AS s", "count(*) AS c"]))
+        dist = run_plan_distributed(p2, mesh).to_pydict()
+        assert dist["c"] == serial["c"]
+        assert dist["s"][0] == pytest.approx(serial["s"][0], rel=1e-12)
+    finally:
+        drop_table("dist_g")
