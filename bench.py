@@ -56,7 +56,7 @@ def main() -> None:
             "l_quantity": qty_c,
             "l_shipdate": pa.array(ship, type=pa.date32()),
         }),
-        batch_rows=1 << 22,
+        batch_rows=1 << 23,
         decimal_overrides={
             "l_extendedprice": (9, 2), "l_discount": (3, 2),
             "l_quantity": (4, 2)},

@@ -35,9 +35,35 @@ from velox_tpu.plan.nodes import (
 #: (velox/exec/Operator.h:452 translator registry analog)
 _OPERATOR_REGISTRY: Dict[type, object] = {}
 
+_SIMPLE_OPERATORS = {
+    FilterNode: FilterOp,
+    ProjectNode: ProjectOp,
+    AggregationNode: HashAggregationOp,
+    OrderByNode: OrderByOp,
+    TopNNode: TopNOp,
+    LimitNode: LimitOp,
+    EnforceSingleRowNode: EnforceSingleRowOp,
+    AssignUniqueIdNode: AssignUniqueIdOp,
+    WindowNode: WindowOp,
+    RowNumberNode: RowNumberOp,
+    TopNRowNumberNode: TopNRowNumberOp,
+    MarkDistinctNode: MarkDistinctOp,
+    ExpandNode: ExpandOp,
+}
+
 
 def register_operator(node_type: type, factory) -> None:
     _OPERATOR_REGISTRY[node_type] = factory
+
+
+def make_operator(node) -> Operator:
+    """Construct the operator for a single-source plan node (used by
+    trace replay, velox/tool/trace analog)."""
+    cls = _SIMPLE_OPERATORS.get(type(node))
+    if cls is None:
+        raise NotImplementedError(
+            f"replay unsupported for {type(node).__name__}")
+    return cls(node)
 
 
 class Pipeline:
@@ -88,22 +114,7 @@ class LocalPlanner:
             chain.append(factory(node))
             return chain
 
-        simple = {
-            FilterNode: FilterOp,
-            ProjectNode: ProjectOp,
-            AggregationNode: HashAggregationOp,
-            OrderByNode: OrderByOp,
-            TopNNode: TopNOp,
-            LimitNode: LimitOp,
-            EnforceSingleRowNode: EnforceSingleRowOp,
-            AssignUniqueIdNode: AssignUniqueIdOp,
-            WindowNode: WindowOp,
-            RowNumberNode: RowNumberOp,
-            TopNRowNumberNode: TopNRowNumberOp,
-            MarkDistinctNode: MarkDistinctOp,
-            ExpandNode: ExpandOp,
-        }
-        cls = simple.get(type(node))
+        cls = _SIMPLE_OPERATORS.get(type(node))
         if cls is None:
             raise NotImplementedError(
                 f"no operator for {type(node).__name__}")
@@ -119,7 +130,8 @@ def _record_out(op: Operator, b: Optional[Batch]) -> None:
             op.stats.output_rows += b.num_rows
 
 
-def _stream(ops: List[Operator], i: int) -> Iterator[Batch]:
+def _stream(ops: List[Operator], i: int,
+            tracer=None) -> Iterator[Batch]:
     """Serial driver inner loop (velox/exec/Driver.cpp:615-720 analog)."""
     op = ops[i]
     if i == 0:
@@ -132,13 +144,16 @@ def _stream(ops: List[Operator], i: int) -> Iterator[Batch]:
             _record_out(op, b)
             yield b
         return
-    upstream = _stream(ops, i - 1)
+    upstream = _stream(ops, i - 1, tracer)
     for b in upstream:
         if not op.needs_input():
             break
         op.stats.input_batches += 1
         if b.num_rows is not None:
             op.stats.input_rows += b.num_rows
+        if tracer is not None and tracer.wants(op.stats.plan_node_id):
+            # operator input interception (velox/exec/Driver.cpp:600-611)
+            tracer.record(op.stats.plan_node_id, b)
         t0 = time.perf_counter()
         op.add_input(b)
         op.stats.add_input_wall_s += time.perf_counter() - t0
@@ -167,9 +182,10 @@ def _stream(ops: List[Operator], i: int) -> Iterator[Batch]:
 class Task:
     """Owns one plan's execution (velox/exec/Task.h:44, serial mode)."""
 
-    def __init__(self, plan: PlanNode):
+    def __init__(self, plan: PlanNode, tracer=None):
         self.plan = plan
         self.planner = LocalPlanner(plan)
+        self.tracer = tracer
 
     def run(self) -> Iterator[Batch]:
         from velox_tpu.utils.metrics import METRIC_TASK_EXECUTIONS, reporter
@@ -182,12 +198,14 @@ class Task:
         for p in self.planner.pipelines:
             if p.is_output:
                 continue
-            for _ in _stream(p.operators, len(p.operators) - 1):
+            for _ in _stream(p.operators, len(p.operators) - 1,
+                             self.tracer):
                 pass
             p.operators[-1].no_more_input()
         out = next(
             p for p in self.planner.pipelines if p.is_output)
-        yield from _stream(out.operators, len(out.operators) - 1)
+        yield from _stream(out.operators, len(out.operators) - 1,
+                           self.tracer)
 
     def stats(self):
         return [

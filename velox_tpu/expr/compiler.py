@@ -232,12 +232,38 @@ def _decimal_result(name: str, a: DataType, b: DataType) -> DataType:
 
 
 def _branch_type(name: str, args) -> DataType:
+    """Common result type across value branches (Presto coerces all
+    branches of IF/CASE/COALESCE to a least common type)."""
     if name == "if":
-        return args[1].dtype
-    if name == "coalesce":
-        return args[0].dtype
-    # switch: first value branch
-    return args[1].dtype
+        branches = list(args[1:])
+    elif name == "coalesce":
+        branches = list(args)
+    else:  # switch: (c1, v1, c2, v2, ..., [else])
+        branches = list(args[1::2])
+        if len(args) % 2 == 1:
+            branches.append(args[-1])
+    types = [
+        a.dtype for a in branches
+        if a.dtype is not None and a.dtype.kind != TypeKind.UNKNOWN]
+    t = types[0]
+    for u in types[1:]:
+        if u == t:
+            continue
+        if t.is_numeric and u.is_numeric:
+            if isinstance(t, DecimalType) or isinstance(u, DecimalType):
+                if t.is_floating or u.is_floating:
+                    t = DOUBLE
+                elif isinstance(t, DecimalType) and isinstance(
+                        u, DecimalType):
+                    t = DecimalType(
+                        TypeKind.DECIMAL,
+                        min(max(t.precision, u.precision) + 1, 18),
+                        max(t.scale, u.scale))
+                else:
+                    t = t if isinstance(t, DecimalType) else u
+            else:
+                t = common_numeric_type(t, u)
+    return t
 
 
 def _cast_branches(name: str, args, dtype) -> Tuple[Expr, ...]:

@@ -1,0 +1,235 @@
+"""Expression fuzzer: engine vs independent host evaluator.
+
+Analog of velox/expression/fuzzer/ExpressionFuzzer.h:33 with the
+reference-runner role (velox/exec/fuzzer/ReferenceQueryRunner.h:53) played
+by a from-scratch pandas/python evaluator implementing the same Presto
+null semantics. Any value/validity mismatch on any generated tree is a
+bug in one of the two evaluators.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+from velox_tpu.expr.ir import (
+    Call, Cast, Expr, FieldRef, Literal,
+)
+from velox_tpu.expr.compiler import ExprSet
+from velox_tpu.fuzzer.vector_fuzzer import VectorFuzzer
+
+_NUM_COLS = {"a": "bigint", "b": "bigint", "x": "double", "y": "double"}
+_ALL_COLS = {**_NUM_COLS, "s": "varchar", "flag": "boolean"}
+
+
+class ExpressionFuzzer:
+    def __init__(self, seed: int = 0):
+        self.rng = np.random.default_rng(seed)
+
+    # ------------------------------------------------------- generation
+    def gen_numeric(self, depth: int) -> Expr:
+        r = self.rng
+        if depth <= 0 or r.random() < 0.35:
+            if r.random() < 0.6:
+                return FieldRef(None, str(r.choice(
+                    [c for c, k in _NUM_COLS.items()])))
+            if r.random() < 0.5:
+                return Literal(None, int(r.integers(-50, 50)))
+            return Literal(None, float(np.round(r.normal(scale=20), 2)))
+        op = str(r.choice(["plus", "minus", "multiply"]))
+        return Call(None, op, (
+            self.gen_numeric(depth - 1), self.gen_numeric(depth - 1)))
+
+    def gen_bool(self, depth: int) -> Expr:
+        r = self.rng
+        kind = str(r.choice(
+            ["cmp", "and", "or", "not", "is_null", "between", "in",
+             "streq", "flag"] if depth > 0 else ["cmp", "flag"]))
+        if kind == "cmp":
+            op = str(r.choice(["eq", "neq", "lt", "lte", "gt", "gte"]))
+            return Call(None, op, (
+                self.gen_numeric(depth - 1), self.gen_numeric(depth - 1)))
+        if kind == "and" or kind == "or":
+            return Call(None, kind, (
+                self.gen_bool(depth - 1), self.gen_bool(depth - 1)))
+        if kind == "not":
+            return Call(None, "not", (self.gen_bool(depth - 1),))
+        if kind == "is_null":
+            return Call(None, "is_null", (self.gen_numeric(depth - 1),))
+        if kind == "between":
+            lo = int(self.rng.integers(-40, 0))
+            hi = int(self.rng.integers(0, 40))
+            return Call(None, "between", (
+                FieldRef(None, "a"), Literal(None, lo), Literal(None, hi)))
+        if kind == "in":
+            vals = [int(v) for v in self.rng.integers(-20, 20, 3)]
+            return Call(None, "in", (
+                FieldRef(None, "a"),
+                *[Literal(None, v) for v in vals]))
+        if kind == "streq":
+            return Call(None, "eq", (
+                FieldRef(None, "s"),
+                Literal(None, f"s{int(self.rng.integers(0, 14)):02d}")))
+        return FieldRef(None, "flag")
+
+    def gen(self, depth: int = 3) -> Expr:
+        if self.rng.random() < 0.5:
+            return self.gen_bool(depth)
+        e = self.gen_numeric(depth)
+        if self.rng.random() < 0.3:
+            return Call(None, "coalesce", (e, self.gen_numeric(1)))
+        if self.rng.random() < 0.3:
+            return Call(None, "if", (self.gen_bool(1), e,
+                                     self.gen_numeric(1)))
+        return e
+
+
+# ---------------------------------------------------------------- oracle
+
+def _oracle(e: Expr, df: pd.DataFrame):
+    """Independent evaluator: returns pandas Series with NaN/None=null,
+    implementing Presto default-null + Kleene AND/OR semantics."""
+    n = len(df)
+    if isinstance(e, FieldRef):
+        return df[e.name]
+    if isinstance(e, Literal):
+        return pd.Series([e.value] * n)
+    if isinstance(e, Call):
+        name = e.name
+        if name in ("and", "or"):
+            args = [_oracle(a, df) for a in e.args]
+            out = []
+            for i in range(n):
+                vals = [a.iloc[i] for a in args]
+                vals = [None if pd.isna(v) else bool(v) for v in vals]
+                if name == "and":
+                    if any(v is False for v in vals):
+                        out.append(False)
+                    elif any(v is None for v in vals):
+                        out.append(None)
+                    else:
+                        out.append(True)
+                else:
+                    if any(v is True for v in vals):
+                        out.append(True)
+                    elif any(v is None for v in vals):
+                        out.append(None)
+                    else:
+                        out.append(False)
+            return pd.Series(out, dtype=object)
+        if name == "not":
+            a = _oracle(e.args[0], df)
+            return a.map(lambda v: None if pd.isna(v) else not bool(v))
+        if name == "is_null":
+            return _oracle(e.args[0], df).isna()
+        if name == "coalesce":
+            a, b = [_oracle(x, df) for x in e.args]
+            return a.where(~a.isna(), b)
+        if name == "if":
+            c, t = _oracle(e.args[0], df), _oracle(e.args[1], df)
+            f = (_oracle(e.args[2], df) if len(e.args) > 2
+                 else pd.Series([None] * n))
+            out = []
+            for i in range(n):
+                cv = c.iloc[i]
+                if pd.isna(cv) or not cv:
+                    out.append(f.iloc[i])
+                else:
+                    out.append(t.iloc[i])
+            return pd.Series(out)
+        if name == "between":
+            v, lo, hi = [_oracle(x, df) for x in e.args]
+            return pd.Series([
+                None if (pd.isna(v.iloc[i]) or pd.isna(lo.iloc[i])
+                         or pd.isna(hi.iloc[i]))
+                else bool(lo.iloc[i] <= v.iloc[i] <= hi.iloc[i])
+                for i in range(n)], dtype=object)
+        if name == "in":
+            v = _oracle(e.args[0], df)
+            vals = [a.value for a in e.args[1:]]
+            return v.map(lambda x: None if pd.isna(x) else x in vals)
+
+        args = [_oracle(a, df) for a in e.args]
+        fn = {
+            "plus": lambda a, b: a + b,
+            "minus": lambda a, b: a - b,
+            "multiply": lambda a, b: a * b,
+            "eq": lambda a, b: a == b, "neq": lambda a, b: a != b,
+            "lt": lambda a, b: a < b, "lte": lambda a, b: a <= b,
+            "gt": lambda a, b: a > b, "gte": lambda a, b: a >= b,
+        }[name]
+        out = []
+        for i in range(n):
+            vals = [a.iloc[i] for a in args]
+            if any(pd.isna(v) for v in vals):
+                out.append(None)
+            else:
+                out.append(fn(*vals))
+        return pd.Series(out, dtype=object)
+    raise TypeError(e)
+
+
+def run_expression_fuzz(iterations: int = 100, seed: int = 0,
+                        rows: int = 64) -> int:
+    """Run the differential fuzz; returns #expressions checked. Raises on
+    the first mismatch with a repro dump."""
+    ef = ExpressionFuzzer(seed)
+    vf = VectorFuzzer(seed + 1)
+    checked = 0
+    for it in range(iterations):
+        batch = vf.batch(_ALL_COLS, rows)
+        df = pd.DataFrame(batch.to_pydict())
+        expr = ef.gen(3)
+        try:
+            es = ExprSet(
+                [expr], batch.schema,
+                {n: c.dictionary for n, c in batch.columns.items()
+                 if c.dictionary is not None})
+        except (TypeError, KeyError):
+            continue  # untyped combination; generator can produce these
+        arrays = {
+            name: (batch.column(name).values, batch.column(name).valid)
+            for name in es.field_names}
+        (vals, valid) = es.evaluate(arrays)[0]
+        got_vals = np.broadcast_to(
+            np.asarray(vals), (max(rows, 1),))[: rows] \
+            if np.asarray(vals).ndim == 0 else np.asarray(vals)[: rows]
+        got_valid = (np.ones(rows, bool) if valid is None
+                     else np.broadcast_to(
+                         np.asarray(valid), (rows,))[: rows]
+                     if np.asarray(valid).ndim == 0
+                     else np.asarray(valid)[: rows])
+        exp = _oracle(expr, df)
+        for i in range(rows):
+            ev = exp.iloc[i]
+            if pd.isna(ev):
+                assert not got_valid[i], _repro(expr, df, i, got_vals[i], ev)
+            else:
+                assert got_valid[i], _repro(expr, df, i, None, ev)
+                gv = got_vals[i]
+                if isinstance(ev, (bool, np.bool_)):
+                    assert bool(gv) == bool(ev), _repro(
+                        expr, df, i, gv, ev)
+                elif isinstance(ev, float) or isinstance(gv, float):
+                    assert math.isclose(
+                        float(gv), float(ev), rel_tol=1e-9,
+                        abs_tol=1e-9), _repro(expr, df, i, gv, ev)
+                else:
+                    assert int(gv) == int(ev), _repro(expr, df, i, gv, ev)
+        checked += 1
+    return checked
+
+
+def expr_resolved(expr: Expr, batch) -> Expr:
+    """The oracle consumes the UNRESOLVED tree (it does its own numeric
+    coercions via python semantics)."""
+    return expr
+
+
+def _repro(expr, df, i, got, exp) -> str:
+    return (
+        f"fuzz mismatch at row {i}: got={got!r} expected={exp!r}\n"
+        f"expr: {expr}\nrow: {df.iloc[i].to_dict()}")
