@@ -35,18 +35,26 @@ def main() -> None:
     config.narrow_lanes = True  # 32-bit decimal lanes (TPU-native mode)
 
     t0 = time.time()
-    tables = generate_tables(sf)
-    gen_s = time.time() - t0
+    from velox_tpu.io.native_tpch import gen_orders_lineitem_native
 
-    li = tables["lineitem"]
+    native = gen_orders_lineitem_native(sf)
+    if native is not None:
+        _, li, cents = native
+        ship = cents["l_shipdate"]
+        price_c, disc_c, qty_c = (
+            cents["l_extendedprice"], cents["l_discount"],
+            cents["l_quantity"])
+    else:
+        li = generate_tables(sf)["lineitem"]
+        ship = np.asarray(li.column("l_shipdate").cast(pa.int32()))
+        price_c = np.round(np.asarray(
+            li.column("l_extendedprice")) * 100).astype(np.int64)
+        disc_c = np.round(np.asarray(
+            li.column("l_discount")) * 100).astype(np.int64)
+        qty_c = np.round(np.asarray(
+            li.column("l_quantity")) * 100).astype(np.int64)
     n_rows = li.num_rows
-    ship = np.asarray(li.column("l_shipdate").cast(pa.int32()))
-    price_c = np.round(
-        np.asarray(li.column("l_extendedprice")) * 100).astype(np.int64)
-    disc_c = np.round(
-        np.asarray(li.column("l_discount")) * 100).astype(np.int64)
-    qty_c = np.round(
-        np.asarray(li.column("l_quantity")) * 100).astype(np.int64)
+    gen_s = time.time() - t0
 
     t0 = time.time()
     register_arrow(

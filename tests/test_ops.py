@@ -230,3 +230,18 @@ def test_hash_equal_values_equal_hashes_float():
     x = jnp.asarray(np.array([0.0, -0.0, np.nan, np.nan]))
     h = np.asarray(hash_columns([(x, None)]))
     assert h[0] == h[1] and h[2] == h[3]
+
+
+def test_pallas_grouped_sum_interpret():
+    """MXU one-hot grouped-sum kernel (interpret mode on CPU)."""
+    from velox_tpu.ops.pallas_agg import grouped_sum_i32
+
+    rng = np.random.default_rng(9)
+    n, G = 100_000, 12
+    gids = rng.integers(0, G + 1, n).astype(np.int32)  # incl. sentinel
+    vals = rng.integers(-10_500_000, 10_500_000, n).astype(np.int32)
+    got = np.asarray(grouped_sum_i32(
+        jnp.asarray(gids), jnp.asarray(vals), G, interpret=True))
+    exp = np.array([vals[gids == g].sum() for g in range(G)],
+                   dtype=np.int64)
+    assert (got == exp).all()

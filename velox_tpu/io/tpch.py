@@ -334,13 +334,28 @@ def gen_orders_lineitem(sf: float) -> tuple:
     return orders, lineitem
 
 
-_CACHE: Dict[float, Dict[str, pa.Table]] = {}
+_CACHE: Dict[tuple, Dict[str, pa.Table]] = {}
 
 
-def generate_tables(sf: float) -> Dict[str, pa.Table]:
-    if sf in _CACHE:
-        return _CACHE[sf]
-    orders, lineitem = gen_orders_lineitem(sf)
+def generate_tables(sf: float, backend: str = "numpy"
+                    ) -> Dict[str, pa.Table]:
+    """backend: "numpy" (default, the reference dataset the tests pin) or
+    "native" (C++ generator in native/tpchgen.cpp — ~10x faster for the
+    two big tables; distinct deterministic dataset, same structural
+    invariants)."""
+    key = (sf, backend)
+    if key in _CACHE:
+        return _CACHE[key]
+    if backend == "native":
+        from velox_tpu.io.native_tpch import gen_orders_lineitem_native
+
+        r = gen_orders_lineitem_native(sf)
+        if r is None:
+            backend = "numpy"
+        else:
+            orders, lineitem, _ = r
+    if backend == "numpy":
+        orders, lineitem = gen_orders_lineitem(sf)
     tables = {
         "region": gen_region(),
         "nation": gen_nation(),
@@ -351,7 +366,7 @@ def generate_tables(sf: float) -> Dict[str, pa.Table]:
         "orders": orders,
         "lineitem": lineitem,
     }
-    _CACHE[sf] = tables
+    _CACHE[key] = tables
     return tables
 
 
