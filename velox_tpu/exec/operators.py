@@ -308,8 +308,14 @@ class HashAggregationOp(Operator):
                     vid = jnp.where(valid, vid, jnp.int32(null_id))
                 vids.append(vid)
             gids = group_ids_array(vids, radices, sel, G)
-            seen = seen.at[gids].set(True, mode="drop")
             inputs = self._agg_inputs(cols, sel)
+
+            multi = (not is_final) and self._try_multi_sum(
+                gids, sel, inputs, accs_in, seen, G)
+            if multi is not None:
+                return multi
+
+            seen = seen.at[gids].set(True, mode="drop")
             accs_out = []
             for f, accs, (vals, mask) in zip(self.fns, accs_in, inputs):
                 if is_final:
@@ -319,6 +325,46 @@ class HashAggregationOp(Operator):
             return accs_out, seen
 
         return fn
+
+    def _try_multi_sum(self, gids, sel, inputs, accs_in, seen, G):
+        """All-additive kArray aggregation in ONE pallas launch (every
+        lane an exact digit-split sum on the MXU). None if ineligible."""
+        from velox_tpu.utils.config import config as cfg
+
+        if not cfg.narrow_lanes or not (2 <= G <= 128):
+            return None
+        for spec, fn, (vals, mask) in zip(self.specs, self.fns, inputs):
+            if spec.fn not in ("sum", "count", "count_if", "avg"):
+                return None
+            if vals is not None and not (
+                    jnp.issubdtype(vals.dtype, jnp.integer)
+                    and jnp.dtype(vals.dtype).itemsize <= 4):
+                return None
+        from velox_tpu.ops.pallas_agg import (
+            grouped_multi_sum_i32, pallas_available)
+
+        contribs = []
+        layout = []  # (agg index, lane index) per contribution row
+        for ai, (fn, (vals, mask)) in enumerate(zip(self.fns, inputs)):
+            if vals is not None:
+                contribs.append(jnp.where(mask, vals.astype(jnp.int32), 0))
+                layout.append((ai, 0))
+                contribs.append(mask.astype(jnp.int32))
+                layout.append((ai, 1))
+            else:  # count(*) / count_if: single count lane
+                contribs.append(mask.astype(jnp.int32))
+                layout.append((ai, 0))
+        contribs.append(sel.astype(jnp.int32))  # "seen" groups
+        sums = grouped_multi_sum_i32(
+            gids, jnp.stack(contribs), G,
+            interpret=not pallas_available())
+        accs_out = [list(a) for a in accs_in]
+        for row, (ai, li) in enumerate(layout):
+            accs_out[ai][li] = (
+                accs_in[ai][li]
+                + sums[row].astype(accs_in[ai][li].dtype))
+        seen = jnp.logical_or(seen, sums[-1] > 0)
+        return [tuple(a) for a in accs_out], seen
 
     def _add_array(self, cols, sel) -> None:
         st = self.ensure_array_state()

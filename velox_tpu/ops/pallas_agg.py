@@ -111,6 +111,89 @@ def grouped_sum_i32(gids: jax.Array, contrib: jax.Array,
     return pos64 - neg64
 
 
+def _multi_kernel(gid_ref, pos_ref, neg_ref, out_ref, *, n_cols: int):
+    """All contribution columns in one pass: rows = 3 digits x {pos,neg}
+    x n_cols; one one-hot build + one MXU matmul per tile."""
+    rows = 6 * n_cols
+    rows_pad = -(-rows // 8) * 8
+    acc = jnp.zeros((rows_pad, _GPAD), jnp.int32)
+
+    def tile_body(t, acc):
+        sl = pl.ds(t.astype(jnp.int32) * jnp.int32(_TILE), _TILE)
+        g = gid_ref[sl]
+        onehot = (
+            g[:, None]
+            == jax.lax.broadcasted_iota(
+                jnp.int32, (_TILE, _GPAD), 1)).astype(jnp.float32)
+        p = pos_ref[:, sl]  # (n_cols, _TILE)
+        q = neg_ref[:, sl]
+
+        def digits(v):
+            return jnp.concatenate([
+                (v & 0x3FFF).astype(jnp.float32),
+                ((v >> 14) & 0x3FFF).astype(jnp.float32),
+                (v >> 28).astype(jnp.float32),
+            ])  # (3*n_cols, _TILE)
+
+        both = jnp.concatenate([digits(p), digits(q)])
+        if rows_pad > rows:
+            both = jnp.concatenate(
+                [both, jnp.zeros((rows_pad - rows, _TILE), jnp.float32)])
+        tile_sums = jnp.dot(
+            both, onehot, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        return acc + tile_sums.astype(jnp.int32)
+
+    acc = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(_BLOCK // _TILE), tile_body, acc)
+    out_ref[...] = acc[None]
+
+
+@functools.partial(jax.jit, static_argnames=("num_groups", "interpret"))
+def grouped_multi_sum_i32(
+        gids: jax.Array, contribs: jax.Array, num_groups: int,
+        interpret: bool = False) -> jax.Array:
+    """Exact int64 per-group sums of L int32 contribution columns in ONE
+    kernel launch. contribs: (L, n). Returns (L, num_groups) int64."""
+    L, n = contribs.shape
+    pad = (-n) % _BLOCK
+    if pad:
+        gids = jnp.concatenate(
+            [gids, jnp.full((pad,), num_groups, jnp.int32)])
+        contribs = jnp.concatenate(
+            [contribs, jnp.zeros((L, pad), jnp.int32)], axis=1)
+        n += pad
+    g = jnp.where(gids.astype(jnp.int32) < num_groups,
+                  gids.astype(jnp.int32), jnp.int32(num_groups))
+    c = contribs.astype(jnp.int32)
+    pos = jnp.where(c >= 0, c, 0)
+    neg = jnp.where(c < 0, -c, 0)
+
+    rows = 6 * L
+    rows_pad = -(-rows // 8) * 8
+    blocks = n // _BLOCK
+    out = pl.pallas_call(
+        functools.partial(_multi_kernel, n_cols=L),
+        grid=(blocks,),
+        in_specs=[
+            pl.BlockSpec((_BLOCK,), lambda i: (i,)),
+            pl.BlockSpec((L, _BLOCK), lambda i: (jnp.int32(0), i)),
+            pl.BlockSpec((L, _BLOCK), lambda i: (jnp.int32(0), i)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rows_pad, _GPAD),
+            lambda i: (i, jnp.int32(0), jnp.int32(0))),
+        out_shape=jax.ShapeDtypeStruct(
+            (blocks, rows_pad, _GPAD), jnp.int32),
+        interpret=interpret,
+    )(g, pos, neg)
+
+    per = jnp.sum(out.astype(jnp.int64), axis=0)[:rows, :num_groups]
+    per = per.reshape(2, 3, L, num_groups)  # (sign, digit, col, group)
+    tot = (per[:, 0] + (per[:, 1] << 14) + (per[:, 2] << 28))
+    return tot[0] - tot[1]  # (L, G)
+
+
 def pallas_available() -> bool:
     """Real (compiled) pallas only on TPU; CPU uses interpret mode."""
     try:
