@@ -336,33 +336,44 @@ class HashAggregationOp(Operator):
         for spec, fn, (vals, mask) in zip(self.specs, self.fns, inputs):
             if spec.fn not in ("sum", "count", "count_if", "avg"):
                 return None
-            if vals is not None and not (
-                    jnp.issubdtype(vals.dtype, jnp.integer)
-                    and jnp.dtype(vals.dtype).itemsize <= 4):
+            if vals is not None and not jnp.issubdtype(
+                    vals.dtype, jnp.integer):
                 return None
         from velox_tpu.ops.pallas_agg import (
             grouped_multi_sum_i32, pallas_available)
 
         contribs = []
-        layout = []  # (agg index, lane index) per contribution row
+        layout = []  # (agg index, lane index, left-shift) per row
         for ai, (fn, (vals, mask)) in enumerate(zip(self.fns, inputs)):
             if vals is not None:
-                contribs.append(jnp.where(mask, vals.astype(jnp.int32), 0))
-                layout.append((ai, 0))
+                if jnp.dtype(vals.dtype).itemsize <= 4:
+                    contribs.append(
+                        jnp.where(mask, vals.astype(jnp.int32), 0))
+                    layout.append((ai, 0, 0))
+                else:
+                    # wide value: two signed i32 halves (lo 28 bits, hi)
+                    v = jnp.where(mask, vals, jnp.zeros((), vals.dtype))
+                    s = jnp.where(v >= 0, 1, -1).astype(vals.dtype)
+                    a = jnp.where(v >= 0, v, -v)
+                    contribs.append(
+                        (s * (a & 0x0FFFFFFF)).astype(jnp.int32))
+                    layout.append((ai, 0, 0))
+                    contribs.append((s * (a >> 28)).astype(jnp.int32))
+                    layout.append((ai, 0, 28))
                 contribs.append(mask.astype(jnp.int32))
-                layout.append((ai, 1))
+                layout.append((ai, 1, 0))
             else:  # count(*) / count_if: single count lane
                 contribs.append(mask.astype(jnp.int32))
-                layout.append((ai, 0))
+                layout.append((ai, 0, 0))
         contribs.append(sel.astype(jnp.int32))  # "seen" groups
         sums = grouped_multi_sum_i32(
             gids, jnp.stack(contribs), G,
             interpret=not pallas_available())
         accs_out = [list(a) for a in accs_in]
-        for row, (ai, li) in enumerate(layout):
+        for row, (ai, li, shift) in enumerate(layout):
+            delta = sums[row] << shift if shift else sums[row]
             accs_out[ai][li] = (
-                accs_in[ai][li]
-                + sums[row].astype(accs_in[ai][li].dtype))
+                accs_out[ai][li] + delta.astype(accs_in[ai][li].dtype))
         seen = jnp.logical_or(seen, sums[-1] > 0)
         return [tuple(a) for a in accs_out], seen
 
