@@ -111,7 +111,8 @@ def grouped_sum_i32(gids: jax.Array, contrib: jax.Array,
     return pos64 - neg64
 
 
-def _multi_kernel(gid_ref, pos_ref, neg_ref, out_ref, *, n_cols: int):
+def _multi_kernel(gid_ref, pos_ref, neg_ref, out_ref, *, n_cols: int,
+                  block: int):
     """All contribution columns in one pass: rows = 3 digits x {pos,neg}
     x n_cols; one one-hot build + one MXU matmul per tile."""
     rows = 6 * n_cols
@@ -145,7 +146,7 @@ def _multi_kernel(gid_ref, pos_ref, neg_ref, out_ref, *, n_cols: int):
         return acc + tile_sums.astype(jnp.int32)
 
     acc = jax.lax.fori_loop(
-        jnp.int32(0), jnp.int32(_BLOCK // _TILE), tile_body, acc)
+        jnp.int32(0), jnp.int32(block // _TILE), tile_body, acc)
     out_ref[...] = acc[None]
 
 
@@ -156,7 +157,11 @@ def grouped_multi_sum_i32(
     """Exact int64 per-group sums of L int32 contribution columns in ONE
     kernel launch. contribs: (L, n). Returns (L, num_groups) int64."""
     L, n = contribs.shape
-    pad = (-n) % _BLOCK
+    # block sized so double-buffered (pos + neg + gids) stays under VMEM
+    block = _BLOCK
+    while L * block * 4 * 2 * 2 > 8 * 1024 * 1024 and block > 4096:
+        block //= 2
+    pad = (-n) % block
     if pad:
         gids = jnp.concatenate(
             [gids, jnp.full((pad,), num_groups, jnp.int32)])
@@ -171,14 +176,14 @@ def grouped_multi_sum_i32(
 
     rows = 6 * L
     rows_pad = -(-rows // 8) * 8
-    blocks = n // _BLOCK
+    blocks = n // block
     out = pl.pallas_call(
-        functools.partial(_multi_kernel, n_cols=L),
+        functools.partial(_multi_kernel, n_cols=L, block=block),
         grid=(blocks,),
         in_specs=[
-            pl.BlockSpec((_BLOCK,), lambda i: (i,)),
-            pl.BlockSpec((L, _BLOCK), lambda i: (jnp.int32(0), i)),
-            pl.BlockSpec((L, _BLOCK), lambda i: (jnp.int32(0), i)),
+            pl.BlockSpec((block,), lambda i: (i,)),
+            pl.BlockSpec((L, block), lambda i: (jnp.int32(0), i)),
+            pl.BlockSpec((L, block), lambda i: (jnp.int32(0), i)),
         ],
         out_specs=pl.BlockSpec(
             (1, rows_pad, _GPAD),
