@@ -112,6 +112,8 @@ class FusedScanOp(Operator):
         if not self.scan._splits:
             return None
         b = self.scan._splits.popleft().project(self.scan.node.columns)
+        for df in self.scan.dynamic_filters:
+            b = b.with_sel(df.filter_sel(b))
         jitted, out_dicts = self._compile(b)
         cols = {n: (c.values, c.valid) for n, c in b.columns.items()}
         env, sel = jitted(cols, b.sel)

@@ -1026,6 +1026,32 @@ class HashProbeOp(Operator):
         self._final_emitted = False
         self._probe_jits: Dict[tuple, Callable] = {}
         self._expand_jits: Dict[tuple, Callable] = {}
+        self._pushdown_scan = None  # set by LocalPlanner
+        self._pushdown_done = False
+
+    def _push_dynamic_filter(self) -> None:
+        """Push the build side's key range into the probe-side scan
+        (velox dynamic filter pushdown). Single non-dictionary key only."""
+        self._pushdown_done = True
+        scan = self._pushdown_scan
+        br = self.bridge
+        if scan is None or br.codec.multi or br.codec.dicts[0] is not None:
+            return
+        n_active = int(br.n_active)
+        key = self.node.left_keys[0]
+        if n_active == 0:
+            from velox_tpu.expr.ir import lit
+
+            scan.dynamic_filters.append(ExprEvaluator(
+                [lit(False)], scan.node.output_type))
+            return
+        lo = int(br.sorted_keys[0])
+        hi = int(br.sorted_keys[n_active - 1])
+        from velox_tpu.expr.ir import and_, field, gte, lit, lte
+
+        expr = and_(gte(field(key), lit(lo)), lte(field(key), lit(hi)))
+        scan.dynamic_filters.append(
+            ExprEvaluator([expr], scan.node.output_type))
 
     # ------------------------------------------------------------ helpers
     @property
@@ -1197,6 +1223,8 @@ class HashProbeOp(Operator):
     def add_input(self, batch: Batch) -> None:
         br = self.bridge
         assert br.ready, "probe before build finished"
+        if not self._pushdown_done:
+            self._push_dynamic_filter()
         jt = self.jt
         node = self.node
         pf = self._probe_fn(batch)

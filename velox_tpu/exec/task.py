@@ -92,12 +92,24 @@ class LocalPlanner:
         if isinstance(node, TableScanNode):
             return [TableScanOp(node)]
         if isinstance(node, (HashJoinNode, MergeJoinNode)):
+            from velox_tpu.plan.nodes import JoinType as JT
+
             bridge = JoinBridge(node)
             build_chain = self._lower(node.right)
             build_chain.append(HashBuildOp(node, bridge))
             self.pipelines.append(Pipeline(build_chain, is_output=False))
             chain = self._lower(node.left)
-            chain.append(HashProbeOp(node, bridge))
+            probe = HashProbeOp(node, bridge)
+            # dynamic filter pushdown: build-side key range to the probe
+            # side's scan (velox/exec/HashProbe.cpp:419-444)
+            if (isinstance(chain[0], TableScanOp)
+                    and len(node.left_keys) == 1
+                    and node.left_keys[0] in chain[0].node.columns
+                    and node.join_type in (
+                        JT.INNER, JT.LEFT_SEMI, JT.RIGHT,
+                        JT.RIGHT_SEMI)):
+                probe._pushdown_scan = chain[0]
+            chain.append(probe)
             return chain
         if isinstance(node, CrossJoinNode):
             bridge = JoinBridge(node)

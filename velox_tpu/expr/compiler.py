@@ -91,6 +91,11 @@ def resolve_types(expr: Expr, schema: RowType) -> Expr:
         if name in ("substr", "substring"):
             # bound to a dictionary transform in phase 2
             return Call(VARCHAR, "substr", args)
+        if name in ("upper", "lower", "trim", "ltrim", "rtrim",
+                    "reverse", "concat"):
+            return Call(VARCHAR, name, args)
+        if name == "length":
+            return Call(BIGINT, "length", args)
 
         if name in _ARITH or name in _COMPARE or name == "between":
             args = _unify_numeric(name, args)
@@ -322,6 +327,8 @@ def bind_strings(expr: Expr, dictionaries: Dict[str, "Dictionary"]) -> Expr:
 
     if name == "substr":
         return _bind_substr(args, dictionaries)
+    if name in _STRING_HOST_FNS or name == "length" or name == "concat":
+        return _bind_string_fn(name, args, dictionaries)
 
     src = _dict_source(args, dictionaries)
     if src is not None:
@@ -361,6 +368,55 @@ def bind_strings(expr: Expr, dictionaries: Dict[str, "Dictionary"]) -> Expr:
                 codes_expr, Literal(BOOLEAN, table)))
 
     return Call(expr.dtype, name, args)
+
+
+_STRING_HOST_FNS = {
+    "upper": lambda s: s.upper(),
+    "lower": lambda s: s.lower(),
+    "trim": lambda s: s.strip(),
+    "ltrim": lambda s: s.lstrip(),
+    "rtrim": lambda s: s.rstrip(),
+    "reverse": lambda s: s[::-1],
+}
+
+
+def _bind_string_fn(name, args, dictionaries) -> Expr:
+    """String functions as bind-time dictionary transforms: evaluated once
+    per distinct value on host, a single int32 gather on device."""
+    from velox_tpu.vector.column import Dictionary
+
+    src = _dict_source(args, dictionaries)
+    assert src is not None, f"{name} requires a dictionary-encoded input"
+    codes_expr, d = src
+
+    if name == "length":
+        table = np.concatenate(
+            [[0], [len(str(v)) for v in d.values]]).astype(np.int64)
+        return DictTransform(BIGINT, codes_expr, table, None)
+
+    if name == "concat":
+        lit_pre = ""
+        lit_post = ""
+        seen_src = False
+        for a in args:
+            if isinstance(a, Literal) and isinstance(a.value, str):
+                if seen_src:
+                    lit_post += a.value
+                else:
+                    lit_pre += a.value
+            else:
+                seen_src = True
+        out_vals = [f"{lit_pre}{v}{lit_post}" for v in d.values]
+    else:
+        fn = _STRING_HOST_FNS[name]
+        out_vals = [fn(str(v)) for v in d.values]
+
+    uniq = sorted(set(out_vals))
+    nd = Dictionary(uniq)
+    table = np.full(len(d.values) + 1, -1, dtype=np.int32)
+    for i, v in enumerate(out_vals):
+        table[i + 1] = nd.code_of(v)
+    return DictTransform(VARCHAR, codes_expr, table, nd)
 
 
 def _bind_substr(args, dictionaries) -> Expr:
