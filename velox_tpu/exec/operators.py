@@ -839,6 +839,19 @@ class JoinKeyCodec:
         self.cols = [build_batch.column(k) for k in build_keys]
         self.multi = len(self.cols) > 1
         self.dicts = [c.dictionary for c in self.cols]
+        self.narrow = None  # (lo, hi) when a single wide key fits int32
+        if not self.multi:
+            c = self.cols[0]
+            v = _canon_int(c.values)
+            if v.dtype == jnp.int64:
+                act = build_batch.sel
+                if c.valid is not None:
+                    act = jnp.logical_and(act, c.valid)
+                big = jnp.iinfo(jnp.int64).max
+                lo = int(jnp.min(jnp.where(act, v, big)))
+                hi = int(jnp.max(jnp.where(act, v, -big - 1)))
+                if lo <= hi and lo >= -(2 ** 31) and hi < 2 ** 31:
+                    self.narrow = (lo, hi)
         if self.multi:
             self.mins, self.bits = [], []
             for c in self.cols:
@@ -859,7 +872,7 @@ class JoinKeyCodec:
     def key_sig(self) -> tuple:
         """Host constants baked into traced programs (jit-cache key part)."""
         if not self.multi:
-            return ()
+            return (self.narrow,)
         return (tuple(self.mins), tuple(self.bits))
 
     def dict_sig(self, batch: Batch, keys: Sequence[str]) -> tuple:
@@ -871,7 +884,7 @@ class JoinKeyCodec:
         t = self._remaps.get(key)
         if t is None:
             d_build = self.dicts[i]
-            t = np.full(len(probe_dict) + 1, -1, np.int64)
+            t = np.full(len(probe_dict) + 1, -1, np.int32)
             for ci, val in enumerate(probe_dict.values):
                 t[ci + 1] = d_build.code_of(val)
             self._remaps[key] = t
@@ -879,18 +892,30 @@ class JoinKeyCodec:
 
     def encode(self, cols, dicts, is_probe: bool):
         """Traced: cols = [(values, valid)...] parallel to build_keys;
-        dicts = host Dictionary per col (probe side's own)."""
-        valid = None
+        dicts = host Dictionary per col (probe side's own).
 
-        def add_valid(v):
-            nonlocal valid
-            valid = v if valid is None else jnp.logical_and(valid, v)
+        Returns ``(key, null_valid, match_valid)``: null_valid is SQL
+        null-ness (drives null-aware anti semantics); match_valid marks
+        rows that PROVABLY cannot match (dictionary miss, out of build
+        range) — excluded from matching but NOT null."""
+        null_valid = None
+        match_valid = None
+
+        def add_null(v):
+            nonlocal null_valid
+            null_valid = v if null_valid is None else jnp.logical_and(
+                null_valid, v)
+
+        def add_match(v):
+            nonlocal match_valid
+            match_valid = v if match_valid is None else jnp.logical_and(
+                match_valid, v)
 
         vals64 = []
         for i, ((values, cvalid), pdict) in enumerate(zip(cols, dicts)):
             v = _canon_int(values)
             if cvalid is not None:
-                add_valid(cvalid)
+                add_null(cvalid)
             if self.dicts[i] is not None:
                 d_build = self.dicts[i]
                 if is_probe and pdict is not d_build:
@@ -902,33 +927,46 @@ class JoinKeyCodec:
                         remap,
                         jnp.clip(values.astype(jnp.int32), -1,
                                  len(pdict) - 1) + 1)
-                    add_valid(v >= 0)
+                    add_match(v >= 0)
             if self.multi:
                 lo, b = self.mins[i], self.bits[i]
                 off = v - lo
                 in_range = jnp.logical_and(off >= 0, off < (1 << b))
-                add_valid(in_range)
+                if is_probe:
+                    add_match(in_range)
                 vals64.append(jnp.where(in_range, off, 0))
             else:
                 vals64.append(v)
 
         if not self.multi:
-            return vals64[0], valid
-        key = jnp.zeros_like(vals64[0])
+            v = vals64[0]
+            if self.narrow is not None and v.dtype == jnp.int64:
+                lo, hi = self.narrow
+                if is_probe:
+                    in_range = jnp.logical_and(v >= lo, v <= hi)
+                    add_match(in_range)
+                    v = jnp.clip(v, lo, hi)
+                v = v.astype(jnp.int32)
+            return v, null_valid, match_valid
+        lane = jnp.int32 if sum(self.bits) <= 31 else jnp.int64
+        key = jnp.zeros_like(vals64[0], dtype=lane)
         shift = 0
         for off, b in zip(vals64, self.bits):
-            key = key | (off << shift)
+            key = key | (off.astype(lane) << shift)
             shift += b
-        return key, valid
+        return key, null_valid, match_valid
 
 
 def _canon_int(v: jax.Array) -> jax.Array:
-    """Values -> equality-preserving int64."""
+    """Values -> equality-preserving integer, keeping 32-bit lanes narrow
+    (the TPU narrow-lane rule applied to join keys)."""
     if jnp.issubdtype(v.dtype, jnp.floating):
         v = jnp.where(v == 0, jnp.zeros((), v.dtype), v)
         v = jnp.where(jnp.isnan(v), jnp.full((), _F64_NAN, v.dtype), v)
         width = jnp.int32 if v.dtype == jnp.float32 else jnp.int64
-        v = jax.lax.bitcast_convert_type(v, width)
+        return jax.lax.bitcast_convert_type(v, width)
+    if v.dtype == jnp.bool_ or jnp.dtype(v.dtype).itemsize <= 4:
+        return v.astype(jnp.int32)
     return v.astype(jnp.int64)
 
 
@@ -981,12 +1019,18 @@ class HashBuildOp(Operator):
 
         def make():
             def build(cols, sel):
-                key, valid = codec.encode(cols, dicts, is_probe=False)
+                key, null_valid, match_valid = codec.encode(
+                    cols, dicts, is_probe=False)
+                valid = null_valid
+                if match_valid is not None:
+                    valid = (match_valid if valid is None
+                             else jnp.logical_and(valid, match_valid))
                 sorted_keys, perm, n_active = build_join_index(
                     key, valid, sel)
                 has_null = (
-                    jnp.any(jnp.logical_and(sel, jnp.logical_not(valid)))
-                    if valid is not None else jnp.asarray(False))
+                    jnp.any(jnp.logical_and(
+                        sel, jnp.logical_not(null_valid)))
+                    if null_valid is not None else jnp.asarray(False))
                 return sorted_keys, perm, n_active, has_null
             return build
 
@@ -1080,7 +1124,12 @@ class HashProbeOp(Operator):
 
         def make():
             def probe(cols, sel, sorted_keys, n_active):
-                key, valid = codec.encode(cols, dicts, is_probe=True)
+                key, null_valid, match_valid = codec.encode(
+                    cols, dicts, is_probe=True)
+                valid = null_valid
+                if match_valid is not None:
+                    valid = (match_valid if valid is None
+                             else jnp.logical_and(valid, match_valid))
                 first, count = probe_join_index(
                     sorted_keys, n_active, key, valid, sel)
                 if no_filter_semi:
@@ -1088,17 +1137,19 @@ class HashProbeOp(Operator):
                         out = jnp.logical_and(sel, count > 0)
                     elif jt == JoinType.ANTI_SIMPLE:
                         out = jnp.logical_and(sel, count == 0)
-                    else:  # null-aware NOT IN
+                    else:  # null-aware NOT IN: null probe keys drop,
+                        # provably-unmatchable non-null keys survive
                         if build_has_null:
                             out = jnp.zeros_like(sel)
                         else:
                             out = jnp.logical_and(sel, count == 0)
-                            if valid is not None:
-                                out = jnp.logical_and(out, valid)
+                            if null_valid is not None:
+                                out = jnp.logical_and(out, null_valid)
                     return out
                 emit = sel if left_like else None
                 total = match_total(count, emit)
-                pvalid = valid if valid is not None else jnp.ones_like(sel)
+                pvalid = (null_valid if null_valid is not None
+                          else jnp.ones_like(sel))
                 return first, count, pvalid, total
 
             return probe

@@ -70,7 +70,7 @@ def group_ids_sorted(
         return gids, group_rows, group_sel, num_groups
 
     perm = jnp.arange(cap, dtype=jnp.int32)
-    inactive = jnp.where(sel, jnp.int64(0), jnp.int64(1))
+    inactive = jnp.where(sel, jnp.int32(0), jnp.int32(1))
     ops = [inactive] + _key_operands(keys)
     sorted_all = jax.lax.sort(ops + [perm], is_stable=True, num_keys=len(ops))
     sorted_keys = sorted_all[1:-1]

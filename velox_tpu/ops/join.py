@@ -34,20 +34,24 @@ def build_join_index(
     """Sort build rows by key. Null-key and padding rows never match.
 
     Returns ``(sorted_keys, perm, n_active)``; trailing (non-matchable)
-    slots hold INT64_MAX so the array is globally ascending for
-    searchsorted; counts are clamped by ``n_active`` to keep real
-    INT64_MAX keys exact.
+    slots hold the lane's max so the array is globally ascending for
+    searchsorted; counts are clamped by ``n_active`` to keep real max-value
+    keys exact. The key lane's width is preserved (int32 keys sort/probe
+    in 32-bit — TPU narrow-lane rule).
     """
     cap = sel.shape[0]
+    if key.dtype not in (jnp.int32, jnp.int64):
+        key = key.astype(jnp.int64)
     active = sel if valid is None else jnp.logical_and(sel, valid)
     perm = jnp.arange(cap, dtype=jnp.int32)
-    rank = jnp.where(active, jnp.int64(0), jnp.int64(1))
+    rank = jnp.where(active, jnp.int32(0), jnp.int32(1))
     _, sorted_keys, sorted_perm = jax.lax.sort(
-        [rank, key.astype(jnp.int64), perm], is_stable=True, num_keys=2
+        [rank, key, perm], is_stable=True, num_keys=2
     )
     n_active = jnp.sum(active.astype(jnp.int32))
     idx = jnp.arange(cap, dtype=jnp.int32)
-    sorted_keys = jnp.where(idx < n_active, sorted_keys, _I64_MAX)
+    sorted_keys = jnp.where(
+        idx < n_active, sorted_keys, jnp.iinfo(key.dtype).max)
     return sorted_keys, sorted_perm, n_active
 
 
@@ -59,7 +63,7 @@ def probe_join_index(
     probe_sel: jax.Array,
 ) -> Tuple[jax.Array, jax.Array]:
     """Per probe row: (first match position, match count) in the build sort."""
-    pk = probe_key.astype(jnp.int64)
+    pk = probe_key.astype(sorted_keys.dtype)
     first = jnp.searchsorted(sorted_keys, pk, side="left").astype(jnp.int32)
     last = jnp.searchsorted(sorted_keys, pk, side="right").astype(jnp.int32)
     first = jnp.minimum(first, n_active)
@@ -145,9 +149,10 @@ def pack_normalized_key(
     (velox/exec/VectorHasher.h:130-133 packs <=59 bits/key the same way).
     """
     assert sum(bits) <= 63, "normalized key overflow"
-    key = jnp.zeros_like(value_ids[0], dtype=jnp.int64)
+    lane = jnp.int32 if sum(bits) <= 31 else jnp.int64
+    key = jnp.zeros_like(value_ids[0], dtype=lane)
     shift = 0
     for vid, b in zip(value_ids, bits):
-        key = key | (vid.astype(jnp.int64) << shift)
+        key = key | (vid.astype(lane) << shift)
         shift += b
     return key

@@ -24,7 +24,7 @@ SortKey = Tuple[jax.Array, Optional[jax.Array], bool, bool]
 
 
 def _operands(keys: Sequence[SortKey], sel: jax.Array) -> List[jax.Array]:
-    ops: List[jax.Array] = [jnp.where(sel, jnp.int64(0), jnp.int64(1))]
+    ops: List[jax.Array] = [jnp.where(sel, jnp.int32(0), jnp.int32(1))]
     for values, valid, desc, nf in keys:
         ops.extend(
             encode_sort_key(values, valid, descending=desc, nulls_first=nf)

@@ -46,16 +46,25 @@ def encode_sort_key(
     descending: bool = False,
     nulls_first: bool = False,
 ) -> List[jax.Array]:
-    """Encode one column into 1-2 int64 key operands (null rank, value key).
+    """Encode one column into 1-2 integer key operands (null rank, value
+    key), compared lexicographically by ``jax.lax.sort``.
 
-    The returned operands are compared lexicographically (nulls rank first)
-    by ``jax.lax.sort``; ascending signed-int order == SQL order.
+    32-bit-or-narrower lanes stay int32 (TPUs emulate 64-bit integers —
+    sorting in the native width is the narrow-lane rule applied to keys);
+    only genuinely 64-bit lanes produce int64 operands.
     """
     dt = values.dtype
-    if jnp.issubdtype(dt, jnp.floating):
+
+    if dt == jnp.float32:
+        canon = jnp.where(jnp.isnan(values), jnp.float32(jnp.nan), values)
+        i = jax.lax.bitcast_convert_type(canon, jnp.int32)
+        key = i ^ jnp.where(i < 0, jnp.int32(_LOW31), jnp.int32(0))
+    elif jnp.issubdtype(dt, jnp.floating):
         key = _float_to_sortable_int(values)
     elif dt == jnp.bool_:
-        key = values.astype(jnp.int64)
+        key = values.astype(jnp.int32)
+    elif jnp.dtype(dt).itemsize <= 4:
+        key = values.astype(jnp.int32)
     else:
         key = values.astype(jnp.int64)
 
@@ -68,7 +77,7 @@ def encode_sort_key(
     # null rank sorts before (nulls_first) or after (nulls_last) all values
     null_rank = jnp.where(
         valid,
-        jnp.int64(1 if nulls_first else 0),
-        jnp.int64(0 if nulls_first else 1),
+        jnp.int32(1 if nulls_first else 0),
+        jnp.int32(0 if nulls_first else 1),
     )
     return [null_rank, key]

@@ -222,7 +222,11 @@ def concat_batches(
                 + ([jnp.zeros(pad, dtype=jnp.bool_)] if pad else []))
         else:
             valid = None
-        cols[n] = Column(parts[0].dtype, vals, valid, d)
+        stats = None
+        if all(p.stats is not None for p in parts):
+            stats = (min(p.stats[0] for p in parts),
+                     max(p.stats[1] for p in parts))
+        cols[n] = Column(parts[0].dtype, vals, valid, d, stats)
     nr = None
     if all(b.num_rows is not None for b in batches):
         nr = sum(b.num_rows for b in batches)

@@ -109,7 +109,7 @@ class Column:
             jnp.take(self.valid, indices, mode="clip")
             if self.valid is not None else None
         )
-        return Column(self.dtype, vals, valid, self.dictionary)
+        return Column(self.dtype, vals, valid, self.dictionary, self.stats)
 
     def to_numpy(self, num_rows: Optional[int] = None):
         """Host copy of value lane (first num_rows rows)."""
