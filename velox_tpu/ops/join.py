@@ -62,15 +62,56 @@ def probe_join_index(
     probe_valid: Optional[jax.Array],
     probe_sel: jax.Array,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Per probe row: (first match position, match count) in the build sort."""
+    """Per probe row: (first match position, match count) in the build
+    sort.
+
+    Implemented by CO-SORTING probe keys with the (already sorted) build
+    keys and propagating per-segment build counts with scans — random
+    gathers (binary search) are far slower than one more bitonic sort on
+    TPU, so the probe, like everything else here, is a sort + scans.
+    """
+    nb = sorted_keys.shape[0]
+    npr = probe_key.shape[0]
     pk = probe_key.astype(sorted_keys.dtype)
-    first = jnp.searchsorted(sorted_keys, pk, side="left").astype(jnp.int32)
-    last = jnp.searchsorted(sorted_keys, pk, side="right").astype(jnp.int32)
-    first = jnp.minimum(first, n_active)
-    last = jnp.minimum(last, n_active)
+    keys_cat = jnp.concatenate([sorted_keys, pk])
+    tag = jnp.concatenate([
+        jnp.zeros((nb,), jnp.int32), jnp.ones((npr,), jnp.int32)])
+    idx = jnp.arange(nb + npr, dtype=jnp.int32)
+    sk, stag, sidx = jax.lax.sort(
+        [keys_cat, tag, idx], is_stable=True, num_keys=2)
+
+    # segment boundaries on the sorted keys
+    change = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), sk[1:] != sk[:-1]])
+    # builds before each position (exclusive) and per-segment totals
+    is_build = (stag == 0).astype(jnp.int32)
+    b_incl = jnp.cumsum(is_build)
+    b_excl = b_incl - is_build
+    seg_id = jnp.cumsum(change.astype(jnp.int32)) - 1
+    # builds before the segment = min over segment of b_excl == b_excl at
+    # segment start; propagate via a running max of (start-flagged) value
+    start_val = jnp.where(change, b_excl, -1)
+    seg_first = jax.lax.associative_scan(jnp.maximum, start_val)
+    # builds inside the segment up to the end: total builds in segment =
+    # (b_incl at segment end) - seg_first; propagate segment totals
+    # backwards via reverse max of end-flagged b_incl
+    is_end = jnp.concatenate([change[1:], jnp.ones((1,), jnp.bool_)])
+    end_val = jnp.where(is_end, b_incl, jnp.iinfo(jnp.int32).max)
+    seg_end_b = jax.lax.associative_scan(
+        jnp.minimum, end_val[::-1])[::-1]
+
+    first_sorted = jnp.minimum(seg_first, n_active)
+    count_sorted = jnp.minimum(seg_end_b, n_active) - first_sorted
+
+    # scatter results back to probe-row positions
+    probe_pos = jnp.where(stag == 1, sidx - nb, npr)
+    first = (jnp.zeros((npr,), jnp.int32)
+             .at[probe_pos].set(first_sorted, mode="drop"))
+    count = (jnp.zeros((npr,), jnp.int32)
+             .at[probe_pos].set(count_sorted, mode="drop"))
     ok = probe_sel if probe_valid is None else jnp.logical_and(
         probe_sel, probe_valid)
-    count = jnp.where(ok, last - first, 0)
+    count = jnp.where(ok, count, 0)
     return first, count
 
 
@@ -102,16 +143,23 @@ def expand_matches(
     if emit_unmatched is not None:
         emit = jnp.where(
             jnp.logical_and(emit_unmatched, count == 0), 1, count)
+    emit = emit.astype(jnp.int32)
     offsets = jnp.cumsum(emit) - emit            # exclusive prefix sum
     total = offsets[-1] + emit[-1]
 
-    j = jnp.arange(out_cap, dtype=offsets.dtype)
-    probe_rows = (
-        jnp.searchsorted(offsets, j, side="right").astype(jnp.int32) - 1
-    )
-    probe_rows = jnp.clip(probe_rows, 0, first.shape[0] - 1)
-    ordinal = j.astype(jnp.int32) - jnp.take(
-        offsets, probe_rows, mode="clip").astype(jnp.int32)
+    # out row j -> probe row: scatter each emitting probe row's index at
+    # its first output slot, then forward-propagate with a max-scan —
+    # scans, not binary search (row indices are increasing along heads)
+    j = jnp.arange(out_cap, dtype=jnp.int32)
+    n_probe = first.shape[0]
+    heads = jnp.where(emit > 0, offsets, jnp.int32(out_cap))
+    row_at_head = (
+        jnp.full((out_cap,), -1, jnp.int32)
+        .at[heads].max(jnp.arange(n_probe, dtype=jnp.int32),
+                       mode="drop"))
+    probe_rows = jnp.maximum(
+        jax.lax.associative_scan(jnp.maximum, row_at_head), 0)
+    ordinal = j - jnp.take(offsets, probe_rows, mode="clip")
     cnt = jnp.take(count, probe_rows, mode="clip").astype(jnp.int32)
     matched = ordinal < cnt
     build_pos = jnp.take(first, probe_rows, mode="clip") + ordinal
