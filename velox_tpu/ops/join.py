@@ -43,15 +43,23 @@ def build_join_index(
     if key.dtype not in (jnp.int32, jnp.int64):
         key = key.astype(jnp.int64)
     active = sel if valid is None else jnp.logical_and(sel, valid)
+    # inactive rows get the sentinel IN the key (a 2-operand sort compiles
+    # far faster than 3 operands on TPU); real max-value keys may mix with
+    # sentinels but n_active clamping keeps counts exact
+    big = jnp.iinfo(key.dtype).max
+    key2 = jnp.where(active, key, big)
+    # the payload carries activity in its high range so actives precede
+    # inactives among equal (sentinel-colliding) keys
     perm = jnp.arange(cap, dtype=jnp.int32)
-    rank = jnp.where(active, jnp.int32(0), jnp.int32(1))
-    _, sorted_keys, sorted_perm = jax.lax.sort(
-        [rank, key, perm], is_stable=True, num_keys=2
+    perm2 = jnp.where(active, perm, perm + cap)
+    sorted_keys, sorted_perm2 = jax.lax.sort(
+        [key2, perm2], is_stable=False, num_keys=2
     )
+    sorted_perm = jnp.where(
+        sorted_perm2 >= cap, sorted_perm2 - cap, sorted_perm2)
     n_active = jnp.sum(active.astype(jnp.int32))
     idx = jnp.arange(cap, dtype=jnp.int32)
-    sorted_keys = jnp.where(
-        idx < n_active, sorted_keys, jnp.iinfo(key.dtype).max)
+    sorted_keys = jnp.where(idx < n_active, sorted_keys, big)
     return sorted_keys, sorted_perm, n_active
 
 
@@ -74,11 +82,14 @@ def probe_join_index(
     npr = probe_key.shape[0]
     pk = probe_key.astype(sorted_keys.dtype)
     keys_cat = jnp.concatenate([sorted_keys, pk])
-    tag = jnp.concatenate([
-        jnp.zeros((nb,), jnp.int32), jnp.ones((npr,), jnp.int32)])
-    idx = jnp.arange(nb + npr, dtype=jnp.int32)
-    sk, stag, sidx = jax.lax.sort(
-        [keys_cat, tag, idx], is_stable=True, num_keys=2)
+    # tag packed into the payload (2-operand sorts compile much faster):
+    # build rows carry [0, nb), probe rows [nb, nb+npr) — ordering build
+    # first among equal keys for free
+    combo = jnp.arange(nb + npr, dtype=jnp.int32)
+    sk, scombo = jax.lax.sort(
+        [keys_cat, combo], is_stable=False, num_keys=2)
+    stag = (scombo >= nb).astype(jnp.int32)
+    sidx = scombo
 
     # segment boundaries on the sorted keys
     change = jnp.concatenate(
