@@ -151,3 +151,22 @@ def test_mark_distinct(df):
         PlanBuilder().values([b]).mark_distinct("is_first", ["p", "o"])))
     exp = ~df.duplicated(["p", "o"])
     assert got["is_first"].tolist() == exp.tolist()
+
+
+def test_group_id_grouping_sets(df):
+    got = pd.DataFrame(run_plan_pydict(
+        PlanBuilder().values([make_batch(
+            {c: df[c].tolist() for c in df.columns})])
+        .group_id([["p"], ["o"], []])
+        .aggregate(["p", "o", "group_id"], ["sum(v) AS s"])))
+    # set 0: by p (o null); set 1: by o (p null); set 2: grand total
+    s0 = got[got["group_id"] == 0]
+    e0 = df.groupby("p")["v"].sum()
+    assert sorted(s0["p"]) == sorted(e0.index)
+    np.testing.assert_allclose(
+        s0.sort_values("p")["s"].to_numpy(), e0.sort_index().to_numpy(),
+        rtol=1e-9)
+    assert s0["o"].isna().all()
+    s2 = got[got["group_id"] == 2]
+    assert len(s2) == 1
+    assert s2["s"].iloc[0] == pytest.approx(df["v"].sum())

@@ -21,12 +21,14 @@ from velox_tpu.exec.operators import (
     LimitOp, OrderByOp, ProjectOp, TableScanOp, TopNOp, ValuesOp,
 )
 from velox_tpu.exec.window_ops import (
-    ExpandOp, MarkDistinctOp, RowNumberOp, TopNRowNumberOp, WindowOp,
+    ExpandOp, GroupIdOp, MarkDistinctOp, RowNumberOp, TopNRowNumberOp,
+    WindowOp,
 )
 from velox_tpu.plan.nodes import (
     AggregationNode, AssignUniqueIdNode, CrossJoinNode,
     EnforceSingleRowNode, ExpandNode, FilterNode, HashJoinNode, LimitNode,
-    MarkDistinctNode, MergeJoinNode, OrderByNode, PlanNode, ProjectNode,
+    GroupIdNode, MarkDistinctNode, MergeJoinNode, OrderByNode, PlanNode,
+    ProjectNode,
     RowNumberNode, TableScanNode, TopNNode, TopNRowNumberNode, ValuesNode,
     WindowNode,
 )
@@ -49,6 +51,7 @@ _SIMPLE_OPERATORS = {
     TopNRowNumberNode: TopNRowNumberOp,
     MarkDistinctNode: MarkDistinctOp,
     ExpandNode: ExpandOp,
+    GroupIdNode: GroupIdOp,
 }
 
 

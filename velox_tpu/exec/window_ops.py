@@ -405,3 +405,42 @@ class ExpandOp(Operator):
 
     def is_finished(self) -> bool:
         return self.no_more_input_seen and not self._queue
+
+
+class GroupIdOp(Operator):
+    """velox/core/PlanNode.h:2018 — GROUPING SETS expansion: one output
+    batch per grouping set, absent keys nulled, plus a group_id column."""
+
+    def __init__(self, node):
+        super().__init__(node)
+        self._queue: collections.deque = collections.deque()
+
+    def add_input(self, batch: Batch) -> None:
+        from velox_tpu.types import BIGINT
+
+        all_keys = set()
+        for gs in self.node.grouping_sets:
+            all_keys.update(gs)
+        for set_id, gs in enumerate(self.node.grouping_sets):
+            cols = {}
+            for n, t in zip(self.output_type.names,
+                            self.output_type.children):
+                if n == self.node.group_id_name:
+                    cols[n] = Column(
+                        BIGINT,
+                        jnp.full((batch.capacity,), set_id, jnp.int64))
+                elif n in all_keys and n not in gs:
+                    src = batch.column(n)
+                    cols[n] = Column(
+                        src.dtype, src.values,
+                        jnp.zeros((batch.capacity,), jnp.bool_),
+                        src.dictionary)
+                else:
+                    cols[n] = batch.column(n)
+            self._queue.append(Batch(cols, batch.sel))
+
+    def get_output(self):
+        return self._queue.popleft() if self._queue else None
+
+    def is_finished(self) -> bool:
+        return self.no_more_input_seen and not self._queue

@@ -20,6 +20,7 @@ from velox_tpu.expr.parser import parse_expr
 from velox_tpu.expr.compiler import resolve_types
 from velox_tpu.functions.aggregates import lookup_aggregate
 from velox_tpu.plan.nodes import (
+    GroupIdNode,
     AggStep, AggregateSpec, AggregationNode, AssignUniqueIdNode,
     CrossJoinNode, EnforceSingleRowNode, ExchangeNode, FilterNode,
     HashJoinNode, JoinType, LimitNode, LocalPartitionNode, MarkDistinctNode,
@@ -450,6 +451,18 @@ class PlanBuilder:
         return self
 
     # --------------------------------------------------------------- misc
+    def group_id(self, grouping_sets: Sequence[Sequence[str]],
+                 group_id_name: str = "group_id") -> "PlanBuilder":
+        schema = self.node.output_type
+        self.node = GroupIdNode(
+            new_id(),
+            row_type(
+                list(schema.names) + [group_id_name],
+                list(schema.children) + [BIGINT]),
+            self.node,
+            tuple(tuple(g) for g in grouping_sets), group_id_name)
+        return self
+
     def mark_distinct(self, marker: str, keys: Sequence[str]) -> "PlanBuilder":
         schema = self.node.output_type
         schema = row_type(
