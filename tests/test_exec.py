@@ -577,3 +577,26 @@ def test_dynamic_filter_pushdown():
                    if isinstance(s, TableScanOp))
     finally:
         drop_table("df_probe")
+
+
+def test_parquet_registration_roundtrip(tmp_path):
+    import pyarrow.parquet as pq
+
+    from velox_tpu.io import register_parquet
+
+    t = pa.table({
+        "a": list(range(100)),
+        "s": [f"v{i % 7}" for i in range(100)],
+        "x": [float(i) / 3 for i in range(100)]})
+    path = str(tmp_path / "t.parquet")
+    pq.write_table(t, path)
+    register_parquet("pq_t", path, batch_rows=32)
+    try:
+        out = run_plan_pydict(
+            PlanBuilder().table_scan("pq_t").filter("s = 'v3'")
+            .aggregate([], ["count(*) AS c", "sum(x) AS sx"]))
+        exp = [i for i in range(100) if i % 7 == 3]
+        assert out["c"] == [len(exp)]
+        assert out["sx"][0] == pytest.approx(sum(i / 3 for i in exp))
+    finally:
+        drop_table("pq_t")

@@ -1,0 +1,176 @@
+"""Multi-fragment execution: the host-side exchange control plane.
+
+The analog of velox's distributed-query contract (SURVEY.md D.5):
+``PartitionedOutput`` hash-partitions its input and enqueues per-partition
+batches into an in-process ``OutputBufferManager``
+(velox/exec/OutputBufferManager.h:41-51); consumer fragments start from
+``Exchange`` operators that drain their partition. ``run_fragments`` plays
+the host engine's coordinator role (velox leaves this to Presto/Spark),
+running each fragment as one Task per partition — the
+MultiFragmentTest-without-a-cluster pattern
+(velox/exec/tests/MultiFragmentTest.cpp:52). Inside a TPU slice the same
+exchange is a single all_to_all (velox_tpu/parallel); this path is the
+DCN / cross-slice form.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+
+from velox_tpu.plan.nodes import (
+    ExchangeNode, PlanNode, SourceNode, new_id,
+)
+from velox_tpu.vector.batch import Batch
+from velox_tpu.exec.operator import Operator
+from velox_tpu.exec.task import Task, _SIMPLE_OPERATORS
+from velox_tpu.ops.hash import hash_columns, partition_ids
+
+
+@dataclass(frozen=True)
+class PartitionedOutputNode(SourceNode):
+    """Fragment terminal: hash/broadcast partition to consumers
+    (velox/core/PlanNode.h:2712)."""
+
+    keys: Tuple[str, ...] = ()
+    num_partitions: int = 1
+    broadcast: bool = False
+
+
+class OutputBufferManager:
+    """In-process page buffers keyed by (fragment, partition)
+    (velox/exec/OutputBufferManager.h analog; enqueue/get/ack collapses
+    to enqueue/drain since producers finish before consumers here)."""
+
+    def __init__(self):
+        self._buffers: Dict[tuple, List[Batch]] = defaultdict(list)
+
+    def enqueue(self, fragment: str, partition: int, batch: Batch) -> None:
+        self._buffers[(fragment, partition)].append(batch)
+
+    def drain(self, fragment: str, partition: int) -> List[Batch]:
+        return list(self._buffers.get((fragment, partition), []))
+
+
+class PartitionedOutputOp(Operator):
+    """velox/exec/PartitionedOutput.cpp:426 — partition + enqueue."""
+
+    blocking = True
+
+    def __init__(self, node: PartitionedOutputNode, manager, fragment: str):
+        super().__init__(node)
+        self.manager = manager
+        self.fragment = fragment
+
+    def add_input(self, batch: Batch) -> None:
+        node = self.node
+        n = node.num_partitions
+        if node.broadcast or not node.keys:
+            for p in range(n):
+                self.manager.enqueue(self.fragment, p, batch)
+            return
+        cols = [
+            (batch.column(k).values, batch.column(k).valid)
+            for k in node.keys]
+        part = partition_ids(hash_columns(cols), n)
+        for p in range(n):
+            sel = jnp.logical_and(batch.sel, part == p)
+            self.manager.enqueue(
+                self.fragment, p, batch.with_sel(sel))
+
+    def get_output(self) -> Optional[Batch]:
+        return None
+
+    def is_finished(self) -> bool:
+        return self.no_more_input_seen
+
+
+class ExchangeOp(Operator):
+    """velox/exec/Exchange.cpp — drain the producer's partition."""
+
+    def __init__(self, node: ExchangeNode, manager, producer: str,
+                 partition: int):
+        super().__init__(node)
+        self._queue = list(manager.drain(producer, partition))
+        self._i = 0
+
+    def get_output(self) -> Optional[Batch]:
+        if self._i < len(self._queue):
+            b = self._queue[self._i]
+            self._i += 1
+            return b
+        return None
+
+    def is_finished(self) -> bool:
+        return self._i >= len(self._queue)
+
+
+@dataclass
+class Fragment:
+    """One plan fragment (velox/core/PlanFragment.h analog)."""
+
+    name: str
+    plan: PlanNode
+    num_tasks: int = 1
+    #: exchange node id -> producer fragment name
+    exchange_sources: Optional[Dict[str, str]] = None
+
+
+def run_fragments(fragments: Sequence[Fragment]):
+    """Execute fragments in order (producers first); returns the last
+    fragment's result as an Arrow table."""
+    import pyarrow as pa
+
+    from velox_tpu.vector.arrow_bridge import to_arrow
+
+    manager = OutputBufferManager()
+    last_tables = []
+    for frag in fragments:
+        srcs = frag.exchange_sources or {}
+        last_tables = []
+        for task_idx in range(frag.num_tasks):
+            planner_ctx = (manager, frag, task_idx, srcs)
+            task = _make_task(frag.plan, planner_ctx)
+            outs = list(task.run())
+            last_tables.extend(outs)
+    return pa.concat_tables([to_arrow(b) for b in last_tables]) \
+        if last_tables else None
+
+
+def _make_task(plan: PlanNode, ctx) -> Task:
+    manager, frag, task_idx, srcs = ctx
+    from velox_tpu.exec import task as task_mod
+
+    # register context-bound factories for the exchange node types
+    # (velox Operator translator registry, exec/Operator.h:452)
+    prev_ex = task_mod._OPERATOR_REGISTRY.get(ExchangeNode)
+    prev_po = task_mod._OPERATOR_REGISTRY.get(PartitionedOutputNode)
+    task_mod._OPERATOR_REGISTRY[ExchangeNode] = (
+        lambda node: ExchangeOp(
+            node, manager, srcs[node.id], task_idx))
+    task_mod._OPERATOR_REGISTRY[PartitionedOutputNode] = (
+        lambda node: PartitionedOutputOp(node, manager, frag.name))
+    try:
+        return Task(plan)
+    finally:
+        if prev_ex is None:
+            task_mod._OPERATOR_REGISTRY.pop(ExchangeNode, None)
+        else:
+            task_mod._OPERATOR_REGISTRY[ExchangeNode] = prev_ex
+        if prev_po is None:
+            task_mod._OPERATOR_REGISTRY.pop(PartitionedOutputNode, None)
+        else:
+            task_mod._OPERATOR_REGISTRY[PartitionedOutputNode] = prev_po
+
+
+def partitioned_output(builder, keys: Sequence[str], num_partitions: int,
+                       broadcast: bool = False):
+    """PlanBuilder extension: terminate a fragment with a shuffle write."""
+    node = PartitionedOutputNode(
+        new_id(), builder.node.output_type, builder.node,
+        tuple(keys), num_partitions, broadcast)
+    builder.node = node
+    return builder
