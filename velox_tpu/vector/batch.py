@@ -158,17 +158,25 @@ class Batch:
         if self.capacity > LANE:
             # shrink device-side before crossing the host boundary
             self = self.compact()
-        sel = np.asarray(self.sel)
+        # ONE device->host transfer for the whole batch (each np.asarray
+        # would pay a full round trip on tunneled backends)
+        device = {"__sel__": self.sel}
+        for name, col in self.columns.items():
+            device[f"v.{name}"] = col.values
+            if col.valid is not None:
+                device[f"m.{name}"] = col.valid
+        host = jax.device_get(device)
+        sel = host["__sel__"]
         idx = np.nonzero(sel)[0]
         if limit is not None:
             idx = idx[:limit]
         out: Dict[str, list] = {}
         for name, col in self.columns.items():
-            vals = np.asarray(col.values)[idx]
+            vals = host[f"v.{name}"][idx]
             if col.dictionary is not None:
                 vals = col.dictionary.decode(vals)
             if col.valid is not None:
-                valid = np.asarray(col.valid)[idx]
+                valid = host[f"m.{name}"][idx]
                 out[name] = [
                     (v if ok else None) for v, ok in zip(vals.tolist(), valid)
                 ]
