@@ -17,9 +17,6 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional
 
-import jax
-import jax.numpy as jnp
-
 from velox_tpu.utils.config import config
 from velox_tpu.vector.batch import Batch
 from velox_tpu.vector.column import Dictionary

@@ -8,7 +8,6 @@ returns with the parallel driver in velox_tpu/parallel).
 
 from __future__ import annotations
 
-import time
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 

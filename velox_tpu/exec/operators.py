@@ -25,9 +25,7 @@ from velox_tpu.types.types import TypeKind
 from velox_tpu.expr.ir import FieldRef
 from velox_tpu.vector.batch import Batch, concat_batches, round_capacity
 from velox_tpu.vector.column import Column, Dictionary
-from velox_tpu.exec.operator import (
-    ExprEvaluator, Operator, key_pairs, result_column,
-)
+from velox_tpu.exec.operator import ExprEvaluator, Operator
 from velox_tpu.exec.jitcache import cached_jit
 from velox_tpu.exec.spill import SpillableBuffer
 from velox_tpu.functions.aggregates import lookup_aggregate
