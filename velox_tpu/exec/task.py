@@ -21,16 +21,16 @@ from velox_tpu.exec.operators import (
     LimitOp, OrderByOp, ProjectOp, TableScanOp, TopNOp, ValuesOp,
 )
 from velox_tpu.exec.window_ops import (
-    ExpandOp, GroupIdOp, MarkDistinctOp, RowNumberOp, TopNRowNumberOp,
-    WindowOp,
+    ExpandOp, GroupIdOp, LocalPartitionOp, MarkDistinctOp, RowNumberOp,
+    TopNRowNumberOp, UnnestOp, WindowOp,
 )
 from velox_tpu.plan.nodes import (
     AggregationNode, AssignUniqueIdNode, CrossJoinNode,
     EnforceSingleRowNode, ExpandNode, FilterNode, HashJoinNode, LimitNode,
-    GroupIdNode, MarkDistinctNode, MergeJoinNode, OrderByNode, PlanNode,
-    ProjectNode,
-    RowNumberNode, TableScanNode, TopNNode, TopNRowNumberNode, ValuesNode,
-    WindowNode,
+    GroupIdNode, LocalPartitionNode, MarkDistinctNode, MergeJoinNode,
+    OrderByNode, PlanNode, ProjectNode,
+    RowNumberNode, TableScanNode, TopNNode, TopNRowNumberNode, UnnestNode,
+    ValuesNode, WindowNode,
 )
 
 #: extension point: node type -> factory(node, pipelines, chain) -> Operator
@@ -52,6 +52,8 @@ _SIMPLE_OPERATORS = {
     MarkDistinctNode: MarkDistinctOp,
     ExpandNode: ExpandOp,
     GroupIdNode: GroupIdOp,
+    UnnestNode: UnnestOp,
+    LocalPartitionNode: LocalPartitionOp,
 }
 
 

@@ -444,3 +444,140 @@ class GroupIdOp(Operator):
 
     def is_finished(self) -> bool:
         return self.no_more_input_seen and not self._queue
+
+
+class UnnestOp(Operator):
+    """velox/exec/Unnest.h:25 — explode ARRAY columns into one row per
+    element, replicating the scalar columns.
+
+    TPU-native design: no per-row loop. The output row -> input row map is
+    built with the scatter + max-scan trick (also used by join match
+    expansion, velox_tpu/ops/join.py expand_matches): scatter each input
+    row's index at its first output slot (exclusive cumsum of lengths),
+    propagate with an associative max-scan, and gather everything else.
+    With several unnest columns the per-row count is the max length and
+    shorter arrays pad with nulls (velox/exec/Unnest.cpp:119 semantics);
+    null or empty arrays emit zero rows.
+    """
+
+    def __init__(self, node):
+        super().__init__(node)
+        self._queue: collections.deque = collections.deque()
+
+    def _make_step(self, outcap: int, n_unnest: int, has_ord: bool):
+        def step(rep, arrs, sel):
+            cap = sel.shape[0]
+            lens = None
+            for starts, lengths, avalid, _, _ in arrs:
+                l = jnp.where(sel, lengths, 0)
+                if avalid is not None:
+                    l = jnp.where(avalid, l, 0)
+                lens = l if lens is None else jnp.maximum(lens, l)
+            lens = lens.astype(jnp.int32)
+            out_pos = jnp.cumsum(lens) - lens            # exclusive
+            total = out_pos[-1] + lens[-1]
+            rows = jnp.arange(cap, dtype=jnp.int32)
+            pos = jnp.where(lens > 0, out_pos, outcap)   # empty rows drop
+            heads = jnp.zeros((outcap,), jnp.int32).at[pos].max(
+                rows + 1, mode="drop")
+            row_of = jnp.maximum(
+                jax.lax.associative_scan(jnp.maximum, heads) - 1, 0)
+            out_sel = jnp.arange(outcap, dtype=jnp.int32) < total
+            rank = (jnp.arange(outcap, dtype=jnp.int32)
+                    - jnp.take(out_pos, row_of, mode="clip"))
+            rep_out = []
+            for vals, valid in rep:
+                rep_out.append((
+                    jnp.take(vals, row_of, mode="clip"),
+                    jnp.take(valid, row_of, mode="clip")
+                    if valid is not None else None))
+            elem_out = []
+            for starts, lengths, _, evals, evalid in arrs:
+                in_len = rank < jnp.take(lengths, row_of, mode="clip")
+                eidx = jnp.clip(
+                    jnp.take(starts, row_of, mode="clip") + rank,
+                    0, evals.shape[0] - 1)
+                mask = in_len
+                if evalid is not None:
+                    mask = jnp.logical_and(mask, jnp.take(evalid, eidx))
+                elem_out.append((jnp.take(evals, eidx), mask))
+            ord_out = ((rank + 1).astype(jnp.int64) if has_ord else None)
+            return rep_out, elem_out, ord_out, out_sel
+        return step
+
+    def add_input(self, batch: Batch) -> None:
+        from velox_tpu.vector.batch import round_capacity
+        from velox_tpu.vector.column import ArrayColumn
+
+        node = self.node
+        acols = [batch.column(n) for n in node.unnest]
+        for a in acols:
+            assert isinstance(a, ArrayColumn), (
+                f"unnest input {node.unnest} must be ARRAY columns")
+            assert isinstance(a.elements, Column), (
+                "nested ARRAY unnest not supported")
+        outcap = round_capacity(sum(a.elements.capacity for a in acols))
+        has_ord = node.ordinality is not None
+        key = ("unnest", node.id, batch.capacity, outcap,
+               tuple((c.valid is not None) for c in acols),
+               tuple(batch.column(n).valid is not None
+                     for n in node.replicated),
+               tuple(a.elements.valid is not None for a in acols))
+        step = cached_jit(
+            key, lambda: self._make_step(outcap, len(acols), has_ord))
+        rep = [(batch.column(n).values, batch.column(n).valid)
+               for n in node.replicated]
+        arrs = [(a.starts, a.lengths, a.valid,
+                 a.elements.values, a.elements.valid) for a in acols]
+        rep_out, elem_out, ord_out, out_sel = step(rep, arrs, batch.sel)
+
+        out_types = dict(zip(self.output_type.names,
+                             self.output_type.children))
+        cols = {}
+        for n, (vals, valid) in zip(node.replicated, rep_out):
+            src = batch.column(n)
+            cols[n] = Column(out_types[n], vals, valid, src.dictionary,
+                             src.stats)
+        for n, a, (vals, mask) in zip(node.unnest, acols, elem_out):
+            # single unnest column + non-null elements: rank < length holds
+            # on every selected row, so the mask is redundant with sel —
+            # skip it (no host sync). Multi-column max-length padding and
+            # null elements need the real mask.
+            valid = (None if len(acols) == 1
+                     and a.elements.valid is None else mask)
+            cols[n] = Column(out_types[n], vals, valid,
+                             a.elements.dictionary)
+        if node.ordinality is not None:
+            cols[node.ordinality] = Column(out_types[node.ordinality],
+                                           ord_out)
+        self.stats.input_batches += 1
+        self._queue.append(Batch(cols, out_sel))
+
+    def get_output(self) -> Optional[Batch]:
+        return self._queue.popleft() if self._queue else None
+
+    def is_finished(self) -> bool:
+        return self.no_more_input_seen and not self._queue
+
+
+class LocalPartitionOp(Operator):
+    """velox/exec/LocalPartition.h:153 — in-task repartition/gather.
+
+    The serial Task runs one driver per pipeline, so the local exchange
+    degenerates to an identity pass-through; the real repartition lives in
+    velox_tpu/parallel/shuffle.hash_repartition (device all_to_all), which
+    the distributed runner substitutes for this node over a mesh.
+    """
+
+    def __init__(self, node):
+        super().__init__(node)
+        self._queue: collections.deque = collections.deque()
+
+    def add_input(self, batch: Batch) -> None:
+        self._queue.append(batch)
+
+    def get_output(self) -> Optional[Batch]:
+        return self._queue.popleft() if self._queue else None
+
+    def is_finished(self) -> bool:
+        return self.no_more_input_seen and not self._queue

@@ -487,6 +487,32 @@ class PlanBuilder:
             new_id(), self.node.output_type, self.node)
         return self
 
+    def unnest(self, replicated: Sequence[str], unnest: Sequence[str],
+               ordinality: Optional[str] = None) -> "PlanBuilder":
+        """Explode ARRAY columns (velox PlanBuilder::unnest,
+        velox/exec/tests/utils/PlanBuilder.h:1124): output = replicated
+        scalars + one element column per unnest input (+ optional 1-based
+        BIGINT ordinality)."""
+        from velox_tpu.types.types import ArrayType
+
+        schema = self.node.output_type
+        types = dict(zip(schema.names, schema.children))
+        names: List[str] = list(replicated)
+        children: List[DataType] = [types[n] for n in replicated]
+        for n in unnest:
+            t = types[n]
+            assert isinstance(t, ArrayType), f"unnest of non-ARRAY {n}: {t}"
+            names.append(n)
+            children.append(t.element)
+        if ordinality is not None:
+            names.append(ordinality)
+            children.append(BIGINT)
+        out = row_type(names, children)
+        self.node = UnnestNode(
+            new_id(), out, self.node, tuple(replicated), tuple(unnest),
+            ordinality)
+        return self
+
     def local_partition(self, keys: Sequence[str],
                         num_partitions: int) -> "PlanBuilder":
         self.node = LocalPartitionNode(

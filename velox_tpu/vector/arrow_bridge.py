@@ -46,12 +46,19 @@ def type_from_arrow(at: pa.DataType) -> DataType:
         return TIMESTAMP
     if pa.types.is_dictionary(at):
         return type_from_arrow(at.value_type)
+    if pa.types.is_list(at) or pa.types.is_large_list(at):
+        from velox_tpu.types.types import array as array_type
+        return array_type(type_from_arrow(at.value_type))
     raise TypeError(f"unsupported arrow type {at}")
 
 
 def type_to_arrow(t: DataType) -> pa.DataType:
+    from velox_tpu.types.types import ArrayType
+
     if isinstance(t, DecimalType):
         return pa.decimal128(t.precision, t.scale)
+    if isinstance(t, ArrayType):
+        return pa.list_(type_to_arrow(t.element))
     rev = {
         TypeKind.BOOLEAN: pa.bool_(), TypeKind.TINYINT: pa.int8(),
         TypeKind.SMALLINT: pa.int16(), TypeKind.INTEGER: pa.int32(),
@@ -68,6 +75,29 @@ def _ingest_array(arr: pa.ChunkedArray, cap: int) -> Column:
         arr = arr.combine_chunks()
     t = type_from_arrow(arr.type)
     n = len(arr)
+
+    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        # offsets+sizes+flat-child, the ArrayVector layout
+        # (velox/vector/ComplexVector.h:571)
+        from velox_tpu.vector.column import ArrayColumn
+        offsets = np.asarray(arr.offsets.to_numpy(zero_copy_only=False),
+                             dtype=np.int64)
+        starts = np.zeros(cap, dtype=np.int32)
+        lengths = np.zeros(cap, dtype=np.int32)
+        starts[:n] = offsets[:-1]
+        lengths[:n] = np.diff(offsets)
+        null_mask = arr.is_null().to_numpy(zero_copy_only=False)
+        lengths[:n] = np.where(null_mask, 0, lengths[:n])
+        valid = None
+        if null_mask.any():
+            v = np.zeros(cap, dtype=bool)
+            v[:n] = ~null_mask
+            valid = jnp.asarray(v)
+        flat = arr.values  # pa.Array of elements
+        ecap = max(128, 1 << (max(len(flat), 1) - 1).bit_length())
+        elements = _ingest_array(flat, ecap)
+        return ArrayColumn(t, jnp.asarray(starts), jnp.asarray(lengths),
+                           elements, valid)
 
     if t.is_string:
         # dictionary-encode on host (Arrow does this vectorized in C++)

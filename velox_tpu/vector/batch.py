@@ -90,10 +90,15 @@ class Batch:
         names = list(data.keys())
         n = len(data[names[0]]) if names else 0
         cap = capacity if capacity is not None else round_capacity(n)
+        from velox_tpu.vector.column import make_array_column
+
         cols = {}
         for name in names:
-            col, _ = make_column(types[name], data[name], cap)
-            cols[name] = col
+            if types[name].kind == TypeKind.ARRAY:
+                cols[name] = make_array_column(types[name], data[name], cap)
+            else:
+                col, _ = make_column(types[name], data[name], cap)
+                cols[name] = col
         sel = np.zeros(cap, dtype=bool)
         sel[:n] = True
         return Batch(cols, jnp.asarray(sel), num_rows=n)
@@ -160,9 +165,15 @@ class Batch:
             self = self.compact()
         # ONE device->host transfer for the whole batch (each np.asarray
         # would pay a full round trip on tunneled backends)
+        from velox_tpu.vector.column import ArrayColumn
+
         device = {"__sel__": self.sel}
         for name, col in self.columns.items():
-            device[f"v.{name}"] = col.values
+            if isinstance(col, ArrayColumn):
+                device[f"s.{name}"] = col.starts
+                device[f"l.{name}"] = col.lengths
+            else:
+                device[f"v.{name}"] = col.values
             if col.valid is not None:
                 device[f"m.{name}"] = col.valid
         host = jax.device_get(device)
@@ -172,6 +183,18 @@ class Batch:
             idx = idx[:limit]
         out: Dict[str, list] = {}
         for name, col in self.columns.items():
+            if isinstance(col, ArrayColumn):
+                starts = host[f"s.{name}"][idx]
+                lengths = host[f"l.{name}"][idx]
+                elems = col.elements.to_pylist()
+                valid = (host[f"m.{name}"][idx]
+                         if col.valid is not None else None)
+                out[name] = [
+                    None if valid is not None and not valid[i]
+                    else elems[starts[i]: starts[i] + lengths[i]]
+                    for i in range(len(starts))
+                ]
+                continue
             vals = host[f"v.{name}"][idx]
             if col.dictionary is not None:
                 vals = col.dictionary.decode(vals)

@@ -130,6 +130,92 @@ class Column:
         return [decoded[i] if valid[i] else None for i in range(len(vals))]
 
 
+@dataclass(frozen=True)
+class ArrayColumn:
+    """Variable-length array column: Arrow-style offsets + flat elements.
+
+    Replaces velox/vector/ComplexVector.h:571 (ArrayVector: offsets +
+    sizes + flat elements child) with static-shape device arrays:
+    ``starts``/``lengths`` live at the batch's capacity, ``elements`` is a
+    flat :class:`Column` with its own (independent) capacity. Rows of the
+    batch can therefore be gathered/filtered without touching element
+    storage — the wrap-in-dictionary trick for complex types.
+    """
+
+    dtype: DataType                        # ArrayType
+    starts: jax.Array                      # (capacity,) int32 into elements
+    lengths: jax.Array                     # (capacity,) int32
+    elements: Column                       # flat element column
+    valid: Optional[jax.Array] = None      # (capacity,) bool, None = all valid
+    #: compat attributes so generic column loops (dictionary peeling,
+    #: stats-driven narrowing) skip array columns without isinstance checks
+    dictionary = None
+    stats = None
+
+    @property
+    def capacity(self) -> int:
+        return self.starts.shape[0]
+
+    def validity(self) -> jax.Array:
+        if self.valid is not None:
+            return self.valid
+        return jnp.ones((self.capacity,), dtype=jnp.bool_)
+
+    def gather(self, indices: jax.Array) -> "ArrayColumn":
+        """Row gather: offsets move, flat elements are shared unchanged."""
+        starts = jnp.take(self.starts, indices, mode="clip")
+        lengths = jnp.take(self.lengths, indices, mode="clip")
+        valid = (
+            jnp.take(self.valid, indices, mode="clip")
+            if self.valid is not None else None
+        )
+        return ArrayColumn(self.dtype, starts, lengths, self.elements, valid)
+
+    def to_pylist(self, num_rows: Optional[int] = None) -> list:
+        starts = np.asarray(self.starts)[:num_rows]
+        lengths = np.asarray(self.lengths)[:num_rows]
+        elems = self.elements.to_pylist()
+        valid = (
+            np.asarray(self.valid)[: len(starts)]
+            if self.valid is not None else None
+        )
+        out = []
+        for i in range(len(starts)):
+            if valid is not None and not valid[i]:
+                out.append(None)
+            else:
+                out.append(elems[starts[i]: starts[i] + lengths[i]])
+        return out
+
+
+def make_array_column(
+    dtype: DataType, data: Sequence, capacity: int
+) -> ArrayColumn:
+    """Host list-of-lists -> ArrayColumn (None -> null row, length 0)."""
+    n = len(data)
+    starts = np.zeros(capacity, dtype=np.int32)
+    lengths = np.zeros(capacity, dtype=np.int32)
+    flat: list = []
+    has_null = False
+    for i, row in enumerate(data):
+        starts[i] = len(flat)
+        if row is None:
+            has_null = True
+        else:
+            lengths[i] = len(row)
+            flat.extend(row)
+    valid = None
+    if has_null:
+        v = np.zeros(capacity, dtype=bool)
+        v[:n] = np.array([row is not None for row in data], dtype=bool)
+        valid = jnp.asarray(v)
+    # elements get their own lane-padded power-of-two capacity
+    ecap = max(128, 1 << (max(len(flat), 1) - 1).bit_length())
+    elements, _ = make_column(dtype.element, flat, ecap)
+    return ArrayColumn(
+        dtype, jnp.asarray(starts), jnp.asarray(lengths), elements, valid)
+
+
 def make_column(
     dtype: DataType,
     data: Sequence,
