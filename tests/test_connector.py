@@ -1,0 +1,99 @@
+"""Lazy parquet DataSource (row-group stat pruning, column pruning) and
+TableWrite sink. Parity targets: velox/connectors/hive +
+velox/dwio/common ScanSpec filter pushdown; velox/exec/TableWriter.h.
+"""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from velox_tpu.plan import PlanBuilder
+from velox_tpu.exec import run_plan_pydict
+from velox_tpu.io.catalog import drop_table, get_table, register_parquet
+
+
+@pytest.fixture
+def pq_file(tmp_path):
+    # 4 row groups with disjoint x ranges -> stats pruning is observable
+    path = str(tmp_path / "t.parquet")
+    t = pa.table({
+        "x": pa.array(list(range(400)), pa.int64()),
+        "y": pa.array([i * 2 for i in range(400)], pa.int64()),
+        "s": pa.array(["a" if i % 2 else "b" for i in range(400)]),
+    })
+    pq.write_table(t, path, row_group_size=100)
+    yield path
+    drop_table("pt")
+
+
+def test_lazy_scan_matches_eager(pq_file):
+    register_parquet("pt", pq_file, lazy=True)
+    out = run_plan_pydict(
+        PlanBuilder().table_scan("pt").aggregate(
+            [], ["sum(x) as sx", "sum(y) as sy", "count(s) as c"]).build())
+    assert out == {"sx": [sum(range(400))],
+                   "sy": [2 * sum(range(400))], "c": [400]}
+
+
+def test_row_group_pruning(pq_file):
+    register_parquet("pt", pq_file, lazy=True)
+    out = run_plan_pydict(
+        PlanBuilder().table_scan("pt", subfilter="x >= 350")
+        .aggregate([], ["count(x) as c"]).build())
+    assert out["c"] == [50]
+    # groups [0,100) [100,200) [200,300) skipped by min/max stats
+    assert get_table("pt").last_skipped == 3
+
+
+def test_pruning_all_groups(pq_file):
+    register_parquet("pt", pq_file, lazy=True)
+    out = run_plan_pydict(
+        PlanBuilder().table_scan("pt", subfilter="x > 1000")
+        .aggregate([], ["count(x) as c"]).build())
+    assert out["c"] == [0]
+    assert get_table("pt").last_skipped == 4
+
+
+def test_pruning_between_and_string(pq_file):
+    register_parquet("pt", pq_file, lazy=True)
+    out = run_plan_pydict(
+        PlanBuilder()
+        .table_scan("pt", subfilter="x BETWEEN 120 AND 130 AND s = 'a'")
+        .aggregate([], ["count(x) as c"]).build())
+    assert out["c"] == [5]  # odd x in [120, 130]
+    assert get_table("pt").last_skipped == 3
+
+
+def test_column_pruning_reads_subset(pq_file):
+    register_parquet("pt", pq_file, lazy=True)
+    out = run_plan_pydict(
+        PlanBuilder().table_scan("pt", columns=["y"])
+        .aggregate([], ["max(y) as m"]).build())
+    assert out["m"] == [798]
+
+
+def test_table_write_roundtrip(pq_file, tmp_path):
+    register_parquet("pt", pq_file, lazy=True)
+    dest = str(tmp_path / "out.parquet")
+    out = run_plan_pydict(
+        PlanBuilder().table_scan("pt").filter("x < 10")
+        .project(["x", "x * 2 as x2"])
+        .table_write(dest).build())
+    assert out["rows"] == [10]
+    rt = pq.read_table(dest)
+    assert rt.column("x").to_pylist() == list(range(10))
+    assert rt.column("x2").to_pylist() == [2 * i for i in range(10)]
+
+
+def test_table_write_partitioned(pq_file, tmp_path):
+    register_parquet("pt", pq_file, lazy=True)
+    dest = str(tmp_path / "ds")
+    out = run_plan_pydict(
+        PlanBuilder().table_scan("pt").filter("x < 20")
+        .table_write(dest, partition_by=["s"]).build())
+    assert out["rows"] == [20]
+    assert sorted(os.listdir(dest)) == ["s=a", "s=b"]
+    rt = pq.read_table(dest)
+    assert rt.num_rows == 20

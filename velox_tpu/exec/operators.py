@@ -71,7 +71,8 @@ class TableScanOp(Operator):
         super().__init__(node)
         from velox_tpu.io.catalog import get_table
 
-        self._splits = collections.deque(get_table(node.table).batches)
+        self._splits = collections.deque(
+            get_table(node.table).make_splits(node.columns, node.subfilter))
         self._filter = (
             ExprEvaluator([node.subfilter], node.output_type)
             if node.subfilter is not None else None)

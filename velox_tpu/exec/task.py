@@ -22,15 +22,15 @@ from velox_tpu.exec.operators import (
 )
 from velox_tpu.exec.window_ops import (
     ExpandOp, GroupIdOp, LocalPartitionOp, MarkDistinctOp, RowNumberOp,
-    TopNRowNumberOp, UnnestOp, WindowOp,
+    TableWriteOp, TopNRowNumberOp, UnnestOp, WindowOp,
 )
 from velox_tpu.plan.nodes import (
     AggregationNode, AssignUniqueIdNode, CrossJoinNode,
     EnforceSingleRowNode, ExpandNode, FilterNode, HashJoinNode, LimitNode,
     GroupIdNode, LocalPartitionNode, MarkDistinctNode, MergeJoinNode,
     OrderByNode, PlanNode, ProjectNode,
-    RowNumberNode, TableScanNode, TopNNode, TopNRowNumberNode, UnnestNode,
-    ValuesNode, WindowNode,
+    RowNumberNode, TableScanNode, TableWriteNode, TopNNode,
+    TopNRowNumberNode, UnnestNode, ValuesNode, WindowNode,
 )
 
 #: extension point: node type -> factory(node, pipelines, chain) -> Operator
@@ -54,6 +54,7 @@ _SIMPLE_OPERATORS = {
     GroupIdNode: GroupIdOp,
     UnnestNode: UnnestOp,
     LocalPartitionNode: LocalPartitionOp,
+    TableWriteNode: TableWriteOp,
 }
 
 

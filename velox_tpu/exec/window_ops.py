@@ -581,3 +581,60 @@ class LocalPartitionOp(Operator):
 
     def is_finished(self) -> bool:
         return self.no_more_input_seen and not self._queue
+
+
+class TableWriteOp(Operator):
+    """velox/exec/TableWriter.h:170 — file sink. Batches stream off the
+    device through the arrow bridge; pyarrow writes parquet (optionally
+    hive-partitioned key=value/ directories, HiveDataSink.h:406
+    partitioned-write analog). Emits one ROW<rows BIGINT> summary row."""
+
+    blocking = True
+
+    def __init__(self, node):
+        super().__init__(node)
+        self._tables: List = []
+        self._emitted = False
+
+    def add_input(self, batch: Batch) -> None:
+        from velox_tpu.vector.arrow_bridge import to_arrow
+
+        self._tables.append(to_arrow(batch))
+        self.stats.input_batches += 1
+
+    def get_output(self) -> Optional[Batch]:
+        if not self.no_more_input_seen or self._emitted:
+            return None
+        import pyarrow as pa
+
+        node = self.node
+        assert node.format == "parquet", f"unsupported sink {node.format}"
+        if self._tables:
+            table = pa.concat_tables(self._tables)
+        else:
+            from velox_tpu.vector.arrow_bridge import type_to_arrow
+
+            src = node.source.output_type
+            table = pa.table({
+                n: pa.array([], type_to_arrow(t))
+                for n, t in zip(src.names, src.children)})
+        if node.partition_by:
+            import pyarrow.dataset as ds
+
+            ds.write_dataset(
+                table, node.path, format="parquet",
+                partitioning=ds.partitioning(
+                    table.schema.empty_table().select(
+                        list(node.partition_by)).schema, flavor="hive"),
+                existing_data_behavior="overwrite_or_ignore")
+        else:
+            import pyarrow.parquet as pq
+
+            pq.write_table(table, node.path)
+        self._emitted = True
+        self.stats.output_batches += 1
+        return Batch.from_pydict(
+            {"rows": [table.num_rows]}, {"rows": BIGINT})
+
+    def is_finished(self) -> bool:
+        return self._emitted

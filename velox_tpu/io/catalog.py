@@ -35,6 +35,14 @@ class Table:
     def num_rows(self) -> int:
         return sum(b.num_rows or 0 for b in self.batches)
 
+    def make_splits(self, columns: Sequence[str],
+                    subfilter=None) -> List[Batch]:
+        """Splits for one TableScan. In-memory tables ignore pushdown
+        (device subfilter handles it); file-backed tables override to
+        prune row groups / columns before decode (the ScanSpec contract,
+        velox/dwio/common/ScanSpec.h:41)."""
+        return list(self.batches)
+
 
 _TABLES: Dict[str, Table] = {}
 
@@ -59,12 +67,21 @@ def register_arrow(
     transfer, no per-row Decimal boxing (velox's short-decimal flat
     vectors analog, velox/type/DecimalUtil.h).
     """
+    batches = ingest_splits(table, batch_rows, decimal_overrides)
+    t = Table(name, batches[0].schema, batches)
+    _TABLES[name] = t
+    return t
+
+
+def ingest_splits(
+    table: pa.Table, batch_rows: int = 1 << 20,
+    decimal_overrides: Optional[Dict[str, tuple]] = None,
+) -> List[Batch]:
+    """Arrow table -> device splits with table-global dictionaries + stats."""
     n = table.num_rows
     batch_rows = min(batch_rows, max(n, 1))
     cap = round_capacity(batch_rows)
 
-    # encode string columns once over the full table -> shared dictionaries
-    full_cols: Dict[str, Column] = {}
     names = table.column_names
     batches: List[Batch] = []
     starts = list(range(0, max(n, 1), batch_rows))
@@ -90,9 +107,7 @@ def register_arrow(
                     cname, Column(
                         dt, col.values.astype(dt.dtype), col.valid))
     _attach_stats(table, batches, decimal_overrides)
-    t = Table(name, batches[0].schema, batches)
-    _TABLES[name] = t
-    return t
+    return batches
 
 
 def _attach_stats(table: pa.Table, batches: List[Batch],
@@ -153,10 +168,149 @@ def _unify_dictionaries(
     return out
 
 
-def register_parquet(name: str, path: str, batch_rows: int = 1 << 20) -> Table:
+def register_parquet(name: str, path: str, batch_rows: int = 1 << 20,
+                     lazy: bool = False,
+                     decimal_overrides: Optional[Dict[str, tuple]] = None,
+                     ) -> Table:
+    """Register a parquet file. ``lazy=True`` defers all decode to scan
+    time: each TableScan reads only its referenced columns and only the
+    row groups whose min/max statistics can satisfy the pushed-down
+    subfilter — the SelectiveColumnReader contract
+    (velox/dwio/common/SelectiveColumnReader.h:139) done at row-group
+    granularity on the host CPU."""
     import pyarrow.parquet as pq
 
-    return register_arrow(name, pq.read_table(path), batch_rows)
+    if not lazy:
+        return register_arrow(name, pq.read_table(path), batch_rows,
+                              decimal_overrides)
+    pf = pq.ParquetFile(path)
+    schema = row_type(
+        pf.schema_arrow.names,
+        [type_from_arrow(f.type) for f in pf.schema_arrow])
+    t = ParquetTable(name, schema, [], path, batch_rows,
+                     decimal_overrides or {})
+    _TABLES[name] = t
+    return t
+
+
+@dataclass
+class ParquetTable(Table):
+    """Lazy parquet-backed table (HiveDataSource analog,
+    velox/connectors/hive/HiveDataSource.h)."""
+
+    path: str = ""
+    batch_rows: int = 1 << 20
+    decimal_overrides: Dict[str, tuple] = None  # type: ignore[assignment]
+    #: row groups skipped by statistics on the last scan (test/stats hook)
+    last_skipped: int = 0
+
+    @property
+    def num_rows(self) -> int:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(self.path).metadata.num_rows
+
+    def make_splits(self, columns: Sequence[str],
+                    subfilter=None) -> List[Batch]:
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(self.path)
+        md = pf.metadata
+        col_idx = {n: i for i, n in enumerate(pf.schema_arrow.names)}
+        conjuncts = _split_conjuncts(subfilter)
+        keep = []
+        for rg in range(md.num_row_groups):
+            stats = {}
+            g = md.row_group(rg)
+            for n in columns:
+                s = g.column(col_idx[n]).statistics
+                if s is not None and s.has_min_max:
+                    stats[n] = (s.min, s.max)
+            if all(_may_match(c, stats) for c in conjuncts):
+                keep.append(rg)
+        self.last_skipped = md.num_row_groups - len(keep)
+        if not keep:
+            return []
+        tbl = pf.read_row_groups(keep, columns=list(columns))
+        ov = {k: v for k, v in (self.decimal_overrides or {}).items()
+              if k in columns}
+        return ingest_splits(tbl, self.batch_rows, ov or None)
+
+
+def _split_conjuncts(expr) -> List:
+    """Flatten an AND tree into conjuncts (None -> [])."""
+    from velox_tpu.expr.ir import Call
+
+    if expr is None:
+        return []
+    if isinstance(expr, Call) and expr.name == "and":
+        out = []
+        for a in expr.args:
+            out.extend(_split_conjuncts(a))
+        return out
+    return [expr]
+
+
+def _may_match(conjunct, stats: Dict[str, tuple]) -> bool:
+    """Can any row in a group with these min/max stats pass the conjunct?
+    Conservative: unknown shapes / missing stats -> True (no skip).
+    The ScanSpec::testFilter analog (velox/dwio/common/ScanSpec.cpp)."""
+    from velox_tpu.expr.ir import Call, Cast, FieldRef, Literal
+
+    def peel(e):
+        while isinstance(e, Cast):
+            e = e.expr
+        return e
+
+    if not isinstance(conjunct, Call):
+        return True
+    a = [peel(x) for x in conjunct.args]
+    op = conjunct.name
+    flipped = {"lt": "gt", "lte": "gte", "gt": "lt", "gte": "lte",
+               "eq": "eq", "neq": "neq"}
+    if (len(a) == 2 and isinstance(a[0], Literal)
+            and isinstance(a[1], FieldRef) and op in flipped):
+        a = [a[1], a[0]]
+        op = flipped[op]
+    if op == "between" and len(a) == 3 and isinstance(a[0], FieldRef):
+        return (_may_match(Call(None, "gte", (a[0], a[1])), stats)
+                and _may_match(Call(None, "lte", (a[0], a[2])), stats))
+    if not (len(a) == 2 and isinstance(a[0], FieldRef)
+            and isinstance(a[1], Literal)):
+        return True
+    mm = stats.get(a[0].name)
+    v = a[1].value
+    if mm is None or v is None or isinstance(v, (list, np.ndarray)):
+        return True
+    lo, hi = mm
+    try:
+        lo, hi, v = _stat_key(lo), _stat_key(hi), _stat_key(v)
+        if op == "eq":
+            return lo <= v <= hi
+        if op == "lt":
+            return lo < v
+        if op == "lte":
+            return lo <= v
+        if op == "gt":
+            return hi > v
+        if op == "gte":
+            return hi >= v
+    except TypeError:
+        return True
+    return True
+
+
+def _stat_key(v):
+    """Normalize a parquet stat / literal to a comparable scalar."""
+    import datetime
+
+    if isinstance(v, datetime.date):
+        return (v - datetime.date(1970, 1, 1)).days
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    if isinstance(v, (np.integer, np.floating)):
+        return v.item()
+    return v
 
 
 def get_table(name: str) -> Table:

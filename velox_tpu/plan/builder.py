@@ -25,7 +25,8 @@ from velox_tpu.plan.nodes import (
     CrossJoinNode, EnforceSingleRowNode, ExchangeNode, FilterNode,
     HashJoinNode, JoinType, LimitNode, LocalPartitionNode, MarkDistinctNode,
     MergeJoinNode, OrderByNode, PlanNode, ProjectNode, RowNumberNode,
-    SortField, TableScanNode, TopNNode, TopNRowNumberNode, UnnestNode,
+    SortField, TableScanNode, TableWriteNode, TopNNode, TopNRowNumberNode,
+    UnnestNode,
     ValuesNode, WindowNode, WindowSpec, new_id,
 )
 
@@ -511,6 +512,15 @@ class PlanBuilder:
         self.node = UnnestNode(
             new_id(), out, self.node, tuple(replicated), tuple(unnest),
             ordinality)
+        return self
+
+    def table_write(self, path: str, format: str = "parquet",
+                    partition_by: Sequence[str] = ()) -> "PlanBuilder":
+        """Write the plan's output to a file/dataset; the plan then
+        returns ROW<rows BIGINT> (velox PlanBuilder::tableWrite)."""
+        out = row_type(["rows"], [BIGINT])
+        self.node = TableWriteNode(
+            new_id(), out, self.node, path, format, tuple(partition_by))
         return self
 
     def local_partition(self, keys: Sequence[str],

@@ -288,6 +288,17 @@ class EnforceSingleRowNode(SourceNode):
 
 
 @dataclass(frozen=True)
+class TableWriteNode(SourceNode):
+    """File sink (velox/core/PlanNode.h TableWriteNode; HiveDataSink
+    velox/connectors/hive/HiveDataSink.h:406). Emits one summary row with
+    the written row count."""
+
+    path: str = ""
+    format: str = "parquet"
+    partition_by: Tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
 class LocalPartitionNode(SourceNode):
     """In-task repartition (velox/core/PlanNode.h:2545); keys empty =
     round robin / gather."""
