@@ -18,11 +18,12 @@ lanes (no table lookups — VPU-friendly).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from velox_tpu.types import (
-    BIGINT, BOOLEAN, DATE, DOUBLE, INTEGER, REAL, DataType,
+    BIGINT, BOOLEAN, DATE, DOUBLE, INTEGER, REAL, TIMESTAMP, DataType,
 )
 from velox_tpu.types.types import DecimalType, TypeKind, common_numeric_type
 from velox_tpu.functions.registry import ScalarFunction, register_function
@@ -327,3 +328,192 @@ register_function(ScalarFunction(
     "quarter", lambda a: BIGINT,
     lambda a: (jnp.floor_divide(_civil_from_days(a)[1] - 1, 3) + 1
                ).astype(jnp.int64)))
+
+
+# ----------------------------------------------- math breadth (Presto)
+# velox/functions/prestosql/Arithmetic.h — pure VPU transcendentals.
+
+for _n, _f in [
+    ("sin", jnp.sin), ("cos", jnp.cos), ("tan", jnp.tan),
+    ("asin", jnp.arcsin), ("acos", jnp.arccos), ("atan", jnp.arctan),
+    ("sinh", jnp.sinh), ("cosh", jnp.cosh), ("tanh", jnp.tanh),
+    ("cbrt", jnp.cbrt), ("log2", jnp.log2), ("log10", jnp.log10),
+    ("degrees", jnp.degrees), ("radians", jnp.radians),
+]:
+    register_function(ScalarFunction(
+        _n, lambda a: DOUBLE,
+        (lambda f: lambda a: f(a.astype(jnp.float64)))(_f)))
+
+register_function(ScalarFunction(
+    "atan2", lambda a: DOUBLE,
+    lambda y, x: jnp.arctan2(y.astype(jnp.float64),
+                             x.astype(jnp.float64))))
+register_function(ScalarFunction(
+    "sign", lambda a: a[0], lambda a: jnp.sign(a)))
+register_function(ScalarFunction(
+    "truncate", lambda a: a[0],
+    lambda a: jnp.trunc(a) if jnp.issubdtype(a.dtype, jnp.floating) else a))
+register_function(ScalarFunction(
+    "is_nan", lambda a: BOOLEAN, lambda a: jnp.isnan(a)))
+register_function(ScalarFunction(
+    "is_finite", lambda a: BOOLEAN, lambda a: jnp.isfinite(a)))
+register_function(ScalarFunction(
+    "is_infinite", lambda a: BOOLEAN, lambda a: jnp.isinf(a)))
+register_function(ScalarFunction(
+    "pi", lambda a: DOUBLE, lambda: jnp.float64(np.pi)))
+register_function(ScalarFunction(
+    "e", lambda a: DOUBLE, lambda: jnp.float64(np.e)))
+register_function(ScalarFunction(
+    "nan", lambda a: DOUBLE, lambda: jnp.float64(np.nan)))
+register_function(ScalarFunction(
+    "infinity", lambda a: DOUBLE, lambda: jnp.float64(np.inf)))
+
+# ------------------------------------------------- bitwise (Presto)
+# velox/functions/prestosql/Bitwise.h
+
+register_function(ScalarFunction(
+    "bitwise_and", _arith_type, lambda a, b: jnp.bitwise_and(a, b)))
+register_function(ScalarFunction(
+    "bitwise_or", _arith_type, lambda a, b: jnp.bitwise_or(a, b)))
+register_function(ScalarFunction(
+    "bitwise_xor", _arith_type, lambda a, b: jnp.bitwise_xor(a, b)))
+register_function(ScalarFunction(
+    "bitwise_not", lambda a: a[0], lambda a: jnp.bitwise_not(a)))
+register_function(ScalarFunction(
+    "bitwise_left_shift", _arith_type,
+    lambda a, b: jnp.left_shift(a, b.astype(a.dtype))))
+register_function(ScalarFunction(
+    "bitwise_right_shift", _arith_type,
+    lambda a, b: jax.lax.shift_right_logical(a, b.astype(a.dtype))))
+register_function(ScalarFunction(
+    "bitwise_arithmetic_shift_right", _arith_type,
+    lambda a, b: jnp.right_shift(a, b.astype(a.dtype))))
+register_function(ScalarFunction(
+    "bit_count", lambda a: BIGINT,
+    lambda a, *rest: jax.lax.population_count(
+        a.astype(jnp.uint64)).astype(jnp.int64)))
+
+# ------------------------------------------- conditional breadth
+
+
+def _nullif_impl(pa_, pb_):
+    (a, va), (b, vb) = pa_, pb_
+    both = None
+    if va is not None and vb is not None:
+        both = jnp.logical_and(va, vb)
+    elif va is not None:
+        both = va
+    elif vb is not None:
+        both = vb
+    equal = a == b
+    if both is not None:
+        equal = jnp.logical_and(equal, both)
+    valid = jnp.logical_not(equal)
+    if va is not None:
+        valid = jnp.logical_and(valid, va)
+    return a, valid
+
+
+register_function(ScalarFunction(
+    "nullif", lambda a: a[0], _nullif_impl, default_nulls=False))
+
+# ------------------------------------- date part breadth (Presto)
+# velox/functions/prestosql/DateTimeFunctions.h — all in int32 lanes,
+# Howard Hinnant civil<->days both directions, no lookup tables.
+
+
+def _days_from_civil(y, m, d):
+    y = y - (m <= 2)
+    era = jnp.floor_divide(y, 400)
+    yoe = y - era * 400
+    doy = (jnp.floor_divide(
+        153 * (m + jnp.where(m > 2, -3, 9)) + 2, 5) + d - 1)
+    doe = (yoe * 365 + jnp.floor_divide(yoe, 4)
+           - jnp.floor_divide(yoe, 100) + doy)
+    return era * 146097 + doe - 719468
+
+
+def _iso_dow(days):
+    """ISO day of week, Monday=1..Sunday=7 (1970-01-01 was a Thursday)."""
+    return jnp.mod(days.astype(jnp.int32) + 3, 7) + 1
+
+
+def _doy(days):
+    days = days.astype(jnp.int32)
+    y, _, _ = _civil_from_days(days)
+    ones = jnp.ones_like(y)
+    return days - _days_from_civil(y, ones, ones) + 1
+
+
+def _iso_weeks_in_year(y):
+    def p(y):
+        return jnp.mod(y + jnp.floor_divide(y, 4)
+                       - jnp.floor_divide(y, 100)
+                       + jnp.floor_divide(y, 400), 7)
+    return 52 + jnp.logical_or(p(y) == 4, p(y - 1) == 3).astype(y.dtype)
+
+
+def _iso_week(days):
+    days = days.astype(jnp.int32)
+    y, _, _ = _civil_from_days(days)
+    w = jnp.floor_divide(_doy(days) - _iso_dow(days) + 10, 7)
+    w = jnp.where(w == 0, _iso_weeks_in_year(y - 1), w)
+    return jnp.where(w > _iso_weeks_in_year(y), 1, w)
+
+
+def _last_day_of_month_days(days):
+    y, m, _ = _civil_from_days(days.astype(jnp.int32))
+    ny = jnp.where(m == 12, y + 1, y)
+    nm = jnp.where(m == 12, 1, m + 1)
+    return _days_from_civil(ny, nm, jnp.ones_like(nm)) - 1
+
+
+register_function(ScalarFunction(
+    "day_of_week", lambda a: BIGINT,
+    lambda a: _iso_dow(a).astype(jnp.int64)))
+register_function(ScalarFunction(
+    "dow", lambda a: BIGINT, lambda a: _iso_dow(a).astype(jnp.int64)))
+register_function(ScalarFunction(
+    "day_of_year", lambda a: BIGINT,
+    lambda a: _doy(a).astype(jnp.int64)))
+register_function(ScalarFunction(
+    "doy", lambda a: BIGINT, lambda a: _doy(a).astype(jnp.int64)))
+register_function(ScalarFunction(
+    "day_of_month", lambda a: BIGINT,
+    lambda a: _civil_from_days(a)[2].astype(jnp.int64)))
+register_function(ScalarFunction(
+    "week", lambda a: BIGINT, lambda a: _iso_week(a).astype(jnp.int64)))
+register_function(ScalarFunction(
+    "week_of_year", lambda a: BIGINT,
+    lambda a: _iso_week(a).astype(jnp.int64)))
+register_function(ScalarFunction(
+    "last_day_of_month", lambda a: DATE,
+    lambda a: _last_day_of_month_days(a).astype(jnp.int32)))
+
+# timestamp lanes are int64 microseconds since epoch (arrow ingest,
+# velox_tpu/vector/arrow_bridge.py)
+_US_DAY = 86_400_000_000
+_US_HOUR = 3_600_000_000
+_US_MIN = 60_000_000
+
+
+def _ts_part(div, mod):
+    def impl(ts):
+        return jnp.floor_divide(jnp.mod(ts, mod), div).astype(jnp.int64)
+    return impl
+
+
+register_function(ScalarFunction(
+    "hour", lambda a: BIGINT, _ts_part(_US_HOUR, _US_DAY)))
+register_function(ScalarFunction(
+    "minute", lambda a: BIGINT, _ts_part(_US_MIN, _US_HOUR)))
+register_function(ScalarFunction(
+    "second", lambda a: BIGINT, _ts_part(1_000_000, _US_MIN)))
+register_function(ScalarFunction(
+    "millisecond", lambda a: BIGINT, _ts_part(1_000, 1_000_000)))
+register_function(ScalarFunction(
+    "to_unixtime", lambda a: DOUBLE,
+    lambda a: a.astype(jnp.float64) / 1e6))
+register_function(ScalarFunction(
+    "from_unixtime", lambda a: TIMESTAMP,
+    lambda a: (a.astype(jnp.float64) * 1e6).astype(jnp.int64)))
