@@ -43,16 +43,38 @@ class PartitionedOutputNode(SourceNode):
 class OutputBufferManager:
     """In-process page buffers keyed by (fragment, partition)
     (velox/exec/OutputBufferManager.h analog; enqueue/get/ack collapses
-    to enqueue/drain since producers finish before consumers here)."""
+    to enqueue/drain since producers finish before consumers here).
 
-    def __init__(self):
-        self._buffers: Dict[tuple, List[Batch]] = defaultdict(list)
+    ``serialize_pages=True`` stores wire-format SerializedPages instead of
+    live device batches — the cross-host (DCN) form of the exchange, where
+    pages leave the producer's device memory
+    (velox/exec/SerializedPage.h; serializers/PrestoSerializer.h:49)."""
+
+    def __init__(self, serialize_pages: bool = False,
+                 compress: bool = False):
+        self._buffers: Dict[tuple, list] = defaultdict(list)
+        self._serialize = serialize_pages
+        self._compress = compress
+        #: wire bytes enqueued so far (exchange data-plane stat)
+        self.bytes_buffered = 0
 
     def enqueue(self, fragment: str, partition: int, batch: Batch) -> None:
-        self._buffers[(fragment, partition)].append(batch)
+        if self._serialize:
+            from velox_tpu.serial import serialize_page
+
+            page = serialize_page(batch, compress=self._compress)
+            self.bytes_buffered += len(page)
+            self._buffers[(fragment, partition)].append(page)
+        else:
+            self._buffers[(fragment, partition)].append(batch)
 
     def drain(self, fragment: str, partition: int) -> List[Batch]:
-        return list(self._buffers.get((fragment, partition), []))
+        items = self._buffers.get((fragment, partition), [])
+        if self._serialize:
+            from velox_tpu.serial import deserialize_page
+
+            return [deserialize_page(p) for p in items]
+        return list(items)
 
 
 class PartitionedOutputOp(Operator):
@@ -119,14 +141,17 @@ class Fragment:
     exchange_sources: Optional[Dict[str, str]] = None
 
 
-def run_fragments(fragments: Sequence[Fragment]):
+def run_fragments(fragments: Sequence[Fragment],
+                  serialize_pages: bool = False, compress: bool = False):
     """Execute fragments in order (producers first); returns the last
-    fragment's result as an Arrow table."""
+    fragment's result as an Arrow table. ``serialize_pages`` routes every
+    exchange through the SerializedPage wire format (the cross-host
+    path)."""
     import pyarrow as pa
 
     from velox_tpu.vector.arrow_bridge import to_arrow
 
-    manager = OutputBufferManager()
+    manager = OutputBufferManager(serialize_pages, compress)
     last_tables = []
     for frag in fragments:
         srcs = frag.exchange_sources or {}
