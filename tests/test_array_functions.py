@@ -1,0 +1,117 @@
+"""Array scalar functions over ArrayColumn derived lanes.
+
+Parity: velox/functions/prestosql/ArrayFunctions.h (cardinality,
+array_sum, array_average, contains, element_at) with Presto null rules.
+"""
+
+import pytest
+
+from velox_tpu.types import BIGINT, DOUBLE, VARCHAR
+from velox_tpu.types.types import array as array_type
+from velox_tpu.plan import PlanBuilder
+from velox_tpu.exec import run_plan_pydict
+from velox_tpu.vector.batch import Batch
+
+
+def _run(data, types, exprs, filter=None):
+    pb = PlanBuilder().values([Batch.from_pydict(data, types)])
+    if filter:
+        pb = pb.filter(filter)
+    return run_plan_pydict(pb.project(exprs).build())
+
+
+ARRS = {"id": [1, 2, 3, 4],
+        "xs": [[1, 2, 3], [], None, [10, None, 30]]}
+TYPES = {"id": BIGINT, "xs": array_type(BIGINT)}
+
+
+def test_cardinality():
+    out = _run(ARRS, TYPES, ["id", "cardinality(xs) as c"])
+    assert out["c"] == [3, 0, None, 3]
+
+
+def test_array_sum_skips_null_elements():
+    out = _run(ARRS, TYPES, ["array_sum(xs) as s"])
+    assert out["s"] == [6, 0, None, 40]
+
+
+def test_array_sum_double():
+    out = _run({"xs": [[1.5, 2.5], [0.25]]},
+               {"xs": array_type(DOUBLE)}, ["array_sum(xs) as s"])
+    assert out["s"] == [4.0, 0.25]
+
+
+def test_array_average():
+    out = _run(ARRS, TYPES, ["array_average(xs) as a"])
+    assert out["a"] == [2.0, None, None, 20.0]
+
+
+def test_contains():
+    out = _run(ARRS, TYPES,
+               ["contains(xs, 2) as c2", "contains(xs, 99) as c99"])
+    assert out["c2"] == [True, False, None, None]
+    assert out["c99"] == [False, False, None, None]
+    # found beats null elements (Presto rule)
+    out = _run(ARRS, TYPES, ["contains(xs, 10) as c"])
+    assert out["c"][3] is True
+
+
+def test_element_at():
+    out = _run(ARRS, TYPES, [
+        "element_at(xs, 1) as e1", "element_at(xs, -1) as em1",
+        "element_at(xs, 5) as e5",
+    ])
+    assert out["e1"] == [1, None, None, 10]
+    assert out["em1"] == [3, None, None, 30]
+    assert out["e5"] == [None, None, None, None]
+    # null element inside bounds
+    out = _run(ARRS, TYPES, ["element_at(xs, 2) as e"])
+    assert out["e"] == [2, None, None, None]
+
+
+def test_string_arrays():
+    data = {"tags": [["red", "green"], ["blue"], ["red", None]]}
+    types = {"tags": array_type(VARCHAR)}
+    out = _run(data, types, [
+        "contains(tags, 'red') as has_red",
+        "element_at(tags, 1) as first",
+        "cardinality(tags) as n",
+    ])
+    assert out["has_red"] == [True, False, True]
+    assert out["first"] == ["red", "blue", "red"]
+    assert out["n"] == [2, 1, 2]
+
+
+def test_array_exprs_in_filter():
+    out = _run(ARRS, TYPES, ["id"], filter="array_sum(xs) > 10")
+    assert out["id"] == [4]
+
+
+def test_array_fn_composed_with_scalars():
+    out = _run(ARRS, TYPES,
+               ["cardinality(xs) * 10 + id as z"])
+    assert out["z"] == [31, 2, None, 34]
+
+
+def test_project_array_passthrough():
+    out = _run(ARRS, TYPES, ["xs", "id + 1 as j"])
+    assert out["xs"] == ARRS["xs"]
+    assert out["j"] == [2, 3, 4, 5]
+
+
+def test_scan_filter_then_unnest_with_arrays_present():
+    # fusion must stay disabled when ARRAY columns flow through the chain
+    from velox_tpu.io.catalog import drop_table, register_table
+
+    b = Batch.from_pydict(ARRS, TYPES)
+    register_table("arr_t", [b])
+    try:
+        plan = (PlanBuilder().table_scan("arr_t")
+                .filter("id <= 2")
+                .unnest(["id"], ["xs"])
+                .aggregate([], ["sum(xs) as s", "count(xs) as c"])
+                .build())
+        out = run_plan_pydict(plan)
+        assert out == {"s": [6], "c": [3]}
+    finally:
+        drop_table("arr_t")

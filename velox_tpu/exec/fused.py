@@ -21,7 +21,7 @@ from velox_tpu.utils.config import config
 from velox_tpu.vector.batch import Batch
 from velox_tpu.vector.column import Dictionary
 from velox_tpu.exec.jitcache import cached_jit
-from velox_tpu.exec.operator import Operator
+from velox_tpu.exec.operator import Operator, eval_dicts, eval_pairs
 from velox_tpu.exec.operators import (
     FilterOp, HashAggregationOp, ProjectOp, TableScanOp,
 )
@@ -34,6 +34,14 @@ def maybe_fuse(chain: List[Operator]) -> List[Operator]:
         return chain
     if not isinstance(chain[0], TableScanOp):
         return chain
+    from velox_tpu.types.types import TypeKind
+
+    # ARRAY columns flow through operators as offset+element lanes that a
+    # fused env can't passthrough; leave those chains unfused
+    for op in chain:
+        if any(t.kind == TypeKind.ARRAY
+               for t in op.node.output_type.children):
+            return chain
     # longest transform prefix after the scan
     k = 1
     while k < len(chain) and isinstance(chain[k], (FilterOp, ProjectOp)):
@@ -62,8 +70,7 @@ class FusedScanOp(Operator):
         hit = self._step_cache.get(sig)
         if hit is not None:
             return hit
-        dicts: Dict[str, Optional[Dictionary]] = {
-            n: c.dictionary for n, c in batch.columns.items()}
+        dicts: Dict[str, Optional[Dictionary]] = dict(eval_dicts(batch))
         ranges = {
             n: c.stats for n, c in batch.columns.items()
             if c.stats is not None}
@@ -112,7 +119,7 @@ class FusedScanOp(Operator):
         for df in self.scan.dynamic_filters:
             b = b.with_sel(df.filter_sel(b))
         jitted, out_dicts = self._compile(b)
-        cols = {n: (c.values, c.valid) for n, c in b.columns.items()}
+        cols = eval_pairs(b)
         env, sel = jitted(cols, b.sel)
         out_schema = self.output_type
         out_cols = {}
@@ -151,8 +158,7 @@ class FusedScanAggOp(Operator):
             return hit
 
         # thread dictionary metadata through the transform chain (host)
-        dicts: Dict[str, Optional[Dictionary]] = {
-            n: c.dictionary for n, c in batch.columns.items()}
+        dicts: Dict[str, Optional[Dictionary]] = dict(eval_dicts(batch))
         ranges = {
             n: c.stats for n, c in batch.columns.items()
             if c.stats is not None}
@@ -214,7 +220,7 @@ class FusedScanAggOp(Operator):
                 break
             b = b.project(self.scan.node.columns)
             jitted, mode = self._compile(b)
-            cols = {n: (c.values, c.valid) for n, c in b.columns.items()}
+            cols = eval_pairs(b)
             if mode == "array":
                 st = agg.ensure_array_state()
                 st["accs"], st["seen"] = jitted(

@@ -72,6 +72,37 @@ class Operator:
 _EVAL_CACHE: Dict[tuple, Tuple["ExprSet", Callable]] = {}
 
 
+def eval_pairs(batch: Batch) -> Dict[str, tuple]:
+    """All (values, valid) pairs expression eval can reference. ARRAY
+    columns contribute three derived flat lanes (#start/#len/#elemv) that
+    bind_array_funcs targets (velox_tpu/expr/compiler.py)."""
+    from velox_tpu.vector.column import ArrayColumn
+
+    out: Dict[str, tuple] = {}
+    for n, c in batch.columns.items():
+        if isinstance(c, ArrayColumn):
+            out[f"{n}#start"] = (c.starts, None)
+            out[f"{n}#len"] = (c.lengths, c.valid)
+            out[f"{n}#elemv"] = (c.elements.values, c.elements.valid)
+        else:
+            out[n] = (c.values, c.valid)
+    return out
+
+
+def eval_dicts(batch: Batch) -> Dict[str, object]:
+    """Dictionaries visible to bind time, incl. array element tables."""
+    from velox_tpu.vector.column import ArrayColumn
+
+    out: Dict[str, object] = {}
+    for n, c in batch.columns.items():
+        if isinstance(c, ArrayColumn):
+            if c.elements.dictionary is not None:
+                out[f"{n}#elemv"] = c.elements.dictionary
+        elif c.dictionary is not None:
+            out[n] = c.dictionary
+    return out
+
+
 class ExprEvaluator:
     """Compile-and-cache ExprSets per (schema, dictionary) signature.
 
@@ -128,10 +159,7 @@ class ExprEvaluator:
 
     def _get(self, batch: Batch, mode: str = "eval"
              ) -> Tuple[ExprSet, Callable]:
-        dicts = {
-            n: c.dictionary for n, c in batch.columns.items()
-            if c.dictionary is not None
-        }
+        dicts = eval_dicts(batch)
         ranges = {
             n: c.stats for n, c in batch.columns.items()
             if c.stats is not None
@@ -148,10 +176,8 @@ class ExprEvaluator:
         return hit
 
     def _arrays(self, expr_set: ExprSet, batch: Batch):
-        return {
-            name: (batch.column(name).values, batch.column(name).valid)
-            for name in expr_set.field_names
-        }
+        pairs = eval_pairs(batch)
+        return {name: pairs[name] for name in expr_set.field_names}
 
     def evaluate(self, batch: Batch) -> List[Tuple[jax.Array, Optional[jax.Array]]]:
         expr_set, jitted = self._get(batch)

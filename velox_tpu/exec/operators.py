@@ -121,17 +121,35 @@ class ProjectOp(Operator):
     """velox/exec/FilterProject.cpp project half: one fused program."""
 
     def __init__(self, node):
+        from velox_tpu.expr.ir import FieldRef as _FR
+        from velox_tpu.types.types import ArrayType
+
         super().__init__(node)
-        self._eval = ExprEvaluator(node.exprs, node.source.output_type)
+        # ARRAY columns can only be projected by passthrough (offsets +
+        # shared elements move as-is, no device work)
+        self._array_pass = {
+            name: e.name for name, e, t in zip(
+                node.names, node.exprs, node.output_type.children)
+            if isinstance(t, ArrayType) and isinstance(e, _FR)}
+        scalar = [
+            (name, e) for name, e in zip(node.names, node.exprs)
+            if name not in self._array_pass]
+        self._scalar_names = [n for n, _ in scalar]
+        self._eval = ExprEvaluator(
+            [e for _, e in scalar], node.source.output_type)
         self._queue: collections.deque = collections.deque()
 
     def add_input(self, batch: Batch) -> None:
         pairs, dicts = self._eval.project_pairs(batch)
+        types = dict(zip(self.node.names, self.output_type.children))
+        by_name = dict(zip(self._scalar_names, zip(pairs, dicts)))
         cols = {}
-        for name, dtype, pair, d in zip(
-                self.node.names, self.output_type.children, pairs, dicts):
-            vals, valid = pair
-            cols[name] = Column(dtype, vals, valid, d)
+        for name in self.node.names:
+            if name in self._array_pass:
+                cols[name] = batch.column(self._array_pass[name])
+            else:
+                (vals, valid), d = by_name[name]
+                cols[name] = Column(types[name], vals, valid, d)
         self._queue.append(Batch(cols, batch.sel, batch.num_rows))
 
     def get_output(self) -> Optional[Batch]:

@@ -310,6 +310,75 @@ def _like_to_regex(pattern: str) -> str:
     return "^" + "".join(out) + "$"
 
 
+#: surface array functions rewritten onto derived lanes at bind time
+_ARRAY_FUNCS = {
+    "cardinality", "array_sum", "array_average", "contains", "element_at",
+}
+
+
+def bind_array_funcs(expr: Expr,
+                     dictionaries: Dict[str, "Dictionary"]) -> Expr:
+    """Rewrite array-function calls onto the array column's derived lanes.
+
+    An ARRAY column reaches expression eval as three flat lanes
+    (``x#start``/``x#len``/``x#elemv``, exec/operator.py eval_pairs), so
+    ``array_sum(x)`` etc. compile to prefix-sum gathers that are correct
+    for arbitrary (gathered/overlapping) offsets — the TPU answer to
+    velox's per-row ArrayVector loops
+    (velox/functions/prestosql/ArrayFunctions.h)."""
+    from velox_tpu.types.types import ArrayType
+
+    if (isinstance(expr, Call) and expr.name in _ARRAY_FUNCS and expr.args
+            and isinstance(expr.args[0].dtype, ArrayType)):
+        arr = expr.args[0]
+        if not isinstance(arr, FieldRef):
+            raise TypeError(
+                f"{expr.name} requires an ARRAY column reference")
+        x = arr.name
+        et = arr.dtype.element
+        st = FieldRef(INTEGER, f"{x}#start")
+        ln = FieldRef(INTEGER, f"{x}#len")
+        ev = FieldRef(et, f"{x}#elemv")
+        if expr.name == "cardinality":
+            return Cast(BIGINT, ln, False)
+        if expr.name == "array_sum":
+            return Call(expr.dtype, "__array_sum", (st, ln, ev))
+        if expr.name == "array_average":
+            return Call(DOUBLE, "__array_avg", (st, ln, ev))
+        if expr.name == "contains":
+            lit = bind_array_funcs(expr.args[1], dictionaries)
+            if et.is_string:
+                if not isinstance(lit, Literal):
+                    raise TypeError(
+                        "contains on string arrays needs a literal")
+                d = dictionaries.get(f"{x}#elemv")
+                code = d.code_of(lit.value) if d is not None else -2
+                lit = Literal(INTEGER, code)
+            return Call(BOOLEAN, "__array_contains", (st, ln, ev, lit))
+        if expr.name == "element_at":
+            idx = bind_array_funcs(expr.args[1], dictionaries)
+            out = Call(et, "__array_element_at", (st, ln, ev, idx))
+            if et.is_string:
+                d = dictionaries.get(f"{x}#elemv")
+                n = len(d) if d is not None else 0
+                table = np.concatenate(
+                    [[-1], np.arange(n)]).astype(np.int32)
+                return DictTransform(et, out, table, d)
+            return out
+
+    if isinstance(expr, Call):
+        return Call(expr.dtype, expr.name, tuple(
+            bind_array_funcs(a, dictionaries) for a in expr.args))
+    if isinstance(expr, Cast):
+        return Cast(expr.dtype,
+                    bind_array_funcs(expr.expr, dictionaries),
+                    expr.null_on_failure)
+    if isinstance(expr, TryExpr):
+        return TryExpr(expr.dtype,
+                       bind_array_funcs(expr.expr, dictionaries))
+    return expr
+
+
 def bind_strings(expr: Expr, dictionaries: Dict[str, "Dictionary"]) -> Expr:
     """Rewrite string predicates/functions into dictionary-code programs."""
     if isinstance(expr, (FieldRef, Literal, DictTransform)):
@@ -707,6 +776,8 @@ class ExprSet:
         self.dictionaries = dictionaries or {}
         self.ranges = ranges or {}
         resolved = [resolve_types(e, schema) for e in exprs]
+        resolved = [bind_array_funcs(e, self.dictionaries)
+                    for e in resolved]
         bound = [bind_strings(e, self.dictionaries) for e in resolved]
         self.exprs = [widen_decimal_arith(e, self.ranges) for e in bound]
         self.result_types = [e.dtype for e in self.exprs]

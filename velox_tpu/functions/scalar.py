@@ -517,3 +517,126 @@ register_function(ScalarFunction(
 register_function(ScalarFunction(
     "from_unixtime", lambda a: TIMESTAMP,
     lambda a: (a.astype(jnp.float64) * 1e6).astype(jnp.int64)))
+
+
+# ----------------------------------------------- array functions (Presto)
+# velox/functions/prestosql/ArrayFunctions.h + Cardinality. Surface
+# functions resolve types only — the compiler rewrites every call into an
+# internal __array_* form over the array column's derived lanes
+# (start/len/elements, velox_tpu/expr/compiler.py bind_array_funcs), so
+# segment reductions run as prefix-sum gathers that stay correct for
+# arbitrary (gathered, overlapping) offsets.
+
+
+def _array_elem_type(args):
+    from velox_tpu.types.types import ArrayType
+
+    if not isinstance(args[0], ArrayType):
+        raise TypeError(f"expected ARRAY argument, got {args[0]}")
+    return args[0].element
+
+
+def _array_sum_type(args):
+    t = _array_elem_type(args)
+    if t.kind in (TypeKind.REAL, TypeKind.DOUBLE):
+        return DOUBLE
+    return BIGINT
+
+
+def _unbound_array(*a):  # pragma: no cover
+    raise RuntimeError("array function must be bound by the compiler")
+
+
+for _n, _rt in [
+    ("cardinality", lambda a: BIGINT),
+    ("array_sum", _array_sum_type),
+    ("array_average", lambda a: DOUBLE),
+    ("contains", lambda a: BOOLEAN),
+    ("element_at", _array_elem_type),
+]:
+    register_function(ScalarFunction(_n, _rt, _unbound_array))
+
+
+def _prefix(vals):
+    return jnp.concatenate(
+        [jnp.zeros((1,), vals.dtype), jnp.cumsum(vals)])
+
+
+def _seg_range(ps, st, ln):
+    """Per-row prefix difference over [start, start+len)."""
+    hi = jnp.take(ps, (st + ln).astype(jnp.int32), mode="clip")
+    lo = jnp.take(ps, st.astype(jnp.int32), mode="clip")
+    return hi - lo
+
+
+def _array_sum_impl(stp, lnp, evp):
+    (st, _), (ln, lv), (ev, evalid) = stp, lnp, evp
+    wide = (jnp.float64 if jnp.issubdtype(ev.dtype, jnp.floating)
+            else jnp.int64)
+    contrib = ev.astype(wide)
+    if evalid is not None:
+        contrib = jnp.where(evalid, contrib, 0)
+    return _seg_range(_prefix(contrib), st, ln), lv
+
+
+def _array_avg_impl(stp, lnp, evp):
+    (st, _), (ln, lv), (ev, evalid) = stp, lnp, evp
+    contrib = ev.astype(jnp.float64)
+    ones = jnp.ones(ev.shape, jnp.int32)
+    if evalid is not None:
+        contrib = jnp.where(evalid, contrib, 0.0)
+        ones = jnp.where(evalid, ones, 0)
+    s = _seg_range(_prefix(contrib), st, ln)
+    c = _seg_range(_prefix(ones), st, ln)
+    valid = c > 0
+    if lv is not None:
+        valid = jnp.logical_and(valid, lv)
+    return s / jnp.maximum(c, 1).astype(jnp.float64), valid
+
+
+def _array_contains_impl(stp, lnp, evp, litp):
+    (st, _), (ln, lv), (ev, evalid), (v, _) = stp, lnp, evp, litp
+    hits = (ev == v.astype(ev.dtype)).astype(jnp.int32)
+    if evalid is not None:
+        hits = jnp.where(evalid, hits, 0)
+    found = _seg_range(_prefix(hits), st, ln) > 0
+    valid = lv
+    if evalid is not None:
+        # Presto: not-found in an array containing nulls -> NULL
+        nulls = _seg_range(
+            _prefix(jnp.logical_not(evalid).astype(jnp.int32)), st, ln)
+        sure = jnp.logical_or(found, nulls == 0)
+        valid = sure if valid is None else jnp.logical_and(valid, sure)
+    return found, valid
+
+
+def _array_element_at_impl(stp, lnp, evp, idxp):
+    (st, _), (ln, lv), (ev, evalid), (idx, iv) = stp, lnp, evp, idxp
+    idx = idx.astype(jnp.int32)
+    # Presto 1-based; negative counts from the end
+    i0 = jnp.where(idx < 0, ln + idx, idx - 1)
+    inb = jnp.logical_and(i0 >= 0, i0 < ln)
+    pos = jnp.clip(st + jnp.clip(i0, 0), 0, ev.shape[0] - 1)
+    vals = jnp.take(ev, pos)
+    valid = inb
+    if lv is not None:
+        valid = jnp.logical_and(valid, lv)
+    if iv is not None:
+        valid = jnp.logical_and(valid, iv)
+    if evalid is not None:
+        valid = jnp.logical_and(valid, jnp.take(evalid, pos))
+    return vals, valid
+
+
+register_function(ScalarFunction(
+    "__array_sum", lambda a: BIGINT, _array_sum_impl,
+    default_nulls=False))
+register_function(ScalarFunction(
+    "__array_avg", lambda a: DOUBLE, _array_avg_impl,
+    default_nulls=False))
+register_function(ScalarFunction(
+    "__array_contains", lambda a: BOOLEAN, _array_contains_impl,
+    default_nulls=False))
+register_function(ScalarFunction(
+    "__array_element_at", lambda a: a[2], _array_element_at_impl,
+    default_nulls=False))
