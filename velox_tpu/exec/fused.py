@@ -46,7 +46,10 @@ def maybe_fuse(chain: List[Operator]) -> List[Operator]:
     k = 1
     while k < len(chain) and isinstance(chain[k], (FilterOp, ProjectOp)):
         k += 1
+    from velox_tpu.exec.operators import StreamingAggregationOp
+
     if (k == len(chain) - 1 and isinstance(chain[-1], HashAggregationOp)
+            and not isinstance(chain[-1], StreamingAggregationOp)
             and chain[-1].step != AggStep.FINAL):
         return [FusedScanAggOp(chain)]
     if k > 1:

@@ -719,6 +719,248 @@ class HashAggregationOp(Operator):
 
 # ------------------------------------------------------------------ order
 
+class StreamingAggregationOp(HashAggregationOp):
+    """velox/exec/StreamingAggregation.h:21 — aggregation over input
+    CLUSTERED on the grouping keys: groups close as soon as the key
+    changes, so memory stays one open group and no sort/hash ever runs.
+
+    TPU shape: per batch ONE jit — front-pack selected rows, detect key
+    boundaries by adjacent compare (the input order is the group order),
+    scatter-accumulate into per-batch group slots, merge the carried open
+    group, emit every closed group, and hand the last group's accumulator
+    lanes forward as the new carry. This sidesteps the lax.sort kernels
+    entirely — the streaming analog of velox's "assume sorted, compare to
+    previous row" (StreamingAggregation.cpp assignGroups).
+    """
+
+    blocking = False
+
+    def __init__(self, node):
+        super().__init__(node)
+        if self.step not in (AggStep.SINGLE, AggStep.FINAL):
+            raise NotImplementedError(
+                "streaming aggregation emits final results (SINGLE/FINAL)")
+        if self.has_distinct:
+            raise NotImplementedError(
+                "distinct aggregates need the hash aggregation")
+        assert self.keys, "keyless aggregation has no streams to close"
+        self._carry = None           # (keys, lanes-tuple-of-tuples) device
+        self._carry_present = jnp.asarray(False)
+        self._stream_jit = None
+        self._queue: collections.deque = collections.deque()
+
+    # ------------------------------------------------------------ compile
+    def _step_fn(self):
+        keys = self.keys
+        fns, specs = self.fns, self.specs
+        is_final = self.step == AggStep.FINAL
+
+        def keys_eq(a_pair, b_pair):
+            (av, avd), (bv, bvd) = a_pair, b_pair
+            an = jnp.zeros_like(av, jnp.bool_) if avd is None else ~avd
+            bn = jnp.zeros_like(bv, jnp.bool_) if bvd is None else ~bvd
+            return jnp.logical_or(
+                jnp.logical_and(av == bv, ~an & ~bn),
+                jnp.logical_and(an, bn))
+
+        def step(key_pairs, cols, sel, carry_present, carry_keys,
+                 carry_lanes):
+            cap = sel.shape[0]
+            n = jnp.sum(sel.astype(jnp.int32))
+            pk = jnp.nonzero(sel, size=cap, fill_value=cap)[0].astype(
+                jnp.int32)
+            r = jnp.arange(cap, dtype=jnp.int32)
+            packed = r < n
+
+            def pack(pair):
+                v, vd = pair
+                return (jnp.take(v, pk, mode="clip"),
+                        None if vd is None
+                        else jnp.take(vd, pk, mode="clip"))
+
+            kp = [pack(p) for p in key_pairs]
+            pcols = {name: pack(p) for name, p in cols.items()}
+
+            # boundary = any key differs from the previous packed row
+            same_prev = jnp.ones((cap,), jnp.bool_)
+            for (v, vd) in kp:
+                prev = (jnp.roll(v, 1), None if vd is None
+                        else jnp.roll(vd, 1))
+                same_prev = jnp.logical_and(
+                    same_prev, keys_eq((v, vd), prev))
+            head = jnp.logical_and(packed, ~same_prev).at[0].set(True)
+            head = jnp.logical_and(head, packed)
+
+            # does row 0 continue the carried group?
+            row0_eq = jnp.ones((), jnp.bool_)
+            for (v, vd), (cv, cvd) in zip(kp, carry_keys):
+                row0_eq = jnp.logical_and(row0_eq, keys_eq(
+                    (v[:1], None if vd is None else vd[:1]),
+                    (cv[None], None if cvd is None else cvd[None]))[0])
+            has_rows = n > 0
+            merge_carry = jnp.logical_and(
+                carry_present, jnp.logical_and(has_rows, row0_eq))
+            # the carry is only "alone" (its own closed group) when rows
+            # exist and do not extend it; an empty batch is a no-op
+            carry_alone = jnp.logical_and(
+                jnp.logical_and(carry_present, has_rows), ~merge_carry)
+            offset = carry_alone.astype(jnp.int32)
+
+            gids = jnp.cumsum(head.astype(jnp.int32)) - 1 + offset
+            ng = offset + jnp.sum(head.astype(jnp.int32)) \
+                + jnp.logical_and(carry_present, ~has_rows).astype(
+                    jnp.int32)
+
+            accs_all = self._init_accs(cap)
+            inputs = self._agg_inputs(pcols, packed)
+            accs_out = []
+            for fn, accs, (vals, mask), cl in zip(
+                    fns, accs_all, inputs, carry_lanes):
+                if is_final:
+                    accs = fn.combine(tuple(accs), gids, vals, mask)
+                else:
+                    accs = fn.accumulate(tuple(accs), gids, vals, mask)
+                # merge the carried open group into slot 0
+                zero_g = jnp.zeros((cap,), jnp.int32)
+                cmask = (jnp.zeros((cap,), jnp.bool_)
+                         .at[0].set(carry_present))
+                cfull = tuple(
+                    jnp.zeros((cap,), l.dtype).at[0].set(l[0])
+                    for l in cl)
+                accs = fn.combine(tuple(accs), zero_g, cfull, cmask)
+                accs_out.append(accs)
+
+            closed = jnp.logical_and(r < ng - 1, r >= 0)
+            # group representative rows (first packed row of each group)
+            group_rows = (jnp.full((cap,), cap, jnp.int32)
+                          .at[jnp.where(head, gids, cap)]
+                          .min(r, mode="drop"))
+            out_keys = []
+            for (v, vd), (cv, cvd) in zip(kp, carry_keys):
+                gv = jnp.take(v, group_rows, mode="clip")
+                gv = jnp.where(
+                    jnp.logical_and(r == 0, carry_alone), cv, gv)
+                if vd is not None or cvd is not None:
+                    gvd = (jnp.take(vd, group_rows, mode="clip")
+                           if vd is not None
+                           else jnp.ones((cap,), jnp.bool_))
+                    cvd_s = cvd if cvd is not None else jnp.ones(
+                        (), jnp.bool_)
+                    gvd = jnp.where(
+                        jnp.logical_and(r == 0, carry_alone), cvd_s, gvd)
+                else:
+                    gvd = None
+                out_keys.append((gv, gvd))
+            results = [fn.extract(accs, closed)
+                       for fn, accs in zip(fns, accs_out)]
+
+            # new carry = last group's lanes + last packed row's keys
+            last = jnp.maximum(ng - 1, 0)
+            lastrow = jnp.maximum(n - 1, 0)
+            carry_lanes_out = tuple(
+                tuple(jnp.where(has_rows | carry_present,
+                                jnp.take(l, last, mode="clip"), l0[0])
+                      [None]
+                      for l, l0 in zip(accs, cl))
+                for accs, cl in zip(accs_out, carry_lanes))
+            carry_keys_out = []
+            for (v, vd), (cv, cvd) in zip(kp, carry_keys):
+                nv = jnp.where(
+                    has_rows, jnp.take(v, lastrow, mode="clip"), cv)
+                nvd = None
+                if vd is not None or cvd is not None:
+                    pvd = (jnp.take(vd, lastrow, mode="clip")
+                           if vd is not None
+                           else jnp.ones((), jnp.bool_))
+                    ovd = cvd if cvd is not None else jnp.ones(
+                        (), jnp.bool_)
+                    nvd = jnp.where(has_rows, pvd, ovd)
+                carry_keys_out.append((nv, nvd))
+            carry_present_out = jnp.logical_or(carry_present, has_rows)
+            return (out_keys, results, closed, carry_present_out,
+                    carry_keys_out, carry_lanes_out)
+
+        return step
+
+    # ------------------------------------------------------------ execute
+    def _init_carry(self, batch: Batch):
+        keys = []
+        for k in self.keys:
+            c = batch.column(k)
+            keys.append((jnp.zeros((), c.values.dtype),
+                         jnp.zeros((), jnp.bool_)))
+        lanes = tuple(
+            tuple(jnp.full((1,), lane.init_of(at),
+                           dtype=lane.dtype_of(at))
+                  for lane in fn.lanes)
+            for fn, at in zip(self.fns, self.arg_types))
+        return keys, lanes
+
+    def add_input(self, batch: Batch) -> None:
+        self.stats.input_batches += 1
+        for k in self.keys:
+            d = batch.column(k).dictionary
+            if d is not None:
+                self._key_dicts.setdefault(k, d)
+        if self._carry is None:
+            self._carry = self._init_carry(batch)
+        cols = _cols_of(batch, self._needed)
+        key_pairs = [cols[k] for k in self.keys]
+        sig = (batch.capacity,
+               tuple(sorted((n, p[1] is not None)
+                            for n, p in cols.items())))
+        if self._stream_jit is None:
+            self._stream_jit = cached_jit(
+                ("stream_agg", self.node.id, sig), self._step_fn)
+        ck, cl = self._carry
+        (out_keys, results, closed, cp, ck2, cl2) = self._stream_jit(
+            key_pairs, cols, batch.sel, self._carry_present, ck, cl)
+        self._carry = (ck2, cl2)
+        self._carry_present = cp
+        out = {}
+        for k, (gv, gvd) in zip(self.keys, out_keys):
+            out[k] = Column(self.output_type.find_child(k), gv, gvd,
+                            self._key_dicts.get(k))
+        for name, (vals, valid) in zip(self.agg_names, results):
+            out[name] = Column(
+                self.output_type.find_child(name), vals, valid)
+        self._queue.append(Batch(out, closed))
+        self.stats.output_batches += 1
+
+    def get_output(self) -> Optional[Batch]:
+        if self._queue:
+            return self._queue.popleft()
+        if self.no_more_input_seen and not self._emitted:
+            self._emitted = True
+            if self._carry is None:
+                return None
+            # flush the open group as one final row
+            ck, cl = self._carry
+            cap = round_capacity(1)
+            sel0 = (jnp.zeros((cap,), jnp.bool_)
+                    .at[0].set(self._carry_present))
+            cols = {}
+            for k, (cv, cvd) in zip(self.keys, ck):
+                vals = jnp.zeros((cap,), cv.dtype).at[0].set(cv)
+                valid = jnp.zeros((cap,), jnp.bool_).at[0].set(cvd)
+                cols[k] = Column(
+                    self.output_type.find_child(k), vals, valid,
+                    self._key_dicts.get(k))
+            for name, fn, lanes in zip(self.agg_names, self.fns, cl):
+                full = tuple(
+                    jnp.zeros((cap,), l.dtype).at[0].set(l[0])
+                    for l in lanes)
+                vals, valid = fn.extract(full, sel0)
+                cols[name] = Column(
+                    self.output_type.find_child(name), vals, valid)
+            return Batch(cols, sel0)
+        return None
+
+    def is_finished(self) -> bool:
+        return (self.no_more_input_seen and not self._queue
+                and self._emitted)
+
+
 class OrderByOp(Operator):
     """velox/exec/OrderBy.h:34 — buffer all, one bitonic sort at the end."""
 

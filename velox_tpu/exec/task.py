@@ -16,6 +16,7 @@ from typing import Dict, Iterator, List, Optional, Tuple
 from velox_tpu.vector.batch import Batch
 from velox_tpu.exec.operator import Operator
 from velox_tpu.exec.operators import (
+    StreamingAggregationOp,
     AssignUniqueIdOp, CrossBuildOp, CrossProbeOp, EnforceSingleRowOp,
     FilterOp, HashAggregationOp, HashBuildOp, HashProbeOp, JoinBridge,
     LimitOp, OrderByOp, ProjectOp, TableScanOp, TopNOp, ValuesOp,
@@ -26,6 +27,7 @@ from velox_tpu.exec.window_ops import (
 )
 from velox_tpu.plan.nodes import (
     AggregationNode, AssignUniqueIdNode, CrossJoinNode,
+    StreamingAggregationNode,
     EnforceSingleRowNode, ExpandNode, FilterNode, HashJoinNode, LimitNode,
     GroupIdNode, LocalPartitionNode, MarkDistinctNode, MergeJoinNode,
     OrderByNode, PlanNode, ProjectNode,
@@ -41,6 +43,7 @@ _SIMPLE_OPERATORS = {
     FilterNode: FilterOp,
     ProjectNode: ProjectOp,
     AggregationNode: HashAggregationOp,
+    StreamingAggregationNode: StreamingAggregationOp,
     OrderByNode: OrderByOp,
     TopNNode: TopNOp,
     LimitNode: LimitOp,

@@ -488,6 +488,21 @@ class PlanBuilder:
             new_id(), self.node.output_type, self.node)
         return self
 
+    def streaming_aggregate(
+        self, keys: Sequence[str], aggs: Sequence[str],
+        masks: Optional[Dict[str, str]] = None,
+    ) -> "PlanBuilder":
+        """Aggregation assuming input is clustered on ``keys``
+        (velox PlanBuilder::streamingAggregation)."""
+        from velox_tpu.plan.nodes import StreamingAggregationNode
+
+        self.aggregate(keys, aggs, AggStep.SINGLE, masks)
+        n = self.node
+        self.node = StreamingAggregationNode(
+            n.id, n.output_type, n.source, n.step, n.keys, n.agg_names,
+            n.aggregates)
+        return self
+
     def unnest(self, replicated: Sequence[str], unnest: Sequence[str],
                ordinality: Optional[str] = None) -> "PlanBuilder":
         """Explode ARRAY columns (velox PlanBuilder::unnest,

@@ -121,6 +121,13 @@ class AggregationNode(SourceNode):
 
 
 @dataclass(frozen=True)
+class StreamingAggregationNode(AggregationNode):
+    """Aggregation over key-clustered input
+    (velox/core/PlanNode.h AggregationNode step + exec/
+    StreamingAggregation.h); closes groups on key change."""
+
+
+@dataclass(frozen=True)
 class ExpandNode(SourceNode):
     """Each input row -> N rows from N projection lists
     (velox/core/PlanNode.h:1913, feeds grouping sets)."""
