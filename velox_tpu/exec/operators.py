@@ -31,8 +31,9 @@ from velox_tpu.exec.spill import SpillableBuffer
 from velox_tpu.functions.aggregates import lookup_aggregate
 from velox_tpu.ops.groupby import group_ids_array, group_ids_sorted
 from velox_tpu.ops.join import (
-    build_join_index, build_matched_flags, expand_matches, match_total,
-    probe_join_index,
+    build_join_index, build_join_index_presorted, build_matched_flags,
+    expand_matches, match_total, probe_join_index,
+    probe_join_index_presorted,
 )
 from velox_tpu.ops.sort import compact_indices, sort_indices, top_n_indices
 from velox_tpu.plan.nodes import (
@@ -1250,6 +1251,8 @@ class HashBuildOp(Operator):
     """velox/exec/HashBuild.cpp — sink: buffer, concat, sort-by-key."""
 
     blocking = True
+    #: subclass hook: how the build index is produced
+    _index_build = staticmethod(build_join_index)
 
     def __init__(self, node, bridge: JoinBridge):
         super().__init__(node)
@@ -1275,6 +1278,7 @@ class HashBuildOp(Operator):
         cols = [(big.column(k).values, big.column(k).valid)
                 for k in node.right_keys]
         dicts = [big.column(k).dictionary for k in node.right_keys]
+        index_build = type(self)._index_build
 
         def make():
             def build(cols, sel):
@@ -1284,7 +1288,7 @@ class HashBuildOp(Operator):
                 if match_valid is not None:
                     valid = (match_valid if valid is None
                              else jnp.logical_and(valid, match_valid))
-                sorted_keys, perm, n_active = build_join_index(
+                sorted_keys, perm, n_active = index_build(
                     key, valid, sel)
                 has_null = (
                     jnp.any(jnp.logical_and(
@@ -1316,6 +1320,9 @@ class HashProbeOp(Operator):
     """velox/exec/HashProbe.cpp — vectorized probe over the sorted build
     index; all 8 join types. Two jitted programs per batch shape: probe
     (counts) and expand+gather (keyed by output capacity)."""
+
+    #: subclass hook: how probe (first, count) runs are produced
+    _index_probe = staticmethod(probe_join_index)
 
     def __init__(self, node: HashJoinNode, bridge: JoinBridge):
         super().__init__(node)
@@ -1380,6 +1387,7 @@ class HashProbeOp(Operator):
         no_filter_semi = self._semi_like and self._filter_exprs is None
         build_has_null = br.build_has_null_key
         left_like = self._left_like
+        index_probe = type(self)._index_probe
 
         def make():
             def probe(cols, sel, sorted_keys, n_active):
@@ -1389,7 +1397,7 @@ class HashProbeOp(Operator):
                 if match_valid is not None:
                     valid = (match_valid if valid is None
                              else jnp.logical_and(valid, match_valid))
-                first, count = probe_join_index(
+                first, count = index_probe(
                     sorted_keys, n_active, key, valid, sel)
                 if no_filter_semi:
                     if jt == JoinType.LEFT_SEMI:
@@ -1664,6 +1672,25 @@ def _join_filter_schema(node):
 
 
 # ------------------------------------------------------------- cross join
+
+class MergeJoinBuildOp(HashBuildOp):
+    """velox/exec/MergeJoin.h:47 build half: the plan guarantees the
+    right input arrives ASCENDING on the join keys, so the build index is
+    a null-packing ``nonzero`` gather — no lax.sort kernel ever compiles
+    (the streaming answer to the TPU remote-compiler's erratic large-sort
+    compiles, BASELINE.md Q3 note)."""
+
+    _index_build = staticmethod(build_join_index_presorted)
+
+
+class MergeJoinProbeOp(HashProbeOp):
+    """velox/exec/MergeJoin.h:47 probe half over sorted input: match runs
+    come from binary search instead of a probe co-sort. All join types,
+    filters, and the downstream expand/gather machinery are shared with
+    the hash probe."""
+
+    _index_probe = staticmethod(probe_join_index_presorted)
+
 
 class CrossBuildOp(Operator):
     """velox/exec/NestedLoopJoinBuild.h:33 — sink the (small) build side."""

@@ -16,7 +16,7 @@ from typing import Dict, Iterator, List, Optional, Tuple
 from velox_tpu.vector.batch import Batch
 from velox_tpu.exec.operator import Operator
 from velox_tpu.exec.operators import (
-    StreamingAggregationOp,
+    MergeJoinBuildOp, MergeJoinProbeOp, StreamingAggregationOp,
     AssignUniqueIdOp, CrossBuildOp, CrossProbeOp, EnforceSingleRowOp,
     FilterOp, HashAggregationOp, HashBuildOp, HashProbeOp, JoinBridge,
     LimitOp, OrderByOp, ProjectOp, TableScanOp, TopNOp, ValuesOp,
@@ -103,12 +103,15 @@ class LocalPlanner:
         if isinstance(node, (HashJoinNode, MergeJoinNode)):
             from velox_tpu.plan.nodes import JoinType as JT
 
+            merge = isinstance(node, MergeJoinNode)
             bridge = JoinBridge(node)
             build_chain = self._lower(node.right)
-            build_chain.append(HashBuildOp(node, bridge))
+            build_chain.append(
+                (MergeJoinBuildOp if merge else HashBuildOp)(node, bridge))
             self.pipelines.append(Pipeline(build_chain, is_output=False))
             chain = self._lower(node.left)
-            probe = HashProbeOp(node, bridge)
+            probe = (MergeJoinProbeOp if merge else HashProbeOp)(
+                node, bridge)
             # dynamic filter pushdown: build-side key range to the probe
             # side's scan (velox/exec/HashProbe.cpp:419-444)
             if (isinstance(chain[0], TableScanOp)

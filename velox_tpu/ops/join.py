@@ -111,8 +111,9 @@ def probe_join_index(
     seg_end_b = jax.lax.associative_scan(
         jnp.minimum, end_val[::-1])[::-1]
 
-    first_sorted = jnp.minimum(seg_first, n_active)
-    count_sorted = jnp.minimum(seg_end_b, n_active) - first_sorted
+    first_sorted = jnp.minimum(seg_first, n_active).astype(jnp.int32)
+    count_sorted = (jnp.minimum(seg_end_b, n_active)
+                    .astype(jnp.int32) - first_sorted)
 
     # scatter results back to probe-row positions
     probe_pos = jnp.where(stag == 1, sidx - nb, npr)
@@ -120,6 +121,54 @@ def probe_join_index(
              .at[probe_pos].set(first_sorted, mode="drop"))
     count = (jnp.zeros((npr,), jnp.int32)
              .at[probe_pos].set(count_sorted, mode="drop"))
+    ok = probe_sel if probe_valid is None else jnp.logical_and(
+        probe_sel, probe_valid)
+    count = jnp.where(ok, count, 0)
+    return first, count
+
+
+def build_join_index_presorted(
+    key: jax.Array, valid: Optional[jax.Array], sel: jax.Array
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """MergeJoin build index: input already ASCENDING on the key (nulls
+    anywhere — they are unmatchable and packed out). No lax.sort: usable
+    rows are front-packed with a ``nonzero`` gather, preserving their
+    sorted order (velox/exec/MergeJoinSource analog — sortedness is the
+    plan's contract, exec/MergeJoin.h:47). Same return contract as
+    :func:`build_join_index`.
+    """
+    cap = sel.shape[0]
+    if key.dtype not in (jnp.int32, jnp.int64):
+        key = key.astype(jnp.int64)
+    active = sel if valid is None else jnp.logical_and(sel, valid)
+    perm = jnp.nonzero(active, size=cap, fill_value=cap)[0].astype(
+        jnp.int32)
+    n_active = jnp.sum(active.astype(jnp.int32))
+    big = jnp.iinfo(key.dtype).max
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    sorted_keys = jnp.where(
+        idx < n_active, jnp.take(key, perm, mode="clip"), big)
+    return sorted_keys, perm, n_active
+
+
+def probe_join_index_presorted(
+    sorted_keys: jax.Array,
+    n_active: jax.Array,
+    probe_key: jax.Array,
+    probe_valid: Optional[jax.Array],
+    probe_sel: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """MergeJoin probe: binary search instead of a co-sort. With both
+    sides sorted this is the classic merge — per probe key the matching
+    build run is [searchsorted-left, searchsorted-right), clamped to
+    ``n_active`` so sentinel-colliding max keys stay exact."""
+    pk = probe_key.astype(sorted_keys.dtype)
+    first = jnp.searchsorted(sorted_keys, pk, side="left").astype(
+        jnp.int32)
+    last = jnp.searchsorted(sorted_keys, pk, side="right").astype(
+        jnp.int32)
+    first = jnp.minimum(first, n_active)
+    count = jnp.maximum(jnp.minimum(last, n_active) - first, 0)
     ok = probe_sel if probe_valid is None else jnp.logical_and(
         probe_sel, probe_valid)
     count = jnp.where(ok, count, 0)
