@@ -539,3 +539,21 @@ def test_q22(tpch):
         .sort_values("cntrycode"))
     got = run_plan_pydict(tpch_plan(22))
     assert_frame(got, e, float_cols=["totacctbal"])
+
+
+def test_q3_clustered_matches_hash(tpch):
+    base = run_plan_pydict(tpch_plan(3, SF).build())
+    clus = run_plan_pydict(tpch_plan(3, SF, clustered=True).build())
+    bd, cd = pd.DataFrame(base), pd.DataFrame(clus)
+    assert list(bd.columns) == list(cd.columns)
+    assert bd["l_orderkey"].tolist() == cd["l_orderkey"].tolist()
+    np.testing.assert_allclose(bd["revenue"], cd["revenue"], rtol=1e-9)
+
+
+def test_q18_clustered_matches_hash(tpch):
+    base = run_plan_pydict(tpch_plan(18, SF).build())
+    clus = run_plan_pydict(tpch_plan(18, SF, clustered=True).build())
+    bd, cd = pd.DataFrame(base), pd.DataFrame(clus)
+    assert list(bd.columns) == list(cd.columns)
+    assert bd["o_orderkey"].tolist() == cd["o_orderkey"].tolist()
+    np.testing.assert_allclose(bd["sum_qty"], cd["sum_qty"], rtol=1e-9)

@@ -798,7 +798,98 @@ _QUERIES = {
 SUPPORTED_QUERIES = sorted(_QUERIES)
 
 
-def tpch_plan(n: int, sf: float = 1.0) -> PlanBuilder:
+
+
+# ---------------------------------------------------------------- clustered
+# Variants exploiting the physical clustering TPC-H data ships with:
+# orders/lineitem are generated ascending on orderkey and customer on
+# custkey, so orderkey/custkey joins become MergeJoins (no lax.sort build)
+# and orderkey group-bys become StreamingAggregations — the plan shapes a
+# cost-based optimizer would pick from sort-order properties (velox keeps
+# this in PlanNode ordering metadata; here the qNc() plans encode it).
+
+
+def q3c() -> PlanBuilder:
+    customers = (
+        PlanBuilder()
+        .table_scan("customer", columns=["c_custkey", "c_mktsegment"],
+                    subfilter="c_mktsegment = 'BUILDING'")
+        .project(["c_custkey"]))
+    orders = (
+        PlanBuilder()
+        .table_scan("orders",
+                    columns=["o_orderkey", "o_custkey", "o_orderdate",
+                             "o_shippriority"],
+                    subfilter="o_orderdate < DATE '1995-03-15'")
+        # build side (customer) is custkey-clustered -> merge semi join
+        .merge_join(customers, ["o_custkey"], ["c_custkey"], "left_semi",
+                    output=["o_orderkey", "o_orderdate", "o_shippriority"]))
+    return (
+        PlanBuilder()
+        .table_scan("lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount",
+                             "l_shipdate"],
+                    subfilter="l_shipdate > DATE '1995-03-15'")
+        # orders kept orderkey-ascending by the semi join -> merge join;
+        # output stays lineitem(probe)-ordered, i.e. orderkey-clustered
+        .merge_join(orders, ["l_orderkey"], ["o_orderkey"], "inner",
+                    output=["l_orderkey", "l_extendedprice", "l_discount",
+                            "o_orderdate", "o_shippriority"])
+        .project(["l_orderkey", "o_orderdate", "o_shippriority",
+                  "l_extendedprice * (1.0 - l_discount) AS part_rev"])
+        .streaming_aggregate(
+            ["l_orderkey", "o_orderdate", "o_shippriority"],
+            ["sum(part_rev) AS revenue"])
+        .top_n(["revenue DESC", "o_orderdate"], 10)
+        .project(["l_orderkey", "revenue", "o_orderdate", "o_shippriority"])
+    )
+
+
+def q18c() -> PlanBuilder:
+    big_orders = (
+        PlanBuilder()
+        .table_scan("lineitem", columns=["l_orderkey", "l_quantity"])
+        .streaming_aggregate(["l_orderkey"], ["sum(l_quantity) AS total_qty"])
+        .filter("total_qty > 300.0")
+        .project(["l_orderkey AS big_okey"]))
+    orders = (
+        PlanBuilder()
+        .table_scan("orders",
+                    columns=["o_orderkey", "o_custkey", "o_orderdate",
+                             "o_totalprice"])
+        .merge_join(big_orders, ["o_orderkey"], ["big_okey"], "left_semi")
+        .merge_join(
+            PlanBuilder().table_scan(
+                "customer", columns=["c_custkey", "c_name"]),
+            ["o_custkey"], ["c_custkey"], "inner",
+            output=["o_orderkey", "o_orderdate", "o_totalprice",
+                    "c_custkey", "c_name"]))
+    return (
+        PlanBuilder()
+        .table_scan("lineitem", columns=["l_orderkey", "l_quantity"])
+        .merge_join(orders, ["l_orderkey"], ["o_orderkey"], "inner",
+                    output=["l_quantity", "o_orderkey", "o_orderdate",
+                            "o_totalprice", "c_custkey", "c_name"])
+        .streaming_aggregate(
+            ["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+             "o_totalprice"],
+            ["sum(l_quantity) AS sum_qty"])
+        .top_n(["o_totalprice DESC", "o_orderdate"], 100)
+        .project(["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                  "o_totalprice", "sum_qty"])
+    )
+
+
+#: clustered-plan variants (query number -> builder)
+CLUSTERED_QUERIES = {3: q3c, 18: q18c}
+
+
+def tpch_plan(n: int, sf: float = 1.0,
+              clustered: bool = False) -> PlanBuilder:
+    """Plan for Q{n}; ``clustered=True`` picks the merge-join/streaming
+    variant that exploits orderkey/custkey physical clustering."""
+    if clustered and n in CLUSTERED_QUERIES:
+        return CLUSTERED_QUERIES[n]()
     try:
         q = _QUERIES[n]
     except KeyError:
