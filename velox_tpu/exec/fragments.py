@@ -40,6 +40,11 @@ class PartitionedOutputNode(SourceNode):
     broadcast: bool = False
 
 
+from velox_tpu.plan.serde import register_node_type
+
+register_node_type(PartitionedOutputNode)
+
+
 class OutputBufferManager:
     """In-process page buffers keyed by (fragment, partition)
     (velox/exec/OutputBufferManager.h analog; enqueue/get/ack collapses

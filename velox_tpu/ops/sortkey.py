@@ -22,21 +22,41 @@ _LOW63 = 0x7FFFFFFFFFFFFFFF
 _LOW31 = 0x7FFFFFFF
 
 
-def _float_to_sortable_int(values: jax.Array) -> jax.Array:
-    """Map float lanes to int64 with matching total order.
+def _f64_sortable_words(values: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """float64 -> (hi, lo) uint32 words whose unsigned LEX order equals the
+    float total order.
 
-    NaNs are canonicalized to +NaN first so they sort as the largest value
-    (Presto ORDER BY semantics: NaN is greater than any other double,
-    velox/type/FloatingPointUtil.h behavioral analog).
+    Never bitcasts to a 64-bit integer: the tunneled TPU backend's
+    X64-rewrite pass cannot handle ``bitcast-convert s64`` (and 64-bit
+    lanes are emulated anyway), so the f64 pattern is split into two
+    native 32-bit words — the narrow-lane rule applied to float keys.
+    NaNs canonicalize to +NaN first (Presto: NaN sorts greatest,
+    velox/type/FloatingPointUtil.h analog).
+    """
+    canon = jnp.where(jnp.isnan(values), jnp.float64(jnp.nan), values)
+    w = jax.lax.bitcast_convert_type(canon, jnp.uint32)  # (..., 2) LE
+    lo, hi = w[..., 0], w[..., 1]
+    neg = (hi >> 31) == 1
+    hi2 = jnp.where(neg, ~hi, hi | jnp.uint32(0x80000000))
+    lo2 = jnp.where(neg, ~lo, lo)
+    return hi2, lo2
+
+
+def _float_to_sortable_int(values: jax.Array) -> jax.Array:
+    """Map float lanes to int64 with matching total order (NaN greatest).
+
+    The f64 form is assembled from the 32-bit words of
+    :func:`_f64_sortable_words` with shifts (wrap-around int64 arithmetic
+    reproduces the bit pattern) — no 64-bit bitcast.
     """
     if values.dtype == jnp.float32:
         canon = jnp.where(jnp.isnan(values), jnp.float32(jnp.nan), values)
         i = jax.lax.bitcast_convert_type(canon, jnp.int32)
         k = i ^ jnp.where(i < 0, jnp.int32(_LOW31), jnp.int32(0))
         return k.astype(jnp.int64)
-    canon = jnp.where(jnp.isnan(values), jnp.float64(jnp.nan), values)
-    i = jax.lax.bitcast_convert_type(canon, jnp.int64)
-    return i ^ jnp.where(i < 0, jnp.int64(_LOW63), jnp.int64(0))
+    hi2, lo2 = _f64_sortable_words(values)
+    u = (hi2.astype(jnp.int64) << 32) | lo2.astype(jnp.int64)
+    return u ^ jnp.int64(-2**63)  # unsigned order -> signed order
 
 
 def encode_sort_key(
@@ -58,21 +78,22 @@ def encode_sort_key(
     if dt == jnp.float32:
         canon = jnp.where(jnp.isnan(values), jnp.float32(jnp.nan), values)
         i = jax.lax.bitcast_convert_type(canon, jnp.int32)
-        key = i ^ jnp.where(i < 0, jnp.int32(_LOW31), jnp.int32(0))
+        keys = [i ^ jnp.where(i < 0, jnp.int32(_LOW31), jnp.int32(0))]
     elif jnp.issubdtype(dt, jnp.floating):
-        key = _float_to_sortable_int(values)
+        # float64: two native 32-bit operands, no 64-bit lanes in the sort
+        keys = list(_f64_sortable_words(values))
     elif dt == jnp.bool_:
-        key = values.astype(jnp.int32)
+        keys = [values.astype(jnp.int32)]
     elif jnp.dtype(dt).itemsize <= 4:
-        key = values.astype(jnp.int32)
+        keys = [values.astype(jnp.int32)]
     else:
-        key = values.astype(jnp.int64)
+        keys = [values.astype(jnp.int64)]
 
     if descending:
-        key = ~key
+        keys = [~k for k in keys]
 
     if valid is None:
-        return [key]
+        return keys
 
     # null rank sorts before (nulls_first) or after (nulls_last) all values
     null_rank = jnp.where(
@@ -80,4 +101,4 @@ def encode_sort_key(
         jnp.int32(1 if nulls_first else 0),
         jnp.int32(0 if nulls_first else 1),
     )
-    return [null_rank, key]
+    return [null_rank] + keys
