@@ -97,3 +97,41 @@ def test_table_write_partitioned(pq_file, tmp_path):
     assert sorted(os.listdir(dest)) == ["s=a", "s=b"]
     rt = pq.read_table(dest)
     assert rt.num_rows == 20
+
+
+def test_orc_csv_json_feather_ingest(tmp_path):
+    import pyarrow.orc
+    import pyarrow.csv
+    import pyarrow.feather
+
+    from velox_tpu.io.catalog import (
+        register_csv, register_feather, register_json, register_orc,
+    )
+
+    t = pa.table({"x": list(range(50)), "s": ["a", "b"] * 25})
+    paths = {}
+    paths["orc"] = str(tmp_path / "t.orc")
+    pyarrow.orc.write_table(t, paths["orc"])
+    paths["csv"] = str(tmp_path / "t.csv")
+    pyarrow.csv.write_csv(t, paths["csv"])
+    paths["json"] = str(tmp_path / "t.json")
+    with open(paths["json"], "w") as f:
+        for i in range(50):
+            f.write('{"x": %d, "s": "%s"}\n' % (i, "ab"[i % 2]))
+    paths["feather"] = str(tmp_path / "t.feather")
+    pyarrow.feather.write_feather(t, paths["feather"])
+
+    regs = {"orc": register_orc, "csv": register_csv,
+            "json": register_json, "feather": register_feather}
+    for fmt, reg in regs.items():
+        name = f"fmt_{fmt}"
+        reg(name, paths[fmt])
+        try:
+            out = run_plan_pydict(
+                PlanBuilder().table_scan(name).filter("s = 'a'")
+                .aggregate([], ["sum(x) as sx", "count(x) as c"]).build())
+            assert out == {"sx": [sum(range(0, 50, 2))], "c": [25]}, fmt
+        finally:
+            from velox_tpu.io.catalog import drop_table
+
+            drop_table(name)

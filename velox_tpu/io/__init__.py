@@ -6,6 +6,7 @@ transfer per column chunk, device batches thereafter.
 """
 
 from velox_tpu.io.catalog import (  # noqa: F401
-    register_table, register_arrow, register_parquet, get_table, drop_table,
-    list_tables, Table,
+    register_table, register_arrow, register_parquet, register_orc,
+    register_csv, register_json, register_feather, get_table, drop_table,
+    list_tables, Table, ParquetTable,
 )

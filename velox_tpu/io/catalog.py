@@ -193,6 +193,38 @@ def register_parquet(name: str, path: str, batch_rows: int = 1 << 20,
     return t
 
 
+def register_orc(name: str, path: str, batch_rows: int = 1 << 20) -> Table:
+    """ORC file ingest (velox/dwio/dwrf + dwio/orc reader analog; decode
+    is host CPU via arrow, device batches come out the same)."""
+    import pyarrow.orc as po
+
+    return register_arrow(name, po.ORCFile(path).read(), batch_rows)
+
+
+def register_csv(name: str, path: str, batch_rows: int = 1 << 20,
+                 **read_options) -> Table:
+    """CSV/text ingest (velox/dwio/text analog)."""
+    import pyarrow.csv as pc_csv
+
+    return register_arrow(name, pc_csv.read_csv(path, **read_options),
+                          batch_rows)
+
+
+def register_json(name: str, path: str, batch_rows: int = 1 << 20) -> Table:
+    """Line-delimited JSON ingest."""
+    import pyarrow.json as pj
+
+    return register_arrow(name, pj.read_json(path), batch_rows)
+
+
+def register_feather(name: str, path: str,
+                     batch_rows: int = 1 << 20) -> Table:
+    """Arrow IPC / Feather ingest (zero-parse columnar read)."""
+    import pyarrow.feather as pf
+
+    return register_arrow(name, pf.read_table(path), batch_rows)
+
+
 @dataclass
 class ParquetTable(Table):
     """Lazy parquet-backed table (HiveDataSource analog,
