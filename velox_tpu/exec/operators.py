@@ -222,6 +222,12 @@ class HashAggregationOp(Operator):
         self._array_jit = None
         self._generic_jit = None
         self._merge_jit = None
+        #: adaptive partial aggregation state (velox
+        #: abandonPartialAggregationEarly analog)
+        self.abandoned = False
+        self._abandon_checked = False
+        self._rows_seen_cap = 0
+        self._passthrough_jit = None
 
     # ----------------------------------------------------------- helpers
     def _agg_inputs(self, cols, sel):
@@ -416,11 +422,64 @@ class HashAggregationOp(Operator):
                 "distinct": [None] * len(self.specs),
             })
             return
+        if self.abandoned:
+            self._add_passthrough(cols, sel)
+            return
         if self._generic_jit is None:
             self._generic_jit = cached_jit(
                 ("agg_generic", self.node.id), self.make_generic_fn)
         gkeys, lanes_out, group_sel, dreps = self._generic_jit(cols, sel)
         self.push_generic_entry(gkeys, lanes_out, group_sel, dreps)
+        self._maybe_abandon(sel, group_sel, cap)
+
+    # ---------------------------------------- adaptive partial (D.6)
+    def _maybe_abandon(self, sel, group_sel, cap: int) -> None:
+        """Adaptive partial aggregation (velox HashAggregation.cpp
+        abandonPartialAggregationEarly / QueryConfig
+        abandon_partial_aggregation_min_*): once enough rows have been
+        seen, ONE host sync measures the reduction ratio; a partial that
+        isn't reducing stops sorting and forwards rows as
+        singleton-group partials for the FINAL step to do all the work.
+        """
+        from velox_tpu.utils.config import config
+
+        if (self.step != AggStep.PARTIAL or self.abandoned
+                or self._abandon_checked or not self.keys):
+            return
+        self._rows_seen_cap += cap
+        if self._rows_seen_cap < config.abandon_partial_agg_min_rows:
+            return
+        self._abandon_checked = True
+        rows = int(jnp.sum(sel.astype(jnp.int32)))
+        groups = int(jnp.sum(group_sel.astype(jnp.int32)))
+        if rows > 0 and groups / rows >= config.abandon_partial_agg_min_pct:
+            self.abandoned = True
+            self.stats.runtime["abandoned_partial_agg"] = 1.0
+
+    def _add_passthrough(self, cols, sel) -> None:
+        """Abandoned mode: every row becomes its own group (gid = row) —
+        no sort, just lane initialization + a masked identity scatter."""
+        if self._passthrough_jit is None:
+            def make():
+                def fn(cols, sel):
+                    cap = sel.shape[0]
+                    gids = jnp.arange(cap, dtype=jnp.int32)
+                    inputs = self._agg_inputs(cols, sel)
+                    lanes = []
+                    for f, accs, (vals, mask) in zip(
+                            self.fns, self._init_accs(cap), inputs):
+                        accs = f.accumulate(
+                            tuple(accs), gids, vals, mask)
+                        lanes.append(tuple(accs))
+                    gkeys = [cols[k] for k in self.keys]
+                    return gkeys, lanes, sel
+                return fn
+
+            self._passthrough_jit = cached_jit(
+                ("agg_passthrough", self.node.id), make)
+        gkeys, lanes, out_sel = self._passthrough_jit(cols, sel)
+        self.push_generic_entry(
+            gkeys, lanes, out_sel, [None] * len(self.specs))
 
     def make_generic_fn(self):
         """Pure per-batch sort-group step (composable into fused kernels)."""
