@@ -984,7 +984,9 @@ class StreamingAggregationOp(HashAggregationOp):
         for name, (vals, valid) in zip(self.agg_names, results):
             out[name] = Column(
                 self.output_type.find_child(name), vals, valid)
-        self._queue.append(Batch(out, closed))
+        # closed groups are few relative to the input capacity; compact so
+        # downstream sorts (TopN/OrderBy) never see the full-width batch
+        self._queue.append(Batch(out, closed).compact())
         self.stats.output_batches += 1
 
     def get_output(self) -> Optional[Batch]:

@@ -83,6 +83,14 @@ def ingest_splits(
     cap = round_capacity(batch_rows)
 
     names = table.column_names
+    # encode every string column ONCE over the full table (arrow C++) and
+    # sort its dictionary: one vectorized pass replaces per-split encode +
+    # python-set unification (was the ingest bottleneck at SF>=1)
+    encoded = {
+        cname: _encode_string_column(table.column(cname))
+        for cname in names
+        if type_from_arrow(table.column(cname).type).is_string
+    }
     batches: List[Batch] = []
     starts = list(range(0, max(n, 1), batch_rows))
     for start in starts:
@@ -90,12 +98,23 @@ def ingest_splits(
         rows = chunk.num_rows
         cols = {}
         for cname in names:
-            cols[cname] = _ingest_array(chunk.column(cname), cap)
+            if cname in encoded:
+                gdict, codes_np = encoded[cname]
+                vals = np.full(cap, -1, dtype=np.int32)
+                vals[:rows] = codes_np[start:start + rows]
+                valid = None
+                if (vals[:rows] < 0).any():
+                    v = np.zeros(cap, dtype=bool)
+                    v[:rows] = vals[:rows] >= 0
+                    valid = jnp.asarray(v)
+                cols[cname] = Column(
+                    type_from_arrow(chunk.column(cname).type),
+                    jnp.asarray(vals), valid, gdict)
+            else:
+                cols[cname] = _ingest_array(chunk.column(cname), cap)
         sel = np.zeros(cap, dtype=bool)
         sel[:rows] = True
         batches.append(Batch(cols, jnp.asarray(sel), num_rows=rows))
-    # unify per-column dictionaries across splits (encode over full column)
-    batches = _unify_dictionaries(table, batches, cap, batch_rows)
     if decimal_overrides:
         from velox_tpu.types.types import DecimalType, TypeKind
 
@@ -140,32 +159,23 @@ def _attach_stats(table: pa.Table, batches: List[Batch],
                 cname, dataclasses.replace(col, stats=(int(lo), int(hi))))
 
 
-def _unify_dictionaries(
-    table: pa.Table, batches: List[Batch], cap: int, batch_rows: int
-) -> List[Batch]:
-    """Re-encode string splits against one sorted table-global dictionary."""
-    out = batches
-    for cname in table.column_names:
-        col0 = batches[0].columns[cname]
-        if col0.dictionary is None:
-            continue
-        arr = table.column(cname)
-        if isinstance(arr, pa.ChunkedArray):
-            arr = arr.combine_chunks()
-        uniq = sorted(set(v for v in arr.to_pylist() if v is not None))
-        global_dict = Dictionary(uniq)
-        for bi, b in enumerate(out):
-            col = b.columns[cname]
-            # host remap: old codes -> global codes
-            old = col.dictionary
-            remap = np.full(len(old) + 1, -1, dtype=np.int32)
-            remap[1:] = [global_dict.code_of(v) for v in old.values]
-            codes = np.asarray(col.values)
-            new_codes = remap[np.clip(codes, -1, len(old) - 1) + 1]
-            newcol = Column(
-                col.dtype, jnp.asarray(new_codes), col.valid, global_dict)
-            out[bi] = b.with_column(cname, newcol)
-    return out
+def _encode_string_column(arr) -> tuple:
+    """Full-column dictionary encode (arrow C++) with a SORTED global
+    dictionary; returns (Dictionary, int32 codes with -1 nulls)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not pa.types.is_dictionary(arr.type):
+        arr = arr.dictionary_encode()
+    dict_vals = np.asarray(arr.dictionary.to_pylist(), dtype=object)
+    order = np.argsort(dict_vals)
+    rank = np.empty(len(order), dtype=np.int32)
+    rank[order] = np.arange(len(order), dtype=np.int32)
+    null_mask = arr.is_null().to_numpy(zero_copy_only=False)
+    codes = arr.indices.fill_null(0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    out = rank[codes]
+    out = np.where(null_mask, np.int32(-1), out).astype(np.int32)
+    return Dictionary(list(dict_vals[order])), out
 
 
 def register_parquet(name: str, path: str, batch_rows: int = 1 << 20,

@@ -18,45 +18,64 @@ from typing import List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-_LOW63 = 0x7FFFFFFFFFFFFFFF
 _LOW31 = 0x7FFFFFFF
 
 
-def _f64_sortable_words(values: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """float64 -> (hi, lo) uint32 words whose unsigned LEX order equals the
-    float total order.
+#: binary-search shifts: 512+512 reaches any |exponent| <= 1024, the rest
+#: cover the remainder; total reach 1535 > 1074 (min denormal exponent)
+_EXP_SHIFTS = (512, 512, 256, 128, 64, 32, 16, 8, 4, 2, 1)
 
-    Never bitcasts to a 64-bit integer: the tunneled TPU backend's
-    X64-rewrite pass cannot handle ``bitcast-convert s64`` (and 64-bit
-    lanes are emulated anyway), so the f64 pattern is split into two
-    native 32-bit words — the narrow-lane rule applied to float keys.
-    NaNs canonicalize to +NaN first (Presto: NaN sorts greatest,
-    velox/type/FloatingPointUtil.h analog).
+
+def _f64_sortable_words(
+    values: jax.Array,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """float64 -> three int32 words whose signed LEX order equals the
+    float total order (NaN greatest; -0.0 == +0.0).
+
+    Built from pure f64 multiply/compare/floor — the tunneled TPU
+    backend's compiler crashes on ANY f64 bitcast (u32 or s64) and hangs
+    on f64 transcendentals, so the exponent comes from an exact
+    power-of-two binary search (22 elementwise steps) and the 52 mantissa
+    bits split exactly into 26+26-bit integers. Zero falls out naturally
+    (exponent searches to the floor), infinities and NaN get sentinel
+    exponent classes. The narrow-lane rule applied to float keys: the
+    sort itself only ever sees native 32-bit lanes.
     """
-    canon = jnp.where(jnp.isnan(values), jnp.float64(jnp.nan), values)
-    w = jax.lax.bitcast_convert_type(canon, jnp.uint32)  # (..., 2) LE
-    lo, hi = w[..., 0], w[..., 1]
-    neg = (hi >> 31) == 1
-    hi2 = jnp.where(neg, ~hi, hi | jnp.uint32(0x80000000))
-    lo2 = jnp.where(neg, ~lo, lo)
-    return hi2, lo2
+    nan = jnp.isnan(values)
+    neg = values < 0            # False for NaN and for -0.0 (== +0.0)
+    a = jnp.abs(jnp.where(nan, jnp.float64(0.0), values))
+    inf = jnp.isinf(values)
+    a = jnp.where(inf, jnp.float64(0.0), a)
 
+    e = jnp.zeros(values.shape, jnp.int32)
+    for s in _EXP_SHIFTS:                      # shrink |x| >= 2
+        big = a >= jnp.float64(2.0) ** s
+        a = jnp.where(big, a * jnp.float64(2.0) ** (-s), a)
+        e = e + jnp.where(big, jnp.int32(s), jnp.int32(0))
+    for s in _EXP_SHIFTS:                      # grow |x| < 1
+        small = jnp.logical_and(a * jnp.float64(2.0) ** s < 2.0, a < 1.0)
+        a = jnp.where(small, a * jnp.float64(2.0) ** s, a)
+        e = e - jnp.where(small, jnp.int32(s), jnp.int32(0))
+    # a in [1, 2) for finite nonzero; a == 0 for zero (e bottomed out).
+    # XLA flushes f64 denormals to zero (FTZ), so |x| < 2^-1022 lands in
+    # the zero class too — denormals compare equal to 0, a documented
+    # platform deviation from exact IEEE total order.
+    frac = jnp.maximum(a - 1.0, 0.0)            # 52 explicit bits
+    scaled = frac * jnp.float64(1 << 26)
+    mhi = jnp.floor(scaled).astype(jnp.int32)
+    mlo = jnp.floor((scaled - mhi) * jnp.float64(1 << 26)).astype(
+        jnp.int32)
 
-def _float_to_sortable_int(values: jax.Array) -> jax.Array:
-    """Map float lanes to int64 with matching total order (NaN greatest).
+    e = jnp.where(inf, jnp.int32(50_000), e)
+    e = jnp.where(nan, jnp.int32(60_000), e)
+    mhi = jnp.where(jnp.logical_or(inf, nan), jnp.int32(0), mhi)
+    mlo = jnp.where(jnp.logical_or(inf, nan), jnp.int32(0), mlo)
 
-    The f64 form is assembled from the 32-bit words of
-    :func:`_f64_sortable_words` with shifts (wrap-around int64 arithmetic
-    reproduces the bit pattern) — no 64-bit bitcast.
-    """
-    if values.dtype == jnp.float32:
-        canon = jnp.where(jnp.isnan(values), jnp.float32(jnp.nan), values)
-        i = jax.lax.bitcast_convert_type(canon, jnp.int32)
-        k = i ^ jnp.where(i < 0, jnp.int32(_LOW31), jnp.int32(0))
-        return k.astype(jnp.int64)
-    hi2, lo2 = _f64_sortable_words(values)
-    u = (hi2.astype(jnp.int64) << 32) | lo2.astype(jnp.int64)
-    return u ^ jnp.int64(-2**63)  # unsigned order -> signed order
+    w1 = jnp.where(neg, jnp.int32(-100_000) - e, jnp.int32(100_000) + e)
+    flip = jnp.int32((1 << 26) - 1)
+    w2 = jnp.where(neg, flip - mhi, mhi)
+    w3 = jnp.where(neg, flip - mlo, mlo)
+    return w1, w2, w3
 
 
 def encode_sort_key(
