@@ -1,0 +1,93 @@
+"""Higher-order array functions with lambdas.
+
+Parity: velox/functions/prestosql ArrayFunctions transform / anyMatch /
+allMatch / noneMatch (Presto three-valued match semantics).
+"""
+
+import pytest
+
+from velox_tpu.types import BIGINT, DOUBLE, VARCHAR
+from velox_tpu.types.types import array as array_type
+from velox_tpu.plan import PlanBuilder
+from velox_tpu.exec import run_plan_pydict
+from velox_tpu.vector.batch import Batch
+
+
+def _run(data, types, exprs, filter=None):
+    pb = PlanBuilder().values([Batch.from_pydict(data, types)])
+    if filter:
+        pb = pb.filter(filter)
+    return run_plan_pydict(pb.project(exprs).build())
+
+
+DATA = {"id": [1, 2, 3, 4, 5],
+        "xs": [[1, 2, 3], [], None, [10, None, 30], [-1, -2]]}
+TYPES = {"id": BIGINT, "xs": array_type(BIGINT)}
+
+
+def test_any_match():
+    out = _run(DATA, TYPES, ["any_match(xs, x -> x > 2) as m"])
+    # [1,2,3]: 3>2 True; []: False; null: None;
+    # [10,None,30]: 10>2 True (null irrelevant); [-1,-2]: False
+    assert out["m"] == [True, False, None, True, False]
+
+
+def test_any_match_null_uncertain():
+    out = _run(DATA, TYPES, ["any_match(xs, x -> x > 20) as m"])
+    # [10,None,30]: 30>20 True -> True even with the null element
+    assert out["m"][3] is True
+    out = _run(DATA, TYPES, ["any_match(xs, x -> x > 50) as m"])
+    # not found but null element present -> NULL
+    assert out["m"][3] is None
+
+
+def test_all_match():
+    out = _run(DATA, TYPES, ["all_match(xs, x -> x > 0) as m"])
+    # [1,2,3] True; [] True (vacuous); null None;
+    # [10,None,30]: no definite false, has null -> NULL; [-1,-2] False
+    assert out["m"] == [True, True, None, None, False]
+
+
+def test_none_match():
+    out = _run(DATA, TYPES, ["none_match(xs, x -> x < 0) as m"])
+    assert out["m"] == [True, True, None, None, False]
+
+
+def test_transform():
+    out = _run(DATA, TYPES, ["id", "transform(xs, x -> x * 2 + 1) as ys"])
+    assert out["ys"] == [[3, 5, 7], [], None, [21, None, 61], [-1, -3]]
+    assert out["id"] == [1, 2, 3, 4, 5]
+
+
+def test_transform_then_array_sum():
+    b = Batch.from_pydict(DATA, TYPES)
+    plan = (PlanBuilder().values([b])
+            .project(["id", "transform(xs, x -> x * 10) as ys"])
+            .project(["id", "array_sum(ys) as s"])
+            .build())
+    out = run_plan_pydict(plan)
+    assert out["s"] == [60, 0, None, 400, -30]
+
+
+def test_lambda_over_strings():
+    data = {"tags": [["red", "dark red"], ["blue"], None]}
+    types = {"tags": array_type(VARCHAR)}
+    out = _run(data, types, [
+        "any_match(tags, t -> t LIKE '%red%') as r",
+        "all_match(tags, t -> length(t) > 3) as l",
+        "transform(tags, t -> upper(t)) as up",
+    ])
+    assert out["r"] == [True, False, None]
+    assert out["l"] == [False, True, None]
+    assert out["up"] == [["RED", "DARK RED"], ["BLUE"], None]
+
+
+def test_match_in_filter():
+    out = _run(DATA, TYPES, ["id"],
+               filter="any_match(xs, x -> x >= 30)")
+    assert out["id"] == [4]
+
+
+def test_lambda_capture_rejected():
+    with pytest.raises((TypeError, KeyError)):
+        _run(DATA, TYPES, ["any_match(xs, x -> x > id) as m"])

@@ -122,23 +122,53 @@ class ProjectOp(Operator):
     """velox/exec/FilterProject.cpp project half: one fused program."""
 
     def __init__(self, node):
-        from velox_tpu.expr.ir import FieldRef as _FR
+        from velox_tpu.expr.ir import Call as _Call, FieldRef as _FR
         from velox_tpu.types.types import ArrayType
 
         super().__init__(node)
         # ARRAY columns can only be projected by passthrough (offsets +
-        # shared elements move as-is, no device work)
+        # shared elements move as-is, no device work) ...
         self._array_pass = {
             name: e.name for name, e, t in zip(
                 node.names, node.exprs, node.output_type.children)
             if isinstance(t, ArrayType) and isinstance(e, _FR)}
+        # ... or by transform(arr, x -> body): the lambda body runs over
+        # the flat elements lane through the normal expression compiler;
+        # offsets are shared (velox ArrayFunctions transform analog)
+        self._transforms = {
+            name: (e.args[0].name, e.args[1]) for name, e, t in zip(
+                node.names, node.exprs, node.output_type.children)
+            if isinstance(t, ArrayType) and isinstance(e, _Call)
+            and e.name == "transform" and isinstance(e.args[0], _FR)}
+        skip = set(self._array_pass) | set(self._transforms)
         scalar = [
             (name, e) for name, e in zip(node.names, node.exprs)
-            if name not in self._array_pass]
+            if name not in skip]
         self._scalar_names = [n for n, _ in scalar]
         self._eval = ExprEvaluator(
             [e for _, e in scalar], node.source.output_type)
         self._queue: collections.deque = collections.deque()
+
+    def _apply_transform(self, batch: Batch, name: str):
+        from velox_tpu.types.types import row_type
+        from velox_tpu.vector.column import ArrayColumn
+
+        src_name, lam = self._transforms[name]
+        src = batch.column(src_name)
+        assert isinstance(src, ArrayColumn)
+        param = lam.params[0]
+        eschema = row_type([param], [src.dtype.element])
+        ev = ExprEvaluator([lam.body], eschema)
+        ecap = src.elements.capacity
+        fake = Batch({param: src.elements},
+                     jnp.ones((ecap,), jnp.bool_))
+        pairs, dicts = ev.project_pairs(fake)
+        vals, valid = pairs[0]
+        out_t = dict(zip(self.node.names,
+                         self.output_type.children))[name]
+        elem = Column(out_t.element, vals, valid, dicts[0])
+        return ArrayColumn(out_t, src.starts, src.lengths, elem,
+                           src.valid)
 
     def add_input(self, batch: Batch) -> None:
         pairs, dicts = self._eval.project_pairs(batch)
@@ -148,6 +178,8 @@ class ProjectOp(Operator):
         for name in self.node.names:
             if name in self._array_pass:
                 cols[name] = batch.column(self._array_pass[name])
+            elif name in self._transforms:
+                cols[name] = self._apply_transform(batch, name)
             else:
                 (vals, valid), d = by_name[name]
                 cols[name] = Column(types[name], vals, valid, d)

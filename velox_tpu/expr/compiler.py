@@ -34,7 +34,7 @@ from velox_tpu.types.types import (
     DecimalType, RowType, TypeKind, common_numeric_type,
 )
 from velox_tpu.expr.ir import (
-    Call, Cast, Expr, FieldRef, Literal, TryExpr,
+    Call, Cast, Expr, FieldRef, Lambda, Literal, TryExpr,
 )
 from velox_tpu.functions.registry import lookup_function
 
@@ -85,6 +85,8 @@ def resolve_types(expr: Expr, schema: RowType) -> Expr:
         return TryExpr(child.dtype, child)
 
     if isinstance(expr, Call):
+        if expr.name in _HIGHER_ORDER_FUNCS:
+            return _resolve_higher_order(expr, schema)
         args = tuple(resolve_types(a, schema) for a in expr.args)
         name = expr.name
 
@@ -315,6 +317,52 @@ _ARRAY_FUNCS = {
     "cardinality", "array_sum", "array_average", "contains", "element_at",
 }
 
+#: higher-order array functions taking a lambda (velox prestosql
+#: ArrayFunctions transform/anyMatch/allMatch/noneMatch)
+_HIGHER_ORDER_FUNCS = {"transform", "any_match", "all_match", "none_match"}
+
+
+def _resolve_higher_order(expr: Call, schema: RowType) -> Expr:
+    """Resolve fn(arr, x -> body): the lambda body types against the
+    element type ONLY (no outer-row captures — element lanes and row
+    lanes have different capacities)."""
+    from velox_tpu.types.types import ArrayType, TypeKind as TK
+
+    if len(expr.args) != 2 or not isinstance(expr.args[1], Lambda):
+        raise TypeError(f"{expr.name} expects (array, lambda)")
+    arr = resolve_types(expr.args[0], schema)
+    if not isinstance(arr.dtype, ArrayType):
+        raise TypeError(f"{expr.name} expects an ARRAY, got {arr.dtype}")
+    lam = expr.args[1]
+    if len(lam.params) != 1:
+        raise TypeError(f"{expr.name} lambda takes one parameter")
+    et = arr.dtype.element
+    body = resolve_types(
+        lam.body, RowType(TK.ROW, (lam.params[0],), (et,)))
+    lam2 = Lambda(body.dtype, lam.params, body)
+    if expr.name == "transform":
+        return Call(ArrayType(TK.ARRAY, body.dtype), "transform",
+                    (arr, lam2))
+    if body.dtype.kind != TK.BOOLEAN:
+        raise TypeError(f"{expr.name} lambda must return BOOLEAN")
+    return Call(BOOLEAN, expr.name, (arr, lam2))
+
+
+def _substitute_param(expr: Expr, param: str, repl: Expr) -> Expr:
+    if isinstance(expr, FieldRef):
+        return repl if expr.name == param else expr
+    if isinstance(expr, Call):
+        return Call(expr.dtype, expr.name, tuple(
+            _substitute_param(a, param, repl) for a in expr.args))
+    if isinstance(expr, Cast):
+        return Cast(expr.dtype,
+                    _substitute_param(expr.expr, param, repl),
+                    expr.null_on_failure)
+    if isinstance(expr, TryExpr):
+        return TryExpr(expr.dtype,
+                       _substitute_param(expr.expr, param, repl))
+    return expr
+
 
 def bind_array_funcs(expr: Expr,
                      dictionaries: Dict[str, "Dictionary"]) -> Expr:
@@ -327,6 +375,22 @@ def bind_array_funcs(expr: Expr,
     velox's per-row ArrayVector loops
     (velox/functions/prestosql/ArrayFunctions.h)."""
     from velox_tpu.types.types import ArrayType
+
+    if isinstance(expr, Call) and expr.name in (
+            "any_match", "all_match", "none_match"):
+        arr = expr.args[0]
+        if not isinstance(arr, FieldRef):
+            raise TypeError(f"{expr.name} requires an ARRAY column")
+        x, et = arr.name, arr.dtype.element
+        lam = expr.args[1]
+        body = _substitute_param(
+            lam.body, lam.params[0], FieldRef(et, f"{x}#elemv"))
+        st = FieldRef(INTEGER, f"{x}#start")
+        ln = FieldRef(INTEGER, f"{x}#len")
+        return Call(BOOLEAN, f"__array_{expr.name}", (st, ln, body))
+    if isinstance(expr, Call) and expr.name == "transform":
+        raise TypeError(
+            "transform(...) is only supported as a top-level projection")
 
     if (isinstance(expr, Call) and expr.name in _ARRAY_FUNCS and expr.args
             and isinstance(expr.args[0].dtype, ArrayType)):

@@ -30,7 +30,7 @@ _TOKEN_RE = re.compile(r"""
     | (?P<num>\d+\.\d+(?:[eE][+-]?\d+)?|\.\d+|\d+(?:[eE][+-]?\d+)?)
     | (?P<str>'(?:[^']|'')*')
     | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<op><=|>=|<>|!=|=|<|>|\+|-|\*|/|%|\(|\)|,|\.)
+    | (?P<op><=|>=|<>|!=|->|=|<|>|\+|-|\*|/|%|\(|\)|,|\.)
     )""", re.VERBOSE | re.IGNORECASE)
 
 _KEYWORDS = {
@@ -227,6 +227,20 @@ def _interval_days(e: Expr) -> Expr:
     return e.args[0]
 
 
+def _parse_arg(t: _Tokens) -> Expr:
+    """Function-call argument: a lambda ``x -> expr`` or an expression
+    (velox parse: LambdaTypedExpr for higher-order functions)."""
+    from velox_tpu.expr.ir import Lambda
+
+    k, v = t.peek()
+    if k == "NAME" and t.i + 1 < len(t.toks) and \
+            t.toks[t.i + 1] == ("OP", "->"):
+        t.next()
+        t.next()
+        return Lambda(None, (v,), _parse_or(t))
+    return _parse_or(t)
+
+
 def _parse_primary(t: _Tokens) -> Expr:
     k, v = t.next()
     if k == "NUM":
@@ -279,9 +293,9 @@ def _parse_primary(t: _Tokens) -> Expr:
         if t.accept("OP", "("):
             args = []
             if not t.accept("OP", ")"):
-                args.append(_parse_or(t))
+                args.append(_parse_arg(t))
                 while t.accept("OP", ","):
-                    args.append(_parse_or(t))
+                    args.append(_parse_arg(t))
                 t.expect("OP", ")")
             return call(_canon_fn(v), *args)
         return FieldRef(None, v)

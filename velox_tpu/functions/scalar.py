@@ -640,3 +640,43 @@ register_function(ScalarFunction(
 register_function(ScalarFunction(
     "__array_element_at", lambda a: a[2], _array_element_at_impl,
     default_nulls=False))
+
+
+def _match_counts(stp, lnp, predp):
+    (st, _), (ln, lv), (pv, pvalid) = stp, lnp, predp
+    valid = (jnp.ones(pv.shape, jnp.bool_) if pvalid is None else pvalid)
+    t = jnp.logical_and(pv, valid).astype(jnp.int32)
+    f = jnp.logical_and(~pv, valid).astype(jnp.int32)
+    n = (~valid).astype(jnp.int32)
+    nt = _seg_range(_prefix(t), st, ln)
+    nf = _seg_range(_prefix(f), st, ln)
+    nn = _seg_range(_prefix(n), st, ln)
+    return nt, nf, nn, lv
+
+
+def _any_match_impl(stp, lnp, predp):
+    nt, nf, nn, lv = _match_counts(stp, lnp, predp)
+    sure = jnp.logical_or(nt > 0, nn == 0)
+    valid = sure if lv is None else jnp.logical_and(lv, sure)
+    return nt > 0, valid
+
+
+def _all_match_impl(stp, lnp, predp):
+    nt, nf, nn, lv = _match_counts(stp, lnp, predp)
+    sure = jnp.logical_or(nf > 0, nn == 0)
+    valid = sure if lv is None else jnp.logical_and(lv, sure)
+    return nf == 0, valid
+
+
+def _none_match_impl(stp, lnp, predp):
+    nt, nf, nn, lv = _match_counts(stp, lnp, predp)
+    sure = jnp.logical_or(nt > 0, nn == 0)
+    valid = sure if lv is None else jnp.logical_and(lv, sure)
+    return nt == 0, valid
+
+
+for _n, _impl in [("__array_any_match", _any_match_impl),
+                  ("__array_all_match", _all_match_impl),
+                  ("__array_none_match", _none_match_impl)]:
+    register_function(ScalarFunction(
+        _n, lambda a: BOOLEAN, _impl, default_nulls=False))
