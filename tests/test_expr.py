@@ -198,3 +198,46 @@ def test_try_cast():
     b = Batch.from_pydict({"a": [1.7, 2.2]}, {"a": DOUBLE})
     (r,) = eval_on(b, "CAST(a AS BIGINT)")
     assert r == [2, 2]
+
+
+def test_string_multi_functions():
+    from velox_tpu.types import BIGINT, VARCHAR
+    from velox_tpu.vector.batch import Batch
+    from velox_tpu.plan import PlanBuilder
+    from velox_tpu.exec import run_plan_pydict
+
+    b = Batch.from_pydict(
+        {"s": ["hello world", "abc", "a:b:c", None]},
+        {"s": VARCHAR})
+    out = run_plan_pydict(PlanBuilder().values([b]).project([
+        "replace(s, 'l', 'L') as r",
+        "lpad(s, 5, '*') as lp",
+        "rpad(s, 5, '*') as rp",
+        "split_part(s, ':', 2) as sp",
+        "strpos(s, 'b') as pos",
+        "starts_with(s, 'a') as sw",
+        "ends_with(s, 'c') as ew",
+    ]).build())
+    assert out["r"] == ["heLLo worLd", "abc", "a:b:c", None]
+    assert out["lp"] == ["hello", "**abc", "a:b:c", None]
+    assert out["rp"] == ["hello", "abc**", "a:b:c", None]
+    assert out["sp"] == [None, None, "b", None]
+    assert out["pos"] == [0, 2, 3, None]
+    assert out["sw"] == [False, True, True, None]
+    assert out["ew"] == [False, True, True, None]
+
+
+def test_string_multi_in_filter():
+    from velox_tpu.types import BIGINT, VARCHAR
+    from velox_tpu.vector.batch import Batch
+    from velox_tpu.plan import PlanBuilder
+    from velox_tpu.exec import run_plan_pydict
+
+    b = Batch.from_pydict(
+        {"s": ["foo.py", "bar.cc", "baz.py"], "x": [1, 2, 3]},
+        {"s": VARCHAR, "x": BIGINT})
+    out = run_plan_pydict(
+        PlanBuilder().values([b])
+        .filter("ends_with(s, '.py') AND strpos(s, 'a') > 0")
+        .project(["x"]).build())
+    assert out["x"] == [3]

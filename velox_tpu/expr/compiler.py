@@ -59,6 +59,15 @@ class DictTransform(Expr):
     def children(self):
         return (self.codes,)
 
+    # identity semantics: eq=False alone would INHERIT the base Expr
+    # dataclass __eq__ (compares dtype only), making any two same-typed
+    # transforms CSE-collide in one ExprSet
+    def __eq__(self, other):
+        return self is other
+
+    def __hash__(self):
+        return id(self)
+
 _ARITH = {"plus", "minus", "multiply", "divide", "mod"}
 _COMPARE = {"eq", "neq", "lt", "lte", "gt", "gte"}
 _RANGE_COMPARE = {"lt", "lte", "gt", "gte"}
@@ -98,6 +107,12 @@ def resolve_types(expr: Expr, schema: RowType) -> Expr:
             return Call(VARCHAR, name, args)
         if name == "length":
             return Call(BIGINT, "length", args)
+        if name in ("replace", "lpad", "rpad", "split_part"):
+            return Call(VARCHAR, name, args)
+        if name == "strpos":
+            return Call(BIGINT, "strpos", args)
+        if name in ("starts_with", "ends_with"):
+            return Call(BOOLEAN, name, args)
 
         if name in _ARITH or name in _COMPARE or name == "between":
             args = _unify_numeric(name, args)
@@ -462,6 +477,8 @@ def bind_strings(expr: Expr, dictionaries: Dict[str, "Dictionary"]) -> Expr:
         return _bind_substr(args, dictionaries)
     if name in _STRING_HOST_FNS or name == "length" or name == "concat":
         return _bind_string_fn(name, args, dictionaries)
+    if name in _STRING_MULTI_FNS:
+        return _bind_string_multi(name, args, dictionaries)
 
     src = _dict_source(args, dictionaries)
     if src is not None:
@@ -549,6 +566,63 @@ def _bind_string_fn(name, args, dictionaries) -> Expr:
     table = np.full(len(d.values) + 1, -1, dtype=np.int32)
     for i, v in enumerate(out_vals):
         table[i + 1] = nd.code_of(v)
+    return DictTransform(VARCHAR, codes_expr, table, nd)
+
+
+#: multi-argument string functions (extra args must be literals),
+#: evaluated once per dictionary value on host
+#: (velox/functions/prestosql/StringFunctions.h family)
+def _split_part(s, delim, idx):
+    parts = s.split(delim)
+    return parts[idx - 1] if 1 <= idx <= len(parts) else None
+
+
+_STRING_MULTI_FNS = {
+    "replace": lambda s, a, b="": s.replace(a, b),
+    "lpad": lambda s, n, p: (
+        s[:n] if len(s) >= n
+        else (p * n)[: n - len(s)] + s if p else s),
+    "rpad": lambda s, n, p: (
+        s[:n] if len(s) >= n
+        else s + (p * n)[: n - len(s)] if p else s),
+    "split_part": _split_part,
+    "strpos": lambda s, sub: s.find(sub) + 1,
+    "starts_with": lambda s, pre: s.startswith(pre),
+    "ends_with": lambda s, suf: s.endswith(suf),
+}
+
+
+def _bind_string_multi(name, args, dictionaries) -> Expr:
+    """Multi-arg string functions as bind-time dictionary transforms."""
+    from velox_tpu.vector.column import Dictionary
+
+    src = _dict_source((args[0],), dictionaries)
+    assert src is not None, f"{name} requires a dictionary-encoded input"
+    codes_expr, d = src
+    extras = []
+    for a in args[1:]:
+        assert isinstance(a, Literal), (
+            f"{name} extra arguments must be literals")
+        extras.append(a.value)
+    fn = _STRING_MULTI_FNS[name]
+    out_vals = [fn(str(v), *extras) for v in d.values]
+
+    if name == "strpos":
+        table = np.concatenate(
+            [[0], [int(v) for v in out_vals]]).astype(np.int64)
+        return DictTransform(BIGINT, codes_expr, table, None)
+    if name in ("starts_with", "ends_with"):
+        table = np.concatenate(
+            [[False], [bool(v) for v in out_vals]]).astype(np.bool_)
+        return Call(BOOLEAN, "dict_lookup_bool", (
+            codes_expr, Literal(BOOLEAN, table)))
+
+    uniq = sorted(set(v for v in out_vals if v is not None))
+    nd = Dictionary(uniq)
+    table = np.full(len(d.values) + 1, -1, dtype=np.int32)
+    for i, v in enumerate(out_vals):
+        if v is not None:
+            table[i + 1] = nd.code_of(v)
     return DictTransform(VARCHAR, codes_expr, table, nd)
 
 
