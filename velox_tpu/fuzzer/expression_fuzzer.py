@@ -75,7 +75,46 @@ class ExpressionFuzzer:
                 Literal(None, f"s{int(self.rng.integers(0, 14)):02d}")))
         return FieldRef(None, "flag")
 
+    def gen_string(self, depth: int) -> Expr:
+        """String-valued exprs over the dictionary column (exercises
+        DictTransform composition + CSE across transforms)."""
+        r = self.rng
+        if depth <= 0 or r.random() < 0.4:
+            return FieldRef(None, "s")
+        kind = str(r.choice(
+            ["upper", "lower", "reverse", "replace", "lpad", "rpad",
+             "substr"]))
+        inner = self.gen_string(depth - 1)
+        if kind in ("upper", "lower", "reverse"):
+            return Call(None, kind, (inner,))
+        if kind == "replace":
+            a = str(r.choice(list("s0123")))
+            b = str(r.choice(["", "x", "yy"]))
+            return Call(None, "replace", (
+                inner, Literal(None, a), Literal(None, b)))
+        if kind in ("lpad", "rpad"):
+            return Call(None, kind, (
+                inner, Literal(None, int(r.integers(1, 8))),
+                Literal(None, "*")))
+        return Call(None, "substr", (
+            inner, Literal(None, int(r.integers(1, 4))),
+            Literal(None, int(r.integers(1, 4)))))
+
     def gen(self, depth: int = 3) -> Expr:
+        if self.rng.random() < 0.15:
+            # string -> scalar bridges: length/strpos/starts_with over a
+            # composed transform
+            k = str(self.rng.choice(["length", "strpos", "starts_with"]))
+            inner = self.gen_string(2)
+            if k == "length":
+                return Call(None, "length", (inner,))
+            if k == "strpos":
+                return Call(None, "strpos", (
+                    inner, Literal(None, str(self.rng.choice(
+                        list("s01x*"))))))
+            return Call(None, "starts_with", (
+                inner, Literal(None, str(self.rng.choice(
+                    ["s", "s0", "*", ""])))))
         if self.rng.random() < 0.5:
             return self.gen_bool(depth)
         e = self.gen_numeric(depth)
@@ -151,6 +190,32 @@ def _oracle(e: Expr, df: pd.DataFrame):
             v = _oracle(e.args[0], df)
             vals = [a.value for a in e.args[1:]]
             return v.map(lambda x: None if pd.isna(x) else x in vals)
+
+        if name in ("upper", "lower", "reverse", "replace", "lpad",
+                    "rpad", "substr", "length", "strpos", "starts_with"):
+            def lpad_(s2, k, p):
+                return (s2[:k] if len(s2) >= k
+                        else (p * k)[: k - len(s2)] + s2)
+
+            def rpad_(s2, k, p):
+                return (s2[:k] if len(s2) >= k
+                        else s2 + (p * k)[: k - len(s2)])
+
+            sfn = {
+                "upper": lambda s2: s2.upper(),
+                "lower": lambda s2: s2.lower(),
+                "reverse": lambda s2: s2[::-1],
+                "replace": lambda s2, a, b: s2.replace(a, b),
+                "lpad": lpad_, "rpad": rpad_,
+                "substr": lambda s2, st, ln: s2[st - 1: st - 1 + ln],
+                "length": lambda s2: len(s2),
+                "strpos": lambda s2, sub: s2.find(sub) + 1,
+                "starts_with": lambda s2, p2: s2.startswith(p2),
+            }[name]
+            base = _oracle(e.args[0], df)
+            extras = [a.value for a in e.args[1:]]
+            return base.map(
+                lambda v: None if pd.isna(v) else sfn(str(v), *extras))
 
         args = [_oracle(a, df) for a in e.args]
         fn = {
