@@ -22,8 +22,9 @@ from velox_tpu.exec.operators import (
     LimitOp, OrderByOp, ProjectOp, TableScanOp, TopNOp, ValuesOp,
 )
 from velox_tpu.exec.window_ops import (
-    ExpandOp, GroupIdOp, LocalPartitionOp, MarkDistinctOp, RowNumberOp,
-    TableWriteOp, TopNRowNumberOp, UnnestOp, WindowOp,
+    ExpandOp, GroupIdOp, LocalMergeOp, LocalPartitionOp, MarkDistinctOp,
+    RowNumberOp, TableWriteOp, TopNRowNumberOp, UnionAllOp, UnionBridge,
+    UnionSinkOp, UnnestOp, WindowOp,
 )
 from velox_tpu.plan.nodes import (
     AggregationNode, AssignUniqueIdNode, CrossJoinNode,
@@ -31,8 +32,9 @@ from velox_tpu.plan.nodes import (
     EnforceSingleRowNode, ExpandNode, FilterNode, HashJoinNode, LimitNode,
     GroupIdNode, LocalPartitionNode, MarkDistinctNode, MergeJoinNode,
     OrderByNode, PlanNode, ProjectNode,
-    RowNumberNode, TableScanNode, TableWriteNode, TopNNode,
-    TopNRowNumberNode, UnnestNode, ValuesNode, WindowNode,
+    LocalMergeNode, RowNumberNode, TableScanNode, TableWriteNode,
+    TopNNode, TopNRowNumberNode, UnionAllNode, UnnestNode, ValuesNode,
+    WindowNode,
 )
 
 #: extension point: node type -> factory(node, pipelines, chain) -> Operator
@@ -122,6 +124,19 @@ class LocalPlanner:
                         JT.RIGHT_SEMI)):
                 probe._pushdown_scan = chain[0]
             chain.append(probe)
+            return chain
+        if isinstance(node, (UnionAllNode, LocalMergeNode)):
+            bridge = UnionBridge()
+            for src in node.inputs[1:]:
+                sink_chain = self._lower(src)
+                sink_chain.append(UnionSinkOp(node, bridge))
+                self.pipelines.append(
+                    Pipeline(sink_chain, is_output=False))
+            chain = self._lower(node.inputs[0])
+            chain.append(
+                UnionAllOp(node, bridge)
+                if isinstance(node, UnionAllNode)
+                else LocalMergeOp(node, bridge))
             return chain
         if isinstance(node, CrossJoinNode):
             bridge = JoinBridge(node)

@@ -638,3 +638,108 @@ class TableWriteOp(Operator):
 
     def is_finished(self) -> bool:
         return self._emitted
+
+
+class UnionBridge:
+    """Buffered batches from the non-first union/merge sources (the
+    JoinBridge pattern applied to MixedUnion, velox/exec/JoinBridge.h)."""
+
+    def __init__(self):
+        self.batches: List[Batch] = []
+
+
+class UnionSinkOp(Operator):
+    """Sink pipeline terminal for sources[1:] of a union/merge."""
+
+    blocking = True
+
+    def __init__(self, node, bridge: UnionBridge):
+        super().__init__(node)
+        self.bridge = bridge
+
+    def add_input(self, batch: Batch) -> None:
+        self.bridge.batches.append(batch)
+
+    def get_output(self) -> Optional[Batch]:
+        return None
+
+    def is_finished(self) -> bool:
+        return self.no_more_input_seen
+
+
+class UnionAllOp(Operator):
+    """velox MixedUnion: stream the first source through, then drain the
+    sibling pipelines' buffered batches (they ran to completion first —
+    pipeline creation order is topological)."""
+
+    def __init__(self, node, bridge: UnionBridge):
+        super().__init__(node)
+        self.bridge = bridge
+        self._drained = False
+        self._queue: collections.deque = collections.deque()
+        self._names = list(node.output_type.names)
+
+    def add_input(self, batch: Batch) -> None:
+        self._queue.append(batch.project(self._names))
+
+    def get_output(self) -> Optional[Batch]:
+        if self._queue:
+            return self._queue.popleft()
+        if self.no_more_input_seen and not self._drained:
+            self._drained = True
+            for b in self.bridge.batches:
+                self._queue.append(b.project(self._names))
+            return self._queue.popleft() if self._queue else None
+        return None
+
+    def is_finished(self) -> bool:
+        return (self.no_more_input_seen and self._drained
+                and not self._queue)
+
+
+class LocalMergeOp(Operator):
+    """velox/exec/Merge.h:33 k-way ordered merge — on TPU the union of
+    the (already sorted) streams goes through ONE bitonic sort, which is
+    the merge network the hardware actually has."""
+
+    blocking = True
+
+    def __init__(self, node, bridge: UnionBridge):
+        super().__init__(node)
+        self.bridge = bridge
+        self._buffer = SpillableBuffer("local_merge")
+        self._emitted = False
+        self._names = list(node.output_type.names)
+
+    def add_input(self, batch: Batch) -> None:
+        self._buffer.append(batch.project(self._names))
+
+    def get_output(self) -> Optional[Batch]:
+        if not self.no_more_input_seen or self._emitted:
+            return None
+        self._emitted = True
+        batches = (self._buffer.drain()
+                   + [b.project(self._names) for b in self.bridge.batches])
+        if not batches:
+            return None
+        big = concat_batches(batches)
+        spec = [(k.name, k.descending, k.nulls_first)
+                for k in self.node.keys]
+
+        def make():
+            def run(cols, sel):
+                keys = [(cols[n][0], cols[n][1], d, nf)
+                        for n, d, nf in spec]
+                perm = sort_indices(keys, sel)
+                return perm, jnp.take(sel, perm, mode="clip")
+            return run
+
+        run = cached_jit(("local_merge", self.node.id), make)
+        from velox_tpu.exec.operators import _cols_of as _cols
+
+        perm, sel_sorted = run(
+            _cols(big, [k.name for k in self.node.keys]), big.sel)
+        return big.gather(perm, sel_sorted, big.num_rows)
+
+    def is_finished(self) -> bool:
+        return self.no_more_input_seen and self._emitted

@@ -538,6 +538,33 @@ class PlanBuilder:
             new_id(), out, self.node, path, format, tuple(partition_by))
         return self
 
+    def union_all(self, others: Sequence["PlanBuilder"]) -> "PlanBuilder":
+        """Bag union with same-schema sources (velox
+        PlanBuilder::localPartition gather form)."""
+        from velox_tpu.plan.nodes import UnionAllNode
+
+        nodes = [self.node] + [
+            o.node if isinstance(o, PlanBuilder) else o for o in others]
+        for n in nodes[1:]:
+            assert tuple(n.output_type.names) == tuple(
+                nodes[0].output_type.names), "union schema mismatch"
+        self.node = UnionAllNode(
+            new_id(), nodes[0].output_type, tuple(nodes))
+        return self
+
+    def local_merge(self, others: Sequence["PlanBuilder"],
+                    keys: Sequence[str]) -> "PlanBuilder":
+        """Ordered merge of key-sorted sources (velox
+        PlanBuilder::localMerge)."""
+        from velox_tpu.plan.nodes import LocalMergeNode
+
+        nodes = [self.node] + [
+            o.node if isinstance(o, PlanBuilder) else o for o in others]
+        sort_keys = tuple(_parse_sort(k) for k in keys)
+        self.node = LocalMergeNode(
+            new_id(), nodes[0].output_type, tuple(nodes), sort_keys)
+        return self
+
     def local_partition(self, keys: Sequence[str],
                         num_partitions: int) -> "PlanBuilder":
         self.node = LocalPartitionNode(

@@ -273,6 +273,32 @@ class TopNRowNumberNode(SourceNode):
 # ------------------------------------------------------------------- misc
 
 @dataclass(frozen=True)
+class UnionAllNode(PlanNode):
+    """Bag union of same-schema sources (velox MixedUnion /
+    LocalPartition-gather form, core/PlanNode.h:2545)."""
+
+    inputs: Tuple[PlanNode, ...] = ()
+
+    @property
+    def sources(self) -> Tuple[PlanNode, ...]:
+        return self.inputs
+
+
+@dataclass(frozen=True)
+class LocalMergeNode(PlanNode):
+    """K-way ordered merge of key-sorted sources (velox
+    LocalMergeNode core/PlanNode.h:1459 / exec/Merge.h:33). On TPU one
+    bitonic sort over the union IS the merge."""
+
+    inputs: Tuple[PlanNode, ...] = ()
+    keys: Tuple["SortField", ...] = ()
+
+    @property
+    def sources(self) -> Tuple[PlanNode, ...]:
+        return self.inputs
+
+
+@dataclass(frozen=True)
 class UnnestNode(SourceNode):
     """Explode array columns (velox/core/PlanNode.h:4860)."""
 
