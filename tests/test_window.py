@@ -170,3 +170,35 @@ def test_group_id_grouping_sets(df):
     s2 = got[got["group_id"] == 2]
     assert len(s2) == 1
     assert s2["s"].iloc[0] == pytest.approx(df["v"].sum())
+
+
+def test_rows_frame_sliding_sum():
+    import pandas as pd
+
+    rng = np.random.default_rng(8)
+    g = [int(x) for x in rng.integers(0, 4, 40)]
+    o = list(range(40))
+    v = [float(x) for x in rng.normal(size=40)]
+    b = make_batch({"g": g, "o": o, "v": v})
+    out = run_plan_pydict(
+        PlanBuilder().values([b])
+        .window(["g"], ["o"], [
+            "sum(v) ROWS BETWEEN 2 PRECEDING AND CURRENT ROW as s",
+            "avg(v) ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING as a",
+            "count(v) ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND 1 FOLLOWING as c",
+        ])
+        .order_by(["g", "o"]).build())
+    df = pd.DataFrame({"g": g, "o": o, "v": v}).sort_values(
+        ["g", "o"]).reset_index(drop=True)
+    exp_s = df.groupby("g")["v"].rolling(3, min_periods=1).sum() \
+        .reset_index(drop=True)
+    exp_a = (df.groupby("g")["v"]
+             .rolling(3, min_periods=1, center=True).mean()
+             .reset_index(drop=True))
+    np.testing.assert_allclose(out["s"], exp_s, rtol=1e-9)
+    np.testing.assert_allclose(out["a"], exp_a, rtol=1e-9)
+    exp_c = df.groupby("g").cumcount() + 2
+    last = df.groupby("g")["v"].transform("size")
+    exp_c = np.minimum(exp_c, last)
+    assert out["c"] == [int(x) for x in exp_c]

@@ -398,6 +398,20 @@ class PlanBuilder:
         out_names = list(schema.names)
         out_types = list(schema.children)
         for i, f in enumerate(functions):
+            frame = None
+            m = re.search(
+                r"(?i)\s+rows\s+between\s+(unbounded|\d+)\s+preceding"
+                r"\s+and\s+(current\s+row|unbounded\s+following|"
+                r"\d+\s+following)", f)
+            if m:
+                f = f[: m.start()] + f[m.end():]
+                lo = (None if m.group(1).lower() == "unbounded"
+                      else int(m.group(1)))
+                g2 = m.group(2).lower()
+                hi = (0 if "current" in g2
+                      else None if "unbounded" in g2
+                      else int(g2.split()[0]))
+                frame = (lo, hi)
             name, fn, fargs, _ = _parse_agg(f, f"w{i}")
             arg_field = None
             arg_literal = None
@@ -413,7 +427,8 @@ class PlanBuilder:
                 else:
                     raise SyntaxError(
                         f"window arg must be a field or literal: {f!r}")
-            specs.append(WindowSpec(name, fn, arg_field, arg_literal))
+            specs.append(
+                WindowSpec(name, fn, arg_field, arg_literal, frame))
             out_names.append(name)
             out_types.append(_window_result_type(fn, at))
         self.node = WindowNode(

@@ -240,8 +240,9 @@ class WindowSpec:
     fn: str            # row_number, rank, sum, ...
     arg: Optional[str] = None          # input field
     arg_literal: Optional[float] = None  # ntile(k) / lead(x, k) constant
-    # frame: only the common defaults for now
-    # (RANGE UNBOUNDED PRECEDING..CURRENT ROW for ranks/aggs)
+    #: ROWS frame (preceding, following); None components = UNBOUNDED;
+    #: frame=None = the default RANGE UNBOUNDED PRECEDING..CURRENT ROW
+    frame: Optional[Tuple[Optional[int], Optional[int]]] = None
 
 
 @dataclass(frozen=True)
