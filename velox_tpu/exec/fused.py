@@ -36,10 +36,10 @@ def maybe_fuse(chain: List[Operator]) -> List[Operator]:
         return chain
     from velox_tpu.types.types import TypeKind
 
-    # ARRAY columns flow through operators as offset+element lanes that a
-    # fused env can't passthrough; leave those chains unfused
+    # ARRAY/MAP columns flow through operators as offset+element lanes
+    # that a fused env can't passthrough; leave those chains unfused
     for op in chain:
-        if any(t.kind == TypeKind.ARRAY
+        if any(t.kind in (TypeKind.ARRAY, TypeKind.MAP)
                for t in op.node.output_type.children):
             return chain
     # longest transform prefix after the scan

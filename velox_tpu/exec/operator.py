@@ -76,7 +76,7 @@ def eval_pairs(batch: Batch) -> Dict[str, tuple]:
     """All (values, valid) pairs expression eval can reference. ARRAY
     columns contribute three derived flat lanes (#start/#len/#elemv) that
     bind_array_funcs targets (velox_tpu/expr/compiler.py)."""
-    from velox_tpu.vector.column import ArrayColumn
+    from velox_tpu.vector.column import ArrayColumn, MapColumn
 
     out: Dict[str, tuple] = {}
     for n, c in batch.columns.items():
@@ -84,6 +84,11 @@ def eval_pairs(batch: Batch) -> Dict[str, tuple]:
             out[f"{n}#start"] = (c.starts, None)
             out[f"{n}#len"] = (c.lengths, c.valid)
             out[f"{n}#elemv"] = (c.elements.values, c.elements.valid)
+        elif isinstance(c, MapColumn):
+            out[f"{n}#start"] = (c.starts, None)
+            out[f"{n}#len"] = (c.lengths, c.valid)
+            out[f"{n}#kv"] = (c.keys.values, c.keys.valid)
+            out[f"{n}#vv"] = (c.values.values, c.values.valid)
         else:
             out[n] = (c.values, c.valid)
     return out
@@ -91,13 +96,18 @@ def eval_pairs(batch: Batch) -> Dict[str, tuple]:
 
 def eval_dicts(batch: Batch) -> Dict[str, object]:
     """Dictionaries visible to bind time, incl. array element tables."""
-    from velox_tpu.vector.column import ArrayColumn
+    from velox_tpu.vector.column import ArrayColumn, MapColumn
 
     out: Dict[str, object] = {}
     for n, c in batch.columns.items():
         if isinstance(c, ArrayColumn):
             if c.elements.dictionary is not None:
                 out[f"{n}#elemv"] = c.elements.dictionary
+        elif isinstance(c, MapColumn):
+            if c.keys.dictionary is not None:
+                out[f"{n}#kv"] = c.keys.dictionary
+            if c.values.dictionary is not None:
+                out[f"{n}#vv"] = c.values.dictionary
         elif c.dictionary is not None:
             out[n] = c.dictionary
     return out

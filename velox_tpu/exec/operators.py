@@ -140,7 +140,16 @@ class ProjectOp(Operator):
                 node.names, node.exprs, node.output_type.children)
             if isinstance(t, ArrayType) and isinstance(e, _Call)
             and e.name == "transform" and isinstance(e.args[0], _FR)}
-        skip = set(self._array_pass) | set(self._transforms)
+        # ... or map_keys/map_values: an ArrayColumn sharing the map's
+        # offsets with the key/value lane as elements (zero device work)
+        self._map_projs = {
+            name: (e.args[0].name, e.name) for name, e, t in zip(
+                node.names, node.exprs, node.output_type.children)
+            if isinstance(t, ArrayType) and isinstance(e, _Call)
+            and e.name in ("map_keys", "map_values")
+            and isinstance(e.args[0], _FR)}
+        skip = (set(self._array_pass) | set(self._transforms)
+                | set(self._map_projs))
         scalar = [
             (name, e) for name, e in zip(node.names, node.exprs)
             if name not in skip]
@@ -180,6 +189,15 @@ class ProjectOp(Operator):
                 cols[name] = batch.column(self._array_pass[name])
             elif name in self._transforms:
                 cols[name] = self._apply_transform(batch, name)
+            elif name in self._map_projs:
+                from velox_tpu.vector.column import ArrayColumn, MapColumn
+
+                src_name, which = self._map_projs[name]
+                src = batch.column(src_name)
+                assert isinstance(src, MapColumn)
+                elem = (src.keys if which == "map_keys" else src.values)
+                cols[name] = ArrayColumn(
+                    types[name], src.starts, src.lengths, elem, src.valid)
             else:
                 (vals, valid), d = by_name[name]
                 cols[name] = Column(types[name], vals, valid, d)

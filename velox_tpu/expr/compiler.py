@@ -113,6 +113,14 @@ def resolve_types(expr: Expr, schema: RowType) -> Expr:
             return Call(BIGINT, "strpos", args)
         if name in ("starts_with", "ends_with"):
             return Call(BOOLEAN, name, args)
+        if name in ("map_keys", "map_values"):
+            from velox_tpu.types.types import ArrayType, MapType
+            args2 = tuple(resolve_types(a, schema) for a in expr.args)
+            if not isinstance(args2[0].dtype, MapType):
+                raise TypeError(f"{name} expects a MAP argument")
+            mt = args2[0].dtype
+            et = mt.key if name == "map_keys" else mt.value
+            return Call(ArrayType(TypeKind.ARRAY, et), name, args2)
 
         if name in _ARITH or name in _COMPARE or name == "between":
             args = _unify_numeric(name, args)
@@ -406,6 +414,42 @@ def bind_array_funcs(expr: Expr,
     if isinstance(expr, Call) and expr.name == "transform":
         raise TypeError(
             "transform(...) is only supported as a top-level projection")
+    if isinstance(expr, Call) and expr.name in ("map_keys", "map_values"):
+        raise TypeError(
+            f"{expr.name}(...) is only supported as a top-level projection")
+
+    from velox_tpu.types.types import MapType as _MapT
+
+    if (isinstance(expr, Call) and expr.args
+            and isinstance(expr.args[0].dtype, _MapT)
+            and expr.name in ("cardinality", "element_at")):
+        arr = expr.args[0]
+        if not isinstance(arr, FieldRef):
+            raise TypeError(f"{expr.name} requires a MAP column reference")
+        x = arr.name
+        mt = arr.dtype
+        st = FieldRef(INTEGER, f"{x}#start")
+        ln = FieldRef(INTEGER, f"{x}#len")
+        if expr.name == "cardinality":
+            return Cast(BIGINT, ln, False)
+        kv = FieldRef(mt.key, f"{x}#kv")
+        vv = FieldRef(mt.value, f"{x}#vv")
+        lit = bind_array_funcs(expr.args[1], dictionaries)
+        if mt.key.is_string:
+            if not isinstance(lit, Literal):
+                raise TypeError(
+                    "element_at on string-keyed maps needs a literal key")
+            d = dictionaries.get(f"{x}#kv")
+            code = d.code_of(lit.value) if d is not None else -2
+            lit = Literal(INTEGER, code)
+        out = Call(mt.value, "__map_element_at", (st, ln, kv, vv, lit))
+        if mt.value.is_string:
+            d = dictionaries.get(f"{x}#vv")
+            nvals = len(d) if d is not None else 0
+            table = np.concatenate(
+                [[-1], np.arange(nvals)]).astype(np.int32)
+            return DictTransform(mt.value, out, table, d)
+        return out
 
     if (isinstance(expr, Call) and expr.name in _ARRAY_FUNCS and expr.args
             and isinstance(expr.args[0].dtype, ArrayType)):

@@ -529,8 +529,10 @@ register_function(ScalarFunction(
 
 
 def _array_elem_type(args):
-    from velox_tpu.types.types import ArrayType
+    from velox_tpu.types.types import ArrayType, MapType
 
+    if isinstance(args[0], MapType):
+        return args[0].value      # element_at(map, key) -> value type
     if not isinstance(args[0], ArrayType):
         raise TypeError(f"expected ARRAY argument, got {args[0]}")
     return args[0].element
@@ -680,3 +682,37 @@ for _n, _impl in [("__array_any_match", _any_match_impl),
                   ("__array_none_match", _none_match_impl)]:
     register_function(ScalarFunction(
         _n, lambda a: BOOLEAN, _impl, default_nulls=False))
+
+
+
+def _map_element_at_impl(stp, lnp, kvp, vvp, litp):
+    """MAP subscript: keys are unique per map, so the single hit is
+    recoverable with one prefix-sum difference — no search
+    (velox/functions/prestosql/MapSubscript.h analog)."""
+    (st, _), (ln, lv), (kv, kvalid), (vv, vvalid), (lit, _) = (
+        stp, lnp, kvp, vvp, litp)
+    hit = kv == lit.astype(kv.dtype)
+    if kvalid is not None:
+        hit = jnp.logical_and(hit, kvalid)
+    h32 = hit.astype(jnp.int32)
+    found = _seg_range(_prefix(h32), st, ln) > 0
+    wide = (jnp.float64 if jnp.issubdtype(vv.dtype, jnp.floating)
+            else jnp.int64)
+    # shift codes/values by +1 under the hit so 0 is recoverable
+    contrib = jnp.where(hit, vv.astype(wide) + 1, 0)
+    got = _seg_range(_prefix(contrib), st, ln) - 1
+    vals = got.astype(vv.dtype)
+    valid = found
+    if lv is not None:
+        valid = jnp.logical_and(valid, lv)
+    if vvalid is not None:
+        vok = _seg_range(
+            _prefix(jnp.logical_and(hit, vvalid).astype(jnp.int32)),
+            st, ln) > 0
+        valid = jnp.logical_and(valid, vok)
+    return vals, valid
+
+
+register_function(ScalarFunction(
+    "__map_element_at", lambda a: a[3], _map_element_at_impl,
+    default_nulls=False))

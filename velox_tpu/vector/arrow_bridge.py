@@ -49,6 +49,10 @@ def type_from_arrow(at: pa.DataType) -> DataType:
     if pa.types.is_list(at) or pa.types.is_large_list(at):
         from velox_tpu.types.types import array as array_type
         return array_type(type_from_arrow(at.value_type))
+    if pa.types.is_map(at):
+        from velox_tpu.types.types import MapType, TypeKind as TK
+        return MapType(TK.MAP, type_from_arrow(at.key_type),
+                       type_from_arrow(at.item_type))
     raise TypeError(f"unsupported arrow type {at}")
 
 
@@ -59,6 +63,9 @@ def type_to_arrow(t: DataType) -> pa.DataType:
         return pa.decimal128(t.precision, t.scale)
     if isinstance(t, ArrayType):
         return pa.list_(type_to_arrow(t.element))
+    from velox_tpu.types.types import MapType as _MT
+    if isinstance(t, _MT):
+        return pa.map_(type_to_arrow(t.key), type_to_arrow(t.value))
     rev = {
         TypeKind.BOOLEAN: pa.bool_(), TypeKind.TINYINT: pa.int8(),
         TypeKind.SMALLINT: pa.int16(), TypeKind.INTEGER: pa.int32(),
@@ -75,6 +82,27 @@ def _ingest_array(arr: pa.ChunkedArray, cap: int) -> Column:
         arr = arr.combine_chunks()
     t = type_from_arrow(arr.type)
     n = len(arr)
+
+    if pa.types.is_map(arr.type):
+        from velox_tpu.vector.column import MapColumn
+        offsets = np.asarray(arr.offsets.to_numpy(zero_copy_only=False),
+                             dtype=np.int64)
+        starts = np.zeros(cap, dtype=np.int32)
+        lengths = np.zeros(cap, dtype=np.int32)
+        starts[:n] = offsets[:-1]
+        lengths[:n] = np.diff(offsets)
+        null_mask = arr.is_null().to_numpy(zero_copy_only=False)
+        lengths[:n] = np.where(null_mask, 0, lengths[:n])
+        valid = None
+        if null_mask.any():
+            v = np.zeros(cap, dtype=bool)
+            v[:n] = ~null_mask
+            valid = jnp.asarray(v)
+        ecap = max(128, 1 << (max(len(arr.keys), 1) - 1).bit_length())
+        keys = _ingest_array(arr.keys, ecap)
+        values = _ingest_array(arr.items, ecap)
+        return MapColumn(t, jnp.asarray(starts), jnp.asarray(lengths),
+                         keys, values, valid)
 
     if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
         # offsets+sizes+flat-child, the ArrayVector layout

@@ -90,12 +90,16 @@ class Batch:
         names = list(data.keys())
         n = len(data[names[0]]) if names else 0
         cap = capacity if capacity is not None else round_capacity(n)
-        from velox_tpu.vector.column import make_array_column
+        from velox_tpu.vector.column import (
+            make_array_column, make_map_column,
+        )
 
         cols = {}
         for name in names:
             if types[name].kind == TypeKind.ARRAY:
                 cols[name] = make_array_column(types[name], data[name], cap)
+            elif types[name].kind == TypeKind.MAP:
+                cols[name] = make_map_column(types[name], data[name], cap)
             else:
                 col, _ = make_column(types[name], data[name], cap)
                 cols[name] = col
@@ -165,11 +169,11 @@ class Batch:
             self = self.compact()
         # ONE device->host transfer for the whole batch (each np.asarray
         # would pay a full round trip on tunneled backends)
-        from velox_tpu.vector.column import ArrayColumn
+        from velox_tpu.vector.column import ArrayColumn, MapColumn
 
         device = {"__sel__": self.sel}
         for name, col in self.columns.items():
-            if isinstance(col, ArrayColumn):
+            if isinstance(col, (ArrayColumn, MapColumn)):
                 device[f"s.{name}"] = col.starts
                 device[f"l.{name}"] = col.lengths
             else:
@@ -183,12 +187,23 @@ class Batch:
             idx = idx[:limit]
         out: Dict[str, list] = {}
         for name, col in self.columns.items():
-            if isinstance(col, ArrayColumn):
+            if isinstance(col, (ArrayColumn, MapColumn)):
                 starts = host[f"s.{name}"][idx]
                 lengths = host[f"l.{name}"][idx]
-                elems = col.elements.to_pylist()
                 valid = (host[f"m.{name}"][idx]
                          if col.valid is not None else None)
+                if isinstance(col, MapColumn):
+                    ks = col.keys.to_pylist()
+                    vs = col.values.to_pylist()
+                    out[name] = [
+                        None if valid is not None and not valid[i]
+                        else dict(zip(
+                            ks[starts[i]: starts[i] + lengths[i]],
+                            vs[starts[i]: starts[i] + lengths[i]]))
+                        for i in range(len(starts))
+                    ]
+                    continue
+                elems = col.elements.to_pylist()
                 out[name] = [
                     None if valid is not None and not valid[i]
                     else elems[starts[i]: starts[i] + lengths[i]]

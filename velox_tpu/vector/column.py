@@ -188,6 +188,93 @@ class ArrayColumn:
         return out
 
 
+@dataclass(frozen=True)
+class MapColumn:
+    """MAP column: Arrow-style offsets + flat key/value lanes.
+
+    Replaces velox/vector/ComplexVector.h:589 (MapVector: offsets + sizes
+    + keys child + values child). Same static-shape discipline as
+    ArrayColumn: ``starts``/``lengths`` live at batch capacity; ``keys``
+    and ``values`` are flat Columns with their own shared capacity. Keys
+    are unique per map (SQL MAP invariant) — lookups exploit this by
+    summing the single hit instead of searching.
+    """
+
+    dtype: DataType                        # MapType
+    starts: jax.Array                      # (capacity,) int32
+    lengths: jax.Array                     # (capacity,) int32
+    keys: Column                           # flat key column
+    values: Column                         # flat value column (same cap)
+    valid: Optional[jax.Array] = None
+    dictionary = None
+    stats = None
+
+    @property
+    def capacity(self) -> int:
+        return self.starts.shape[0]
+
+    def validity(self) -> jax.Array:
+        if self.valid is not None:
+            return self.valid
+        return jnp.ones((self.capacity,), dtype=jnp.bool_)
+
+    def gather(self, indices: jax.Array) -> "MapColumn":
+        starts = jnp.take(self.starts, indices, mode="clip")
+        lengths = jnp.take(self.lengths, indices, mode="clip")
+        valid = (
+            jnp.take(self.valid, indices, mode="clip")
+            if self.valid is not None else None
+        )
+        return MapColumn(self.dtype, starts, lengths, self.keys,
+                         self.values, valid)
+
+    def to_pylist(self, num_rows: Optional[int] = None) -> list:
+        starts = np.asarray(self.starts)[:num_rows]
+        lengths = np.asarray(self.lengths)[:num_rows]
+        ks = self.keys.to_pylist()
+        vs = self.values.to_pylist()
+        valid = (np.asarray(self.valid)[: len(starts)]
+                 if self.valid is not None else None)
+        out = []
+        for i in range(len(starts)):
+            if valid is not None and not valid[i]:
+                out.append(None)
+            else:
+                s, ln = starts[i], lengths[i]
+                out.append(dict(zip(ks[s: s + ln], vs[s: s + ln])))
+        return out
+
+
+def make_map_column(dtype: DataType, data: Sequence,
+                    capacity: int) -> MapColumn:
+    """Host list-of-dicts -> MapColumn (None -> null row)."""
+    n = len(data)
+    starts = np.zeros(capacity, dtype=np.int32)
+    lengths = np.zeros(capacity, dtype=np.int32)
+    flat_k: list = []
+    flat_v: list = []
+    has_null = False
+    for i, row in enumerate(data):
+        starts[i] = len(flat_k)
+        if row is None:
+            has_null = True
+        else:
+            lengths[i] = len(row)
+            for k, v in row.items():
+                flat_k.append(k)
+                flat_v.append(v)
+    valid = None
+    if has_null:
+        v = np.zeros(capacity, dtype=bool)
+        v[:n] = np.array([row is not None for row in data], dtype=bool)
+        valid = jnp.asarray(v)
+    ecap = max(128, 1 << (max(len(flat_k), 1) - 1).bit_length())
+    keys, _ = make_column(dtype.key, flat_k, ecap)
+    values, _ = make_column(dtype.value, flat_v, ecap)
+    return MapColumn(dtype, jnp.asarray(starts), jnp.asarray(lengths),
+                     keys, values, valid)
+
+
 def make_array_column(
     dtype: DataType, data: Sequence, capacity: int
 ) -> ArrayColumn:
