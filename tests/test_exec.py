@@ -600,3 +600,41 @@ def test_parquet_registration_roundtrip(tmp_path):
         assert out["sx"][0] == pytest.approx(sum(i / 3 for i in exp))
     finally:
         drop_table("pq_t")
+
+
+def test_moment_and_misc_aggregates():
+    import numpy as np
+    import pandas as pd
+
+    from velox_tpu.types import BIGINT, DOUBLE
+    from velox_tpu.vector.batch import Batch
+
+    rng = np.random.default_rng(12)
+    g = [int(x) for x in rng.integers(0, 3, 90)]
+    v = [float(abs(x) + 0.1) for x in rng.normal(size=90)]
+    b = Batch.from_pydict({"g": g, "v": v}, {"g": BIGINT, "v": DOUBLE})
+    out = run_plan_pydict(
+        PlanBuilder().values([b])
+        .aggregate(["g"], ["geometric_mean(v) as gm",
+                           "skewness(v) as sk", "kurtosis(v) as ku",
+                           "checksum(v) as ck"])
+        .order_by(["g"]).build())
+    df = pd.DataFrame({"g": g, "v": v})
+    for i, (gid, sub) in enumerate(df.groupby("g")):
+        x = sub["v"].to_numpy()
+        assert out["gm"][i] == pytest.approx(
+            float(np.exp(np.mean(np.log(x)))))
+        assert out["sk"][i] == pytest.approx(
+            float(pd.Series(x).skew()), rel=1e-6)
+        assert out["ku"][i] == pytest.approx(
+            float(pd.Series(x).kurt()), rel=1e-6)
+        assert isinstance(out["ck"][i], int)
+    # checksum is order-independent
+    perm = list(rng.permutation(90))
+    b2 = Batch.from_pydict(
+        {"g": [g[i] for i in perm], "v": [v[i] for i in perm]},
+        {"g": BIGINT, "v": DOUBLE})
+    out2 = run_plan_pydict(
+        PlanBuilder().values([b2])
+        .aggregate(["g"], ["checksum(v) as ck"]).order_by(["g"]).build())
+    assert out2["ck"] == out["ck"]

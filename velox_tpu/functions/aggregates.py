@@ -526,3 +526,132 @@ register_aggregate(AggregateFunction(
     extract=lambda accs, gm: (accs[0], jnp.logical_and(gm, accs[1] > 0)),
     lane_types=lambda t: (t, BIGINT),
 ))
+
+
+# ------------------------------------- moment/hash aggregate breadth
+# (velox/functions/prestosql/aggregates: ChecksumAggregate.h,
+#  GeometricMeanAggregate, CentralMomentsAggregates.h)
+
+def _checksum_acc(accs, gids, values, mask):
+    (x,) = accs
+    from velox_tpu.ops.hash import hash_i64
+
+    h = hash_i64(values.astype(jnp.int64)
+                   if not jnp.issubdtype(values.dtype, jnp.floating)
+                   else (values * 1e6).astype(jnp.int64))
+    h = _masked(h.astype(jnp.int64), mask, 0)
+    return (x.at[gids].add(h, mode="drop"),)   # order-independent sum
+
+
+register_aggregate(AggregateFunction(
+    name="checksum",
+    resolve_type=lambda t: BIGINT,
+    lanes=(AccLane("x", lambda t: np.dtype(np.int64), lambda t: 0),),
+    accumulate=_checksum_acc,
+    combine=lambda accs, gids, lanes, mask: (
+        accs[0].at[gids].add(_masked(lanes[0], mask, 0), mode="drop"),),
+    extract=lambda accs, gm: (accs[0], gm),
+    lane_types=lambda t: (BIGINT,),
+))
+
+
+def _geomean_acc(accs, gids, values, mask):
+    n, sl = accs
+    v = values.astype(jnp.float64)
+    ok = jnp.logical_and(mask, v > 0)
+    n = n.at[gids].add(ok.astype(n.dtype), mode="drop")
+    sl = sl.at[gids].add(_masked(jnp.log(jnp.maximum(v, 1e-300)),
+                                 ok, 0.0), mode="drop")
+    return (n, sl)
+
+
+register_aggregate(AggregateFunction(
+    name="geometric_mean",
+    resolve_type=lambda t: DOUBLE,
+    lanes=(
+        AccLane("n", lambda t: np.dtype(np.int64), lambda t: 0),
+        AccLane("sumlog", lambda t: np.dtype(np.float64), lambda t: 0.0),
+    ),
+    accumulate=_geomean_acc,
+    combine=lambda accs, gids, lanes, mask: (
+        accs[0].at[gids].add(_masked(lanes[0], mask, 0), mode="drop"),
+        accs[1].at[gids].add(_masked(lanes[1], mask, 0.0), mode="drop"),
+    ),
+    extract=lambda accs, gm: (
+        jnp.exp(accs[1] / jnp.maximum(accs[0].astype(jnp.float64), 1.0)),
+        jnp.logical_and(gm, accs[0] > 0)),
+    lane_types=lambda t: (BIGINT, DOUBLE),
+    final_type=lambda lanes: DOUBLE,
+))
+
+
+def _moments_lanes():
+    return (
+        AccLane("n", lambda t: np.dtype(np.int64), lambda t: 0),
+        AccLane("s1", lambda t: np.dtype(np.float64), lambda t: 0.0),
+        AccLane("s2", lambda t: np.dtype(np.float64), lambda t: 0.0),
+        AccLane("s3", lambda t: np.dtype(np.float64), lambda t: 0.0),
+        AccLane("s4", lambda t: np.dtype(np.float64), lambda t: 0.0),
+    )
+
+
+def _moments_acc(accs, gids, values, mask):
+    n, s1, s2, s3, s4 = accs
+    v = _masked(values.astype(jnp.float64), mask, 0.0)
+    n = n.at[gids].add(mask.astype(n.dtype), mode="drop")
+    s1 = s1.at[gids].add(v, mode="drop")
+    v2 = v * v
+    s2 = s2.at[gids].add(v2, mode="drop")
+    s3 = s3.at[gids].add(v2 * v, mode="drop")
+    s4 = s4.at[gids].add(v2 * v2, mode="drop")
+    return (n, s1, s2, s3, s4)
+
+
+def _moments_combine(accs, gids, lanes, mask):
+    out = []
+    for a, p in zip(accs, lanes):
+        z = 0 if a.dtype == jnp.int64 else 0.0
+        out.append(a.at[gids].add(_masked(p, mask, z), mode="drop"))
+    return tuple(out)
+
+
+def _make_moments(name: str, kurt: bool):
+    def extract(accs, gm):
+        n, s1, s2, s3, s4 = accs
+        nf = jnp.maximum(n.astype(jnp.float64), 1.0)
+        m = s1 / nf
+        m2 = jnp.maximum(s2 / nf - m * m, 0.0)
+        m3 = s3 / nf - 3 * m * s2 / nf + 2 * m ** 3
+        m4 = (s4 / nf - 4 * m * s3 / nf + 6 * m * m * s2 / nf
+              - 3 * m ** 4)
+        sd = jnp.sqrt(jnp.maximum(m2, 1e-300))
+        if kurt:
+            # Presto kurtosis: sample excess kurtosis
+            nn = nf
+            g2 = m4 / jnp.maximum(m2 * m2, 1e-300) - 3.0
+            out = ((nn - 1) / jnp.maximum((nn - 2) * (nn - 3), 1.0)
+                   * ((nn + 1) * g2 + 6))
+            ok = n >= 4
+        else:
+            # Presto skewness: sample skewness
+            g1 = m3 / jnp.maximum(sd ** 3, 1e-300)
+            nn = nf
+            out = (jnp.sqrt(jnp.maximum(nn * (nn - 1), 0.0))
+                   / jnp.maximum(nn - 2, 1.0) * g1)
+            ok = n >= 3
+        return out, jnp.logical_and(gm, ok)
+
+    register_aggregate(AggregateFunction(
+        name=name,
+        resolve_type=lambda t: DOUBLE,
+        lanes=_moments_lanes(),
+        accumulate=_moments_acc,
+        combine=_moments_combine,
+        extract=extract,
+        lane_types=lambda t: (BIGINT, DOUBLE, DOUBLE, DOUBLE, DOUBLE),
+        final_type=lambda lanes: DOUBLE,
+    ))
+
+
+_make_moments("skewness", False)
+_make_moments("kurtosis", True)
