@@ -176,3 +176,39 @@ def test_run_plan_distributed_keyless(mesh):
         assert dist["s"][0] == pytest.approx(serial["s"][0], rel=1e-12)
     finally:
         drop_table("dist_g")
+
+
+def test_broadcast_semi_join_distributed():
+    import pandas as pd
+    import pyarrow as pa
+
+    from velox_tpu.plan import PlanBuilder
+
+    from velox_tpu.io.catalog import drop_table, register_arrow
+    from velox_tpu.parallel.runner import run_plan_distributed
+
+    rng = np.random.default_rng(15)
+    n = 5000
+    lk = [int(x) for x in rng.integers(0, 400, n)]
+    lv = [float(x) for x in rng.normal(size=n)]
+    register_arrow("bj_left", pa.table({"k": lk, "v": lv}),
+                   batch_rows=700)
+    rk = sorted(set(int(x) for x in rng.integers(0, 400, 120)))
+    register_arrow("bj_right", pa.table({"rk": rk}))
+    try:
+        for jt, keep in (("left_semi", True), ("anti_simple", False)):
+            plan = (PlanBuilder().table_scan("bj_left")
+                    .hash_join(PlanBuilder().table_scan("bj_right"),
+                               ["k"], ["rk"], jt)
+                    .build())
+            out = run_plan_distributed(plan).to_pydict()
+            df = pd.DataFrame({"k": lk, "v": lv})
+            exp = df[df.k.isin(rk) == keep]
+            got = pd.DataFrame(out).sort_values(
+                ["k", "v"]).reset_index(drop=True)
+            exps = exp.sort_values(["k", "v"]).reset_index(drop=True)
+            assert got["k"].tolist() == exps["k"].tolist()
+            np.testing.assert_allclose(got["v"], exps["v"], rtol=1e-12)
+    finally:
+        drop_table("bj_left")
+        drop_table("bj_right")

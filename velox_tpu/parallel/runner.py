@@ -52,9 +52,14 @@ def run_plan_distributed(plan, mesh=None, axis: str = "d"):
     pipelines = [
         (maybe_fuse(p.operators), p.is_output) for p in planner.pipelines]
     out_ops, _ = next(p for p in pipelines if p[1])
+
+    joined = _try_broadcast_semi_join(
+        pipelines, out_ops, mesh, n_dev, axis)
+    if joined is not None:
+        return joined
     if not (len(out_ops) == 1 and isinstance(out_ops[0], FusedScanAggOp)
             and len(pipelines) == 1):
-        # joins / non-fusable shapes: serial fallback (round-1 scope)
+        # expansion joins / non-fusable shapes: serial fallback
         return pa.concat_tables([to_arrow(b) for b in Task(plan).run()])
 
     fused: FusedScanAggOp = out_ops[0]
@@ -126,3 +131,88 @@ def _pad_batch(b: Batch, capacity: int) -> Batch:
         cols[n] = Column(c.dtype, vals, valid, c.dictionary, c.stats)
     sel = jnp.concatenate([b.sel, jnp.zeros((pad,), jnp.bool_)])
     return Batch(cols, sel, b.num_rows)
+
+
+def _try_broadcast_semi_join(pipelines, out_ops, mesh, n_dev, axis):
+    """Broadcast join over the mesh: the (small) build side is built
+    serially and REPLICATED to every device; the probe side shards across
+    the data axis and each device evaluates the probe program locally —
+    no shuffle at all (the replicated-build-side form of SURVEY.md's
+    "broadcast joins via pmap-style replication").
+
+    Round-1 scope: semi-like joins (LEFT_SEMI / ANTI / ANTI_SIMPLE
+    without join filters), whose probe output is a static-shape selection
+    mask — match expansion joins need dynamic output sizing and stay
+    serial. Downstream operators run serially on the gathered result.
+    """
+    import pyarrow as pa
+
+    from velox_tpu.exec.operators import (
+        HashProbeOp, JoinKeyCodec, TableScanOp,
+    )
+    from velox_tpu.exec.task import _stream
+    from velox_tpu.plan.nodes import JoinType as JT
+    from velox_tpu.vector.arrow_bridge import to_arrow
+
+    if len(pipelines) != 2:
+        return None
+    if not (len(out_ops) >= 2 and isinstance(out_ops[0], TableScanOp)
+            and isinstance(out_ops[1], HashProbeOp)):
+        return None
+    probe: HashProbeOp = out_ops[1]
+    if probe.jt not in (JT.LEFT_SEMI, JT.ANTI, JT.ANTI_SIMPLE):
+        return None
+    if probe._filter_exprs is not None:
+        return None
+
+    # 1. build side: serial (it is the small side by plan construction)
+    build_ops, _ = next(p for p in pipelines if not p[1])
+    list(_stream(build_ops, len(build_ops) - 1))
+    br = probe.bridge
+    assert br.ready
+
+    # 2. shard the probe scan across the mesh
+    scan: TableScanOp = out_ops[0]
+    splits = [b.project(scan.node.columns) for b in scan._splits]
+    scan._splits.clear()
+    big = concat_batches(splits) if len(splits) > 1 else splits[0]
+    shard_cap = max(-(-big.capacity // n_dev), 128)
+    big = _pad_batch(big, shard_cap * n_dev)
+    if scan._filter is not None:
+        big = big.with_sel(scan._filter.filter_sel(big))
+
+    pf = probe._probe_fn(big)        # cached pure probe program
+    cols = [(big.column(k).values, big.column(k).valid)
+            for k in probe.node.left_keys]
+    in_spec = jax.tree_util.tree_map(lambda _: P(axis), cols)
+
+    def step(cols, sel, sorted_keys, n_active):
+        return pf(cols, sel, sorted_keys, n_active)
+
+    key = ("dist_bsemi", probe.node.id, n_dev, axis,
+           tuple(d.id for d in mesh.devices.flatten()))
+    f = cached_jit(key, lambda: shard_map(
+        step, mesh=mesh,
+        in_specs=(in_spec, P(axis), P(), P()),
+        out_specs=P(axis), check_vma=False))
+    out_sel = f(cols, big.sel, br.sorted_keys, br.n_active)
+
+    # 3. downstream operators run serially on the gathered result
+    result = big.with_sel(out_sel).project(
+        list(probe.node.output_type.names))
+    rest = out_ops[2:]
+    batches = [result]
+    for op in rest:
+        outs = []
+        for b in batches:
+            op.add_input(b)
+        op.no_more_input()
+        while True:
+            b = op.get_output()
+            if b is None and op.is_finished():
+                break
+            if b is not None:
+                outs.append(b)
+        batches = outs
+    return pa.concat_tables([to_arrow(b) for b in batches]) \
+        if batches else None
