@@ -71,3 +71,20 @@ def test_table_scan_subfilter(tmp_path):
         assert out["c"] == [10]
     finally:
         drop_table("serde_t")
+
+
+def test_all_tpch_plans_roundtrip(tmp_path):
+    from velox_tpu.io.tpch import register_tpch
+    from velox_tpu.tpch import tpch_plan
+    from velox_tpu.tpch.queries import SUPPORTED_QUERIES
+
+    register_tpch(0.001, batch_rows=1 << 12)
+    for n in SUPPORTED_QUERIES:
+        plan = tpch_plan(n, 0.001).build()
+        s = plan_to_json(plan)
+        plan2 = plan_from_json(s)
+        assert plan_to_json(plan2) == s, f"Q{n} serde not stable"
+    for n in (3, 18):
+        plan = tpch_plan(n, 0.001, clustered=True).build()
+        assert plan_to_json(plan_from_json(plan_to_json(plan))) \
+            == plan_to_json(plan), f"Q{n}c serde not stable"
