@@ -241,3 +241,41 @@ def test_string_multi_in_filter():
         .filter("ends_with(s, '.py') AND strpos(s, 'a') > 0")
         .project(["x"]).build())
     assert out["x"] == [3]
+
+
+def test_cast_varchar_to_numeric():
+    from velox_tpu.types import BIGINT, VARCHAR
+    from velox_tpu.vector.batch import Batch
+    from velox_tpu.plan import PlanBuilder
+    from velox_tpu.exec import run_plan_pydict
+
+    b = Batch.from_pydict(
+        {"s": ["12", " -3 ", "4.5", "oops", None, "1e2"]},
+        {"s": VARCHAR})
+    out = run_plan_pydict(PlanBuilder().values([b]).project([
+        "cast(s as bigint) as i",
+        "cast(s as double) as d",
+        "cast(s as boolean) as bb",
+    ]).build())
+    assert out["i"] == [12, -3, 4, None, None, 100]
+    assert out["d"] == [12.0, -3.0, 4.5, None, None, 100.0]
+    assert out["bb"] == [None, None, None, None, None, None]
+    out2 = run_plan_pydict(PlanBuilder().values([Batch.from_pydict(
+        {"s": ["true", "F", "1", "x"]}, {"s": VARCHAR})]).project([
+        "cast(s as boolean) as b"]).build())
+    assert out2["b"] == [True, False, True, None]
+
+
+def test_cast_varchar_date_and_filter():
+    from velox_tpu.types import VARCHAR
+    from velox_tpu.vector.batch import Batch
+    from velox_tpu.plan import PlanBuilder
+    from velox_tpu.exec import run_plan_pydict
+
+    b = Batch.from_pydict(
+        {"s": ["1995-03-15", "1998-12-01", "bad"]}, {"s": VARCHAR})
+    out = run_plan_pydict(
+        PlanBuilder().values([b])
+        .filter("cast(s as date) >= DATE '1996-01-01'")
+        .project(["s"]).build())
+    assert out["s"] == ["1998-12-01"]

@@ -502,13 +502,67 @@ def bind_array_funcs(expr: Expr,
     return expr
 
 
+def _bind_string_cast(cast: Cast, child: Expr,
+                      dictionaries: Dict[str, "Dictionary"]) -> Expr:
+    """CAST(varchar AS numeric/date/bool): parse every distinct
+    dictionary value ONCE on host (velox/expression/CastExpr.h with
+    Presto parse rules, peeled). Unparseable values become NULL under
+    TRY_CAST / engine TRY semantics; plain CAST also nulls (the engine
+    has no row-level exceptions — velox/expression/TryExpr.h analog)."""
+    import datetime as _dt
+
+    src = _dict_source((child,), dictionaries)
+    assert src is not None, "string cast requires a dictionary input"
+    codes_expr, d = src
+    dst = cast.dtype
+
+    def parse(sv: str):
+        s2 = sv.strip()
+        try:
+            if dst.kind == TypeKind.BOOLEAN:
+                if s2.lower() in ("true", "t", "1"):
+                    return 1
+                if s2.lower() in ("false", "f", "0"):
+                    return 0
+                return None
+            if dst.kind == TypeKind.DATE:
+                return (_dt.date.fromisoformat(s2)
+                        - _dt.date(1970, 1, 1)).days
+            if isinstance(dst, DecimalType):
+                from decimal import Decimal
+
+                return int(Decimal(s2).scaleb(dst.scale))
+            if dst.is_floating:
+                return float(s2)
+            return int(float(s2)) if ("." in s2 or "e" in s2.lower()) \
+                else int(s2)
+        except (ValueError, ArithmeticError):
+            return None
+
+    parsed = [parse(str(v)) for v in d.values]
+    lane = np.dtype(dst.dtype)
+    table = np.zeros(len(d.values) + 1, dtype=lane)
+    ok = np.zeros(len(d.values) + 1, dtype=np.bool_)
+    for i, p in enumerate(parsed):
+        if p is not None:
+            table[i + 1] = p
+            ok[i + 1] = True
+    value = DictTransform(dst, codes_expr, table, None)
+    parseable = Call(BOOLEAN, "dict_lookup_bool",
+                     (codes_expr, Literal(BOOLEAN, ok)))
+    return Call(dst, "if", (parseable, value, Literal(dst, None)))
+
+
 def bind_strings(expr: Expr, dictionaries: Dict[str, "Dictionary"]) -> Expr:
     """Rewrite string predicates/functions into dictionary-code programs."""
     if isinstance(expr, (FieldRef, Literal, DictTransform)):
         return expr
     if isinstance(expr, Cast):
-        return Cast(expr.dtype, bind_strings(expr.expr, dictionaries),
-                    expr.null_on_failure)
+        child = bind_strings(expr.expr, dictionaries)
+        if (child.dtype is not None and child.dtype.is_string
+                and not expr.dtype.is_string):
+            return _bind_string_cast(expr, child, dictionaries)
+        return Cast(expr.dtype, child, expr.null_on_failure)
     if isinstance(expr, TryExpr):
         return TryExpr(expr.dtype, bind_strings(expr.expr, dictionaries))
     if not isinstance(expr, Call):
