@@ -127,3 +127,67 @@ def test_constants():
     assert out["p"] == [pytest.approx(math.pi)]
     assert out["e2"] == [pytest.approx(math.e)]
     assert out["xp"] == [pytest.approx(1 + math.pi)]
+
+
+def test_date_trunc_add_diff_vs_datetime():
+    rng = np.random.default_rng(4)
+    days = [int(x) for x in rng.integers(0, 25000, 120)]
+    ns = [int(x) for x in rng.integers(-30, 30, 120)]
+    out = _run({"d": days, "n": ns}, {"d": DATE, "n": BIGINT}, [
+        "date_trunc('month', d) as tm",
+        "date_trunc('year', d) as ty",
+        "date_trunc('week', d) as tw",
+        "date_add('day', n, d) as ad",
+        "date_add('month', n, d) as am",
+        "date_add('year', 2, d) as ay",
+        "date_diff('day', d, date_add('day', n, d)) as dd",
+        "date_diff('month', d, date_add('month', 5, d)) as dm",
+    ])
+    epoch = datetime.date(1970, 1, 1)
+    for i, nd in enumerate(days):
+        dt = epoch + datetime.timedelta(days=nd)
+        assert out["tm"][i] == dt.replace(day=1)
+        assert out["ty"][i] == dt.replace(month=1, day=1)
+        assert out["tw"][i] == dt - datetime.timedelta(
+            days=dt.isoweekday() - 1)
+        assert out["ad"][i] == dt + datetime.timedelta(days=ns[i])
+        # month add with clamping
+        m0 = dt.month - 1 + ns[i]
+        y2 = dt.year + m0 // 12
+        m2 = m0 % 12 + 1
+        import calendar
+        d2 = min(dt.day, calendar.monthrange(y2, m2)[1])
+        assert out["am"][i] == datetime.date(y2, m2, d2), (dt, ns[i])
+        assert out["ay"][i] == datetime.date(
+            dt.year + 2, dt.month,
+            min(dt.day, calendar.monthrange(dt.year + 2, dt.month)[1]))
+        assert out["dd"][i] == ns[i]
+        # month diff follows Java/Presto: a clamped end day counts as a
+        # partial month (Jan 31 -> Jun 30 is 4 whole months)
+        m5 = dt.month - 1 + 5
+        y5, mm5 = dt.year + m5 // 12, m5 % 12 + 1
+        d5 = min(dt.day, calendar.monthrange(y5, mm5)[1])
+        exp_dm = 5 - (d5 < dt.day)
+        assert out["dm"][i] == exp_dm, (dt,)
+
+
+def test_timestamp_trunc_add():
+    ts = [1_234_567_890_123_456, 86_399_999_999]
+    out = _run({"t": ts}, {"t": TIMESTAMP}, [
+        "date_trunc('hour', t) as th",
+        "date_trunc('day', t) as td",
+        "date_add('hour', 3, t) as ah",
+        "date_diff('minute', t, date_add('minute', 90, t)) as dm",
+    ])
+    def dt_of(us):
+        return datetime.datetime.fromtimestamp(
+            us / 1e6, datetime.timezone.utc).replace(tzinfo=None)
+
+    def norm(x):
+        return x if isinstance(x, datetime.datetime) else dt_of(x)
+
+    for i, v in enumerate(ts):
+        assert norm(out["th"][i]) == dt_of(v - v % 3_600_000_000)
+        assert norm(out["td"][i]) == dt_of(v - v % 86_400_000_000)
+        assert norm(out["ah"][i]) == dt_of(v + 3 * 3_600_000_000)
+        assert out["dm"][i] == 90

@@ -113,6 +113,21 @@ def resolve_types(expr: Expr, schema: RowType) -> Expr:
             return Call(BIGINT, "strpos", args)
         if name in ("starts_with", "ends_with"):
             return Call(BOOLEAN, name, args)
+        if name in ("date_trunc", "date_add", "date_diff"):
+            # unit-string forms specialize at resolve time
+            # (velox/functions/prestosql/DateTimeFunctions.h)
+            if not (isinstance(args[0], Literal)
+                    and isinstance(args[0].value, str)):
+                raise TypeError(f"{name} unit must be a string literal")
+            unit = args[0].value.lower()
+            rest = args[1:]
+            impl = f"__{name}_{unit}"
+            lookup_function(impl)  # validate unit early
+            if name == "date_trunc":
+                return Call(rest[0].dtype, impl, rest)
+            if name == "date_add":
+                return Call(rest[1].dtype, impl, rest)
+            return Call(BIGINT, impl, rest)
         if name in ("map_keys", "map_values"):
             from velox_tpu.types.types import ArrayType, MapType
             args2 = tuple(resolve_types(a, schema) for a in expr.args)

@@ -716,3 +716,146 @@ def _map_element_at_impl(stp, lnp, kvp, vvp, litp):
 register_function(ScalarFunction(
     "__map_element_at", lambda a: a[3], _map_element_at_impl,
     default_nulls=False))
+
+
+# -------------------------------------- unit-literal datetime functions
+# velox/functions/prestosql/DateTimeFunctions.h date_trunc/date_add/
+# date_diff; DATE lanes are int32 days, TIMESTAMP lanes int64 us.
+# All civil math is Hinnant days<->civil in pure int lanes.
+
+def _ymd(days):
+    return _civil_from_days(days.astype(jnp.int32))
+
+
+def _trunc_month_days(days):
+    y, m, _ = _ymd(days)
+    return _days_from_civil(y, m, jnp.ones_like(m))
+
+
+def _trunc_quarter_days(days):
+    y, m, _ = _ymd(days)
+    qm = ((m - 1) // 3) * 3 + 1
+    return _days_from_civil(y, qm, jnp.ones_like(m))
+
+
+def _trunc_year_days(days):
+    y, _, _ = _ymd(days)
+    one = jnp.ones_like(y)
+    return _days_from_civil(y, one, one)
+
+
+def _trunc_week_days(days):
+    return days.astype(jnp.int32) - (_iso_dow(days) - 1)
+
+
+def _is_ts(a):
+    return a.dtype == jnp.int64
+
+
+def _trunc(day_fn, us_quantum):
+    def impl(a):
+        if _is_ts(a):
+            if us_quantum is not None:
+                return a - jnp.mod(a, us_quantum)
+            d = jnp.floor_divide(a, _US_DAY).astype(jnp.int32)
+            return day_fn(d).astype(jnp.int64) * _US_DAY
+        return day_fn(a).astype(a.dtype)
+    return impl
+
+
+register_function(ScalarFunction(
+    "__date_trunc_day", lambda a: a[0],
+    lambda a: (a - jnp.mod(a, _US_DAY)) if _is_ts(a) else a))
+register_function(ScalarFunction(
+    "__date_trunc_hour", lambda a: a[0],
+    lambda a: a - jnp.mod(a, _US_HOUR)))
+register_function(ScalarFunction(
+    "__date_trunc_minute", lambda a: a[0],
+    lambda a: a - jnp.mod(a, _US_MIN)))
+register_function(ScalarFunction(
+    "__date_trunc_second", lambda a: a[0],
+    lambda a: a - jnp.mod(a, 1_000_000)))
+for _u, _fn, _q in [("week", _trunc_week_days, None),
+                    ("month", _trunc_month_days, None),
+                    ("quarter", _trunc_quarter_days, None),
+                    ("year", _trunc_year_days, None)]:
+    register_function(ScalarFunction(
+        f"__date_trunc_{_u}", lambda a: a[0], _trunc(_fn, _q)))
+
+
+def _days_in_month(y, m):
+    ny = jnp.where(m == 12, y + 1, y)
+    nm = jnp.where(m == 12, 1, m + 1)
+    return (_days_from_civil(ny, nm, jnp.ones_like(m))
+            - _days_from_civil(y, m, jnp.ones_like(m)))
+
+
+def _add_months_days(days, n):
+    y, m, dd = _ymd(days)
+    n = n.astype(jnp.int32)
+    m0 = m - 1 + n
+    y2 = y + jnp.floor_divide(m0, 12)
+    m2 = jnp.mod(m0, 12) + 1
+    dd2 = jnp.minimum(dd, _days_in_month(y2, m2))  # Presto clamps
+    return _days_from_civil(y2, m2, dd2)
+
+
+def _date_add(unit):
+    day_units = {"day": 1, "week": 7}
+
+    def impl(n, x):
+        if unit in day_units:
+            k = day_units[unit]
+            if _is_ts(x):
+                return x + n.astype(jnp.int64) * (k * _US_DAY)
+            return (x + n.astype(x.dtype) * k).astype(x.dtype)
+        if unit in ("month", "quarter", "year"):
+            mult = {"month": 1, "quarter": 3, "year": 12}[unit]
+            if _is_ts(x):
+                d = jnp.floor_divide(x, _US_DAY).astype(jnp.int32)
+                tod = jnp.mod(x, _US_DAY)
+                return (_add_months_days(d, n * mult).astype(jnp.int64)
+                        * _US_DAY + tod)
+            return _add_months_days(x, n * mult).astype(x.dtype)
+        q = {"hour": _US_HOUR, "minute": _US_MIN,
+             "second": 1_000_000, "millisecond": 1_000}[unit]
+        return x + n.astype(jnp.int64) * q
+    return impl
+
+
+for _u in ("day", "week", "month", "quarter", "year", "hour", "minute",
+           "second", "millisecond"):
+    register_function(ScalarFunction(
+        f"__date_add_{_u}", lambda a: a[1], _date_add(_u)))
+
+
+def _date_diff(unit):
+    def impl(a, b):
+        if unit in ("day", "week"):
+            if _is_ts(a):
+                d = (jnp.floor_divide(b, _US_DAY)
+                     - jnp.floor_divide(a, _US_DAY))
+            else:
+                d = (b - a).astype(jnp.int64)
+            return (d // 7 if unit == "week" else d).astype(jnp.int64)
+        if unit in ("month", "quarter", "year"):
+            da = (jnp.floor_divide(a, _US_DAY).astype(jnp.int32)
+                  if _is_ts(a) else a)
+            db = (jnp.floor_divide(b, _US_DAY).astype(jnp.int32)
+                  if _is_ts(b) else b)
+            ya, ma, dda = _ymd(da)
+            yb, mb, ddb = _ymd(db)
+            months = (yb - ya) * 12 + (mb - ma)
+            months = months - (ddb < dda)   # partial month doesn't count
+            div = {"month": 1, "quarter": 3, "year": 12}[unit]
+            return (months // div).astype(jnp.int64)
+        q = {"hour": _US_HOUR, "minute": _US_MIN,
+             "second": 1_000_000, "millisecond": 1_000}[unit]
+        return ((b - a) // q).astype(jnp.int64)
+    return impl
+
+
+for _u in ("day", "week", "month", "quarter", "year", "hour", "minute",
+           "second", "millisecond"):
+    register_function(ScalarFunction(
+        f"__date_diff_{_u}", lambda a: BIGINT, _date_diff(_u)))
