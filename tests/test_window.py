@@ -202,3 +202,28 @@ def test_rows_frame_sliding_sum():
     last = df.groupby("g")["v"].transform("size")
     exp_c = np.minimum(exp_c, last)
     assert out["c"] == [int(x) for x in exp_c]
+
+
+def test_rows_frame_value_functions():
+    import pandas as pd
+
+    g = [1] * 6 + [2] * 4
+    o = list(range(10))
+    v = [float(x) for x in [5, 1, 4, 2, 9, 7, 3, 8, 6, 0]]
+    b = make_batch({"g": g, "o": o, "v": v})
+    out = run_plan_pydict(
+        PlanBuilder().values([b])
+        .window(["g"], ["o"], [
+            "first_value(v) ROWS BETWEEN 2 PRECEDING AND CURRENT ROW as f",
+            "last_value(v) ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING as l",
+        ])
+        .order_by(["g", "o"]).build())
+    df = pd.DataFrame({"g": g, "o": o, "v": v})
+    exp_f, exp_l = [], []
+    for _, sub in df.groupby("g"):
+        vals = sub["v"].tolist()
+        for i in range(len(vals)):
+            exp_f.append(vals[max(i - 2, 0)])
+            exp_l.append(vals[min(i + 1, len(vals) - 1)])
+    assert out["f"] == exp_f
+    assert out["l"] == exp_l

@@ -172,6 +172,60 @@ class WindowOp(Operator):
         else:
             sv = sva = None
 
+        # explicit ROWS frame: [row-lo, row+hi] clamped to the partition,
+        # computed as one global prefix-sum difference (the frame is
+        # always inside the partition, so no segmentation is needed) —
+        # velox kRows frames (exec/WindowFunction.h FrameType)
+        if spec.frame is not None:
+            if fn not in ("sum", "count", "avg", "first_value",
+                          "last_value", "nth_value"):
+                raise NotImplementedError(
+                    f"ROWS frame for window function {fn}")
+            lo, hi = spec.frame
+            start = (part_start if lo is None
+                     else jnp.maximum(idx - lo, part_start))
+            end = (part_end if hi is None
+                   else jnp.minimum(idx + hi + 1, part_end))
+            end = jnp.maximum(end, start)
+            if fn in ("first_value", "last_value", "nth_value"):
+                nonempty = end > start
+                if fn == "first_value":
+                    pos = start
+                elif fn == "last_value":
+                    pos = jnp.maximum(end - 1, 0)
+                else:
+                    pos = start + jnp.int32(int(spec.arg_literal)) - 1
+                    nonempty = jnp.logical_and(nonempty, pos < end)
+                pos = jnp.clip(pos, 0, cap - 1)
+                vals = jnp.take(sv, pos, mode="clip")
+                valid = nonempty
+                if sva is not None:
+                    valid = jnp.logical_and(
+                        valid, jnp.take(sva, pos, mode="clip"))
+                return vals, valid
+            m = jnp.ones((cap,), jnp.bool_) if sv is None else (
+                jnp.ones((cap,), jnp.bool_) if sva is None else sva)
+
+            def pref(x):
+                return jnp.concatenate(
+                    [jnp.zeros((1,), x.dtype), jnp.cumsum(x)])
+
+            cnt = pref(m.astype(jnp.int64))
+            c_at = (jnp.take(cnt, end, mode="clip")
+                    - jnp.take(cnt, start, mode="clip"))
+            if fn == "count":
+                return c_at, None
+            dt = jnp.float64 if jnp.issubdtype(
+                sv.dtype, jnp.floating) else jnp.int64
+            ps = pref(jnp.where(m, sv, 0).astype(dt))
+            s_at = (jnp.take(ps, end, mode="clip")
+                    - jnp.take(ps, start, mode="clip"))
+            if fn == "sum":
+                return s_at, c_at > 0
+            return (s_at.astype(jnp.float64)
+                    / jnp.maximum(c_at, 1).astype(jnp.float64),
+                    c_at > 0)
+
         if fn in ("lead", "lag"):
             off = int(spec.arg_literal or 1)
             tgt = idx + off if fn == "lead" else idx - off
@@ -204,43 +258,6 @@ class WindowOp(Operator):
                 valid = jnp.logical_and(valid, jnp.take(
                     sva, jnp.clip(pos, 0, cap - 1), mode="clip"))
             return vals, valid
-
-        # explicit ROWS frame: [row-lo, row+hi] clamped to the partition,
-        # computed as one global prefix-sum difference (the frame is
-        # always inside the partition, so no segmentation is needed) —
-        # velox kRows frames (exec/WindowFunction.h FrameType)
-        if spec.frame is not None:
-            if fn not in ("sum", "count", "avg"):
-                raise NotImplementedError(
-                    f"ROWS frame for window function {fn}")
-            lo, hi = spec.frame
-            start = (part_start if lo is None
-                     else jnp.maximum(idx - lo, part_start))
-            end = (part_end if hi is None
-                   else jnp.minimum(idx + hi + 1, part_end))
-            end = jnp.maximum(end, start)
-            m = jnp.ones((cap,), jnp.bool_) if sv is None else (
-                jnp.ones((cap,), jnp.bool_) if sva is None else sva)
-
-            def pref(x):
-                return jnp.concatenate(
-                    [jnp.zeros((1,), x.dtype), jnp.cumsum(x)])
-
-            cnt = pref(m.astype(jnp.int64))
-            c_at = (jnp.take(cnt, end, mode="clip")
-                    - jnp.take(cnt, start, mode="clip"))
-            if fn == "count":
-                return c_at, None
-            dt = jnp.float64 if jnp.issubdtype(
-                sv.dtype, jnp.floating) else jnp.int64
-            ps = pref(jnp.where(m, sv, 0).astype(dt))
-            s_at = (jnp.take(ps, end, mode="clip")
-                    - jnp.take(ps, start, mode="clip"))
-            if fn == "sum":
-                return s_at, c_at > 0
-            return (s_at.astype(jnp.float64)
-                    / jnp.maximum(c_at, 1).astype(jnp.float64),
-                    c_at > 0)
 
         # aggregate-as-window, default frame (running to current peers):
         # segmented inclusive scan, read at peer-group end
