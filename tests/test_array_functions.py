@@ -115,3 +115,29 @@ def test_scan_filter_then_unnest_with_arrays_present():
         assert out == {"s": [6], "c": [3]}
     finally:
         drop_table("arr_t")
+
+
+def test_sequence():
+    out = _run({"a": [1, 5, 3, None], "b": [3, 4, 2, 7]},
+               {"a": BIGINT, "b": BIGINT},
+               ["sequence(a, b) as s"])
+    assert out["s"] == [[1, 2, 3], [], [], None]
+
+
+def test_sequence_then_unnest_and_sum():
+    b = Batch.from_pydict({"n": [2, 4]}, {"n": BIGINT})
+    plan = (PlanBuilder().values([b])
+            .project(["n", "sequence(1, n) as s"])
+            .project(["n", "array_sum(s) as t",
+                      "cardinality(s) as c"])
+            .build())
+    out = run_plan_pydict(plan)
+    assert out["t"] == [3, 10]
+    assert out["c"] == [2, 4]
+    plan2 = (PlanBuilder().values([b])
+             .project(["n", "sequence(1, n) as s"])
+             .unnest(["n"], ["s"])
+             .aggregate(["n"], ["sum(s) as t"])
+             .order_by(["n"]).build())
+    out2 = run_plan_pydict(plan2)
+    assert out2 == {"n": [2, 4], "t": [3, 10]}

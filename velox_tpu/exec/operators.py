@@ -140,6 +140,14 @@ class ProjectOp(Operator):
                 node.names, node.exprs, node.output_type.children)
             if isinstance(t, ArrayType) and isinstance(e, _Call)
             and e.name == "transform" and isinstance(e.args[0], _FR)}
+        # ... or sequence(lo, hi): generated arrays — ONE host sync for
+        # the element total, then a canonical offsets+iota construction
+        # (velox/functions/prestosql/Sequence.h analog)
+        self._sequences = {
+            name: e for name, e, t in zip(
+                node.names, node.exprs, node.output_type.children)
+            if isinstance(t, ArrayType) and isinstance(e, _Call)
+            and e.name == "sequence"}
         # ... or map_keys/map_values: an ArrayColumn sharing the map's
         # offsets with the key/value lane as elements (zero device work)
         self._map_projs = {
@@ -149,7 +157,7 @@ class ProjectOp(Operator):
             and e.name in ("map_keys", "map_values")
             and isinstance(e.args[0], _FR)}
         skip = (set(self._array_pass) | set(self._transforms)
-                | set(self._map_projs))
+                | set(self._map_projs) | set(self._sequences))
         scalar = [
             (name, e) for name, e in zip(node.names, node.exprs)
             if name not in skip]
@@ -179,6 +187,44 @@ class ProjectOp(Operator):
         return ArrayColumn(out_t, src.starts, src.lengths, elem,
                            src.valid)
 
+    #: runaway guard (Presto caps sequence entries per row)
+    _MAX_SEQ = 10_000
+
+    def _apply_sequence(self, batch: Batch, name: str):
+        from velox_tpu.types import BIGINT as _BI
+        from velox_tpu.types.types import row_type as _rt
+        from velox_tpu.vector.column import ArrayColumn
+
+        e = self._sequences[name]
+        ev = ExprEvaluator(list(e.args), batch.schema)
+        (lo, lov), (hi, hiv) = ev.evaluate(batch)
+        valid = batch.sel
+        if lov is not None:
+            valid = jnp.logical_and(valid, lov)
+        if hiv is not None:
+            valid = jnp.logical_and(valid, hiv)
+        lens = jnp.clip(hi - lo + 1, 0, self._MAX_SEQ).astype(jnp.int32)
+        lens = jnp.where(valid, lens, 0)
+        total = int(jnp.sum(lens))                 # one host sync
+        ecap = round_capacity(max(total, 1))
+        starts = (jnp.cumsum(lens) - lens).astype(jnp.int32)
+        rows = jnp.arange(batch.capacity, dtype=jnp.int32)
+        pos = jnp.where(lens > 0, starts, ecap)
+        heads = jnp.zeros((ecap,), jnp.int32).at[pos].max(
+            rows + 1, mode="drop")
+        row_of = jnp.maximum(
+            jax.lax.associative_scan(jnp.maximum, heads) - 1, 0)
+        p = jnp.arange(ecap, dtype=jnp.int32)
+        vals = (jnp.take(lo, row_of, mode="clip").astype(jnp.int64)
+                + (p - jnp.take(starts, row_of, mode="clip")))
+        out_t = dict(zip(self.node.names,
+                         self.output_type.children))[name]
+        row_valid = None
+        if lov is not None or hiv is not None:
+            row_valid = valid
+        return ArrayColumn(out_t, starts, lens,
+                           Column(_BI, vals), row_valid)
+
     def add_input(self, batch: Batch) -> None:
         pairs, dicts = self._eval.project_pairs(batch)
         types = dict(zip(self.node.names, self.output_type.children))
@@ -189,6 +235,8 @@ class ProjectOp(Operator):
                 cols[name] = batch.column(self._array_pass[name])
             elif name in self._transforms:
                 cols[name] = self._apply_transform(batch, name)
+            elif name in self._sequences:
+                cols[name] = self._apply_sequence(batch, name)
             elif name in self._map_projs:
                 from velox_tpu.vector.column import ArrayColumn, MapColumn
 

@@ -128,6 +128,12 @@ def resolve_types(expr: Expr, schema: RowType) -> Expr:
             if name == "date_add":
                 return Call(rest[1].dtype, impl, rest)
             return Call(BIGINT, impl, rest)
+        if name == "sequence":
+            from velox_tpu.types.types import ArrayType
+            if len(args) != 2:
+                raise TypeError("sequence(start, stop) takes 2 arguments")
+            return Call(ArrayType(TypeKind.ARRAY, BIGINT),
+                        "sequence", args)
         if name in ("map_keys", "map_values"):
             from velox_tpu.types.types import ArrayType, MapType
             args2 = tuple(resolve_types(a, schema) for a in expr.args)
@@ -429,7 +435,8 @@ def bind_array_funcs(expr: Expr,
     if isinstance(expr, Call) and expr.name == "transform":
         raise TypeError(
             "transform(...) is only supported as a top-level projection")
-    if isinstance(expr, Call) and expr.name in ("map_keys", "map_values"):
+    if isinstance(expr, Call) and expr.name in (
+            "map_keys", "map_values", "sequence"):
         raise TypeError(
             f"{expr.name}(...) is only supported as a top-level projection")
 
