@@ -141,3 +141,43 @@ def test_sequence_then_unnest_and_sum():
              .order_by(["n"]).build())
     out2 = run_plan_pydict(plan2)
     assert out2 == {"n": [2, 4], "t": [3, 10]}
+
+
+def test_array_position():
+    out = _run(ARRS, TYPES, [
+        "array_position(xs, 2) as p2",
+        "array_position(xs, 99) as p9",
+        "array_position(xs, 30) as p30",
+    ])
+    assert out["p2"] == [2, 0, None, 0]
+    assert out["p9"] == [0, 0, None, 0]
+    assert out["p30"] == [0, 0, None, 3]
+    # duplicates: first index wins
+    out2 = _run({"xs": [[7, 5, 7]]}, {"xs": array_type(BIGINT)},
+                ["array_position(xs, 7) as p"])
+    assert out2["p"] == [1]
+
+
+def test_slice():
+    out = _run(ARRS, TYPES, ["slice(xs, 2, 2) as s"])
+    assert out["s"] == [[2, 3], [], None, [None, 30]]
+    out2 = _run({"xs": [[1, 2, 3, 4]]}, {"xs": array_type(BIGINT)},
+                ["slice(xs, -2, 5) as s"])
+    assert out2["s"] == [[3, 4]]
+
+
+def test_repeat():
+    out = _run({"v": [7, None], "n": [3, 2]},
+               {"v": BIGINT, "n": BIGINT},
+               ["repeat(v, n) as r"])
+    assert out["r"] == [[7, 7, 7], [None, None]]
+
+
+def test_slice_composes():
+    b = Batch.from_pydict(ARRS, TYPES)
+    plan = (PlanBuilder().values([b])
+            .project(["id", "slice(xs, 1, 2) as s"])
+            .project(["id", "array_sum(s) as t"])
+            .build())
+    out = run_plan_pydict(plan)
+    assert out["t"] == [3, 0, None, 10]

@@ -147,7 +147,13 @@ class ProjectOp(Operator):
             name: e for name, e, t in zip(
                 node.names, node.exprs, node.output_type.children)
             if isinstance(t, ArrayType) and isinstance(e, _Call)
-            and e.name == "sequence"}
+            and e.name in ("sequence", "repeat")}
+        # slice(arr, start, len): offsets-only transform, elements shared
+        self._slices = {
+            name: e for name, e, t in zip(
+                node.names, node.exprs, node.output_type.children)
+            if isinstance(t, ArrayType) and isinstance(e, _Call)
+            and e.name == "slice" and isinstance(e.args[0], _FR)}
         # ... or map_keys/map_values: an ArrayColumn sharing the map's
         # offsets with the key/value lane as elements (zero device work)
         self._map_projs = {
@@ -157,7 +163,8 @@ class ProjectOp(Operator):
             and e.name in ("map_keys", "map_values")
             and isinstance(e.args[0], _FR)}
         skip = (set(self._array_pass) | set(self._transforms)
-                | set(self._map_projs) | set(self._sequences))
+                | set(self._map_projs) | set(self._sequences)
+                | set(self._slices))
         scalar = [
             (name, e) for name, e in zip(node.names, node.exprs)
             if name not in skip]
@@ -198,12 +205,17 @@ class ProjectOp(Operator):
         e = self._sequences[name]
         ev = ExprEvaluator(list(e.args), batch.schema)
         (lo, lov), (hi, hiv) = ev.evaluate(batch)
+        is_repeat = e.name == "repeat"
         valid = batch.sel
-        if lov is not None:
+        if lov is not None and not is_repeat:
             valid = jnp.logical_and(valid, lov)
         if hiv is not None:
             valid = jnp.logical_and(valid, hiv)
-        lens = jnp.clip(hi - lo + 1, 0, self._MAX_SEQ).astype(jnp.int32)
+        if is_repeat:   # repeat(value, n): n repeats of value
+            lens = jnp.clip(hi, 0, self._MAX_SEQ).astype(jnp.int32)
+        else:
+            lens = jnp.clip(
+                hi - lo + 1, 0, self._MAX_SEQ).astype(jnp.int32)
         lens = jnp.where(valid, lens, 0)
         total = int(jnp.sum(lens))                 # one host sync
         ecap = round_capacity(max(total, 1))
@@ -215,15 +227,43 @@ class ProjectOp(Operator):
         row_of = jnp.maximum(
             jax.lax.associative_scan(jnp.maximum, heads) - 1, 0)
         p = jnp.arange(ecap, dtype=jnp.int32)
-        vals = (jnp.take(lo, row_of, mode="clip").astype(jnp.int64)
-                + (p - jnp.take(starts, row_of, mode="clip")))
+        base = jnp.take(lo, row_of, mode="clip")
+        if is_repeat:
+            vals = base
+            elem_valid = (None if lov is None
+                          else jnp.take(lov, row_of, mode="clip"))
+            elem_t = e.args[0].dtype
+        else:
+            vals = (base.astype(jnp.int64)
+                    + (p - jnp.take(starts, row_of, mode="clip")))
+            elem_valid = None
+            elem_t = _BI
         out_t = dict(zip(self.node.names,
                          self.output_type.children))[name]
         row_valid = None
-        if lov is not None or hiv is not None:
+        if (lov is not None and not is_repeat) or hiv is not None:
             row_valid = valid
         return ArrayColumn(out_t, starts, lens,
-                           Column(_BI, vals), row_valid)
+                           Column(elem_t, vals, elem_valid), row_valid)
+
+    def _apply_slice(self, batch: Batch, name: str):
+        from velox_tpu.vector.column import ArrayColumn
+
+        e = self._slices[name]
+        src = batch.column(e.args[0].name)
+        assert isinstance(src, ArrayColumn)
+        ev = ExprEvaluator(list(e.args[1:]), batch.schema)
+        (sv, _), (lv2, _) = ev.evaluate(batch)
+        # Presto slice: 1-based start (negative = from end), length >= 0
+        sv = sv.astype(jnp.int32)
+        want = jnp.maximum(lv2.astype(jnp.int32), 0)
+        off = jnp.where(sv < 0, src.lengths + sv, sv - 1)
+        off = jnp.clip(off, 0, src.lengths)
+        new_len = jnp.minimum(want, src.lengths - off)
+        out_t = dict(zip(self.node.names,
+                         self.output_type.children))[name]
+        return ArrayColumn(out_t, src.starts + off, new_len,
+                           src.elements, src.valid)
 
     def add_input(self, batch: Batch) -> None:
         pairs, dicts = self._eval.project_pairs(batch)
@@ -237,6 +277,8 @@ class ProjectOp(Operator):
                 cols[name] = self._apply_transform(batch, name)
             elif name in self._sequences:
                 cols[name] = self._apply_sequence(batch, name)
+            elif name in self._slices:
+                cols[name] = self._apply_slice(batch, name)
             elif name in self._map_projs:
                 from velox_tpu.vector.column import ArrayColumn, MapColumn
 

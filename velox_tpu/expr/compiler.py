@@ -128,6 +128,15 @@ def resolve_types(expr: Expr, schema: RowType) -> Expr:
             if name == "date_add":
                 return Call(rest[1].dtype, impl, rest)
             return Call(BIGINT, impl, rest)
+        if name == "slice":
+            from velox_tpu.types.types import ArrayType
+            if not isinstance(args[0].dtype, ArrayType):
+                raise TypeError("slice expects an ARRAY")
+            return Call(args[0].dtype, "slice", args)
+        if name == "repeat":
+            from velox_tpu.types.types import ArrayType
+            return Call(ArrayType(TypeKind.ARRAY, args[0].dtype),
+                        "repeat", args)
         if name == "sequence":
             from velox_tpu.types.types import ArrayType
             if len(args) != 2:
@@ -359,6 +368,7 @@ def _like_to_regex(pattern: str) -> str:
 #: surface array functions rewritten onto derived lanes at bind time
 _ARRAY_FUNCS = {
     "cardinality", "array_sum", "array_average", "contains", "element_at",
+    "array_position",
 }
 
 #: higher-order array functions taking a lambda (velox prestosql
@@ -436,7 +446,7 @@ def bind_array_funcs(expr: Expr,
         raise TypeError(
             "transform(...) is only supported as a top-level projection")
     if isinstance(expr, Call) and expr.name in (
-            "map_keys", "map_values", "sequence"):
+            "map_keys", "map_values", "sequence", "slice", "repeat"):
         raise TypeError(
             f"{expr.name}(...) is only supported as a top-level projection")
 
@@ -490,6 +500,16 @@ def bind_array_funcs(expr: Expr,
             return Call(expr.dtype, "__array_sum", (st, ln, ev))
         if expr.name == "array_average":
             return Call(DOUBLE, "__array_avg", (st, ln, ev))
+        if expr.name == "array_position":
+            lit = bind_array_funcs(expr.args[1], dictionaries)
+            if et.is_string:
+                if not isinstance(lit, Literal):
+                    raise TypeError(
+                        "array_position on string arrays needs a literal")
+                d = dictionaries.get(f"{x}#elemv")
+                code = d.code_of(lit.value) if d is not None else -2
+                lit = Literal(INTEGER, code)
+            return Call(BIGINT, "__array_position", (st, ln, ev, lit))
         if expr.name == "contains":
             lit = bind_array_funcs(expr.args[1], dictionaries)
             if et.is_string:

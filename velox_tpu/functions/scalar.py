@@ -555,6 +555,7 @@ for _n, _rt in [
     ("array_average", lambda a: DOUBLE),
     ("contains", lambda a: BOOLEAN),
     ("element_at", _array_elem_type),
+    ("array_position", lambda a: BIGINT),
 ]:
     register_function(ScalarFunction(_n, _rt, _unbound_array))
 
@@ -859,3 +860,29 @@ for _u in ("day", "week", "month", "quarter", "year", "hour", "minute",
            "second", "millisecond"):
     register_function(ScalarFunction(
         f"__date_diff_{_u}", lambda a: BIGINT, _date_diff(_u)))
+
+
+
+def _array_position_impl(stp, lnp, evp, litp):
+    """First 1-based index of the value (0 = absent). Duplicate-safe and
+    correct for arbitrary gathered offsets: the k-th global hit is read
+    from the compacted hit-position list, where k = hits before the
+    row's range (velox ArrayPosition analog)."""
+    (st, _), (ln, lv), (ev, evalid), (v, _) = stp, lnp, evp, litp
+    hit = ev == v.astype(ev.dtype)
+    if evalid is not None:
+        hit = jnp.logical_and(hit, evalid)
+    E = ev.shape[0]
+    c = _prefix(hit.astype(jnp.int32))               # (E+1,)
+    hp = jnp.nonzero(hit, size=E, fill_value=E)[0].astype(jnp.int32)
+    before = jnp.take(c, st.astype(jnp.int32), mode="clip")
+    first = jnp.take(hp, before, mode="clip")        # first hit >= start
+    inb = first < st + ln
+    pos = jnp.where(inb, (first - st + 1).astype(jnp.int64), 0)
+    valid = lv
+    return pos, valid
+
+
+register_function(ScalarFunction(
+    "__array_position", lambda a: BIGINT, _array_position_impl,
+    default_nulls=False))
