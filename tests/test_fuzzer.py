@@ -14,3 +14,9 @@ def test_vector_fuzzer_shapes():
 def test_expression_fuzz_200():
     checked = run_expression_fuzz(iterations=200, seed=11, rows=48)
     assert checked >= 150  # most generated trees must be well-typed
+
+
+def test_plan_fuzz():
+    from velox_tpu.fuzzer.plan_fuzzer import run_plan_fuzz
+
+    run_plan_fuzz(iterations=25, seed=7)

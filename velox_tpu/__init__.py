@@ -32,8 +32,44 @@ jax.config.update("jax_enable_x64", True)
 
 # Persistent XLA compilation cache: some backends (tunneled TPUs) compile
 # certain 64-bit programs pathologically slowly; cache once per machine.
-_cache_dir = os.environ.get(
-    "VELOX_TPU_COMPILE_CACHE", os.path.expanduser("~/.velox_tpu_xla_cache"))
+# The directory is scoped by a CPU-feature fingerprint: XLA:CPU AOT
+# artifacts compiled on a host with different ISA features load but can
+# SIGILL/SEGV at run time (fleet machines differ across sessions).
+
+
+def _machine_fingerprint() -> str:
+    import hashlib
+    import platform
+
+    probe = platform.machine() + platform.python_version()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    probe += line
+                    break
+    except OSError:
+        pass
+    try:
+        import jaxlib
+
+        probe += jaxlib.__version__
+    except Exception:
+        pass
+    return hashlib.sha1(probe.encode()).hexdigest()[:12]
+
+
+# OPT-IN only (VELOX_TPU_COMPILE_CACHE=1 or =<dir>): long test runs hit
+# aborts/segfaults inside the cache's compile-and-write path on this jax
+# build, and the tunneled TPU backend compiles server-side where the
+# local cache never hits anyway (BASELINE.md notes).
+_cache_env = os.environ.get("VELOX_TPU_COMPILE_CACHE", "")
+_cache_dir = ""
+if _cache_env == "1":
+    _cache_dir = os.path.expanduser(
+        f"~/.velox_tpu_xla_cache/{_machine_fingerprint()}")
+elif _cache_env:
+    _cache_dir = _cache_env
 if _cache_dir:
     try:
         jax.config.update("jax_compilation_cache_dir", _cache_dir)
