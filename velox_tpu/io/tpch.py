@@ -339,13 +339,28 @@ _CACHE: Dict[tuple, Dict[str, pa.Table]] = {}
 
 def generate_tables(sf: float, backend: str = "numpy"
                     ) -> Dict[str, pa.Table]:
-    """backend: "numpy" (default, the reference dataset the tests pin) or
-    "native" (C++ generator in native/tpchgen.cpp — ~10x faster for the
-    two big tables; distinct deterministic dataset, same structural
-    invariants)."""
+    """backend:
+
+    * "dbgen" — the authoritative dataset: byte-exact dbgen output via the
+      reference's own dbgen compiled standalone (io/dbgen.py). This is what
+      `velox_tpch` sees; use it for benchmarks and reference parity. Note
+      at fractional SF dbgen keeps internal scale 1 (DBGenIterator.cpp:
+      57-66) so foreign keys dangle above the generated range — tests that
+      need dense join matches at tiny SF use the numpy backend.
+    * "numpy" (default) — deterministic spec-shaped re-implementation with
+      referentially-consistent keys at any SF; the oracle-test dataset.
+    * "native" — C++ generator in native/tpchgen.cpp (fast orders/lineitem
+      only; superseded by "dbgen" for benchmarking).
+    """
     key = (sf, backend)
     if key in _CACHE:
         return _CACHE[key]
+    if backend == "dbgen":
+        from velox_tpu.io import dbgen
+
+        tables = dbgen.dbgen_tables(sf)
+        _CACHE[key] = tables
+        return tables
     if backend == "native":
         from velox_tpu.io.native_tpch import gen_orders_lineitem_native
 
@@ -374,11 +389,12 @@ def register_tpch(
     sf: float, batch_rows: int = 1 << 20,
     tables: Optional[List[str]] = None,
     prefix: str = "",
+    backend: str = "numpy",
 ) -> Dict[str, pa.Table]:
     """Generate + register TPC-H tables in the session catalog."""
     from velox_tpu.io.catalog import register_arrow
 
-    data = generate_tables(sf)
+    data = generate_tables(sf, backend=backend)
     for name, t in data.items():
         if tables is not None and name not in tables:
             continue
