@@ -1,121 +1,117 @@
-"""Flagship benchmark: TPC-H Q6 at SF1 on the real TPU chip.
+"""Headline benchmark: TPC-H Q1/Q3/Q6/Q18 at SF1 on the real TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is the speedup over a vectorized numpy evaluation of the
-identical query on the identical data on this host's CPU (stand-in for
-the velox CPU baseline until reference numbers land in BASELINE.md).
+Data: byte-exact dbgen output (io/dbgen.py — the reference's own dbgen),
+money in DECIMAL cents lanes (the engine's TPU-native exact path; f64 is
+software-emulated on this TPU, SURVEY.md §7 hard part #5).
 
-Money columns run in DECIMAL mode — scaled int64 lanes, the engine's
-TPU-native exact path (f64 is software-emulated on TPU; SURVEY.md §7
-"keep integer/decimal paths in int lanes, never through float").
+Baseline: pyarrow Acero (multi-threaded C++ vectorized engine) running the
+same queries on the same dbgen bytes on this host's CPUs — the strongest
+baseline available in-image; velox_tpch_benchmark itself cannot be built
+here (BASELINE.md "build attempt"). Acero results also cross-check ours.
+
+Prints ONE JSON line: the geometric-mean rows/s across the four queries,
+with vs_baseline = geomean(tpu rows/s / acero rows/s). Per-query detail
+goes to stderr and to BENCH_DETAIL.json.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import sys
 import time
-
-import numpy as np
 
 
 def main() -> None:
     import jax
-    import pyarrow as pa
 
     sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 5
 
-    from velox_tpu.io.tpch import generate_tables
-    from velox_tpu.io.catalog import register_arrow
-    from velox_tpu.tpch import tpch_plan
     from velox_tpu.exec import run_plan
+    from velox_tpu.io.tpch import register_tpch_decimal
+    from velox_tpu.tpch import tpch_plan
     from velox_tpu.utils.config import config
 
-    config.narrow_lanes = True  # 32-bit decimal lanes (TPU-native mode)
+    config.narrow_lanes = True  # int32 decimal lanes (TPU-native mode)
 
     t0 = time.time()
-    from velox_tpu.io.native_tpch import gen_orders_lineitem_native
-
-    native = gen_orders_lineitem_native(sf)
-    if native is not None:
-        _, li, cents = native
-        ship = cents["l_shipdate"]
-        price_c, disc_c, qty_c = (
-            cents["l_extendedprice"], cents["l_discount"],
-            cents["l_quantity"])
-    else:
-        li = generate_tables(sf)["lineitem"]
-        ship = np.asarray(li.column("l_shipdate").cast(pa.int32()))
-        price_c = np.round(np.asarray(
-            li.column("l_extendedprice")) * 100).astype(np.int64)
-        disc_c = np.round(np.asarray(
-            li.column("l_discount")) * 100).astype(np.int64)
-        qty_c = np.round(np.asarray(
-            li.column("l_quantity")) * 100).astype(np.int64)
-    n_rows = li.num_rows
-    gen_s = time.time() - t0
-
-    t0 = time.time()
-    register_arrow(
-        "lineitem",
-        pa.table({
-            "l_extendedprice": price_c, "l_discount": disc_c,
-            "l_quantity": qty_c,
-            "l_shipdate": pa.array(ship, type=pa.date32()),
-        }),
-        batch_rows=1 << 23,
-        decimal_overrides={
-            "l_extendedprice": (9, 2), "l_discount": (3, 2),
-            "l_quantity": (4, 2)},
-    )
+    tables = register_tpch_decimal(sf)
+    n_li = tables["lineitem"].num_rows
     ingest_s = time.time() - t0
 
-    plan = tpch_plan(6).build()
+    # ---- CPU baseline: Acero on the identical dbgen bytes
+    from tools import cpu_baseline as cb
+    from velox_tpu.io import dbgen
 
-    # warmup (compile)
-    t0 = time.time()
-    result = run_plan(plan)
-    warm_s = time.time() - t0
-    revenue = float(result.column("revenue").to_pylist()[0])
+    f64_tables = dbgen.dbgen_tables(sf)
+    acero = {}
+    acero_out = {}
+    for name, (fn, _) in cb.QUERIES.items():
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            out = fn(f64_tables)
+            times.append(time.time() - t0)
+        acero[name] = min(times)
+        acero_out[name] = out
+    del f64_tables
 
-    times = []
-    for _ in range(iters):
+    plans = {
+        "q1": tpch_plan(1).build(),
+        "q3": tpch_plan(3, clustered=True).build(),
+        "q6": tpch_plan(6).build(),
+        "q18": tpch_plan(18, clustered=True).build(),
+    }
+
+    detail = {}
+    ratios = []
+    tpu_rows_s = []
+    for name, plan in plans.items():
         t0 = time.time()
-        r = run_plan(plan)
-        assert r.num_rows == 1
-        times.append(time.time() - t0)
-    best = min(times)
-    rows_per_s = n_rows / best
+        result = run_plan(plan)  # warmup/compile
+        warm_s = time.time() - t0
+        times = []
+        for _ in range(iters):
+            t0 = time.time()
+            r = run_plan(plan)
+            times.append(time.time() - t0)
+        best = min(times)
+        rows_s = n_li / best
+        base_rows_s = n_li / acero[name]
+        detail[name] = {
+            "wall_ms": round(best * 1e3, 1),
+            "rows_per_s": round(rows_s),
+            "warmup_s": round(warm_s, 1),
+            "acero_ms": round(acero[name] * 1e3, 1),
+            "vs_acero": round(rows_s / base_rows_s, 3),
+            "out_rows": result.num_rows,
+            "acero_out_rows": acero_out[name].num_rows,
+        }
+        # sanity: cardinality parity with the CPU engine on the same bytes
+        assert result.num_rows == acero_out[name].num_rows, (
+            name, result.num_rows, acero_out[name].num_rows)
+        ratios.append(rows_s / base_rows_s)
+        tpu_rows_s.append(rows_s)
+        print(f"# {name}: {best*1e3:.1f}ms ({rows_s/1e6:.1f}M rows/s) "
+              f"acero {acero[name]*1e3:.1f}ms -> {ratios[-1]:.2f}x "
+              f"warmup {warm_s:.0f}s", file=sys.stderr)
 
-    # ---- CPU baseline: vectorized numpy int64 of the same query
-    lo, hi = 8766, 9131  # 1994-01-01, 1995-01-01 in days
-    t_base = []
-    for _ in range(3):
-        t0 = time.time()
-        m = ((ship >= lo) & (ship < hi) & (disc_c >= 5) & (disc_c <= 7)
-             & (qty_c < 2400))
-        base_rev_unscaled = int((price_c[m] * disc_c[m]).sum())
-        t_base.append(time.time() - t0)
-    base_best = min(t_base)
-    base_rows_per_s = n_rows / base_best
-    base_rev = base_rev_unscaled / 10_000.0  # scale 2 * scale 2
+    geo_rows = math.exp(sum(math.log(x) for x in tpu_rows_s)
+                        / len(tpu_rows_s))
+    geo_ratio = math.exp(sum(math.log(x) for x in ratios) / len(ratios))
 
-    assert abs(base_rev - revenue) < 1e-6, (
-        f"result mismatch: tpu={revenue} cpu={base_rev}")
+    with open("BENCH_DETAIL.json", "w") as f:
+        json.dump({"sf": sf, "platform": jax.devices()[0].platform,
+                   "lineitem_rows": n_li, "ingest_s": round(ingest_s, 1),
+                   "queries": detail}, f, indent=1)
 
     print(json.dumps({
-        "metric": f"tpch_q6_sf{sf:g}_rows_per_sec",
-        "value": round(rows_per_s),
+        "metric": f"tpch_sf{sf:g}_q1_q3_q6_q18_geomean_rows_per_sec",
+        "value": round(geo_rows),
         "unit": "rows/s",
-        "vs_baseline": round(rows_per_s / base_rows_per_s, 3),
+        "vs_baseline": round(geo_ratio, 3),
     }))
-    print(
-        f"# platform={jax.devices()[0].platform} rows={n_rows} "
-        f"best={best*1e3:.1f}ms warmup={warm_s:.1f}s gen={gen_s:.1f}s "
-        f"ingest={ingest_s:.1f}s cpu_numpy={base_best*1e3:.1f}ms "
-        f"revenue={revenue:.2f}",
-        file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,158 @@
+"""Sort-order property pass (plan/optimizer.py).
+
+Velox gets physical-operator choices from its host optimizer; here the
+pass derives merge-join / streaming-aggregation shapes from
+ingest-verified physical ordering. Tests pin (a) the rewrites fire
+exactly when the ordering proofs hold, (b) optimized == unoptimized
+results on real plans.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from velox_tpu.exec import run_plan_pydict
+from velox_tpu.io.catalog import drop_table, register_arrow
+from velox_tpu.plan import PlanBuilder
+from velox_tpu.plan.nodes import (
+    AggregationNode, HashJoinNode, MergeJoinNode, StreamingAggregationNode,
+)
+from velox_tpu.plan.optimizer import optimize_plan
+from velox_tpu.utils.config import config
+
+
+@pytest.fixture(scope="module")
+def tables():
+    rng = np.random.default_rng(7)
+    n_dim, n_fact = 40, 300
+    dim = pa.table({
+        "d_key": np.arange(n_dim, dtype=np.int64),       # sorted + unique
+        "d_grp": rng.integers(0, 5, n_dim),
+        "d_val": rng.normal(size=n_dim),
+    })
+    fact = pa.table({
+        "f_key": np.sort(rng.integers(0, n_dim, n_fact)),  # sorted, dups
+        "f_val": rng.normal(size=n_fact),
+        "f_other": rng.integers(0, 9, n_fact),             # unsorted
+    })
+    register_arrow("opt_dim", dim)
+    register_arrow("opt_fact", fact)
+    yield {"dim": dim.to_pandas(), "fact": fact.to_pandas()}
+    drop_table("opt_dim")
+    drop_table("opt_fact")
+
+
+def _find(plan, cls):
+    found = []
+
+    def walk(n):
+        if type(n) is cls:
+            found.append(n)
+        for s in n.sources:
+            walk(s)
+
+    walk(plan)
+    return found
+
+
+def test_join_on_sorted_unique_build_becomes_merge(tables):
+    plan = (
+        PlanBuilder().table_scan("opt_fact")
+        .hash_join(PlanBuilder().table_scan("opt_dim"),
+                   ["f_key"], ["d_key"])
+        .build())
+    opt = optimize_plan(plan)
+    assert _find(opt, MergeJoinNode)
+    assert not _find(opt, HashJoinNode)
+
+
+def test_join_on_unsorted_build_stays_hash(tables):
+    # build side keyed on d_grp (unsorted) -> no rewrite
+    plan = (
+        PlanBuilder().table_scan("opt_fact")
+        .hash_join(PlanBuilder().table_scan("opt_dim"),
+                   ["f_other"], ["d_grp"])
+        .build())
+    opt = optimize_plan(plan)
+    assert not _find(opt, MergeJoinNode)
+    assert _find(opt, HashJoinNode)
+
+
+def test_filter_preserves_order_proof(tables):
+    plan = (
+        PlanBuilder().table_scan("opt_fact")
+        .hash_join(PlanBuilder().table_scan("opt_dim")
+                   .filter("d_val > 0.0"),
+                   ["f_key"], ["d_key"])
+        .build())
+    assert _find(optimize_plan(plan), MergeJoinNode)
+
+
+def test_agg_on_sorted_key_becomes_streaming(tables):
+    plan = (
+        PlanBuilder().table_scan("opt_fact")
+        .aggregate(["f_key"], ["sum(f_val)"])
+        .build())
+    opt = optimize_plan(plan)
+    assert type(opt) is StreamingAggregationNode
+
+
+def test_agg_on_unsorted_key_stays_hash(tables):
+    plan = (
+        PlanBuilder().table_scan("opt_fact")
+        .aggregate(["f_other"], ["sum(f_val)"])
+        .build())
+    opt = optimize_plan(plan)
+    assert type(opt) is AggregationNode
+    assert type(opt) is not StreamingAggregationNode
+
+
+def test_agg_fd_key_becomes_streaming(tables):
+    # group by (f_key, d_grp) after joining on unique d_key: d_grp is
+    # functionally determined by f_key through the join, so runs of f_key
+    # are constant in d_grp -> streaming applies
+    plan = (
+        PlanBuilder().table_scan("opt_fact")
+        .hash_join(PlanBuilder().table_scan("opt_dim"),
+                   ["f_key"], ["d_key"])
+        .aggregate(["f_key", "d_grp"], ["sum(f_val)"])
+        .build())
+    opt = optimize_plan(plan)
+    aggs = _find(opt, StreamingAggregationNode)
+    assert aggs, "fd-derived clustering not detected"
+
+
+def test_distinct_agg_not_streamed(tables):
+    plan = (
+        PlanBuilder().table_scan("opt_fact")
+        .aggregate(["f_key"], ["sum(distinct f_val)"])
+        .build())
+    assert type(optimize_plan(plan)) is not StreamingAggregationNode
+
+
+def test_optimized_results_match(tables):
+    plan = (
+        PlanBuilder().table_scan("opt_fact")
+        .hash_join(PlanBuilder().table_scan("opt_dim"),
+                   ["f_key"], ["d_key"])
+        .aggregate(["f_key", "d_grp"], ["sum(f_val)", "count(1)"])
+        .order_by(["f_key"])
+        .build())
+    config.optimize_plans = True
+    a = run_plan_pydict(plan)
+    config.optimize_plans = False
+    try:
+        b = run_plan_pydict(plan)
+    finally:
+        config.optimize_plans = True
+    pd.testing.assert_frame_equal(pd.DataFrame(a), pd.DataFrame(b))
+
+    # oracle
+    df = tables["fact"].merge(
+        tables["dim"], left_on="f_key", right_on="d_key")
+    e = (df.groupby(["f_key", "d_grp"])
+         .agg(s=("f_val", "sum"), c=("f_val", "count")).reset_index()
+         .sort_values("f_key").reset_index(drop=True))
+    assert a["f_key"] == e["f_key"].tolist()
+    np.testing.assert_allclose(a["a0"], e["s"].to_numpy(), rtol=1e-12)

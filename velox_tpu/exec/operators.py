@@ -31,9 +31,9 @@ from velox_tpu.exec.spill import SpillableBuffer
 from velox_tpu.functions.aggregates import lookup_aggregate
 from velox_tpu.ops.groupby import group_ids_array, group_ids_sorted
 from velox_tpu.ops.join import (
-    build_join_index, build_join_index_presorted, build_matched_flags,
-    expand_matches, match_total, probe_join_index,
-    probe_join_index_presorted,
+    build_join_index, build_join_index_presorted, build_join_table,
+    build_matched_flags, expand_matches, match_total, probe_join_index,
+    probe_join_index_presorted, probe_join_table,
 )
 from velox_tpu.ops.sort import compact_indices, sort_indices, top_n_indices
 from velox_tpu.plan.nodes import (
@@ -1301,18 +1301,26 @@ class JoinKeyCodec:
         self.multi = len(self.cols) > 1
         self.dicts = [c.dictionary for c in self.cols]
         self.narrow = None  # (lo, hi) when a single wide key fits int32
+        self.lohi = None    # host (lo, hi) of the ENCODED key domain
         if not self.multi:
             c = self.cols[0]
-            v = _canon_int(c.values)
-            if v.dtype == jnp.int64:
+            if c.dictionary is not None:
+                if len(c.dictionary) > 0:
+                    self.lohi = (0, len(c.dictionary) - 1)
+            elif c.values.dtype != jnp.bool_ and jnp.issubdtype(
+                    c.values.dtype, jnp.integer):
+                v = _canon_int(c.values)
                 act = build_batch.sel
                 if c.valid is not None:
                     act = jnp.logical_and(act, c.valid)
-                big = jnp.iinfo(jnp.int64).max
+                big = jnp.iinfo(v.dtype).max
                 lo = int(jnp.min(jnp.where(act, v, big)))
                 hi = int(jnp.max(jnp.where(act, v, -big - 1)))
-                if lo <= hi and lo >= -(2 ** 31) and hi < 2 ** 31:
-                    self.narrow = (lo, hi)
+                if lo <= hi:
+                    self.lohi = (lo, hi)
+                    if (v.dtype == jnp.int64
+                            and lo >= -(2 ** 31) and hi < 2 ** 31):
+                        self.narrow = (lo, hi)
         if self.multi:
             self.mins, self.bits = [], []
             for c in self.cols:
@@ -1328,12 +1336,22 @@ class JoinKeyCodec:
                 self.mins.append(lo)
                 self.bits.append(max(int(hi - lo).bit_length(), 1))
             assert sum(self.bits) <= 63, "normalized join key overflow"
+            self.lohi = (0, (1 << sum(self.bits)) - 1)
         self._remaps: Dict[tuple, np.ndarray] = {}
+
+    def range_hint(self, max_span: int):
+        """Host (lo, span) of the encoded key domain when small enough
+        for a direct-address (kArray) join table, else None."""
+        if self.lohi is None:
+            return None
+        lo, hi = self.lohi
+        span = hi - lo + 1
+        return (lo, span) if span <= max_span else None
 
     def key_sig(self) -> tuple:
         """Host constants baked into traced programs (jit-cache key part)."""
         if not self.multi:
-            return (self.narrow,)
+            return (self.narrow, self.lohi)
         return (tuple(self.mins), tuple(self.bits))
 
     def dict_sig(self, batch: Batch, keys: Sequence[str]) -> tuple:
@@ -1443,6 +1461,8 @@ class JoinBridge:
         self.sorted_keys = None
         self.perm = None
         self.n_active = None
+        self.tables = ()   # kArray (tfirst, tcount) when range is small
+        self.key_lo = 0
         self.build_has_null_key = False
         self.matched = None  # accumulated build-row matched flags
         self.probe_done = False
@@ -1475,6 +1495,9 @@ class HashBuildOp(Operator):
             big = Batch.empty_like(
                 node.right.output_type, round_capacity(1))
         codec = JoinKeyCodec(big, node.right_keys)
+        from velox_tpu.utils.config import config as _cfg
+
+        rng_hint = codec.range_hint(_cfg.karray_join_span)
 
         cols = [(big.column(k).values, big.column(k).valid)
                 for k in node.right_keys]
@@ -1495,17 +1518,22 @@ class HashBuildOp(Operator):
                     jnp.any(jnp.logical_and(
                         sel, jnp.logical_not(null_valid)))
                     if null_valid is not None else jnp.asarray(False))
-                return sorted_keys, perm, n_active, has_null
+                tables = ()
+                if rng_hint is not None:
+                    tables = build_join_table(
+                        sorted_keys, n_active, rng_hint[0], rng_hint[1])
+                return sorted_keys, perm, n_active, has_null, tables
             return build
 
         build = cached_jit(
             ("join_build", node.id, tuple(id(d) for d in dicts),
-             codec.key_sig()), make)
-        sorted_keys, perm, n_active, has_null = build(cols, big.sel)
+             codec.key_sig(), rng_hint), make)
+        sorted_keys, perm, n_active, has_null, tables = build(cols, big.sel)
         br = self.bridge
         br.build_batch = big
         br.codec = codec
         br.sorted_keys, br.perm, br.n_active = sorted_keys, perm, n_active
+        br.tables, br.key_lo = tables, (rng_hint[0] if rng_hint else 0)
         br.matched = jnp.zeros((big.capacity,), jnp.bool_)
         br.build_has_null_key = bool(has_null)
         br.ready = True
@@ -1589,17 +1617,23 @@ class HashProbeOp(Operator):
         build_has_null = br.build_has_null_key
         left_like = self._left_like
         index_probe = type(self)._index_probe
+        use_table = len(br.tables) == 2
+        key_lo = br.key_lo
 
         def make():
-            def probe(cols, sel, sorted_keys, n_active):
+            def probe(cols, sel, sorted_keys, n_active, tables):
                 key, null_valid, match_valid = codec.encode(
                     cols, dicts, is_probe=True)
                 valid = null_valid
                 if match_valid is not None:
                     valid = (match_valid if valid is None
                              else jnp.logical_and(valid, match_valid))
-                first, count = index_probe(
-                    sorted_keys, n_active, key, valid, sel)
+                if use_table:
+                    first, count = probe_join_table(
+                        tables[0], tables[1], key_lo, key, valid, sel)
+                else:
+                    first, count = index_probe(
+                        sorted_keys, n_active, key, valid, sel)
                 if no_filter_semi:
                     if jt == JoinType.LEFT_SEMI:
                         out = jnp.logical_and(sel, count > 0)
@@ -1624,7 +1658,7 @@ class HashProbeOp(Operator):
 
         fn = cached_jit(
             ("join_probe", node.id, sig, codec.key_sig(),
-             bool(build_has_null)), make)
+             bool(build_has_null), use_table, key_lo), make)
         self._probe_jits[sig] = fn
         return fn
 
@@ -1751,13 +1785,14 @@ class HashProbeOp(Operator):
                     for k in node.left_keys]
 
         if self._semi_like and self._filter_exprs is None:
-            new_sel = pf(key_cols, batch.sel, br.sorted_keys, br.n_active)
+            new_sel = pf(key_cols, batch.sel, br.sorted_keys, br.n_active,
+                         br.tables)
             self._queue.append(
                 self._project_out(batch.with_sel(new_sel)))
             return
 
         first, count, pvalid, total = pf(
-            key_cols, batch.sel, br.sorted_keys, br.n_active)
+            key_cols, batch.sel, br.sorted_keys, br.n_active, br.tables)
         total = int(total)  # single host sync per batch
         if total == 0:
             if self._filter_exprs is not None and jt in (

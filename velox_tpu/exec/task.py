@@ -222,6 +222,12 @@ class Task:
     """Owns one plan's execution (velox/exec/Task.h:44, serial mode)."""
 
     def __init__(self, plan: PlanNode, tracer=None):
+        from velox_tpu.utils.config import config
+
+        if config.optimize_plans:
+            from velox_tpu.plan.optimizer import optimize_plan
+
+            plan = optimize_plan(plan)
         self.plan = plan
         self.planner = LocalPlanner(plan)
         self.tracer = tracer

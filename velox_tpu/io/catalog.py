@@ -30,6 +30,13 @@ class Table:
     name: str
     schema: RowType
     batches: List[Batch]
+    #: columns verified nondecreasing in storage order at ingest — the
+    #: physical-ordering metadata a cost-based optimizer reads (velox keeps
+    #: the analog in connector table layout / PlanNode ordering metadata);
+    #: drives the sort-order property pass (plan/optimizer.py)
+    sorted_cols: frozenset = frozenset()
+    #: subset of sorted_cols that are strictly increasing (hence unique)
+    unique_cols: frozenset = frozenset()
 
     @property
     def num_rows(self) -> int:
@@ -68,9 +75,38 @@ def register_arrow(
     vectors analog, velox/type/DecimalUtil.h).
     """
     batches = ingest_splits(table, batch_rows, decimal_overrides)
-    t = Table(name, batches[0].schema, batches)
+    sorted_cols, unique_cols = _ordering_stats(table)
+    t = Table(name, batches[0].schema, batches,
+              sorted_cols=sorted_cols, unique_cols=unique_cols)
     _TABLES[name] = t
     return t
+
+
+def _ordering_stats(table: pa.Table) -> tuple:
+    """Detect physically sorted / strictly-increasing integer-lane columns
+    at ingest (one vectorized pass per column)."""
+    sorted_cols = set()
+    unique_cols = set()
+    for cname in table.column_names:
+        t = table.column(cname).type
+        try:
+            if pa.types.is_integer(t):
+                a = table.column(cname)
+            elif pa.types.is_date32(t):
+                a = table.column(cname).cast(pa.int32())
+            else:
+                continue
+            v = a.to_numpy(zero_copy_only=False)
+        except Exception:
+            continue
+        if len(v) == 0 or v.dtype.kind not in "iu":
+            continue
+        d = np.diff(v)
+        if len(d) == 0 or (d >= 0).all():
+            sorted_cols.add(cname)
+            if len(d) == 0 or (d > 0).all():
+                unique_cols.add(cname)
+    return frozenset(sorted_cols), frozenset(unique_cols)
 
 
 def ingest_splits(
@@ -197,8 +233,8 @@ def register_parquet(name: str, path: str, batch_rows: int = 1 << 20,
     schema = row_type(
         pf.schema_arrow.names,
         [type_from_arrow(f.type) for f in pf.schema_arrow])
-    t = ParquetTable(name, schema, [], path, batch_rows,
-                     decimal_overrides or {})
+    t = ParquetTable(name, schema, [], path=path, batch_rows=batch_rows,
+                     decimal_overrides=decimal_overrides or {})
     _TABLES[name] = t
     return t
 

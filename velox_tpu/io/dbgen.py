@@ -151,25 +151,28 @@ def _ingest_tbl(path: Path, table: str) -> pa.Table:
         parse_options=pacsv.ParseOptions(delimiter="|", quote_char=False),
         convert_options=pacsv.ConvertOptions(column_types=types),
     )
-    out = {}
-    for name, _, money in cols:
-        arr = raw[name]
-        if money:
-            # exact velox conversion: double(cents) * 0.01
-            cents = arr.combine_chunks().to_numpy(zero_copy_only=False)
-            out[name] = pa.array(cents.astype(np.float64) * 0.01)
-        elif name == "l_quantity":
-            q = arr.combine_chunks().to_numpy(zero_copy_only=False)
-            out[name] = pa.array(q.astype(np.float64))
-        else:
-            out[name] = arr.combine_chunks()
-    return pa.table(out)
+    # Money columns stay as exact int64 cents in the parquet cache;
+    # dbgen_tables() converts to the velox double view at load and
+    # dbgen_tables_decimal() uses them directly as decimal lanes.
+    return pa.table({name: raw[name].combine_chunks() for name, _, _ in cols})
 
 
-def dbgen_tables(
+#: (precision, scale) for every money column — all fit int32 cents at SF1
+#: (largest is o_totalprice < 600k -> < 6e7 cents); quantity rides the
+#: same decimal machinery as (4,2) like round 1's Q1/Q6 decimal mode.
+DECIMALS = {
+    "l_extendedprice": (9, 2), "l_discount": (3, 2), "l_tax": (3, 2),
+    "l_quantity": (4, 2),
+    "o_totalprice": (10, 2),
+    "s_acctbal": (7, 2), "c_acctbal": (7, 2),
+    "p_retailprice": (7, 2), "ps_supplycost": (7, 2),
+}
+
+
+def _raw_tables(
     sf: float, tables: Optional[List[str]] = None
 ) -> Dict[str, pa.Table]:
-    """Generate (cached) dbgen-exact tables at the given scale factor."""
+    """Cached cents-form tables (money as int64 cents)."""
     want = tables or TABLES
     d = data_dir(sf)
     d.mkdir(parents=True, exist_ok=True)
@@ -187,3 +190,51 @@ def dbgen_tables(
             pq.write_table(tbl, d / f"{t}.parquet")
             (d / f"{t}.tbl").unlink()
     return {t: pq.read_table(d / f"{t}.parquet") for t in want}
+
+
+def dbgen_tables(
+    sf: float, tables: Optional[List[str]] = None
+) -> Dict[str, pa.Table]:
+    """dbgen-exact tables in velox's schema (money/quantity as float64,
+    converted with the identical IEEE op velox uses: double(cents)*0.01)."""
+    out = {}
+    for t, tbl in _raw_tables(sf, tables).items():
+        cols = {}
+        for name, _, money in _SCHEMAS[t]:
+            arr = tbl[name]
+            if money:
+                cents = arr.to_numpy(zero_copy_only=False)
+                cols[name] = pa.array(cents.astype(np.float64) * 0.01)
+            elif name == "l_quantity":
+                q = arr.to_numpy(zero_copy_only=False)
+                cols[name] = pa.array(q.astype(np.float64))
+            else:
+                cols[name] = arr
+        out[t] = pa.table(cols)
+    return out
+
+
+def dbgen_tables_decimal(
+    sf: float, tables: Optional[List[str]] = None
+) -> tuple:
+    """dbgen-exact tables with money/quantity as exact int64 cents plus the
+    per-table decimal_overrides dict for register_arrow — the engine's
+    TPU-native decimal-lane ingestion (money never touches float)."""
+    raw = _raw_tables(sf, tables)
+    out = {}
+    overrides = {}
+    for t, tbl in raw.items():
+        cols = {}
+        ov = {}
+        for name, _, money in _SCHEMAS[t]:
+            if money or name == "l_quantity":
+                cents = tbl[name].to_numpy(zero_copy_only=False)
+                if name == "l_quantity":
+                    cents = cents * 100  # quantity -> (4,2) cents lanes
+                cols[name] = pa.array(cents)
+                ov[name] = DECIMALS[name]
+            else:
+                cols[name] = tbl[name]
+        out[t] = pa.table(cols)
+        overrides[t] = ov
+    return out, overrides

@@ -400,3 +400,24 @@ def register_tpch(
             continue
         register_arrow(prefix + name, t, batch_rows)
     return data
+
+
+def register_tpch_decimal(
+    sf: float, batch_rows: int = 1 << 23,
+    tables: Optional[List[str]] = None,
+    prefix: str = "",
+) -> Dict[str, pa.Table]:
+    """Register dbgen-exact TPC-H with money/quantity as DECIMAL cents
+    lanes — the TPU-native exact path (int32 narrow lanes under
+    config.narrow_lanes; money never touches float). This is the
+    benchmark-mode registration."""
+    from velox_tpu.io import dbgen
+    from velox_tpu.io.catalog import register_arrow
+
+    data, overrides = dbgen.dbgen_tables_decimal(sf)
+    for name, t in data.items():
+        if tables is not None and name not in tables:
+            continue
+        register_arrow(
+            prefix + name, t, batch_rows, decimal_overrides=overrides[name])
+    return data

@@ -36,6 +36,17 @@ class SessionConfig:
     #: use the fused linear-pipeline compiler when a pipeline matches
     fused_pipelines: bool = True
 
+    #: max key-range span for the direct-address (kArray) join table
+    #: (velox HashMode::kArray analog, velox/exec/HashTable.cpp:470-520):
+    #: when the build key domain fits, probing is two gathers instead of
+    #: a binary search (searchsorted lowers to a log(n)-step scan on TPU)
+    karray_join_span: int = 1 << 26
+
+    #: run the sort-order property pass (plan/optimizer.py): rewrite hash
+    #: joins to merge joins and aggregations to streaming aggregations
+    #: where ingest-verified physical ordering proves it safe
+    optimize_plans: bool = True
+
     #: HBM budget for buffered (blocking-operator) batches; exceeding it
     #: spills buffers to host RAM (velox memory arbitration analog).
     #: None = unlimited.
