@@ -333,6 +333,17 @@ class HashAggregationOp(Operator):
         if self.has_distinct and self.step != AggStep.SINGLE:
             raise NotImplementedError(
                 "distinct aggregates only in single-step aggregation")
+        if (self.step != AggStep.SINGLE
+                and any(lane.width > 1
+                        for fn in self.fns for lane in fn.lanes)):
+            raise NotImplementedError(
+                "matrix-lane aggregates (approx_distinct, bitwise_*_agg) "
+                "are single-step only: (groups, k) lanes cannot be "
+                "emitted as partial-step columns")
+        if any(s.distinct and isinstance(s.arg, tuple)
+               for s in self.specs):
+            raise NotImplementedError(
+                "DISTINCT over multi-argument aggregates")
         # input value types per aggregate (None for count(*)); for FINAL
         # the first lane's type stands in for the raw input type (every
         # aggregate's lane-0 dtype equals its input-derived dtype)
@@ -340,17 +351,30 @@ class HashAggregationOp(Operator):
         self.lane_names: List[List[str]] = []
         for s, name, fn in zip(self.specs, node.agg_names, self.fns):
             if self.step == AggStep.FINAL:
-                self.arg_types.append(in_schema.find_child(f"{name}$0"))
+                lts = tuple(
+                    in_schema.find_child(f"{name}${i}")
+                    for i in range(len(fn.lanes)))
+                self.arg_types.append(fn.resolve_input_type(lts))
                 self.lane_names.append(
                     [f"{name}${i}" for i in range(len(fn.lanes))])
             else:
-                self.arg_types.append(
-                    in_schema.find_child(s.arg) if s.arg else None)
+                if s.arg is None:
+                    self.arg_types.append(None)
+                elif isinstance(s.arg, tuple):
+                    self.arg_types.append(tuple(
+                        in_schema.find_child(a) for a in s.arg))
+                else:
+                    self.arg_types.append(in_schema.find_child(s.arg))
                 self.lane_names.append([])
+
+        def _arg_fields(s):
+            if s.arg is None or self.step == AggStep.FINAL:
+                return []
+            return list(s.arg) if isinstance(s.arg, tuple) else [s.arg]
+
         self._needed = list(dict.fromkeys(
             self.keys
-            + [s.arg for s in self.specs if s.arg is not None
-               and self.step != AggStep.FINAL]
+            + [a for s in self.specs for a in _arg_fields(s)]
             + [s.mask for s in self.specs if s.mask is not None]
             + [n for lanes in self.lane_names for n in lanes]))
         self._entries: List[dict] = []  # generic-mode partials
@@ -386,6 +410,12 @@ class HashAggregationOp(Operator):
                 out.append((tuple(cols[n][0] for n in lanes), mask))
             elif spec.arg is None:
                 out.append((None, mask))
+            elif isinstance(spec.arg, tuple):
+                # multi-arg (min_by, covar, corr ...): values is a tuple
+                # of (vals, valid) pairs; per-arg null semantics are the
+                # aggregate's own business (velox/exec/Aggregate.h rawInput
+                # args vector)
+                out.append((tuple(cols[a] for a in spec.arg), mask))
             else:
                 avals, avalid = cols[spec.arg]
                 if avalid is not None:
@@ -395,8 +425,10 @@ class HashAggregationOp(Operator):
 
     def _init_accs(self, cap: int):
         return [
-            tuple(jnp.full((cap,), lane.init_of(at),
-                           dtype=lane.dtype_of(at)) for lane in fn.lanes)
+            tuple(jnp.full(
+                (cap,) if lane.width == 1 else (cap, lane.width),
+                lane.init_of(at), dtype=lane.dtype_of(at))
+                for lane in fn.lanes)
             for fn, at in zip(self.fns, self.arg_types)]
 
     def _decide_mode(self, batch: Batch) -> str:
@@ -739,7 +771,7 @@ class HashAggregationOp(Operator):
             if pad == 0:
                 return a
             return jnp.concatenate(
-                [a, jnp.full((pad,), fill, dtype=a.dtype)])
+                [a, jnp.full((pad,) + a.shape[1:], fill, dtype=a.dtype)])
 
         seen = padded(st["seen"], False)
         cols = {}
@@ -817,13 +849,14 @@ class HashAggregationOp(Operator):
         def region_full(parts, lo, size):
             """Arrays positioned at [lo, lo+size) in a cap-length array."""
             dt = parts[0].dtype
+            trail = parts[0].shape[1:]
             arrs = []
             if lo:
-                arrs.append(jnp.zeros((lo,), dt))
+                arrs.append(jnp.zeros((lo,) + trail, dt))
             arrs.extend(parts)
             tail = cap - lo - size
             if tail:
-                arrs.append(jnp.zeros((tail,), dt))
+                arrs.append(jnp.zeros((tail,) + trail, dt))
             return jnp.concatenate(arrs) if len(arrs) > 1 else arrs[0]
 
         lanes_cat = [

@@ -16,6 +16,7 @@ import velox_tpu.functions.scalar  # noqa: F401  (registers defaults)
 from velox_tpu.functions.aggregates import (
     AggregateFunction, aggregate_registry, lookup_aggregate,
 )
+import velox_tpu.functions.aggregates_multi  # noqa: F401  (registers)
 
 __all__ = [
     "ScalarFunction", "registry", "register_function", "lookup_function",

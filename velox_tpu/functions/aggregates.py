@@ -29,11 +29,17 @@ from velox_tpu.types.types import DecimalType, TypeKind
 
 @dataclass(frozen=True)
 class AccLane:
-    """One accumulator lane: a named device array with an identity value."""
+    """One accumulator lane: a named device array with an identity value.
+
+    ``width > 1`` makes the lane a (groups, width) matrix (HLL registers,
+    per-bit counters). Matrix lanes cannot be emitted as partial-step
+    columns, so wide-lane aggregates are SINGLE/FINAL-in-memory only.
+    """
 
     name: str
     dtype_of: Callable[[Optional[DataType]], np.dtype]
     init_of: Callable[[Optional[DataType]], object]
+    width: int = 1
 
 
 @dataclass(frozen=True)
@@ -55,10 +61,19 @@ class AggregateFunction:
     #: result type from lane types (standalone FINAL planning where the raw
     #: input type is unavailable); default: first lane's type
     final_type: Optional[Callable[[Tuple[DataType, ...]], DataType]] = None
+    #: reconstruct the raw input type (possibly a tuple for multi-arg
+    #: aggregates) from lane types, for FINAL-step accumulator sizing;
+    #: default: first lane's type stands in
+    input_type_from_lanes: Optional[Callable] = None
 
     def resolve_final_type(self, lane_types: Tuple[DataType, ...]) -> DataType:
         if self.final_type is not None:
             return self.final_type(lane_types)
+        return lane_types[0]
+
+    def resolve_input_type(self, lane_types: Tuple[DataType, ...]):
+        if self.input_type_from_lanes is not None:
+            return self.input_type_from_lanes(lane_types)
         return lane_types[0]
 
 

@@ -186,16 +186,18 @@ def _try_broadcast_semi_join(pipelines, out_ops, mesh, n_dev, axis):
             for k in probe.node.left_keys]
     in_spec = jax.tree_util.tree_map(lambda _: P(axis), cols)
 
-    def step(cols, sel, sorted_keys, n_active):
-        return pf(cols, sel, sorted_keys, n_active)
+    def step(cols, sel, sorted_keys, n_active, tables):
+        return pf(cols, sel, sorted_keys, n_active, tables)
 
+    tab_spec = jax.tree_util.tree_map(lambda _: P(), br.tables)
     key = ("dist_bsemi", probe.node.id, n_dev, axis,
+           len(br.tables),
            tuple(d.id for d in mesh.devices.flatten()))
     f = cached_jit(key, lambda: shard_map(
         step, mesh=mesh,
-        in_specs=(in_spec, P(axis), P(), P()),
+        in_specs=(in_spec, P(axis), P(), P(), tab_spec),
         out_specs=P(axis), check_vma=False))
-    out_sel = f(cols, big.sel, br.sorted_keys, br.n_active)
+    out_sel = f(cols, big.sel, br.sorted_keys, br.n_active, br.tables)
 
     # 3. downstream operators run serially on the gathered result
     result = big.with_sel(out_sel).project(

@@ -189,23 +189,31 @@ class PlanBuilder:
         arg_types: List[Optional[DataType]] = []
         for i, a in enumerate(aggs):
             name, fn, fargs, distinct = _parse_agg(a, f"a{i}")
-            arg = fargs[0] if fargs else None
             lookup_aggregate(fn)  # validate early
-            arg_field: Optional[str] = None
-            at: Optional[DataType] = None
-            if arg is not None:
+            fields: List[str] = []
+            types: List[DataType] = []
+            for ai, arg in enumerate(fargs):
                 arg = resolve_types(arg, schema)
-                at = arg.dtype
+                types.append(arg.dtype)
                 if isinstance(arg, FieldRef):
-                    arg_field = arg.name
-                    if arg_field not in pre_names:
-                        pre_names.append(arg_field)
+                    fields.append(arg.name)
+                    if arg.name not in pre_names:
+                        pre_names.append(arg.name)
                         pre_exprs.append(arg)
                 else:
-                    arg_field = f"{name}_arg"
-                    pre_names.append(arg_field)
+                    f = f"{name}_arg{ai}" if len(fargs) > 1 else \
+                        f"{name}_arg"
+                    fields.append(f)
+                    pre_names.append(f)
                     pre_exprs.append(arg)
                     need_project = True
+            # single-arg keeps the scalar form (serde/operator compat);
+            # multi-arg aggregates (min_by, covar, corr ...) carry tuples
+            arg_field = (None if not fields
+                         else fields[0] if len(fields) == 1
+                         else tuple(fields))
+            at = (None if not types
+                  else types[0] if len(types) == 1 else tuple(types))
             mask = masks.get(name)
             if mask is not None and mask not in pre_names:
                 pre_names.append(mask)

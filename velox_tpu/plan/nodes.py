@@ -104,12 +104,21 @@ class AggStep(enum.Enum):
 class AggregateSpec:
     """One aggregate call: fn over an input field (None = count(*)),
     optionally masked by a boolean field and/or distinct
-    (velox/core/PlanNode.h AggregationNode::Aggregate)."""
+    (velox/core/PlanNode.h AggregationNode::Aggregate).
+
+    ``arg`` is a field name, a TUPLE of field names for multi-argument
+    aggregates (min_by, covar_samp, corr ...), or None."""
 
     fn: str
-    arg: Optional[str]
+    arg: Optional[object]
     mask: Optional[str] = None
     distinct: bool = False
+
+    def __post_init__(self):
+        # JSON serde round-trips tuples as lists; normalize so frozen
+        # dataclass equality/hashing survive plan_from_dict
+        if isinstance(self.arg, list):
+            object.__setattr__(self, "arg", tuple(self.arg))
 
 
 @dataclass(frozen=True)
