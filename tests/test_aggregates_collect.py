@@ -1,0 +1,132 @@
+"""Collect aggregates (array_agg/map_agg/map_union/approx_percentile)
+vs pandas/python oracles (velox/functions/prestosql/aggregates/tests/
+ArrayAggTest.cpp, MapAggTest.cpp, MapUnionTest.cpp analogs)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from velox_tpu.plan import PlanBuilder
+from velox_tpu.exec import run_plan_pydict
+from velox_tpu.types import BIGINT, DOUBLE, VARCHAR
+from velox_tpu.types.types import map_
+from velox_tpu.vector.batch import Batch
+
+
+def test_array_agg_groups_and_nulls():
+    g = [0, 0, 1, 1, 1, 2]
+    v = [1, None, 3, 4, None, 6]
+    b = Batch.from_pydict({"g": g, "v": v}, {"g": BIGINT, "v": BIGINT})
+    out = run_plan_pydict(
+        PlanBuilder().values([b])
+        .aggregate(["g"], ["array_agg(v) as av"]).order_by(["g"]).build())
+    assert out["av"] == [[1, None], [3, 4, None], [6]]
+
+
+def test_array_agg_multi_batch_and_strings():
+    rng = np.random.default_rng(4)
+    g = [int(x) for x in rng.integers(0, 3, 40)]
+    v = [int(x) for x in rng.integers(0, 100, 40)]
+    b1 = Batch.from_pydict({"g": g[:20], "v": v[:20]},
+                           {"g": BIGINT, "v": BIGINT})
+    b2 = Batch.from_pydict({"g": g[20:], "v": v[20:]},
+                           {"g": BIGINT, "v": BIGINT})
+    out = run_plan_pydict(
+        PlanBuilder().values([b1, b2])
+        .aggregate(["g"], ["array_agg(v) as av", "count(*) as n"])
+        .order_by(["g"]).build())
+    df = pd.DataFrame({"g": g, "v": v})
+    for i, (gid, sub) in enumerate(df.groupby("g")):
+        assert sorted(out["av"][i]) == sorted(sub["v"])
+        assert out["n"][i] == len(sub)
+    # strings: one batch (dictionaries are table-global by engine
+    # invariant — cross-batch dictionary identity is the ingest contract)
+    words = ["alpha", "beta", "gamma", "delta"]
+    sv = [words[int(x)] for x in rng.integers(0, 4, 40)]
+    bs = Batch.from_pydict({"g": g, "v": sv},
+                           {"g": BIGINT, "v": VARCHAR})
+    out = run_plan_pydict(
+        PlanBuilder().values([bs])
+        .aggregate(["g"], ["array_agg(v) as av"]).order_by(["g"]).build())
+    df = pd.DataFrame({"g": g, "v": sv})
+    for i, (gid, sub) in enumerate(df.groupby("g")):
+        assert sorted(out["av"][i]) == sorted(sub["v"])
+
+
+def test_array_agg_empty_group_is_null():
+    b = Batch.from_pydict(
+        {"g": [0, 1], "v": [1, 2], "keep": [True, False]},
+        {"g": BIGINT, "v": BIGINT,
+         "keep": __import__("velox_tpu.types", fromlist=["BOOLEAN"]
+                            ).BOOLEAN})
+    out = run_plan_pydict(
+        PlanBuilder().values([b])
+        .aggregate(["g"], ["array_agg(v) as av"], masks={"av": "keep"})
+        .order_by(["g"]).build())
+    assert out["av"] == [[1], None]
+
+
+def test_map_agg_dedupes_keys():
+    g = [0, 0, 0, 1]
+    k = ["a", "b", "a", "z"]
+    v = [1, 2, 3, 9]
+    b = Batch.from_pydict({"g": g, "k": k, "v": v},
+                          {"g": BIGINT, "k": VARCHAR, "v": BIGINT})
+    out = run_plan_pydict(
+        PlanBuilder().values([b])
+        .aggregate(["g"], ["map_agg(k, v) as m"]).order_by(["g"]).build())
+    # duplicate key "a": first occurrence wins (deterministic arbitrary)
+    assert dict(out["m"][0]) == {"a": 1, "b": 2}
+    assert dict(out["m"][1]) == {"z": 9}
+
+
+def test_map_union():
+    g = [0, 0, 1, 1]
+    m = [{"a": 1, "b": 2}, {"b": 5, "c": 3}, {"x": 7}, None]
+    b = Batch.from_pydict(
+        {"g": g, "m": m}, {"g": BIGINT, "m": map_(VARCHAR, BIGINT)})
+    out = run_plan_pydict(
+        PlanBuilder().values([b])
+        .aggregate(["g"], ["map_union(m) as u"]).order_by(["g"]).build())
+    u0 = dict(out["u"][0])
+    assert u0["a"] == 1 and u0["c"] == 3
+    assert u0["b"] in (2, 5)  # arbitrary input map wins
+    assert dict(out["u"][1]) == {"x": 7}
+
+
+def test_approx_percentile_exact():
+    rng = np.random.default_rng(8)
+    g = [int(x) for x in rng.integers(0, 4, 400)]
+    v = [float(x) for x in rng.normal(size=400)]
+    b = Batch.from_pydict({"g": g, "v": v}, {"g": BIGINT, "v": DOUBLE})
+    out = run_plan_pydict(
+        PlanBuilder().values([b])
+        .aggregate(["g"], ["approx_percentile(v, 0.25) as q1",
+                           "approx_percentile(v, 0.9) as q9"])
+        .order_by(["g"]).build())
+    df = pd.DataFrame({"g": g, "v": v})
+    for i, (gid, sub) in enumerate(df.groupby("g")):
+        x = np.sort(sub["v"].to_numpy())
+        assert out["q1"][i] == pytest.approx(
+            x[int(np.floor(0.25 * (len(x) - 1)))])
+        assert out["q9"][i] == pytest.approx(
+            x[int(np.floor(0.9 * (len(x) - 1)))])
+
+
+def test_array_agg_global():
+    b = Batch.from_pydict({"v": [3, 1, 2]}, {"v": BIGINT})
+    out = run_plan_pydict(
+        PlanBuilder().values([b])
+        .aggregate([], ["array_agg(v) as av", "sum(v) as s"]).build())
+    assert out["av"] == [[3, 1, 2]]
+    assert out["s"] == [6]
+
+
+def test_collect_rejects_partial_step():
+    b = Batch.from_pydict({"g": [0], "v": [1]},
+                          {"g": BIGINT, "v": BIGINT})
+    with pytest.raises(Exception):
+        run_plan_pydict(
+            PlanBuilder().values([b])
+            .partial_aggregation(["g"], ["array_agg(v) as av"])
+            .final_aggregation().build())

@@ -212,3 +212,132 @@ def test_broadcast_semi_join_distributed():
     finally:
         drop_table("bj_left")
         drop_table("bj_right")
+
+
+# ------------------------------------------ distributed probe pipelines
+
+def _mk_tables(seed=0):
+    import pyarrow as pa
+    from velox_tpu.io import register_arrow
+
+    rng = np.random.default_rng(seed)
+    n = 4000
+    register_arrow("dp_probe", pa.table(
+        {"k": rng.integers(0, 200, n),
+         "k2": rng.integers(0, 50, n),
+         "v": rng.normal(size=n)}), 512)
+    return n
+
+
+def test_distributed_inner_join_pipeline_matches_serial(mesh):
+    from velox_tpu.exec import run_plan
+    from velox_tpu.io import drop_table
+    from velox_tpu.parallel.runner import run_plan_distributed
+    from velox_tpu.plan import PlanBuilder
+    from velox_tpu.types import BIGINT, DOUBLE
+    from velox_tpu.vector.batch import Batch
+
+    _mk_tables(3)
+    build = Batch.from_pydict(
+        {"bk": list(range(0, 200, 2)),
+         "w": [float(i) / 7 for i in range(100)]},
+        {"bk": BIGINT, "w": DOUBLE})
+    semi = Batch.from_pydict(
+        {"sk": list(range(0, 50, 3))}, {"sk": BIGINT})
+
+    def plan():
+        return (PlanBuilder()
+                .table_scan("dp_probe", columns=["k", "k2", "v"])
+                .hash_join(PlanBuilder().values([semi]), ["k2"], ["sk"],
+                           "left_semi")
+                .hash_join(PlanBuilder().values([build]), ["k"], ["bk"],
+                           "inner", output=["k", "v", "w"])
+                .project(["k", "v * 2.0 + w AS x"])
+                .aggregate(["k"], ["sum(x) AS s", "count(*) AS c",
+                                   "min(x) AS lo"])
+                .order_by(["k"]))
+
+    try:
+        serial = run_plan(plan().build()).to_pydict()
+        dist = run_plan_distributed(
+            plan().build(), mesh=mesh).to_pydict()
+        assert serial["k"] == dist["k"]
+        assert serial["c"] == dist["c"]
+        for a, b in zip(serial["s"], dist["s"]):
+            assert a == pytest.approx(b, rel=1e-12)
+        for a, b in zip(serial["lo"], dist["lo"]):
+            assert a == pytest.approx(b, rel=1e-12)
+    finally:
+        drop_table("dp_probe")
+
+
+def test_distributed_join_no_agg_matches_serial(mesh):
+    from velox_tpu.exec import run_plan
+    from velox_tpu.io import drop_table
+    from velox_tpu.parallel.runner import run_plan_distributed
+    from velox_tpu.plan import PlanBuilder
+    from velox_tpu.types import BIGINT, DOUBLE
+    from velox_tpu.vector.batch import Batch
+
+    _mk_tables(4)
+    build = Batch.from_pydict(
+        {"bk": [0, 1, 2, 3, 4, 5], "w": [0.5, 1.5, 2.5, 3.5, 4.5, 5.5]},
+        {"bk": BIGINT, "w": DOUBLE})
+
+    def plan():
+        return (PlanBuilder()
+                .table_scan("dp_probe", columns=["k2", "v"])
+                .hash_join(PlanBuilder().values([build]), ["k2"], ["bk"],
+                           "inner", output=["k2", "v", "w"])
+                .top_n(["v DESC"], 17))
+
+    try:
+        serial = run_plan(plan().build()).to_pydict()
+        dist = run_plan_distributed(
+            plan().build(), mesh=mesh).to_pydict()
+        assert serial["v"] == dist["v"]
+        assert serial["k2"] == dist["k2"]
+    finally:
+        drop_table("dp_probe")
+
+
+def test_distributed_q3_matches_serial(mesh):
+    from velox_tpu.exec import run_plan
+    from velox_tpu.io import drop_table
+    from velox_tpu.io.tpch import register_tpch
+    from velox_tpu.parallel.runner import run_plan_distributed
+    from velox_tpu.tpch import tpch_plan
+
+    register_tpch(0.005, batch_rows=1 << 13)
+    try:
+        serial = run_plan(tpch_plan(3).build()).to_pydict()
+        import velox_tpu.parallel.pipeline as pl
+
+        hits = []
+        orig = pl.try_distributed_pipeline
+
+        def spy(*a, **k):
+            r = orig(*a, **k)
+            hits.append(r is not None)
+            return r
+
+        pl.try_distributed_pipeline = spy
+        try:
+            dist = run_plan_distributed(
+                tpch_plan(3).build(), mesh=mesh).to_pydict()
+        finally:
+            pl.try_distributed_pipeline = orig
+        assert hits == [True], "distributed path not taken for Q3"
+        assert set(serial) == set(dist)
+        for c in serial:
+            if c == "revenue":  # f64 summation order differs per device
+                assert dist[c] == pytest.approx(serial[c], rel=1e-9)
+            else:
+                assert dist[c] == serial[c], c
+    finally:
+        for t in ("lineitem", "orders", "customer", "part", "supplier",
+                  "partsupp", "nation", "region"):
+            try:
+                drop_table(t)
+            except KeyError:
+                pass

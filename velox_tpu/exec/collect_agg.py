@@ -1,0 +1,245 @@
+"""Collect-mode aggregation finish: array_agg / map_agg / map_union /
+approx_percentile over one global grouping.
+
+The execution half of functions/aggregates_collect.py: the operator
+(HashAggregationOp mode "collect") buffers raw input batches and calls
+:func:`finish_collect` once. One jitted program groups all rows
+(sort-is-the-hash-table), runs scalar aggregates directly against the
+final group ids (no partial/merge round needed — all rows are present),
+and lays collect results out as group-contiguous element runs, which IS
+the ArrayColumn/MapColumn representation.
+
+Reference: velox/exec/GroupingSet.cpp + ValueList-based accumulators
+(velox/functions/prestosql/aggregates/ArrayAggAggregate.cpp,
+MapAggAggregate.cpp, MapUnionAggregate.cpp,
+ApproxPercentileAggregate.cpp) — re-designed with zero per-group
+dynamic buffers.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from velox_tpu.functions.aggregates_collect import (
+    collect_runs, dedupe_first, percentile_values,
+)
+from velox_tpu.ops.groupby import group_ids_sorted
+from velox_tpu.ops.sortkey import encode_sort_key
+from velox_tpu.vector.batch import Batch
+from velox_tpu.vector.column import ArrayColumn, Column, MapColumn
+
+
+def element_owners(starts, lengths, ecap: int):
+    """Flat-element index -> owning row (+ in-range mask).
+
+    Requires ``starts`` ascending over rows with ``lengths > 0`` — the
+    construction invariant of make_map_column/concat (Arrow offsets
+    contract). Scatter each live row at its start, forward max-scan.
+    """
+    cap = starts.shape[0]
+    rows = jnp.arange(cap, dtype=jnp.int32)
+    live = lengths > 0
+    head = (jnp.full((ecap,), -1, jnp.int32)
+            .at[jnp.where(live, starts, ecap)]
+            .max(rows, mode="drop"))
+    owner = jax.lax.associative_scan(jnp.maximum, head)
+    e = jnp.arange(ecap, dtype=jnp.int32)
+    osafe = jnp.maximum(owner, 0)
+    within = jnp.logical_and(
+        owner >= 0,
+        e < (jnp.take(starts, osafe, mode="clip")
+             + jnp.take(lengths, osafe, mode="clip")))
+    return osafe, within
+
+
+def _spec_mask(op, i, cols, sel):
+    """Row mask for spec i: batch sel AND the spec's boolean mask col."""
+    spec = op.specs[i]
+    m = sel
+    if spec.mask is not None:
+        mv, mvd = cols[spec.mask]
+        m = jnp.logical_and(m, mv)
+        if mvd is not None:
+            m = jnp.logical_and(m, mvd)
+    return m
+
+
+def _valid_or_none(valid, take_idx):
+    return (None if valid is None
+            else jnp.take(valid, take_idx, mode="clip"))
+
+
+def finish_collect(op, big: Batch) -> Batch:
+    """Run the whole aggregation (scalar + collect specs) in one pass."""
+    from velox_tpu.exec.jitcache import cached_jit
+
+    cap = big.capacity
+    cols_in: Dict[str, tuple] = {}
+    maps_in: Dict[str, dict] = {}
+    for n in op._needed:
+        c = big.column(n)
+        if isinstance(c, MapColumn):
+            maps_in[n] = {
+                "starts": c.starts, "lengths": c.lengths,
+                "valid": c.valid, "kv": c.keys.values,
+                "kvd": c.keys.valid, "vv": c.values.values,
+                "vvd": c.values.valid,
+            }
+        else:
+            cols_in[n] = (c.values, c.valid)
+
+    def run(cols, maps, sel):
+        key_pairs = [cols[k] for k in op.keys]
+        gids, group_rows, group_sel, _ = group_ids_sorted(key_pairs, sel)
+        if not op.keys:
+            # global aggregation emits one row even on empty input
+            group_sel = jnp.zeros_like(group_sel).at[0].set(True)
+        out_keys = [
+            (jnp.take(v, group_rows, mode="clip"),
+             _valid_or_none(va, group_rows))
+            for (v, va) in key_pairs]
+
+        results: List[tuple] = []
+        for i, (spec, fn) in enumerate(zip(op.specs, op.fns)):
+            m = _spec_mask(op, i, cols, sel)
+            kind = fn.collect_kind
+            if kind is None:
+                results.append(_scalar_result(
+                    op, i, fn, spec, cols, gids, m, group_sel, cap))
+            elif kind == "array":
+                av, avd = cols[spec.arg]
+                perm, counts, starts = collect_runs(gids, m)
+                results.append((
+                    counts, starts,
+                    jnp.take(av, perm, mode="clip"),
+                    _valid_or_none(avd, perm),
+                    jnp.logical_and(group_sel, counts > 0)))
+            elif kind == "map":
+                kf, vf = spec.arg
+                kv, kvd = cols[kf]
+                vv, vvd = cols[vf]
+                mm = m if kvd is None else jnp.logical_and(m, kvd)
+                keep = dedupe_first(gids, encode_sort_key(kv, None), mm)
+                perm, counts, starts = collect_runs(gids, keep)
+                results.append((
+                    counts, starts,
+                    jnp.take(kv, perm, mode="clip"), None,
+                    jnp.take(vv, perm, mode="clip"),
+                    _valid_or_none(vvd, perm),
+                    jnp.logical_and(group_sel, counts > 0)))
+            elif kind == "map_union":
+                mi = maps[spec.arg]
+                ecap = mi["kv"].shape[0]
+                mrow = m if mi["valid"] is None else jnp.logical_and(
+                    m, mi["valid"])
+                owner, within = element_owners(
+                    mi["starts"], mi["lengths"], ecap)
+                egid = jnp.where(
+                    jnp.logical_and(
+                        within, jnp.take(mrow, owner, mode="clip")),
+                    jnp.take(gids, owner, mode="clip"), jnp.int32(ecap))
+                em = egid < ecap
+                keep = dedupe_first(
+                    egid, encode_sort_key(mi["kv"], None), em)
+                perm, counts, starts = collect_runs(egid, keep)
+                # counts/starts live at ecap length; group slots use the
+                # first cap entries (group ids < cap <= ecap is NOT
+                # guaranteed — slice/pad to cap)
+                results.append((
+                    _fit(counts, cap), _fit(starts, cap),
+                    jnp.take(mi["kv"], perm, mode="clip"),
+                    _valid_or_none(mi["kvd"], perm),
+                    jnp.take(mi["vv"], perm, mode="clip"),
+                    _valid_or_none(mi["vvd"], perm),
+                    jnp.logical_and(group_sel, _fit(counts, cap) > 0)))
+            elif kind == "percentile":
+                vf, qf = spec.arg
+                vv, vvd = cols[vf]
+                qv, _ = cols[qf]
+                mm = m if vvd is None else jnp.logical_and(m, vvd)
+                q = jnp.take(qv, jnp.argmax(mm), mode="clip")
+                vals, ok = percentile_values(
+                    gids, vv, encode_sort_key(vv, None), mm, q)
+                results.append(
+                    (vals, jnp.logical_and(group_sel, ok)))
+            else:
+                raise NotImplementedError(kind)
+        return out_keys, results, group_sel
+
+    jitted = cached_jit(("agg_collect", op.node.id, cap), lambda: run)
+    out_keys, results, group_sel = jitted(
+        cols_in, maps_in, big.sel)
+
+    out: Dict[str, Column] = {}
+    for k, (gv, gvd) in zip(op.keys, out_keys):
+        out[k] = Column(op.output_type.find_child(k), gv, gvd,
+                        op._key_dicts.get(k))
+    for name, spec, fn, res in zip(
+            op.agg_names, op.specs, op.fns, results):
+        t = op.output_type.find_child(name)
+        kind = fn.collect_kind
+        if kind is None or kind == "percentile":
+            vals, valid = res
+            out[name] = Column(t, vals, valid)
+        elif kind == "array":
+            counts, starts, ev, evd, gvalid = res
+            src = big.column(spec.arg)
+            out[name] = ArrayColumn(
+                t, starts, counts,
+                Column(t.element, ev, evd, src.dictionary), gvalid)
+        else:  # map / map_union
+            counts, starts, ekv, ekvd, evv, evvd, gvalid = res
+            if fn.collect_kind == "map_union":
+                src = big.column(spec.arg)
+                kdict, vdict = src.keys.dictionary, src.values.dictionary
+            else:
+                kf, vf = spec.arg
+                kdict = big.column(kf).dictionary
+                vdict = big.column(vf).dictionary
+            out[name] = MapColumn(
+                t, starts, counts,
+                Column(t.key, ekv, ekvd, kdict),
+                Column(t.value, evv, evvd, vdict), gvalid)
+    return Batch(out, group_sel)
+
+
+def _fit(a, cap: int):
+    """Slice or zero-pad a 1-D array to length cap."""
+    n = a.shape[0]
+    if n == cap:
+        return a
+    if n > cap:
+        return a[:cap]
+    return jnp.concatenate([a, jnp.zeros((cap - n,), a.dtype)])
+
+
+def _scalar_result(op, i, fn, spec, cols, gids, m, group_sel, cap):
+    """Ordinary scatter-ABI aggregate evaluated against the final gids."""
+    accs = tuple(
+        jnp.full((cap,) if lane.width == 1 else (cap, lane.width),
+                 lane.init_of(op.arg_types[i]),
+                 dtype=lane.dtype_of(op.arg_types[i]))
+        for lane in fn.lanes)
+    spec_arg = spec.arg
+    if spec_arg is None:
+        vals = None
+    elif isinstance(spec_arg, tuple):
+        vals = tuple(cols[a] for a in spec_arg)
+    else:
+        av, avd = cols[spec_arg]
+        if avd is not None:
+            m = jnp.logical_and(m, avd)
+        vals = av
+    if spec.distinct:
+        _, drows, dsel, _ = group_ids_sorted(
+            [(gids, None), (vals, None)], m)
+        rep = (jnp.zeros((cap,), jnp.bool_)
+               .at[jnp.where(dsel, drows, cap)]
+               .set(True, mode="drop"))
+        accs = fn.accumulate(accs, gids, vals, rep)
+    else:
+        accs = fn.accumulate(accs, gids, vals, m)
+    return fn.extract(accs, group_sel)

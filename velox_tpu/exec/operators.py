@@ -344,6 +344,17 @@ class HashAggregationOp(Operator):
                for s in self.specs):
             raise NotImplementedError(
                 "DISTINCT over multi-argument aggregates")
+        self._collect = [i for i, f in enumerate(self.fns)
+                         if f.collect_kind is not None]
+        if self._collect:
+            if self.step != AggStep.SINGLE:
+                raise NotImplementedError(
+                    "collect aggregates (array_agg, map_agg, map_union, "
+                    "approx_percentile) are single-step only")
+            if any(self.specs[i].distinct for i in self._collect):
+                raise NotImplementedError(
+                    "DISTINCT over collect aggregates")
+        self._raw_batches: List[Batch] = []
         # input value types per aggregate (None for count(*)); for FINAL
         # the first lane's type stands in for the raw input type (every
         # aggregate's lane-0 dtype equals its input-derived dtype)
@@ -438,6 +449,11 @@ class HashAggregationOp(Operator):
     def decide_mode_dicts(self, key_dicts) -> str:
         if self._mode is not None:
             return self._mode
+        if self._collect:
+            # collect aggregates buffer raw rows; one global grouping at
+            # finish (exec/collect_agg.py)
+            self._mode = "collect"
+            return self._mode
         if self.has_distinct:
             self._mode = "generic"
             return self._mode
@@ -471,6 +487,9 @@ class HashAggregationOp(Operator):
             d = batch.column(k).dictionary
             if d is not None:
                 self._key_dicts.setdefault(k, d)
+        if mode == "collect":
+            self._raw_batches.append(batch.project(self._needed))
+            return
         cols = _cols_of(batch, self._needed)
         if mode == "array":
             self._add_array(cols, batch.sel)
@@ -758,7 +777,20 @@ class HashAggregationOp(Operator):
             return None
         if self._mode == "array":
             return self._finish_array()
+        if self._mode == "collect":
+            return self._finish_collect()
         return self._finish_generic()
+
+    def _finish_collect(self) -> Batch:
+        from velox_tpu.exec.collect_agg import finish_collect
+        from velox_tpu.vector.batch import concat_batches
+
+        if not self._raw_batches:
+            return self._empty_result()
+        big = (concat_batches(self._raw_batches)
+               if len(self._raw_batches) > 1 else self._raw_batches[0])
+        self._raw_batches.clear()
+        return finish_collect(self, big)
 
     def _finish_array(self) -> Batch:
         st = self._array_state
@@ -931,9 +963,28 @@ class HashAggregationOp(Operator):
         return Batch(cols, group_sel)
 
     def _empty_result(self) -> Batch:
+        from velox_tpu.types.types import TypeKind as _TK
+        from velox_tpu.vector.column import ArrayColumn, MapColumn
+
         cap = round_capacity(1)
         if self.keys:
-            return Batch.empty_like(self.output_type, cap)
+            if not self._collect:
+                return Batch.empty_like(self.output_type, cap)
+            cols = {}
+            z32 = jnp.zeros((cap,), jnp.int32)
+            for name, t in zip(self.output_type.names,
+                               self.output_type.children):
+                if t.kind == _TK.ARRAY:
+                    cols[name] = ArrayColumn(
+                        t, z32, z32, Column(t.element, z32))
+                elif t.kind == _TK.MAP:
+                    cols[name] = MapColumn(
+                        t, z32, z32, Column(t.key, z32),
+                        Column(t.value, z32))
+                else:
+                    cols[name] = Column(
+                        t, jnp.zeros((cap,), dtype=t.dtype))
+            return Batch(cols, jnp.zeros((cap,), jnp.bool_), num_rows=0)
         # keyless: one row of identity aggregates
         sel = jnp.zeros((cap,), jnp.bool_).at[0].set(True)
         cols = {}
@@ -976,17 +1027,29 @@ class StreamingAggregationOp(HashAggregationOp):
         if self.has_distinct:
             raise NotImplementedError(
                 "distinct aggregates need the hash aggregation")
+        if self._collect:
+            raise NotImplementedError(
+                "collect aggregates need the hash aggregation")
         assert self.keys, "keyless aggregation has no streams to close"
         self._carry = None           # (keys, lanes-tuple-of-tuples) device
         self._carry_present = jnp.asarray(False)
         self._stream_jit = None
+        self._stream_sig = None
         self._queue: collections.deque = collections.deque()
 
     # ------------------------------------------------------------ compile
-    def _step_fn(self):
+    def _step_fn(self, dense: bool = False):
         keys = self.keys
         fns, specs = self.fns, self.specs
         is_final = self.step == AggStep.FINAL
+        # clustered fast path: every aggregate's lanes are associative
+        # segment reductions -> accumulate via segmented scans + ONE
+        # boundary gather, zero scatter-reduces (int64 scatters are ~7x
+        # int32 on this backend; see ops/groupby.segment_scan)
+        use_scan = all(
+            f.scannable or (is_final
+                            and all(l.scan_op for l in f.lanes))
+            for f in fns)
 
         def keys_eq(a_pair, b_pair):
             (av, avd), (bv, bvd) = a_pair, b_pair
@@ -1000,19 +1063,26 @@ class StreamingAggregationOp(HashAggregationOp):
                  carry_lanes):
             cap = sel.shape[0]
             n = jnp.sum(sel.astype(jnp.int32))
-            pk = jnp.nonzero(sel, size=cap, fill_value=cap)[0].astype(
-                jnp.int32)
             r = jnp.arange(cap, dtype=jnp.int32)
             packed = r < n
 
-            def pack(pair):
-                v, vd = pair
-                return (jnp.take(v, pk, mode="clip"),
-                        None if vd is None
-                        else jnp.take(vd, pk, mode="clip"))
+            if dense:
+                # selection already IS a dense prefix: the pack is the
+                # identity — no nonzero, no per-column gathers
+                kp = list(key_pairs)
+                pcols = dict(cols)
+            else:
+                pk = jnp.nonzero(sel, size=cap, fill_value=cap)[0].astype(
+                    jnp.int32)
 
-            kp = [pack(p) for p in key_pairs]
-            pcols = {name: pack(p) for name, p in cols.items()}
+                def pack(pair):
+                    v, vd = pair
+                    return (jnp.take(v, pk, mode="clip"),
+                            None if vd is None
+                            else jnp.take(vd, pk, mode="clip"))
+
+                kp = [pack(p) for p in key_pairs]
+                pcols = {name: pack(p) for name, p in cols.items()}
 
             # boundary = any key differs from the previous packed row
             same_prev = jnp.ones((cap,), jnp.bool_)
@@ -1044,30 +1114,84 @@ class StreamingAggregationOp(HashAggregationOp):
                 + jnp.logical_and(carry_present, ~has_rows).astype(
                     jnp.int32)
 
-            accs_all = self._init_accs(cap)
             inputs = self._agg_inputs(pcols, packed)
-            accs_out = []
-            for fn, accs, (vals, mask), cl in zip(
-                    fns, accs_all, inputs, carry_lanes):
-                if is_final:
-                    accs = fn.combine(tuple(accs), gids, vals, mask)
-                else:
-                    accs = fn.accumulate(tuple(accs), gids, vals, mask)
-                # merge the carried open group into slot 0
-                zero_g = jnp.zeros((cap,), jnp.int32)
-                cmask = (jnp.zeros((cap,), jnp.bool_)
-                         .at[0].set(carry_present))
-                cfull = tuple(
-                    jnp.zeros((cap,), l.dtype).at[0].set(l[0])
-                    for l in cl)
-                accs = fn.combine(tuple(accs), zero_g, cfull, cmask)
-                accs_out.append(accs)
 
             closed = jnp.logical_and(r < ng - 1, r >= 0)
             # group representative rows (first packed row of each group)
             group_rows = (jnp.full((cap,), cap, jnp.int32)
                           .at[jnp.where(head, gids, cap)]
                           .min(r, mode="drop"))
+
+            if use_scan:
+                # last packed row of group slot g: (first row of g+1) - 1;
+                # the final live slot ends at row n-1
+                nxt = jnp.take(group_rows, jnp.minimum(r + 1, cap - 1),
+                               mode="clip")
+                last_rows = jnp.where(r + 1 < ng, nxt - 1, n - 1)
+                lr = jnp.clip(last_rows, 0, cap - 1)
+                fr = jnp.clip(group_rows, 0, cap - 1)
+                # does slot 0 get any ROW contributions (vs carry only)?
+                rows0 = jnp.logical_and(has_rows, ~carry_alone)
+                accs_out = []
+                for fn, at, (vals, mask), cl in zip(
+                        fns, self.arg_types, inputs, carry_lanes):
+                    if is_final:
+                        contribs = tuple(
+                            jnp.where(mask, lv, jnp.asarray(
+                                lane.init_of(at), lv.dtype))
+                            for lane, lv in zip(fn.lanes, vals))
+                    else:
+                        contribs = fn.lane_contribs(vals, mask, at)
+                    accs = []
+                    for lane, c, cl_l in zip(fn.lanes, contribs, cl):
+                        dt = lane.dtype_of(at)
+                        c = c.astype(dt)
+                        ident = jnp.asarray(lane.init_of(at), dt)
+                        if (lane.scan_op == "add"
+                                and jnp.issubdtype(dt, jnp.integer)):
+                            # clustered segment sum = prefix difference:
+                            # cumsum compiles/runs fast in any width here
+                            # while int64 SCATTERS are ~7x int32 (axon);
+                            # associative_scan also compile-hangs on i64
+                            incl = jnp.cumsum(c)
+                            excl = incl - c
+                            acc_l = (jnp.take(incl, lr, mode="clip")
+                                     - jnp.take(excl, fr, mode="clip"))
+                        elif lane.scan_op == "add":
+                            acc_l = (jnp.zeros((cap,), dt)
+                                     .at[gids].add(c, mode="drop"))
+                        elif lane.scan_op == "min":
+                            acc_l = (jnp.full((cap,), ident, dt)
+                                     .at[gids].min(c, mode="drop"))
+                        else:
+                            acc_l = (jnp.full((cap,), ident, dt)
+                                     .at[gids].max(c, mode="drop"))
+                        comb = {"add": jnp.add, "min": jnp.minimum,
+                                "max": jnp.maximum}[lane.scan_op]
+                        a0 = jnp.where(rows0, acc_l[0], ident)
+                        m0 = jnp.where(
+                            carry_present,
+                            comb(cl_l[0].astype(dt), a0), a0)
+                        accs.append(acc_l.at[0].set(m0))
+                    accs_out.append(tuple(accs))
+            else:
+                accs_all = self._init_accs(cap)
+                accs_out = []
+                for fn, accs, (vals, mask), cl in zip(
+                        fns, accs_all, inputs, carry_lanes):
+                    if is_final:
+                        accs = fn.combine(tuple(accs), gids, vals, mask)
+                    else:
+                        accs = fn.accumulate(tuple(accs), gids, vals, mask)
+                    # merge the carried open group into slot 0
+                    zero_g = jnp.zeros((cap,), jnp.int32)
+                    cmask = (jnp.zeros((cap,), jnp.bool_)
+                             .at[0].set(carry_present))
+                    cfull = tuple(
+                        jnp.zeros((cap,), l.dtype).at[0].set(l[0])
+                        for l in cl)
+                    accs = fn.combine(tuple(accs), zero_g, cfull, cmask)
+                    accs_out.append(accs)
             out_keys = []
             for (v, vd), (cv, cvd) in zip(kp, carry_keys):
                 gv = jnp.take(v, group_rows, mode="clip")
@@ -1139,12 +1263,15 @@ class StreamingAggregationOp(HashAggregationOp):
             self._carry = self._init_carry(batch)
         cols = _cols_of(batch, self._needed)
         key_pairs = [cols[k] for k in self.keys]
-        sig = (batch.capacity,
+        dense = batch.is_prefix_dense()
+        sig = (batch.capacity, dense,
                tuple(sorted((n, p[1] is not None)
                             for n, p in cols.items())))
-        if self._stream_jit is None:
+        if self._stream_jit is None or self._stream_sig != sig:
             self._stream_jit = cached_jit(
-                ("stream_agg", self.node.id, sig), self._step_fn)
+                ("stream_agg", self.node.id, sig),
+                lambda: self._step_fn(dense))
+            self._stream_sig = sig
         ck, cl = self._carry
         (out_keys, results, closed, cp, ck2, cl2) = self._stream_jit(
             key_pairs, cols, batch.sel, self._carry_present, ck, cl)
@@ -1158,8 +1285,10 @@ class StreamingAggregationOp(HashAggregationOp):
             out[name] = Column(
                 self.output_type.find_child(name), vals, valid)
         # closed groups are few relative to the input capacity; compact so
-        # downstream sorts (TopN/OrderBy) never see the full-width batch
-        self._queue.append(Batch(out, closed).compact())
+        # downstream sorts (TopN/OrderBy) never see the full-width batch.
+        # Group slots are dense by construction -> prefix compact (slices,
+        # not nonzero + random gathers)
+        self._queue.append(Batch(out, closed).compact_prefix())
         self.stats.output_batches += 1
 
     def get_output(self) -> Optional[Batch]:

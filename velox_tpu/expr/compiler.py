@@ -54,6 +54,7 @@ class DictTransform(Expr):
     codes: Expr = None          # type: ignore[assignment]
     table: object = None        # np.ndarray: old code+1 -> new code
     dictionary: object = None   # vector.column.Dictionary of results
+    valid_table: object = None  # optional np bool: code+1 -> non-null
 
     @property
     def children(self):
@@ -113,6 +114,10 @@ def resolve_types(expr: Expr, schema: RowType) -> Expr:
             return Call(BIGINT, "strpos", args)
         if name in ("starts_with", "ends_with"):
             return Call(BOOLEAN, name, args)
+        if name in _DICT_VALUE_FNS:
+            return Call(_DICT_VALUE_FNS[name][0], name, args)
+        if name in ("date_format", "format_datetime"):
+            return Call(VARCHAR, name, args)
         if name in ("date_trunc", "date_add", "date_diff"):
             # unit-string forms specialize at resolve time
             # (velox/functions/prestosql/DateTimeFunctions.h)
@@ -595,22 +600,25 @@ def _bind_string_cast(cast: Cast, child: Expr,
     return Call(dst, "if", (parseable, value, Literal(dst, None)))
 
 
-def bind_strings(expr: Expr, dictionaries: Dict[str, "Dictionary"]) -> Expr:
+def bind_strings(expr: Expr, dictionaries: Dict[str, "Dictionary"],
+                 ranges: Optional[Dict[str, tuple]] = None) -> Expr:
     """Rewrite string predicates/functions into dictionary-code programs."""
     if isinstance(expr, (FieldRef, Literal, DictTransform)):
         return expr
     if isinstance(expr, Cast):
-        child = bind_strings(expr.expr, dictionaries)
+        child = bind_strings(expr.expr, dictionaries, ranges)
         if (child.dtype is not None and child.dtype.is_string
                 and not expr.dtype.is_string):
             return _bind_string_cast(expr, child, dictionaries)
         return Cast(expr.dtype, child, expr.null_on_failure)
     if isinstance(expr, TryExpr):
-        return TryExpr(expr.dtype, bind_strings(expr.expr, dictionaries))
+        return TryExpr(expr.dtype,
+                       bind_strings(expr.expr, dictionaries, ranges))
     if not isinstance(expr, Call):
         return expr
 
-    args = tuple(bind_strings(a, dictionaries) for a in expr.args)
+    args = tuple(bind_strings(a, dictionaries, ranges)
+                 for a in expr.args)
     name = expr.name
 
     if name == "substr":
@@ -619,6 +627,10 @@ def bind_strings(expr: Expr, dictionaries: Dict[str, "Dictionary"]) -> Expr:
         return _bind_string_fn(name, args, dictionaries)
     if name in _STRING_MULTI_FNS:
         return _bind_string_multi(name, args, dictionaries)
+    if name in _DICT_VALUE_FNS:
+        return _bind_dict_value(name, args, dictionaries)
+    if name in ("date_format", "format_datetime"):
+        return _bind_range_format(name, args, ranges or {})
 
     src = _dict_source(args, dictionaries)
     if src is not None:
@@ -707,6 +719,127 @@ def _bind_string_fn(name, args, dictionaries) -> Expr:
     for i, v in enumerate(out_vals):
         table[i + 1] = nd.code_of(v)
     return DictTransform(VARCHAR, codes_expr, table, nd)
+
+
+def _make_dict_value_fns():
+    """name -> (result type, host fn) for the dict-value function family
+    (regex/datetime-parse/JSON/URL/misc — velox/functions/lib/
+    Re2Functions.h, DateTimeFormatter/, prestosql/json/, URLFunctions.h).
+    Each runs once per distinct dictionary value; device sees a gather."""
+    from velox_tpu.types import DATE, TIMESTAMP
+    from velox_tpu.functions import hostfns as H
+
+    return {
+        "regexp_like": (BOOLEAN, H.regexp_like),
+        "regexp_extract": (VARCHAR, H.regexp_extract),
+        "regexp_replace": (VARCHAR, H.regexp_replace),
+        "regexp_count": (BIGINT, H.regexp_count),
+        "regexp_position": (BIGINT, H.regexp_position),
+        "parse_datetime": (TIMESTAMP, H.parse_datetime_micros),
+        "from_iso8601_date": (DATE, H.from_iso8601_date_days),
+        "from_iso8601_timestamp": (
+            TIMESTAMP, H.from_iso8601_timestamp_micros),
+        "json_extract_scalar": (VARCHAR, H.json_extract_scalar),
+        "json_extract": (VARCHAR, H.json_extract),
+        "json_array_length": (BIGINT, H.json_array_length),
+        "json_size": (BIGINT, H.json_size),
+        "is_json_scalar": (BOOLEAN, H.is_json_scalar),
+        "url_extract_host": (VARCHAR, H.url_extract_host),
+        "url_extract_protocol": (VARCHAR, H.url_extract_protocol),
+        "url_extract_path": (VARCHAR, H.url_extract_path),
+        "url_extract_query": (VARCHAR, H.url_extract_query),
+        "url_extract_fragment": (VARCHAR, H.url_extract_fragment),
+        "url_extract_port": (BIGINT, H.url_extract_port),
+        "url_extract_parameter": (VARCHAR, H.url_extract_parameter),
+        "levenshtein_distance": (BIGINT, H.levenshtein_distance),
+        "hamming_distance": (BIGINT, H.hamming_distance),
+        "md5": (VARCHAR, H.md5_hex),
+        "sha256": (VARCHAR, H.sha256_hex),
+        "crc32": (BIGINT, H.crc32_int),
+        "codepoint": (BIGINT, H.codepoint_int),
+        "normalize": (VARCHAR, H.normalize_nfc),
+        "word_stem": (VARCHAR, H.word_stem_en),
+    }
+
+
+_DICT_VALUE_FNS = _make_dict_value_fns()
+
+
+def _bind_dict_value(name, args, dictionaries) -> Expr:
+    """Generic host-per-dictionary-value binder: result is a typed table
+    gather with exact null propagation (valid_table)."""
+    from velox_tpu.vector.column import Dictionary
+
+    dst, fn = _DICT_VALUE_FNS[name]
+    src = _dict_source((args[0],), dictionaries)
+    assert src is not None, f"{name} requires a dictionary-encoded input"
+    codes_expr, d = src
+    extras = []
+    for a in args[1:]:
+        assert isinstance(a, Literal), (
+            f"{name} extra arguments must be literals")
+        extras.append(a.value)
+    out_vals = [fn(str(v), *extras) for v in d.values]
+
+    if dst.is_string:
+        nd = Dictionary(sorted({v for v in out_vals if v is not None}))
+        table = np.full(len(d.values) + 1, -1, dtype=np.int32)
+        ok = np.zeros(len(d.values) + 1, dtype=np.bool_)
+        for i, v in enumerate(out_vals):
+            if v is not None:
+                table[i + 1] = nd.code_of(v)
+                ok[i + 1] = True
+        vt = None if ok[1:].all() else ok
+        return DictTransform(dst, codes_expr, table, nd, vt)
+    lane = np.dtype(dst.dtype)
+    table = np.zeros(len(d.values) + 1, dtype=lane)
+    ok = np.zeros(len(d.values) + 1, dtype=np.bool_)
+    for i, v in enumerate(out_vals):
+        if v is not None:
+            table[i + 1] = v
+            ok[i + 1] = True
+    vt = None if ok[1:].all() else ok
+    return DictTransform(dst, codes_expr, table, None, vt)
+
+
+#: widest enumerable integer range for value-formatting tables; DATE
+#: columns stay far below this (a century is ~36.5k days)
+_MAX_FORMAT_SPAN = 1 << 17
+
+
+def _bind_range_format(name, args, ranges) -> Expr:
+    """date_format/format_datetime over an integer DATE lane: enumerate
+    the column's (min, max) stats range once on host, emit a table
+    gather — the kArray trick applied to formatting. TIMESTAMP lanes
+    (microseconds — unbounded span) are out of scope for the table
+    path."""
+    from velox_tpu.functions import hostfns as H
+    from velox_tpu.vector.column import Dictionary
+
+    arg0 = args[0]
+    assert isinstance(args[1], Literal), f"{name} format must be literal"
+    fmt = args[1].value
+    if not isinstance(arg0, FieldRef) or arg0.name not in ranges:
+        raise NotImplementedError(
+            f"{name} needs column min/max stats to enumerate the value "
+            "range (table-global stats attach at ingest)")
+    if arg0.dtype.kind != TypeKind.DATE:
+        raise NotImplementedError(
+            f"{name} supports DATE lanes (timestamp spans are not "
+            "enumerable); date_trunc first")
+    lo, hi = ranges[arg0.name]
+    span = int(hi) - int(lo) + 1
+    assert span <= _MAX_FORMAT_SPAN, f"{name}: range too wide ({span})"
+    fday = (H.date_format_days if name == "date_format"
+            else H.format_datetime_days)
+    out_vals = [fday(int(lo) + i, fmt) for i in range(span)]
+    nd = Dictionary(sorted(set(out_vals)))
+    table = np.full(span + 1, -1, dtype=np.int32)
+    for i, v in enumerate(out_vals):
+        table[i + 1] = nd.code_of(v)
+    codes = Call(INTEGER, "minus", (
+        Cast(INTEGER, arg0, False), Literal(INTEGER, int(lo))))
+    return DictTransform(VARCHAR, codes, table, nd)
 
 
 #: multi-argument string functions (extra args must be literals),
@@ -942,7 +1075,12 @@ def _eval_node_inner(expr, arrays, memo) -> ValuePair:
         table = jnp.asarray(expr.table)
         idx = jnp.clip(
             codes.astype(jnp.int32), -1, table.shape[0] - 2) + 1
-        return jnp.take(table, idx, mode="clip"), valid
+        out = jnp.take(table, idx, mode="clip")
+        if expr.valid_table is not None:
+            okv = jnp.take(jnp.asarray(expr.valid_table), idx,
+                           mode="clip")
+            valid = okv if valid is None else jnp.logical_and(valid, okv)
+        return out, valid
 
     if isinstance(expr, Literal):
         if expr.value is None:
@@ -1056,7 +1194,8 @@ class ExprSet:
         resolved = [resolve_types(e, schema) for e in exprs]
         resolved = [bind_array_funcs(e, self.dictionaries)
                     for e in resolved]
-        bound = [bind_strings(e, self.dictionaries) for e in resolved]
+        bound = [bind_strings(e, self.dictionaries, self.ranges)
+                 for e in resolved]
         self.exprs = [widen_decimal_arith(e, self.ranges) for e in bound]
         self.result_types = [e.dtype for e in self.exprs]
         #: dictionary of each result column (string passthroughs/transforms)

@@ -17,6 +17,7 @@ from velox_tpu.functions.aggregates import (
     AggregateFunction, aggregate_registry, lookup_aggregate,
 )
 import velox_tpu.functions.aggregates_multi  # noqa: F401  (registers)
+import velox_tpu.functions.aggregates_collect  # noqa: F401  (registers)
 
 __all__ = [
     "ScalarFunction", "registry", "register_function", "lookup_function",

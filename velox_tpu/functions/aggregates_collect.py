@@ -1,0 +1,138 @@
+"""Collect-style aggregates: array_agg, map_agg, map_union, percentiles.
+
+Third tranche of the prestosql aggregate package (VERDICT r1 item 5):
+array_agg (velox/functions/prestosql/aggregates/ArrayAggAggregate.cpp),
+map_agg (MapAggAggregate.cpp), map_union (MapUnionAggregate.cpp),
+approx_percentile (ApproxPercentileAggregate.cpp).
+
+TPU-first design: these aggregates need every input value at finish —
+an ARRAY result *is* the input, regrouped. The sort-is-the-hash-table
+engine already produces exactly that arrangement: one global sort by
+group id makes every group's values a contiguous run, so the collect
+"accumulator" is the sorted value lane itself plus per-group
+(start, length) offsets — precisely the ArrayColumn/MapColumn layout.
+There is no per-group dynamic buffer (velox's ValueList) at all; the
+HashAggregationOp collect mode (exec/operators.py) buffers raw rows and
+runs the kernels here once at finish.
+
+approx_percentile is computed EXACTLY from the same sorted runs (a
+strict accuracy upgrade over the reference's KLL sketch — the sort the
+sketch exists to avoid is this engine's native operation).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from velox_tpu.types import DataType
+from velox_tpu.types.types import ArrayType, MapType, TypeKind, array, map_
+from velox_tpu.functions.aggregates import (
+    AggregateFunction, register_aggregate,
+)
+
+
+def _no_lanes(t):
+    return ()
+
+
+def _register_collect(name: str, kind: str, resolve_type) -> None:
+    register_aggregate(AggregateFunction(
+        name=name,
+        resolve_type=resolve_type,
+        lanes=(),
+        accumulate=None,
+        combine=None,
+        extract=None,
+        lane_types=_no_lanes,
+        collect_kind=kind,
+    ))
+
+
+_register_collect("array_agg", "array", lambda t: array(t))
+_register_collect("map_agg", "map", lambda t: map_(t[0], t[1]))
+_register_collect("map_union", "map_union", lambda t: t)
+# approx_percentile(v, q): scalar result of the value type
+_register_collect("approx_percentile", "percentile", lambda t: t[0])
+
+
+# ---------------------------------------------------------------- kernels
+# All kernels run inside the collect-mode finish jit. Inputs are at the
+# concatenated capacity ``cap``; ``gids`` are the FINAL group ids from the
+# one global grouping (sentinel = cap for inactive rows); ``num_groups``
+# bounds the live group slots.
+
+def collect_runs(gids: jax.Array, mask: jax.Array, order_ops=None):
+    """Sort contributing rows into group-contiguous runs.
+
+    Returns ``(perm, counts, starts)``: ``perm`` gathers input rows into
+    (group-major, then ``order_ops``-ordered) element order; ``counts``/
+    ``starts`` are per-group-slot element extents — the ArrayColumn
+    offsets (velox ArrayVector offsets/sizes, built here by one sort
+    instead of per-group ValueList appends).
+    """
+    cap = gids.shape[0]
+    g2 = jnp.where(mask, gids, jnp.int32(cap))
+    perm = jnp.arange(cap, dtype=jnp.int32)
+    ops = [g2] + list(order_ops or []) + [perm]
+    sorted_ops = jax.lax.sort(ops, is_stable=True, num_keys=len(ops) - 1)
+    perm_sorted = sorted_ops[-1]
+    counts = (jnp.zeros((cap,), jnp.int32)
+              .at[g2].add(1, mode="drop"))
+    starts = (jnp.cumsum(counts) - counts).astype(jnp.int32)
+    return perm_sorted, counts, starts
+
+
+def dedupe_first(gids: jax.Array, key_ops, mask: jax.Array) -> jax.Array:
+    """Keep-first mask over (gid, key) duplicates.
+
+    ``key_ops``: sortable int operand list for the dedupe key (from
+    ops/sortkey.encode_sort_key). The winner among duplicates is the
+    lowest original row index — deterministic "arbitrary input map"
+    semantics for map_agg/map_union duplicate keys.
+    """
+    cap = gids.shape[0]
+    g2 = jnp.where(mask, gids, jnp.int32(cap))
+    perm = jnp.arange(cap, dtype=jnp.int32)
+    ops = [g2] + list(key_ops) + [perm]
+    sorted_ops = jax.lax.sort(ops, is_stable=True, num_keys=len(ops))
+    sg = sorted_ops[0]
+    sperm = sorted_ops[-1]
+    # a row opens a new (gid, key) run iff any sort operand differs from
+    # the previous sorted row
+    diff = jnp.zeros((cap,), jnp.bool_).at[0].set(True)
+    for k in sorted_ops[:-1]:
+        diff = jnp.logical_or(diff, jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_), k[1:] != k[:-1]]))
+    keep_sorted = jnp.logical_and(diff, sg < cap)
+    keep = (jnp.zeros((cap,), jnp.bool_)
+            .at[sperm].set(keep_sorted, mode="drop"))
+    return jnp.logical_and(keep, mask)
+
+
+def percentile_values(
+    gids: jax.Array,
+    values: jax.Array,
+    value_ops,
+    mask: jax.Array,
+    q: jax.Array,
+) -> tuple:
+    """Exact per-group percentile: sort (gid, value), index each group's
+    run at ``floor(q * (n-1))`` (Presto's lower-interpolation convention,
+    velox/functions/prestosql/aggregates/ApproxPercentileAggregate.cpp
+    result contract). Returns per-group-slot (values, valid)."""
+    cap = gids.shape[0]
+    perm_sorted, counts, starts = collect_runs(gids, mask, value_ops)
+    svals = jnp.take(values, perm_sorted, mode="clip")
+    # element index per group slot
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    n = counts
+    qpos = jnp.floor(
+        q.astype(jnp.float32) * jnp.maximum(n - 1, 0).astype(jnp.float32)
+    ).astype(jnp.int32)
+    pos = jnp.clip(starts + qpos, 0, cap - 1)
+    out = jnp.take(svals, pos, mode="clip")
+    return out, n > 0

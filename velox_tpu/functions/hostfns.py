@@ -1,0 +1,408 @@
+"""Host-evaluated value functions: regex, datetime formatting, JSON, URL.
+
+The per-distinct-value halves of the bind-time dictionary-transform
+design (expr/compiler.py bind_strings): each function runs ONCE per
+distinct dictionary value (or per value of a bounded integer range) on
+the host; the device sees a single int32 gather. This is where the
+reference's Re2Functions (velox/functions/lib/Re2Functions.h),
+DateTimeFormatter (velox/functions/lib/DateTimeFormatter/),
+SIMDJsonFunctions (velox/functions/prestosql/json/) and URLFunctions
+(velox/functions/prestosql/URLFunctions.h) land in the TPU design —
+string compute is a host-side table build, never a device loop.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import re
+from typing import Optional
+from urllib.parse import urlparse
+
+
+# ------------------------------------------------------------------ regex
+
+def _java_regex(pattern: str) -> str:
+    """Presto uses Java (RE2-compatible) regex syntax; Python's ``re`` is
+    close enough for the supported subset. Translate the common
+    divergences."""
+    return pattern
+
+
+def regexp_like(s: str, pattern: str) -> bool:
+    return re.search(_java_regex(pattern), s) is not None
+
+
+def regexp_extract(s: str, pattern: str, group: int = 0) -> Optional[str]:
+    m = re.search(_java_regex(pattern), s)
+    if m is None:
+        return None
+    try:
+        return m.group(group)
+    except IndexError:
+        return None
+
+
+def regexp_replace(s: str, pattern: str, repl: str = "") -> str:
+    # Presto replacement groups are $1/$g; re wants \1/\g
+    py_repl = re.sub(r"\$(\d+)", r"\\\1", repl)
+    return re.sub(_java_regex(pattern), py_repl, s)
+
+
+def regexp_count(s: str, pattern: str) -> int:
+    return len(re.findall(_java_regex(pattern), s))
+
+
+def regexp_position(s: str, pattern: str) -> int:
+    m = re.search(_java_regex(pattern), s)
+    return (m.start() + 1) if m else -1
+
+
+# --------------------------------------------------------------- datetime
+
+#: MySQL date_format specifiers (velox/functions/lib/DateTimeFormatter/
+#: DateTimeFormatterBuilder.h buildMysqlDateTimeFormatter)
+_MYSQL_MAP = {
+    "%Y": "%Y", "%y": "%y", "%m": "%m", "%c": "%-m", "%d": "%d",
+    "%e": "%-d", "%H": "%H", "%k": "%-H", "%i": "%M", "%s": "%S",
+    "%S": "%S", "%f": "%f", "%p": "%p", "%W": "%A", "%a": "%a",
+    "%M": "%B", "%b": "%b", "%j": "%j", "%T": "%H:%M:%S", "%%": "%%",
+}
+
+#: Joda-style tokens for format_datetime/parse_datetime
+#: (velox/functions/lib/DateTimeFormatter buildJodaDateTimeFormatter)
+_JODA_TOKENS = [
+    ("yyyy", "%Y"), ("yyy", "%Y"), ("yy", "%y"), ("MM", "%m"),
+    ("M", "%-m"), ("dd", "%d"), ("d", "%-d"), ("HH", "%H"), ("H", "%-H"),
+    ("mm", "%M"), ("m", "%-M"), ("ss", "%S"), ("s", "%-S"),
+    ("SSS", "%f"), ("EEEE", "%A"), ("EEE", "%a"), ("MMMM", "%B"),
+    ("MMM", "%b"), ("a", "%p"), ("DDD", "%j"),
+]
+
+
+def _mysql_to_strftime(fmt: str) -> str:
+    out = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            tok = fmt[i:i + 2]
+            out.append(_MYSQL_MAP.get(tok, tok[1]))
+            i += 2
+        else:
+            out.append(fmt[i])
+            i += 1
+    return "".join(out)
+
+
+def _joda_to_strftime(fmt: str) -> str:
+    out = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "'":  # joda literal quoting
+            j = fmt.find("'", i + 1)
+            if j == i + 1:
+                out.append("'")
+                i += 2
+                continue
+            out.append(fmt[i + 1: j if j > 0 else len(fmt)])
+            i = (j + 1) if j > 0 else len(fmt)
+            continue
+        for tok, py in _JODA_TOKENS:
+            if fmt.startswith(tok, i):
+                out.append(py)
+                i += len(tok)
+                break
+        else:
+            out.append(fmt[i])
+            i += 1
+    return "".join(out)
+
+
+_EPOCH = _dt.datetime(1970, 1, 1)
+
+
+def _from_days(days: int) -> _dt.datetime:
+    return _EPOCH + _dt.timedelta(days=int(days))
+
+
+def _from_micros(us: int) -> _dt.datetime:
+    return _EPOCH + _dt.timedelta(microseconds=int(us))
+
+
+def date_format_days(days: int, fmt: str) -> str:
+    """date_format over a DATE lane (days since epoch)."""
+    return _strftime(_from_days(days), _mysql_to_strftime(fmt))
+
+
+def date_format_micros(us: int, fmt: str) -> str:
+    return _strftime(_from_micros(us), _mysql_to_strftime(fmt))
+
+
+def format_datetime_days(days: int, fmt: str) -> str:
+    return _strftime(_from_days(days), _joda_to_strftime(fmt))
+
+
+def format_datetime_micros(us: int, fmt: str) -> str:
+    return _strftime(_from_micros(us), _joda_to_strftime(fmt))
+
+
+def _strftime(dt: _dt.datetime, pyfmt: str) -> str:
+    # %-m style (no zero pad) is glibc-only; emulate portably
+    out = []
+    i = 0
+    while i < len(pyfmt):
+        if pyfmt.startswith("%-", i) and i + 2 < len(pyfmt) + 1:
+            c = pyfmt[i + 2]
+            out.append(str(int(dt.strftime("%" + c))))
+            i += 3
+        else:
+            if pyfmt[i] == "%" and i + 1 < len(pyfmt):
+                out.append(dt.strftime(pyfmt[i:i + 2]))
+                i += 2
+            else:
+                out.append(pyfmt[i])
+                i += 1
+    return "".join(out)
+
+
+def parse_datetime_micros(s: str, fmt: str) -> Optional[int]:
+    """parse_datetime(varchar, joda fmt) -> microseconds since epoch."""
+    pyfmt = _joda_to_strftime(fmt).replace("%-", "%")
+    try:
+        dt = _dt.datetime.strptime(s, pyfmt)
+    except ValueError:
+        return None
+    return int((dt - _EPOCH).total_seconds() * 1_000_000)
+
+
+def from_iso8601_date_days(s: str) -> Optional[int]:
+    try:
+        return (_dt.date.fromisoformat(s.strip())
+                - _dt.date(1970, 1, 1)).days
+    except ValueError:
+        return None
+
+
+def from_iso8601_timestamp_micros(s: str) -> Optional[int]:
+    try:
+        dt = _dt.datetime.fromisoformat(s.strip().replace("Z", "+00:00"))
+    except ValueError:
+        return None
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return int((dt - _EPOCH).total_seconds() * 1_000_000)
+
+
+# ------------------------------------------------------------------- JSON
+
+def _json_path_get(doc, path: str):
+    """Minimal JSONPath: $.a.b[0].c / $["a b"] (velox SIMDJsonFunctions
+    jsonExtract supported subset)."""
+    if not path.startswith("$"):
+        return None
+    i = 1
+    cur = doc
+    while i < len(path) and cur is not None:
+        if path[i] == ".":
+            j = i + 1
+            while j < len(path) and path[j] not in ".[":
+                j += 1
+            key = path[i + 1: j]
+            cur = cur.get(key) if isinstance(cur, dict) else None
+            i = j
+        elif path[i] == "[":
+            j = path.find("]", i)
+            if j < 0:
+                return None
+            token = path[i + 1: j].strip()
+            if token[:1] in ("'", '"'):
+                key = token[1:-1]
+                cur = cur.get(key) if isinstance(cur, dict) else None
+            else:
+                try:
+                    idx = int(token)
+                except ValueError:
+                    return None
+                cur = (cur[idx] if isinstance(cur, list)
+                       and -len(cur) <= idx < len(cur) else None)
+            i = j + 1
+        else:
+            return None
+    return cur
+
+
+def json_extract_scalar(j: str, path: str) -> Optional[str]:
+    try:
+        doc = json.loads(j)
+    except (ValueError, TypeError):
+        return None
+    v = _json_path_get(doc, path)
+    if v is None or isinstance(v, (dict, list)):
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float) and v == int(v):
+        return str(v)
+    return str(v)
+
+
+def json_extract(j: str, path: str) -> Optional[str]:
+    try:
+        doc = json.loads(j)
+    except (ValueError, TypeError):
+        return None
+    v = _json_path_get(doc, path)
+    if v is None:
+        return None
+    return json.dumps(v, separators=(",", ":"))
+
+
+def json_array_length(j: str) -> Optional[int]:
+    try:
+        doc = json.loads(j)
+    except (ValueError, TypeError):
+        return None
+    return len(doc) if isinstance(doc, list) else None
+
+
+def json_size(j: str, path: str) -> Optional[int]:
+    try:
+        doc = json.loads(j)
+    except (ValueError, TypeError):
+        return None
+    v = _json_path_get(doc, path)
+    if isinstance(v, (dict, list)):
+        return len(v)
+    return 0 if v is not None else None
+
+
+def is_json_scalar(j: str) -> Optional[bool]:
+    try:
+        doc = json.loads(j)
+    except (ValueError, TypeError):
+        return None
+    return not isinstance(doc, (dict, list))
+
+
+# -------------------------------------------------------------------- URL
+
+def _parse_url(u: str):
+    """None for strings Java's URI would reject (no scheme or spaces) —
+    presto URL functions return NULL on invalid URLs."""
+    if " " in u:
+        return None
+    p = urlparse(u)
+    if not p.scheme:
+        return None
+    return p
+
+
+def url_extract_host(u: str) -> Optional[str]:
+    p = _parse_url(u)
+    return (p.hostname or None) if p else None
+
+
+def url_extract_protocol(u: str) -> Optional[str]:
+    p = _parse_url(u)
+    return (p.scheme or None) if p else None
+
+
+def url_extract_path(u: str) -> Optional[str]:
+    p = _parse_url(u)
+    return (p.path or None) if p else None
+
+
+def url_extract_query(u: str) -> Optional[str]:
+    p = _parse_url(u)
+    return (p.query or None) if p else None
+
+
+def url_extract_fragment(u: str) -> Optional[str]:
+    p = _parse_url(u)
+    return (p.fragment or None) if p else None
+
+
+def url_extract_port(u: str) -> Optional[int]:
+    p = _parse_url(u)
+    if p is None:
+        return None
+    try:
+        return p.port
+    except ValueError:
+        return None
+
+
+def url_extract_parameter(u: str, name: str) -> Optional[str]:
+    from urllib.parse import parse_qs
+
+    p = _parse_url(u)
+    if p is None:
+        return None
+    q = parse_qs(p.query, keep_blank_values=True)
+    vals = q.get(name)
+    return vals[0] if vals else None
+
+
+# ------------------------------------------------------------- misc string
+
+def levenshtein_distance(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def hamming_distance(a: str, b: str) -> Optional[int]:
+    if len(a) != len(b):
+        return None  # presto raises; null under TRY semantics
+    return sum(x != y for x, y in zip(a, b))
+
+
+def to_hex_str(s: str) -> str:
+    return s.encode("utf-8").hex().upper()
+
+
+def md5_hex(s: str) -> str:
+    import hashlib
+
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+def sha256_hex(s: str) -> str:
+    import hashlib
+
+    return hashlib.sha256(s.encode("utf-8")).hexdigest()
+
+
+def crc32_int(s: str) -> int:
+    import zlib
+
+    return zlib.crc32(s.encode("utf-8"))
+
+
+def codepoint_int(s: str) -> Optional[int]:
+    return ord(s[0]) if s else None
+
+
+def normalize_nfc(s: str) -> str:
+    import unicodedata
+
+    return unicodedata.normalize("NFC", s)
+
+
+def word_stem_en(s: str) -> str:
+    """Tiny Porter-lite stemmer (suffix stripping) — the common cases of
+    velox's word_stem without an external stemmer library."""
+    for suf in ("ingly", "edly", "ing", "ed", "ies", "es", "s", "ly"):
+        if s.endswith(suf) and len(s) - len(suf) >= 3:
+            base = s[: -len(suf)]
+            if suf == "ies":
+                return base + "y"
+            return base
+    return s

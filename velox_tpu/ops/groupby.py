@@ -125,3 +125,33 @@ def group_ids_array(
     in_range = jnp.logical_and(gid >= 0, gid < num_groups)
     ok = jnp.logical_and(sel, in_range)
     return jnp.where(ok, gid, jnp.int32(num_groups))
+
+
+_SCAN_OPS = {
+    "add": jnp.add,
+    "min": jnp.minimum,
+    "max": jnp.maximum,
+}
+
+
+def segment_scan(values: jax.Array, head: jax.Array,
+                 op: str) -> jax.Array:
+    """Inclusive segmented scan over group-contiguous rows.
+
+    ``head[i]`` marks the first row of each segment; the value at each
+    segment's LAST row is the segment's full reduction. The clustered
+    replacement for scatter-reduce accumulation (velox
+    StreamingAggregation.cpp assignGroups + Aggregate::addRawInput): one
+    ``associative_scan`` instead of a scatter — on the axon TPU backend
+    an int64 scatter-add at 8M rows costs ~800ms while this scan costs
+    ~35ms (tools/ubench measurements, round 2).
+    """
+    f = _SCAN_OPS[op]
+
+    def comb(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, f(av, bv)), jnp.logical_or(af, bf)
+
+    sv, _ = jax.lax.associative_scan(comb, (values, head))
+    return sv

@@ -57,6 +57,11 @@ def run_plan_distributed(plan, mesh=None, axis: str = "d"):
         pipelines, out_ops, mesh, n_dev, axis)
     if joined is not None:
         return joined
+    from velox_tpu.parallel.pipeline import try_distributed_pipeline
+
+    res = try_distributed_pipeline(pipelines, out_ops, mesh, n_dev, axis)
+    if res is not None:
+        return res
     if not (len(out_ops) == 1 and isinstance(out_ops[0], FusedScanAggOp)
             and len(pipelines) == 1):
         # expansion joins / non-fusable shapes: serial fallback

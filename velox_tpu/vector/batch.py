@@ -18,6 +18,7 @@ device buffers (copy-on-write comes free from functional JAX).
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Dict, Iterable, List, Optional, Sequence
 
 import jax
@@ -26,7 +27,9 @@ import numpy as np
 
 from velox_tpu.types import DataType
 from velox_tpu.types.types import RowType, TypeKind, row_type
-from velox_tpu.vector.column import Column, make_column
+from velox_tpu.vector.column import (
+    ArrayColumn, Column, MapColumn, make_column,
+)
 
 #: pad batch capacities to a multiple of the TPU lane count
 LANE = 128
@@ -44,7 +47,7 @@ def round_capacity(n: int) -> int:
 
 
 class Batch:
-    __slots__ = ("columns", "sel", "num_rows")
+    __slots__ = ("columns", "sel", "num_rows", "_prefix_dense")
 
     def __init__(
         self,
@@ -55,6 +58,7 @@ class Batch:
         self.columns = dict(columns)
         self.sel = sel
         self.num_rows = num_rows
+        self._prefix_dense: Optional[bool] = None
         cap = sel.shape[0]
         for name, col in self.columns.items():
             assert col.capacity == cap, (
@@ -141,6 +145,42 @@ class Batch:
     def selected_count(self) -> int:
         """Host sync: number of active rows."""
         return int(jnp.sum(self.sel))
+
+    def is_prefix_dense(self) -> bool:
+        """Are the selected rows exactly [0, num_rows)? One host sync,
+        cached. Lets kernels skip the pack (nonzero + gather-per-column)
+        step entirely — scan splits are always prefix-dense."""
+        if self.num_rows is None:
+            return False
+        if self._prefix_dense is None:
+            want = jnp.arange(self.capacity, dtype=jnp.int32) < self.num_rows
+            self._prefix_dense = not bool(jnp.any(self.sel != want))
+        return self._prefix_dense
+
+    def compact_prefix(self, count: Optional[int] = None) -> "Batch":
+        """compact() for a batch whose selection is a dense prefix:
+        slices every column (sequential copy) instead of nonzero +
+        random gathers — ~10x cheaper at multi-million-row capacities."""
+        if count is None:
+            count = self.selected_count()
+        cap2 = round_capacity(max(count, 1))
+        if cap2 >= self.capacity:
+            return self
+        from velox_tpu.vector.column import ArrayColumn, MapColumn
+
+        cols = {}
+        for n, c in self.columns.items():
+            if isinstance(c, (ArrayColumn, MapColumn)):
+                cols[n] = dataclasses.replace(
+                    c, starts=c.starts[:cap2], lengths=c.lengths[:cap2],
+                    valid=None if c.valid is None else c.valid[:cap2])
+            else:
+                cols[n] = Column(
+                    c.dtype, c.values[:cap2],
+                    None if c.valid is None else c.valid[:cap2],
+                    c.dictionary, c.stats)
+        sel2 = jnp.arange(cap2, dtype=jnp.int32) < count
+        return Batch(cols, sel2, count)
 
     def compact(self, count: Optional[int] = None) -> "Batch":
         """Gather active rows to the front of a right-sized batch.
@@ -253,6 +293,9 @@ def concat_batches(
     cols = {}
     for n in names:
         parts = [b.columns[n] for b in batches]
+        if isinstance(parts[0], (ArrayColumn, MapColumn)):
+            cols[n] = _concat_offset_columns(parts, pad)
+            continue
         dicts = [p.dictionary for p in parts if p.dictionary is not None]
         d = dicts[0] if dicts else None
         for other in dicts[1:]:
@@ -277,3 +320,48 @@ def concat_batches(
     if all(b.num_rows is not None for b in batches):
         nr = sum(b.num_rows for b in batches)
     return Batch(cols, sel, num_rows=nr)
+
+
+def _concat_flat(parts: List[Column]) -> tuple:
+    """Concat flat element Columns; returns (column, per-part offsets)."""
+    offs, off = [], 0
+    for p in parts:
+        offs.append(off)
+        off += p.capacity
+    dicts = [p.dictionary for p in parts if p.dictionary is not None]
+    d = dicts[0] if dicts else None
+    for other in dicts[1:]:
+        assert other is d, "differing element dictionaries across batches"
+    vals = jnp.concatenate([p.values for p in parts])
+    valid = (jnp.concatenate([p.validity() for p in parts])
+             if any(p.valid is not None for p in parts) else None)
+    return Column(parts[0].dtype, vals, valid, d), offs
+
+
+def _concat_offset_columns(parts, pad: int):
+    """Concatenate ArrayColumn/MapColumn parts: row-level offsets shift by
+    the cumulative flat-element capacity of preceding parts; flat element
+    lanes concatenate once (shared, never copied per row)."""
+    from velox_tpu.vector.column import ArrayColumn, MapColumn
+
+    is_map = isinstance(parts[0], MapColumn)
+    starts = jnp.concatenate(
+        [p.starts + off for p, off in
+         zip(parts, _concat_flat(
+             [p.keys if is_map else p.elements for p in parts])[1])]
+        + ([jnp.zeros(pad, jnp.int32)] if pad else []))
+    lengths = jnp.concatenate(
+        [p.lengths for p in parts]
+        + ([jnp.zeros(pad, jnp.int32)] if pad else []))
+    valid = None
+    if any(p.valid is not None for p in parts):
+        valid = jnp.concatenate(
+            [p.validity() for p in parts]
+            + ([jnp.zeros(pad, jnp.bool_)] if pad else []))
+    if is_map:
+        keys, _ = _concat_flat([p.keys for p in parts])
+        values, _ = _concat_flat([p.values for p in parts])
+        return MapColumn(parts[0].dtype, starts, lengths, keys, values,
+                         valid)
+    elements, _ = _concat_flat([p.elements for p in parts])
+    return ArrayColumn(parts[0].dtype, starts, lengths, elements, valid)
