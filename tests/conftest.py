@@ -24,3 +24,20 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", _platform)
 jax.config.update("jax_enable_x64", True)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "nightly: long-running fuzzer sweeps (run with -m nightly)")
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+
+    if config.getoption("-m"):
+        return
+    skip = _pytest.mark.skip(reason="nightly fuzz: run with -m nightly")
+    for item in items:
+        if "nightly" in item.keywords:
+            item.add_marker(skip)

@@ -1,5 +1,7 @@
 """Differential fuzzing (velox scheduled fuzzer CI analog, short budget)."""
 
+import pytest
+
 from velox_tpu.fuzzer import VectorFuzzer, run_expression_fuzz
 
 
@@ -20,3 +22,42 @@ def test_plan_fuzz():
     from velox_tpu.fuzzer.plan_fuzzer import run_plan_fuzz
 
     run_plan_fuzz(iterations=25, seed=7)
+
+
+def test_join_fuzz():
+    from velox_tpu.fuzzer.join_fuzzer import run_join_fuzz
+
+    run_join_fuzz(iterations=15, seed=21)
+
+
+def test_aggregation_fuzz():
+    from velox_tpu.fuzzer.aggregation_fuzzer import run_aggregation_fuzz
+
+    run_aggregation_fuzz(iterations=20, seed=22)
+
+
+def test_window_fuzz():
+    from velox_tpu.fuzzer.window_fuzzer import run_window_fuzz
+
+    run_window_fuzz(iterations=10, seed=23)
+
+
+@pytest.mark.nightly
+def test_join_fuzz_nightly():
+    from velox_tpu.fuzzer.join_fuzzer import run_join_fuzz
+
+    run_join_fuzz(iterations=100, seed=101)
+
+
+@pytest.mark.nightly
+def test_aggregation_fuzz_nightly():
+    from velox_tpu.fuzzer.aggregation_fuzzer import run_aggregation_fuzz
+
+    run_aggregation_fuzz(iterations=120, seed=102)
+
+
+@pytest.mark.nightly
+def test_window_fuzz_nightly():
+    from velox_tpu.fuzzer.window_fuzzer import run_window_fuzz
+
+    run_window_fuzz(iterations=100, seed=103)

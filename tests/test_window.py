@@ -227,3 +227,96 @@ def test_rows_frame_value_functions():
             exp_l.append(vals[min(i + 1, len(vals) - 1)])
     assert out["f"] == exp_f
     assert out["l"] == exp_l
+
+
+def test_range_frame_value_offsets():
+    # k-range frames (velox/exec/window/KRangeFrameBound.h analog):
+    # bounds by ORDER-BY value, not row position
+    g = [0] * 6 + [1] * 4
+    o = [1, 3, 4, 8, 9, 15, 2, 4, 5, 9]
+    v = [float(x) for x in [10, 20, 30, 40, 50, 60, 1, 2, 3, 4]]
+    b = make_batch({"g": g, "o": o, "v": v})
+    out = run_plan_pydict(
+        PlanBuilder().values([b])
+        .window(["g"], ["o"], [
+            "sum(v) RANGE BETWEEN 2 PRECEDING AND CURRENT ROW as s",
+            "count(v) RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING as c",
+            "min(v) RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING as lo",
+            "max(v) RANGE BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW as hi",
+        ])
+        .order_by(["g", "o"]).build())
+    df = pd.DataFrame({"g": g, "o": o, "v": v}).sort_values(
+        ["g", "o"]).reset_index(drop=True)
+
+    def frame(row, lo, hi):
+        sub = df[df["g"] == row["g"]]
+        if lo is None:
+            m = sub["o"] <= row["o"] + (hi or 0)
+        else:
+            m = (sub["o"] >= row["o"] - lo) & (sub["o"] <= row["o"] + hi)
+        return sub[m]["v"]
+
+    for i, row in df.iterrows():
+        assert out["s"][i] == pytest.approx(frame(row, 2, 0).sum())
+        assert out["c"][i] == len(frame(row, 1, 1))
+        assert out["lo"][i] == pytest.approx(frame(row, 3, 3).min())
+        assert out["hi"][i] == pytest.approx(frame(row, None, 0).max())
+
+
+def test_range_frame_current_row_is_peers():
+    # CURRENT ROW in RANGE mode includes the whole peer group
+    g = [0] * 5
+    o = [1, 2, 2, 2, 3]
+    v = [1.0, 2.0, 3.0, 4.0, 5.0]
+    b = make_batch({"g": g, "o": o, "v": v})
+    out = run_plan_pydict(
+        PlanBuilder().values([b])
+        .window(["g"], ["o"], [
+            "sum(v) RANGE BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW as s"])
+        .order_by(["o", "v"]).build())
+    # rows with o=2 all see sum(1+2+3+4) = 10 (peers included)
+    assert out["s"] == [1.0, 10.0, 10.0, 10.0, 15.0]
+
+
+def test_rows_frame_min_max():
+    rng = np.random.default_rng(3)
+    g = [int(x) for x in rng.integers(0, 3, 60)]
+    o = list(range(60))
+    v = [float(x) for x in rng.normal(size=60)]
+    b = make_batch({"g": g, "o": o, "v": v})
+    out = run_plan_pydict(
+        PlanBuilder().values([b])
+        .window(["g"], ["o"], [
+            "min(v) ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING as lo",
+            "max(v) ROWS BETWEEN 4 PRECEDING AND CURRENT ROW as hi"])
+        .order_by(["g", "o"]).build())
+    df = pd.DataFrame({"g": g, "o": o, "v": v}).sort_values(
+        ["g", "o"]).reset_index(drop=True)
+    exp_lo = (df.groupby("g")["v"]
+              .rolling(5, min_periods=1, center=True).min()
+              .reset_index(drop=True))
+    exp_hi = df.groupby("g")["v"].rolling(5, min_periods=1).max() \
+        .reset_index(drop=True)
+    np.testing.assert_allclose(out["lo"], exp_lo, rtol=1e-9)
+    np.testing.assert_allclose(out["hi"], exp_hi, rtol=1e-9)
+
+
+def test_rows_frame_descending_order():
+    g = [0] * 6
+    o = [5, 3, 8, 1, 9, 2]
+    v = [float(x) for x in [1, 2, 3, 4, 5, 6]]
+    b = make_batch({"g": g, "o": o, "v": v})
+    out = run_plan_pydict(
+        PlanBuilder().values([b])
+        .window(["g"], ["o DESC"], [
+            "sum(v) RANGE BETWEEN 2 PRECEDING AND CURRENT ROW as s"])
+        .order_by(["o"]).build())
+    df = pd.DataFrame({"g": g, "o": o, "v": v})
+    for i, row in df.sort_values("o").iterrows():
+        # DESC: "2 preceding" = o values up to row.o + 2
+        m = (df["o"] >= row["o"]) & (df["o"] <= row["o"] + 2)
+        exp = df[m]["v"].sum()
+        got = out["s"][out["o"].index(row["o"])]
+        assert got == pytest.approx(exp), (row["o"], got, exp)

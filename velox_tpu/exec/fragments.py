@@ -204,3 +204,130 @@ def partitioned_output(builder, keys: Sequence[str], num_partitions: int,
         tuple(keys), num_partitions, broadcast)
     builder.node = node
     return builder
+
+
+# ------------------------------------------------- streaming fragments
+
+class StreamingPartitionedOutputOp(PartitionedOutputOp):
+    """PartitionedOutput against the bounded StreamingBufferManager:
+    pages serialize immediately, enqueue blocks under backpressure, and
+    finishing publishes no_more_data (the real OutputBufferManager
+    producer contract, velox/exec/PartitionedOutput.cpp:426)."""
+
+    def add_input(self, batch: Batch) -> None:
+        from velox_tpu.serial import serialize_page
+
+        node = self.node
+        n = node.num_partitions
+        if node.broadcast or not node.keys:
+            page = serialize_page(batch)
+            for p in range(n):
+                self.manager.enqueue(self.fragment, p, page)
+            return
+        cols = [
+            (batch.column(k).values, batch.column(k).valid)
+            for k in node.keys]
+        part = partition_ids(hash_columns(cols), n)
+        for p in range(n):
+            sel = jnp.logical_and(batch.sel, part == p)
+            self.manager.enqueue(
+                self.fragment, p, serialize_page(batch.with_sel(sel)))
+
+    def no_more_input(self) -> None:
+        if not self.no_more_input_seen:
+            super(PartitionedOutputOp, self).no_more_input()
+            self.manager.no_more_data(
+                self.fragment, list(range(self.node.num_partitions)))
+
+
+class StreamingExchangeOp(Operator):
+    """Exchange pulling from a (possibly remote) ExchangeSource with
+    fetch->ack windowing; blocks until the producer publishes pages."""
+
+    def __init__(self, node: ExchangeNode, source):
+        super().__init__(node)
+        from velox_tpu.exec.exchange_net import consume_source
+
+        self._gen = consume_source(source)
+        self._done = False
+
+    def get_output(self) -> Optional[Batch]:
+        if self._done:
+            return None
+        b = next(self._gen, None)
+        if b is None:
+            self._done = True
+        return b
+
+    def is_finished(self) -> bool:
+        return self._done
+
+
+def run_fragments_streaming(fragments: Sequence[Fragment],
+                            max_buffered_bytes: int = 8 << 20):
+    """Execute ALL fragments CONCURRENTLY (one thread per task) against
+    a bounded streaming buffer manager — producers and consumers overlap
+    and flow-control each other, unlike :func:`run_fragments`'s
+    producers-first batch mode."""
+    import pyarrow as pa
+
+    from velox_tpu.exec.exchange_net import (
+        LocalExchangeSource, StreamingBufferManager)
+    from velox_tpu.vector.arrow_bridge import to_arrow
+
+    manager = StreamingBufferManager(max_buffered_bytes)
+    results: Dict[str, list] = {}
+    errors: list = []
+    threads = []
+
+    def make_task(frag, task_idx):
+        from velox_tpu.exec import task as task_mod
+
+        srcs = frag.exchange_sources or {}
+        prev_ex = task_mod._OPERATOR_REGISTRY.get(ExchangeNode)
+        prev_po = task_mod._OPERATOR_REGISTRY.get(PartitionedOutputNode)
+        task_mod._OPERATOR_REGISTRY[ExchangeNode] = (
+            lambda node: StreamingExchangeOp(
+                node, LocalExchangeSource(
+                    manager, srcs[node.id], task_idx)))
+        task_mod._OPERATOR_REGISTRY[PartitionedOutputNode] = (
+            lambda node: StreamingPartitionedOutputOp(
+                node, manager, frag.name))
+        try:
+            return Task(frag.plan)
+        finally:
+            if prev_ex is None:
+                task_mod._OPERATOR_REGISTRY.pop(ExchangeNode, None)
+            else:
+                task_mod._OPERATOR_REGISTRY[ExchangeNode] = prev_ex
+            if prev_po is None:
+                task_mod._OPERATOR_REGISTRY.pop(
+                    PartitionedOutputNode, None)
+            else:
+                task_mod._OPERATOR_REGISTRY[PartitionedOutputNode] = \
+                    prev_po
+
+    def run_one(frag, task):
+        try:
+            outs = list(task.run())
+            results.setdefault(frag.name, []).extend(outs)
+        except Exception as e:  # surfaced after join
+            errors.append((frag.name, e))
+
+    # task construction mutates the (global) operator registry: build
+    # sequentially in this thread, then RUN concurrently
+    import threading
+
+    for frag in fragments:
+        for task_idx in range(frag.num_tasks):
+            task = make_task(frag, task_idx)
+            t = threading.Thread(target=run_one, args=(frag, task))
+            threads.append(t)
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    if errors:
+        raise errors[0][1]
+    last = results.get(fragments[-1].name, [])
+    return pa.concat_tables([to_arrow(b) for b in last]) if last else None

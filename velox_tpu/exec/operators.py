@@ -326,6 +326,13 @@ class HashAggregationOp(Operator):
         self.step = node.step
         self.keys = list(node.keys)
         self.specs = list(node.aggregates)
+        if self.step == AggStep.FINAL:
+            # masks apply to RAW input only (velox/exec/Aggregate.h
+            # addRawInput vs addIntermediateResults): the partial step
+            # already consumed them; final inputs are lane columns
+            import dataclasses as _dc
+
+            self.specs = [_dc.replace(s, mask=None) for s in self.specs]
         self.agg_names = list(node.agg_names)
         in_schema = node.source.output_type
         self.fns = [lookup_aggregate(s.fn) for s in self.specs]
@@ -388,7 +395,12 @@ class HashAggregationOp(Operator):
             + [a for s in self.specs for a in _arg_fields(s)]
             + [s.mask for s in self.specs if s.mask is not None]
             + [n for lanes in self.lane_names for n in lanes]))
-        self._entries: List[dict] = []  # generic-mode partials
+        from velox_tpu.exec.spill import PartitionedEntryStore
+
+        #: generic-mode partials: device entries with hash-partitioned
+        #: host spill + one-partition-at-a-time merge restore
+        self._store = PartitionedEntryStore(f"agg:{node.id}")
+        self._pending_parts: Optional[List[list]] = None
         self._array_state = None        # kArray mode persistent accs
         self._mode: Optional[str] = None
         self._key_dicts: Dict[str, Dictionary] = {}
@@ -604,7 +616,7 @@ class HashAggregationOp(Operator):
     def _add_generic(self, cols, sel, cap: int) -> None:
         if self.step == AggStep.FINAL:
             # buffer partial groups directly; merge at output
-            self._entries.append({
+            self._store.append({
                 "keys": [cols[k] for k in self.keys],
                 "lanes": [
                     tuple(cols[n][0] for n in lanes)
@@ -751,7 +763,7 @@ class HashAggregationOp(Operator):
         if self.step == AggStep.PARTIAL:
             self._outputs.append(self._partial_batch(entry))
         else:
-            self._entries.append(entry)
+            self._store.append(entry)
 
     # ------------------------------------------------------------ output
     def _partial_batch(self, entry) -> Batch:
@@ -770,16 +782,33 @@ class HashAggregationOp(Operator):
     def get_output(self) -> Optional[Batch]:
         if self._outputs:
             return self._outputs.popleft()
-        if not self.no_more_input_seen or self._emitted:
+        if not self.no_more_input_seen:
             return None
-        self._emitted = True
         if self.step == AggStep.PARTIAL:
+            self._emitted = True
             return None
-        if self._mode == "array":
-            return self._finish_array()
-        if self._mode == "collect":
-            return self._finish_collect()
-        return self._finish_generic()
+        if self._mode in ("array", "collect"):
+            if self._emitted:
+                return None
+            self._emitted = True
+            return (self._finish_array() if self._mode == "array"
+                    else self._finish_collect())
+        # generic: merge ONE partition per call (streaming restore —
+        # peak HBM is one partition's entries, velox GroupingSet
+        # spill merge-restore analog)
+        if self._pending_parts is None:
+            self._pending_parts = [
+                p for p in self._store.partitions() if p]
+            if not self._pending_parts:
+                self._emitted = True
+                return self._empty_result()
+        while self._pending_parts:
+            part = self._pending_parts.pop()
+            out = self._merge_entries(part)
+            if not self._pending_parts:
+                self._emitted = True
+            return out
+        return None
 
     def _finish_collect(self) -> Batch:
         from velox_tpu.exec.collect_agg import finish_collect
@@ -827,17 +856,15 @@ class HashAggregationOp(Operator):
                 self.output_type.find_child(name), vals, valid)
         return Batch(cols, seen)
 
-    def _finish_generic(self) -> Batch:
-        if not self._entries:
-            return self._empty_result()
+    def _merge_entries(self, entries: List[dict]) -> Batch:
         # region layout: [regular entry groups..., distinct agg 0 reps...,
         # distinct agg 1 reps, ...] — one global grouping assigns gids to
         # all rows; regular lanes combine from their region, distinct args
         # re-dedupe by (gid, arg) then accumulate
-        n_reg = sum(e["sel"].shape[0] for e in self._entries)
+        n_reg = sum(e["sel"].shape[0] for e in entries)
         d_specs = [i for i, s in enumerate(self.specs) if s.distinct]
         d_sizes = {
-            i: sum(e["distinct"][i]["sel"].shape[0] for e in self._entries)
+            i: sum(e["distinct"][i]["sel"].shape[0] for e in entries)
             for i in d_specs}
         total = n_reg + sum(d_sizes.values())
         cap = round_capacity(total)
@@ -865,13 +892,13 @@ class HashAggregationOp(Operator):
                 out.append((vals, valid))
             return out
 
-        key_regions = [e["keys"] for e in self._entries]
-        sel_regions = [e["sel"] for e in self._entries]
+        key_regions = [e["keys"] for e in entries]
+        sel_regions = [e["sel"] for e in entries]
         d_region_off = {}
         off = n_reg
         for i in d_specs:
             d_region_off[i] = off
-            for e in self._entries:
+            for e in entries:
                 key_regions.append(e["distinct"][i]["keys"])
                 sel_regions.append(e["distinct"][i]["sel"])
             off += d_sizes[i]
@@ -894,17 +921,17 @@ class HashAggregationOp(Operator):
         lanes_cat = [
             None if self.specs[ai].distinct else tuple(
                 region_full(
-                    [e["lanes"][ai][li] for e in self._entries], 0, n_reg)
+                    [e["lanes"][ai][li] for e in entries], 0, n_reg)
                 for li in range(len(fn.lanes)))
             for ai, fn in enumerate(self.fns)]
         d_args = {
             i: region_full(
-                [e["distinct"][i]["arg"] for e in self._entries],
+                [e["distinct"][i]["arg"] for e in entries],
                 d_region_off[i], d_sizes[i])
             for i in d_specs}
 
-        if self._merge_jit is None:
-            keyless = not self.keys
+        keyless = not self.keys
+        if True:
 
             def merge(keys, lanes_cat, d_args, sel):
                 cap = sel.shape[0]
@@ -944,12 +971,14 @@ class HashAggregationOp(Operator):
                     results.append(fn.extract(accs, group_sel))
                 return out_keys, results, group_sel
 
-            self._merge_jit = cached_jit(
-                ("agg_merge", self.node.id, n_reg,
+            # keyed per region layout: spilled partitions have
+            # different sizes, each needs its own compiled merge
+            merge_jit = cached_jit(
+                ("agg_merge", self.node.id, n_reg, cap,
                  tuple(sorted(d_region_off.items())),
                  tuple(sorted(d_sizes.items()))),
                 lambda: merge)
-        out_keys, results, group_sel = self._merge_jit(
+        out_keys, results, group_sel = merge_jit(
             keys, lanes_cat, d_args, sel)
 
         cols = {}
@@ -998,7 +1027,8 @@ class HashAggregationOp(Operator):
 
     def is_finished(self) -> bool:
         return (self.no_more_input_seen and not self._outputs
-                and (self.step == AggStep.PARTIAL or self._emitted))
+                and (self.step == AggStep.PARTIAL or self._emitted)
+                and not self._pending_parts)
 
 
 # ------------------------------------------------------------------ order
@@ -1628,6 +1658,11 @@ class JoinBridge:
         self.build_has_null_key = False
         self.matched = None  # accumulated build-row matched flags
         self.probe_done = False
+        #: partitioned host spill: list of per-partition host fragment
+        #: lists (set by HashBuildOp._spill_partitioned); probe runs one
+        #: partition at a time
+        self.spill_parts = None
+        self.spill_empty = False
 
 
 class HashBuildOp(Operator):
@@ -1650,22 +1685,81 @@ class HashBuildOp(Operator):
             return
         super().no_more_input()
         node = self.bridge.node
+        if (self._buffer.has_spilled()
+                and type(self)._index_build is build_join_index):
+            # partitioned join spill: the build stays in host RAM split
+            # by key hash; the probe side partitions identically and the
+            # join runs one partition at a time (velox/exec/Spill.h:276
+            # recursive partitioning, one level — host RAM is the file)
+            self._spill_partitioned(node)
+            return
         batches = self._buffer.drain()
         if batches:
             big = concat_batches(batches)
         else:
             big = Batch.empty_like(
                 node.right.output_type, round_capacity(1))
-        codec = JoinKeyCodec(big, node.right_keys)
+        self._build_state(node, big)
+
+    def _spill_partitioned(self, node) -> None:
+        import numpy as np
+
+        from velox_tpu.exec.spill import _np_key_hash
         from velox_tpu.utils.config import config as _cfg
 
-        rng_hint = codec.range_hint(_cfg.karray_join_span)
+        P = _cfg.spill_join_partitions
+        host, device = self._buffer.drain_host()
+        host = host + [
+            {n: (c.dtype, np.asarray(c.values),
+                 None if c.valid is None else np.asarray(c.valid),
+                 c.dictionary, c.stats) for n, c in b.columns.items()} |
+            {"__sel__": (None, np.asarray(b.sel), None, None, None)}
+            for b in device]
+        parts = [[] for _ in range(P)]
+        any_rows = False
+        for hb in host:
+            sel = hb["__sel__"][1]
+            keys = [(hb[k][1], hb[k][2]) for k in node.right_keys]
+            pid = (_np_key_hash(keys) % P).astype(np.int64)
+            for p in range(P):
+                idx = np.nonzero(np.logical_and(sel, pid == p))[0]
+                if idx.shape[0] == 0:
+                    continue
+                any_rows = True
+                parts[p].append({
+                    n: (t, v[idx], None if va is None else va[idx], d, st)
+                    for n, (t, v, va, d, st) in hb.items()
+                    if n != "__sel__"})
+        br = self.bridge
+        br.spill_parts = parts
+        br.spill_empty = not any_rows
+        br.ready = True
 
-        cols = [(big.column(k).values, big.column(k).valid)
-                for k in node.right_keys]
-        dicts = [big.column(k).dictionary for k in node.right_keys]
-        index_build = type(self)._index_build
+    def _build_state(self, node, big: Batch) -> None:
+        build_bridge_state(
+            self.bridge, node, big, type(self)._index_build)
 
+    def get_output(self) -> Optional[Batch]:
+        return None
+
+    def is_finished(self) -> bool:
+        return self.no_more_input_seen
+
+
+def build_bridge_state(bridge, node, big: Batch, index_build) -> None:
+    """Compute + install the build-side join state on a bridge. Shared
+    by the normal build sink and the spilled-probe per-partition
+    restore (one partition's build at a time)."""
+    codec = JoinKeyCodec(big, node.right_keys)
+    from velox_tpu.utils.config import config as _cfg
+
+    rng_hint = codec.range_hint(_cfg.karray_join_span)
+
+    cols = [(big.column(k).values, big.column(k).valid)
+            for k in node.right_keys]
+    dicts = [big.column(k).dictionary for k in node.right_keys]
+
+    if True:
         def make():
             def build(cols, sel):
                 key, null_valid, match_valid = codec.encode(
@@ -1689,9 +1783,10 @@ class HashBuildOp(Operator):
 
         build = cached_jit(
             ("join_build", node.id, tuple(id(d) for d in dicts),
-             codec.key_sig(), rng_hint), make)
+             codec.key_sig(), rng_hint,
+             index_build is build_join_index_presorted), make)
         sorted_keys, perm, n_active, has_null, tables = build(cols, big.sel)
-        br = self.bridge
+        br = bridge
         br.build_batch = big
         br.codec = codec
         br.sorted_keys, br.perm, br.n_active = sorted_keys, perm, n_active
@@ -1699,12 +1794,6 @@ class HashBuildOp(Operator):
         br.matched = jnp.zeros((big.capacity,), jnp.bool_)
         br.build_has_null_key = bool(has_null)
         br.ready = True
-
-    def get_output(self) -> Optional[Batch]:
-        return None
-
-    def is_finished(self) -> bool:
-        return self.no_more_input_seen
 
 
 class HashProbeOp(Operator):
@@ -1729,6 +1818,10 @@ class HashProbeOp(Operator):
         self._expand_jits: Dict[tuple, Callable] = {}
         self._pushdown_scan = None  # set by LocalPlanner
         self._pushdown_done = False
+        self._probe_buf = None       # spilled-build probe buffering
+        self._spill_pending = None   # partition ids left to process
+        self._probe_parts = None     # per-partition probe host fragments
+        self._spill_global_null = False
 
     def _push_dynamic_filter(self) -> None:
         """Push the build side's key range into the probe-side scan
@@ -1769,7 +1862,12 @@ class HashProbeOp(Operator):
         node = self.node
         keys = node.left_keys
         dicts = [batch.column(k).dictionary for k in keys]
-        sig = tuple(id(d) for d in dicts)
+        # bridge-state hints (incl. the build key codec, whose key
+        # normalization offsets differ per build) are baked into the
+        # closure: key them too — spilled-probe restores rebuild the
+        # bridge once per partition
+        sig = (tuple(id(d) for d in dicts), len(br.tables), br.key_lo,
+               br.build_has_null_key, id(br.codec))
         fn = self._probe_jits.get(sig)
         if fn is not None:
             return fn
@@ -1936,6 +2034,20 @@ class HashProbeOp(Operator):
 
     # -------------------------------------------------------------- input
     def add_input(self, batch: Batch) -> None:
+        if self.bridge.spill_parts is not None:
+            # spilled build: buffer the probe side; the join runs one
+            # hash partition at a time at finish (velox spilled-probe
+            # restore, exec/HashProbe.cpp spillInput)
+            from velox_tpu.exec.spill import SpillableBuffer
+
+            if self._probe_buf is None:
+                self._probe_buf = SpillableBuffer(
+                    f"join_probe:{self.node.id}")
+            self._probe_buf.append(batch)
+            return
+        self._probe_batch(batch)
+
+    def _probe_batch(self, batch: Batch) -> None:
         br = self.bridge
         assert br.ready, "probe before build finished"
         if not self._pushdown_done:
@@ -2025,12 +2137,113 @@ class HashProbeOp(Operator):
     def get_output(self) -> Optional[Batch]:
         if self._queue:
             return self._queue.popleft()
+        if (self.no_more_input_seen
+                and self.bridge.spill_parts is not None
+                and not self._final_emitted):
+            if self._spill_pending is None:
+                self._prepare_spill_probe()
+            while self._spill_pending and not self._queue:
+                self._process_spill_partition(self._spill_pending.pop())
+            if self._queue:
+                return self._queue.popleft()
+            self._final_emitted = True
+            return None
         if (self.no_more_input_seen and not self._final_emitted
                 and self.jt in (JoinType.RIGHT, JoinType.FULL,
                                 JoinType.RIGHT_SEMI)):
             self._final_emitted = True
             return self._emit_build_side()
         return None
+
+    # ------------------------------------- spilled-build partitioning
+    def _prepare_spill_probe(self) -> None:
+        import numpy as np
+
+        from velox_tpu.exec.spill import _np_key_hash
+        from velox_tpu.utils.config import config as _cfg
+
+        br = self.bridge
+        P = len(br.spill_parts)
+        self._pushdown_done = True
+        # global null-key flag (null-aware ANTI needs the whole build)
+        self._spill_global_null = any(
+            frag[k][2] is not None and not frag[k][2].all()
+            for part in br.spill_parts for frag in part
+            for k in self.node.right_keys)
+        # split buffered probe batches by the SAME key-hash partition fn
+        self._probe_parts = [[] for _ in range(P)]
+        if self._probe_buf is not None:
+            host, device = self._probe_buf.drain_host()
+            host = host + [
+                {n: (c.dtype, np.asarray(c.values),
+                     None if c.valid is None else np.asarray(c.valid),
+                     c.dictionary, c.stats)
+                 for n, c in b.columns.items()} |
+                {"__sel__": (None, np.asarray(b.sel), None, None, None)}
+                for b in device]
+            for hb in host:
+                sel = hb["__sel__"][1]
+                keys = [(hb[k][1], hb[k][2])
+                        for k in self.node.left_keys]
+                pid = (_np_key_hash(keys) % P).astype(np.int64)
+                for p in range(P):
+                    idx = np.nonzero(np.logical_and(sel, pid == p))[0]
+                    if idx.shape[0] == 0:
+                        continue
+                    self._probe_parts[p].append({
+                        n: (t, v[idx],
+                            None if va is None else va[idx], d, st)
+                        for n, (t, v, va, d, st) in hb.items()
+                        if n != "__sel__"})
+        self._spill_pending = list(range(P))
+
+    @staticmethod
+    def _restore_fragments(frags, schema, cap_min=1) -> Optional[Batch]:
+        import numpy as np
+
+        if not frags:
+            return None
+        total = sum(next(iter(f.values()))[1].shape[0] for f in frags)
+        cap = round_capacity(max(total, cap_min))
+        cols = {}
+        for n in frags[0]:
+            t, _, _, d, st = frags[0][n]
+            vals = np.concatenate([f[n][1] for f in frags])
+            buf = np.zeros(cap, dtype=vals.dtype)
+            buf[:total] = vals
+            if any(f[n][2] is not None for f in frags):
+                va = np.concatenate([
+                    f[n][2] if f[n][2] is not None
+                    else np.ones(f[n][1].shape[0], bool) for f in frags])
+                vbuf = np.zeros(cap, dtype=bool)
+                vbuf[:total] = va
+                valid = jnp.asarray(vbuf)
+            else:
+                valid = None
+            cols[n] = Column(t, jnp.asarray(buf), valid, d, st)
+        sel = np.zeros(cap, dtype=bool)
+        sel[:total] = True
+        return Batch(cols, jnp.asarray(sel), total)
+
+    def _process_spill_partition(self, p: int) -> None:
+        br = self.bridge
+        node = self.node
+        build = self._restore_fragments(
+            br.spill_parts[p], node.right.output_type)
+        if build is None:
+            build = Batch.empty_like(
+                node.right.output_type, round_capacity(1))
+        build_bridge_state(br, node, build, build_join_index)
+        br.build_has_null_key = self._spill_global_null
+        probe = self._restore_fragments(
+            self._probe_parts[p], node.left.output_type)
+        if probe is not None:
+            self._probe_batch(probe)
+        if self.jt in (JoinType.RIGHT, JoinType.FULL,
+                       JoinType.RIGHT_SEMI):
+            out = self._emit_build_side()
+            if out is not None:
+                self._queue.append(out)
 
     def _emit_build_side(self) -> Optional[Batch]:
         br = self.bridge
@@ -2055,6 +2268,8 @@ class HashProbeOp(Operator):
     def is_finished(self) -> bool:
         if not self.no_more_input_seen or self._queue:
             return False
+        if self.bridge.spill_parts is not None:
+            return self._final_emitted
         if self.jt in (JoinType.RIGHT, JoinType.FULL, JoinType.RIGHT_SEMI):
             return self._final_emitted
         return True

@@ -137,6 +137,9 @@ class SpillableBuffer:
     def __len__(self) -> int:
         return len(self._device) + len(self._host)
 
+    def has_spilled(self) -> bool:
+        return bool(self._host)
+
     def drain(self) -> List[Batch]:
         """All buffered batches, restoring spilled ones to device."""
         out = [hb.restore() for hb in self._host] + list(self._device)
@@ -145,7 +148,203 @@ class SpillableBuffer:
         self.mm.unregister(self)
         return out
 
+    def drain_host(self):
+        """(host column dicts, remaining device batches) WITHOUT
+        restoring to device — the partitioned-spill consumer splits the
+        host side by key hash and restores one partition at a time."""
+        host = [hb.cols | {"__sel__": (None, hb.sel, None, None, None)}
+                for hb in self._host]
+        device = list(self._device)
+        self._host = []
+        self._device = []
+        self.mm.unregister(self)
+        return host, device
+
     def close(self) -> None:
         self._device = []
         self._host = []
+        self.mm.unregister(self)
+
+
+# ------------------------------------------------- partitioned agg spill
+
+def _np_key_hash(keys: List[Tuple[np.ndarray, Optional[np.ndarray]]],
+                 n: Optional[int] = None) -> np.ndarray:
+    """Deterministic host-side hash of group-key rows. Null keys hash as
+    a distinct marker so null groups co-locate. Only partition-routing
+    consistency matters (same key -> same partition); this hash never
+    has to match the device hash. ``n`` sizes the keyless (global
+    aggregation) case: every row hashes to 0 -> one partition."""
+    if n is None:
+        n = keys[0][0].shape[0] if keys else 0
+    h = np.zeros(n, dtype=np.uint64)
+    for (v, va) in keys:
+        x = np.asarray(v).astype(np.int64, copy=False).view(np.uint64) \
+            if np.asarray(v).dtype != np.bool_ \
+            else np.asarray(v).astype(np.uint64)
+        x = x * np.uint64(0x9E3779B97F4A7C15)
+        x ^= x >> np.uint64(29)
+        if va is not None:
+            x = np.where(np.asarray(va), x, np.uint64(0x5851F42D4C957F2D))
+        h = (h * np.uint64(0xBF58476D1CE4E5B9)) ^ x
+    return h
+
+
+def _entry_to_host(entry: dict) -> dict:
+    def pairs(ps):
+        return [(np.asarray(v), None if va is None else np.asarray(va))
+                for (v, va) in ps]
+
+    return {
+        "keys": pairs(entry["keys"]),
+        "lanes": [None if l is None else tuple(
+            np.asarray(a) for a in l) for l in entry["lanes"]],
+        "sel": np.asarray(entry["sel"]),
+        "distinct": [
+            None if d is None else {
+                "keys": pairs(d["keys"]),
+                "arg": np.asarray(d["arg"]),
+                "sel": np.asarray(d["sel"]),
+            } for d in entry["distinct"]],
+    }
+
+
+def _entry_bytes(entry: dict) -> int:
+    total = 0
+
+    def add(a):
+        nonlocal total
+        if a is not None:
+            total += a.size * a.dtype.itemsize
+
+    for (v, va) in entry["keys"]:
+        add(v)
+        add(va)
+    for l in entry["lanes"]:
+        if l is not None:
+            for a in l:
+                add(a)
+    add(entry["sel"])
+    for d in entry["distinct"]:
+        if d is not None:
+            for (v, va) in d["keys"]:
+                add(v)
+                add(va)
+            add(d["arg"])
+            add(d["sel"])
+    return int(total)
+
+
+def _split_entry(he: dict, pids: np.ndarray, num_parts: int) -> List[dict]:
+    """Split a HOST entry into per-partition compacted sub-entries.
+
+    Distinct-rep regions carry their own key rows and are routed by the
+    same partition function, so every partition's merge sees exactly its
+    groups' regular lanes AND distinct representatives."""
+    out = []
+    sel = he["sel"]
+    d_pids = [
+        None if d is None else _np_key_hash(
+            d["keys"], d["sel"].shape[0]) % num_parts
+        for d in he["distinct"]]
+    for p in range(num_parts):
+        m = np.logical_and(sel, pids == p)
+        idx = np.nonzero(m)[0]
+
+        def take_pairs(ps, idx):
+            return [(v[idx], None if va is None else va[idx])
+                    for (v, va) in ps]
+
+        sub = {
+            "keys": take_pairs(he["keys"], idx),
+            "lanes": [None if l is None else tuple(a[idx] for a in l)
+                      for l in he["lanes"]],
+            "sel": np.ones(idx.shape[0], dtype=bool),
+            "distinct": [],
+        }
+        for d, dp in zip(he["distinct"], d_pids):
+            if d is None:
+                sub["distinct"].append(None)
+                continue
+            dm = np.logical_and(d["sel"], dp == p)
+            didx = np.nonzero(dm)[0]
+            sub["distinct"].append({
+                "keys": take_pairs(d["keys"], didx),
+                "arg": d["arg"][didx],
+                "sel": np.ones(didx.shape[0], dtype=bool),
+            })
+        out.append(sub)
+    return out
+
+
+class PartitionedEntryStore:
+    """Generic-aggregation partial entries with hash-partitioned host
+    spill + per-partition restore.
+
+    The GroupingSet spill redesign (velox/exec/GroupingSet.cpp:1116
+    spill -> SpillPartitionSet -> mergeRestore): entries buffer on
+    device; under memory pressure they move to host RAM split by a hash
+    of the group keys into ``num_parts`` bins. Finishing then merges ONE
+    partition at a time — peak device memory is the largest partition,
+    not the whole state, and partitions stream out as separate result
+    batches (no monolithic restore)."""
+
+    def __init__(self, label: str = "agg",
+                 num_parts: Optional[int] = None,
+                 mm: Optional[MemoryManager] = None):
+        self.num_parts = num_parts or config.spill_agg_partitions
+        self.label = label
+        self.mm = mm or memory_manager
+        self._device: List[dict] = []
+        self._parts: List[List[dict]] = [[] for _ in range(self.num_parts)]
+        self.spilled = False
+        self.spilled_bytes = 0
+        self.mm.register(self)
+
+    def append(self, entry: dict) -> None:
+        self._device.append(entry)
+        self.mm.maybe_reclaim()
+
+    def device_bytes(self) -> int:
+        return sum(_entry_bytes(e) for e in self._device)
+
+    def spill_all(self) -> None:
+        for e in self._device:
+            he = _entry_to_host(e)
+            self.spilled_bytes += _entry_bytes(he)
+            pids = _np_key_hash(
+                he["keys"], he["sel"].shape[0]) % self.num_parts
+            for p, sub in enumerate(
+                    _split_entry(he, pids, self.num_parts)):
+                if sub["sel"].shape[0]:
+                    self._parts[p].append(sub)
+            reporter.add_counter(METRIC_SPILLED_BYTES, _entry_bytes(he))
+        if self._device:
+            self.spilled = True
+            reporter.add_counter(METRIC_SPILL_EVENTS)
+        self._device = []
+
+    def __len__(self) -> int:
+        return len(self._device) + sum(len(p) for p in self._parts)
+
+    def partitions(self) -> List[List[dict]]:
+        """Entry groups whose key sets are disjoint across groups.
+
+        No spill: one group with the device entries. After spill: the
+        remaining device entries are partitioned too (a group's rows
+        must never straddle groups), giving ``num_parts`` groups merged
+        one at a time by the caller."""
+        if not self.spilled:
+            out = [list(self._device)]
+        else:
+            self.spill_all()
+            out = [list(p) for p in self._parts if p]
+        self._device = []
+        self._parts = [[] for _ in range(self.num_parts)]
+        self.mm.unregister(self)
+        return out
+
+    def close(self) -> None:
+        self._device = []
+        self._parts = [[] for _ in range(self.num_parts)]
         self.mm.unregister(self)

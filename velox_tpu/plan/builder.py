@@ -407,19 +407,31 @@ class PlanBuilder:
         out_types = list(schema.children)
         for i, f in enumerate(functions):
             frame = None
+            frame_type = "rows"
+            bound = (r"(?:unbounded\s+(?:preceding|following)"
+                     r"|current\s+row"
+                     r"|\d+(?:\.\d+)?\s+(?:preceding|following))")
             m = re.search(
-                r"(?i)\s+rows\s+between\s+(unbounded|\d+)\s+preceding"
-                r"\s+and\s+(current\s+row|unbounded\s+following|"
-                r"\d+\s+following)", f)
+                rf"(?i)\s+(rows|range)\s+between\s+({bound})"
+                rf"\s+and\s+({bound})", f)
             if m:
                 f = f[: m.start()] + f[m.end():]
-                lo = (None if m.group(1).lower() == "unbounded"
-                      else int(m.group(1)))
-                g2 = m.group(2).lower()
-                hi = (0 if "current" in g2
-                      else None if "unbounded" in g2
-                      else int(g2.split()[0]))
-                frame = (lo, hi)
+                frame_type = m.group(1).lower()
+
+                def parse_bound(txt, is_start):
+                    t = txt.lower()
+                    if "unbounded" in t:
+                        return None
+                    if "current" in t:
+                        return 0
+                    num = float(t.split()[0])
+                    if frame_type == "rows":
+                        num = int(num)
+                    # start "following" / end "preceding" are negative
+                    return num if ("preceding" in t) == is_start                         else -num
+
+                frame = (parse_bound(m.group(2), True),
+                         parse_bound(m.group(3), False))
             name, fn, fargs, _ = _parse_agg(f, f"w{i}")
             arg_field = None
             arg_literal = None
@@ -436,7 +448,8 @@ class PlanBuilder:
                     raise SyntaxError(
                         f"window arg must be a field or literal: {f!r}")
             specs.append(
-                WindowSpec(name, fn, arg_field, arg_literal, frame))
+                WindowSpec(name, fn, arg_field, arg_literal, frame,
+                           frame_type))
             out_names.append(name)
             out_types.append(_window_result_type(fn, at))
         self.node = WindowNode(

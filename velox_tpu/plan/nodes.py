@@ -249,9 +249,15 @@ class WindowSpec:
     fn: str            # row_number, rank, sum, ...
     arg: Optional[str] = None          # input field
     arg_literal: Optional[float] = None  # ntile(k) / lead(x, k) constant
-    #: ROWS frame (preceding, following); None components = UNBOUNDED;
-    #: frame=None = the default RANGE UNBOUNDED PRECEDING..CURRENT ROW
-    frame: Optional[Tuple[Optional[int], Optional[int]]] = None
+    #: frame (preceding, following); None components = UNBOUNDED;
+    #: frame=None = the default RANGE UNBOUNDED PRECEDING..CURRENT ROW.
+    #: "N following" as the start / "N preceding" as the end are
+    #: negative offsets. For frame_type="range" the offsets are ORDER-BY
+    #: VALUE deltas (k-range, velox/exec/window/KRangeFrameBound.h) and
+    #: 0 means CURRENT ROW (= the peer-group bound).
+    frame: Optional[Tuple[Optional[float], Optional[float]]] = None
+    #: "rows" | "range"
+    frame_type: str = "rows"
 
 
 @dataclass(frozen=True)

@@ -52,5 +52,11 @@ class SessionConfig:
     #: None = unlimited.
     spill_memory_budget_bytes: "int | None" = None
 
+    #: hash partitions for spilled aggregation state / join builds —
+    #: finish merges one partition at a time, bounding peak HBM to the
+    #: largest partition (velox/exec/Spill.h spill partition bits)
+    spill_agg_partitions: int = 8
+    spill_join_partitions: int = 8
+
 
 config = SessionConfig()
