@@ -50,6 +50,16 @@ class Operator:
             operator_type=type(self).__name__, plan_node_id=node.id)
 
     # -- input side
+    def close(self) -> None:
+        """Release buffered state (spill registrations, device refs) —
+        called when the task finishes or is abandoned, so one query's
+        leftover buffers never count against the next query's memory
+        budget (velox Operator::close, exec/Operator.h:352)."""
+        for attr in ("_buffer", "_probe_buf", "_store"):
+            buf = getattr(self, attr, None)
+            if buf is not None and hasattr(buf, "close"):
+                buf.close()
+
     def needs_input(self) -> bool:
         return not self.no_more_input_seen
 

@@ -236,21 +236,27 @@ class Task:
         from velox_tpu.utils.metrics import METRIC_TASK_EXECUTIONS, reporter
 
         reporter.add_counter(METRIC_TASK_EXECUTIONS)
-        # run non-output (join build) pipelines to completion, in creation
-        # order: a pipeline's bridges are always created (and appended)
-        # while lowering its chain, before the pipeline itself is appended,
-        # so creation order is a topological order of the bridge DAG
-        for p in self.planner.pipelines:
-            if p.is_output:
-                continue
-            for _ in _stream(p.operators, len(p.operators) - 1,
-                             self.tracer):
-                pass
-            p.operators[-1].no_more_input()
-        out = next(
-            p for p in self.planner.pipelines if p.is_output)
-        yield from _stream(out.operators, len(out.operators) - 1,
-                           self.tracer)
+        try:
+            # run non-output (join build) pipelines to completion, in
+            # creation order: a pipeline's bridges are always created
+            # (and appended) while lowering its chain, before the
+            # pipeline itself is appended, so creation order is a
+            # topological order of the bridge DAG
+            for p in self.planner.pipelines:
+                if p.is_output:
+                    continue
+                for _ in _stream(p.operators, len(p.operators) - 1,
+                                 self.tracer):
+                    pass
+                p.operators[-1].no_more_input()
+            out = next(
+                p for p in self.planner.pipelines if p.is_output)
+            yield from _stream(out.operators, len(out.operators) - 1,
+                               self.tracer)
+        finally:
+            for p in self.planner.pipelines:
+                for op in p.operators:
+                    op.close()
 
     def stats(self):
         return [

@@ -116,7 +116,11 @@ def ingest_splits(
     """Arrow table -> device splits with table-global dictionaries + stats."""
     n = table.num_rows
     batch_rows = min(batch_rows, max(n, 1))
-    cap = round_capacity(batch_rows)
+    # lane-rounded, NOT power-of-two: a table split is one fixed shape
+    # for the session, so the pow2 shape-bucketing that bounds compile
+    # count for intermediates only wastes bandwidth here (6.0M lineitem
+    # rows would pad to 8.4M — 40% of every full-width op for nothing)
+    cap = max(-(-batch_rows // 128) * 128, 128)
 
     names = table.column_names
     # encode every string column ONCE over the full table (arrow C++) and
