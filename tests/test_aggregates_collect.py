@@ -130,3 +130,33 @@ def test_collect_rejects_partial_step():
             PlanBuilder().values([b])
             .partial_aggregation(["g"], ["array_agg(v) as av"])
             .final_aggregation().build())
+
+
+def test_set_agg_and_set_union():
+    from velox_tpu.types.types import array as array_t
+
+    g = [0, 0, 0, 1, 1]
+    v = [3, 1, 3, 7, 7]
+    arrs = [[1, 2], [2, 3], None, [9], []]
+    b = Batch.from_pydict(
+        {"g": g, "v": v, "a": arrs},
+        {"g": BIGINT, "v": BIGINT, "a": array_t(BIGINT)})
+    out = run_plan_pydict(
+        PlanBuilder().values([b])
+        .aggregate(["g"], ["set_agg(v) as sv", "set_union(a) as su"])
+        .order_by(["g"]).build())
+    assert sorted(out["sv"][0]) == [1, 3]
+    assert sorted(out["sv"][1]) == [7]
+    assert sorted(out["su"][0]) == [1, 2, 3]
+    assert sorted(out["su"][1]) == [9]
+
+
+def test_histogram():
+    g = [0, 0, 0, 0, 1, 1]
+    v = ["a", "b", "a", "a", "z", None]
+    b = Batch.from_pydict({"g": g, "v": v}, {"g": BIGINT, "v": VARCHAR})
+    out = run_plan_pydict(
+        PlanBuilder().values([b])
+        .aggregate(["g"], ["histogram(v) as h"]).order_by(["g"]).build())
+    assert dict(out["h"][0]) == {"a": 3, "b": 1}
+    assert dict(out["h"][1]) == {"z": 1}

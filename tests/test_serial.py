@@ -92,3 +92,22 @@ def test_serialized_exchange_matches_in_memory():
         df = out.to_pydict()
         results.append((sum(df["s"]), sum(df["c"])))
     assert results[0] == results[1] == (3 * sum(range(100)), 100)
+
+
+def test_page_zstd_roundtrip():
+    import numpy as np
+
+    from velox_tpu.serial import deserialize_page, serialize_page
+    from velox_tpu.types import BIGINT, DOUBLE
+    from velox_tpu.vector.batch import Batch
+
+    rng = np.random.default_rng(0)
+    b = Batch.from_pydict(
+        {"k": [int(x) for x in rng.integers(0, 5, 500)],
+         "v": [float(x) for x in rng.normal(size=500)]},
+        {"k": BIGINT, "v": DOUBLE})
+    for mode in (False, True, "zstd"):
+        buf = serialize_page(b, compress=mode)
+        assert deserialize_page(buf).to_pydict() == b.to_pydict()
+    assert len(serialize_page(b, compress="zstd")) < len(
+        serialize_page(b))

@@ -88,6 +88,12 @@ def finish_collect(op, big: Batch) -> Batch:
                 "kvd": c.keys.valid, "vv": c.values.values,
                 "vvd": c.values.valid,
             }
+        elif isinstance(c, ArrayColumn):
+            maps_in[n] = {
+                "starts": c.starts, "lengths": c.lengths,
+                "valid": c.valid, "ev": c.elements.values,
+                "evd": c.elements.valid,
+            }
         else:
             cols_in[n] = (c.values, c.valid)
 
@@ -109,13 +115,37 @@ def finish_collect(op, big: Batch) -> Batch:
             if kind is None:
                 results.append(_scalar_result(
                     op, i, fn, spec, cols, gids, m, group_sel, cap))
-            elif kind == "array":
+            elif kind in ("array", "set"):
                 av, avd = cols[spec.arg]
+                if kind == "set":
+                    m = dedupe_first(
+                        gids, encode_sort_key(av, avd), m)
                 perm, counts, starts = collect_runs(gids, m)
                 results.append((
                     counts, starts,
                     jnp.take(av, perm, mode="clip"),
                     _valid_or_none(avd, perm),
+                    jnp.logical_and(group_sel, counts > 0)))
+            elif kind == "histogram":
+                av, avd = cols[spec.arg]
+                mm = m if avd is None else jnp.logical_and(m, avd)
+                # one sub-grouping by (group, value): representatives
+                # carry the pair's occurrence count
+                g2, rows2, sel2, _ = group_ids_sorted(
+                    [(gids, None), (av, None)], mm)
+                pair_cnt = (jnp.zeros((cap,), jnp.int64)
+                            .at[g2].add(mm.astype(jnp.int64),
+                                        mode="drop"))
+                r2 = jnp.clip(rows2, 0, cap - 1)
+                pk = jnp.take(av, r2, mode="clip")
+                pgid = jnp.where(
+                    sel2, jnp.take(gids, r2, mode="clip"),
+                    jnp.int32(cap))
+                perm, counts, starts = collect_runs(pgid, sel2)
+                results.append((
+                    counts, starts,
+                    jnp.take(pk, perm, mode="clip"), None,
+                    jnp.take(pair_cnt, perm, mode="clip"), None,
                     jnp.logical_and(group_sel, counts > 0)))
             elif kind == "map":
                 kf, vf = spec.arg
@@ -130,6 +160,26 @@ def finish_collect(op, big: Batch) -> Batch:
                     jnp.take(vv, perm, mode="clip"),
                     _valid_or_none(vvd, perm),
                     jnp.logical_and(group_sel, counts > 0)))
+            elif kind == "set_union":
+                ai = maps[spec.arg]
+                ecap = ai["ev"].shape[0]
+                arow = m if ai["valid"] is None else jnp.logical_and(
+                    m, ai["valid"])
+                owner, within = element_owners(
+                    ai["starts"], ai["lengths"], ecap)
+                egid = jnp.where(
+                    jnp.logical_and(
+                        within, jnp.take(arow, owner, mode="clip")),
+                    jnp.take(gids, owner, mode="clip"), jnp.int32(ecap))
+                em = egid < ecap
+                keep = dedupe_first(
+                    egid, encode_sort_key(ai["ev"], ai["evd"]), em)
+                perm, counts, starts = collect_runs(egid, keep)
+                results.append((
+                    _fit(counts, cap), _fit(starts, cap),
+                    jnp.take(ai["ev"], perm, mode="clip"),
+                    _valid_or_none(ai["evd"], perm),
+                    jnp.logical_and(group_sel, _fit(counts, cap) > 0)))
             elif kind == "map_union":
                 mi = maps[spec.arg]
                 ecap = mi["kv"].shape[0]
@@ -184,17 +234,22 @@ def finish_collect(op, big: Batch) -> Batch:
         if kind is None or kind == "percentile":
             vals, valid = res
             out[name] = Column(t, vals, valid)
-        elif kind == "array":
+        elif kind in ("array", "set", "set_union"):
             counts, starts, ev, evd, gvalid = res
             src = big.column(spec.arg)
+            edict = (src.elements.dictionary if kind == "set_union"
+                     else src.dictionary)
             out[name] = ArrayColumn(
                 t, starts, counts,
-                Column(t.element, ev, evd, src.dictionary), gvalid)
-        else:  # map / map_union
+                Column(t.element, ev, evd, edict), gvalid)
+        else:  # map / map_union / histogram
             counts, starts, ekv, ekvd, evv, evvd, gvalid = res
-            if fn.collect_kind == "map_union":
+            if kind == "map_union":
                 src = big.column(spec.arg)
                 kdict, vdict = src.keys.dictionary, src.values.dictionary
+            elif kind == "histogram":
+                kdict = big.column(spec.arg).dictionary
+                vdict = None
             else:
                 kf, vf = spec.arg
                 kdict = big.column(kf).dictionary

@@ -58,6 +58,10 @@ class StreamingBufferManager:
         return self._parts[(frag, part)]
 
     def enqueue(self, frag: str, part: int, page: bytes) -> None:
+        from velox_tpu.utils.testvalue import TestValue
+
+        TestValue.adjust("velox_tpu.exchange.enqueue",
+                         (frag, part, page))
         with self._cv:
             buf = self._buf(frag, part)
             if buf.bytes + len(page) > self.max_bytes and buf.pages:
@@ -86,6 +90,10 @@ class StreamingBufferManager:
         (pages, next_seq, at_end). Pages stay buffered until acked, so a
         consumer may re-fetch from any unacked sequence (the lost-
         response retry path of the contract)."""
+        from velox_tpu.utils.testvalue import TestValue
+
+        TestValue.adjust("velox_tpu.exchange.get_data",
+                         (frag, part, seq))
         with self._cv:
             buf = self._buf(frag, part)
             while (seq >= buf.next_seq and not buf.finished):

@@ -653,6 +653,9 @@ class HashAggregationOp(Operator):
         if self._rows_seen_cap < config.abandon_partial_agg_min_rows:
             return
         self._abandon_checked = True
+        from velox_tpu.utils.testvalue import TestValue
+
+        TestValue.adjust("velox_tpu.agg.abandon_check", self)
         rows = int(jnp.sum(sel.astype(jnp.int32)))
         groups = int(jnp.sum(group_sel.astype(jnp.int32)))
         if rows > 0 and groups / rows >= config.abandon_partial_agg_min_pct:

@@ -125,6 +125,9 @@ class SpillableBuffer:
 
     def spill_all(self) -> None:
         """Move all device batches to host RAM (one D2H per buffer)."""
+        from velox_tpu.utils.testvalue import TestValue
+
+        TestValue.adjust("velox_tpu.spill.spill_all", self)
         for b in self._device:
             hb = _HostBatch(b)
             self._host.append(hb)
@@ -309,6 +312,9 @@ class PartitionedEntryStore:
         return sum(_entry_bytes(e) for e in self._device)
 
     def spill_all(self) -> None:
+        from velox_tpu.utils.testvalue import TestValue
+
+        TestValue.adjust("velox_tpu.spill.spill_all", self)
         for e in self._device:
             he = _entry_to_host(e)
             self.spilled_bytes += _entry_bytes(he)
@@ -334,6 +340,9 @@ class PartitionedEntryStore:
         remaining device entries are partitioned too (a group's rows
         must never straddle groups), giving ``num_parts`` groups merged
         one at a time by the caller."""
+        from velox_tpu.utils.testvalue import TestValue
+
+        TestValue.adjust("velox_tpu.spill.partitions", self)
         if not self.spilled:
             out = [list(self._device)]
         else:

@@ -57,6 +57,13 @@ _register_collect("map_agg", "map", lambda t: map_(t[0], t[1]))
 _register_collect("map_union", "map_union", lambda t: t)
 # approx_percentile(v, q): scalar result of the value type
 _register_collect("approx_percentile", "percentile", lambda t: t[0])
+# set_agg: array_agg with per-group value dedupe (SetAggAggregate.cpp)
+_register_collect("set_agg", "set", lambda t: array(t))
+# set_union: union of input arrays, deduped (SetUnionAggregate.cpp)
+_register_collect("set_union", "set_union", lambda t: t)
+# histogram: value -> occurrence count map (HistogramAggregate.cpp)
+from velox_tpu.types import BIGINT as _BIGINT
+_register_collect("histogram", "histogram", lambda t: map_(t, _BIGINT))
 
 
 # ---------------------------------------------------------------- kernels

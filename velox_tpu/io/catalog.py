@@ -48,6 +48,9 @@ class Table:
         (device subfilter handles it); file-backed tables override to
         prune row groups / columns before decode (the ScanSpec contract,
         velox/dwio/common/ScanSpec.h:41)."""
+        from velox_tpu.utils.testvalue import TestValue
+
+        TestValue.adjust("velox_tpu.scan.read_split", self)
         return list(self.batches)
 
 
@@ -296,6 +299,11 @@ class ParquetTable(Table):
                     subfilter=None) -> List[Batch]:
         import pyarrow.parquet as pq
 
+        from velox_tpu.utils.testvalue import TestValue
+
+        # FaultyFileSystem analog (velox/common/file/tests/FaultyFile
+        # System.h): tests inject read failures/delays here
+        TestValue.adjust("velox_tpu.scan.read_split", self)
         pf = pq.ParquetFile(self.path)
         md = pf.metadata
         col_idx = {n: i for i, n in enumerate(pf.schema_arrow.names)}

@@ -38,6 +38,7 @@ from velox_tpu.vector.column import Column, Dictionary
 _MAGIC = 0x56545047  # "VTPG"
 _VERSION = 1
 _FLAG_ZLIB = 1
+_FLAG_ZSTD = 2
 
 
 def _type_to_json(t: DataType) -> dict:
@@ -72,9 +73,17 @@ def _host_columns(batch: Batch) -> Tuple[Dict[str, tuple], np.ndarray, int]:
     return out, idx, len(idx)
 
 
-def _frame(header: dict, body: bytes, compress: bool) -> bytes:
+def _frame(header: dict, body: bytes, compress) -> bytes:
+    """``compress``: False | True/"zlib" | "zstd" (preferred on the
+    exchange wire — ~3x faster than zlib at similar ratios; velox ships
+    lz4/zstd via folly compression, common/compression/Compression.h)."""
     flags = 0
-    if compress:
+    if compress == "zstd":
+        import zstandard
+
+        body = zstandard.ZstdCompressor(level=1).compress(body)
+        flags |= _FLAG_ZSTD
+    elif compress:
         body = zlib.compress(body, 1)
         flags |= _FLAG_ZLIB
     hj = json.dumps(header, separators=(",", ":")).encode()
@@ -90,7 +99,11 @@ def _unframe(buf: bytes) -> Tuple[dict, bytes]:
     header = json.loads(buf[off: off + hlen].decode())
     body = buf[off + hlen:]
     assert zlib.crc32(body) == crc, "page checksum mismatch"
-    if flags & _FLAG_ZLIB:
+    if flags & _FLAG_ZSTD:
+        import zstandard
+
+        body = zstandard.ZstdDecompressor().decompress(body)
+    elif flags & _FLAG_ZLIB:
         body = zlib.decompress(body)
     return header, body
 
