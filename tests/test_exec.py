@@ -638,3 +638,47 @@ def test_moment_and_misc_aggregates():
         PlanBuilder().values([b2])
         .aggregate(["g"], ["checksum(v) as ck"]).order_by(["g"]).build())
     assert out2["ck"] == out["ck"]
+
+
+def test_grouped_execution_barriers():
+    """velox grouped execution: bucketed splits process as sequential
+    split groups; state is group-local, results stream per group."""
+    from velox_tpu.exec import run_plan_grouped
+    from velox_tpu.io import drop_table
+    from velox_tpu.io.catalog import register_table
+    from velox_tpu.types import BIGINT, DOUBLE
+    from velox_tpu.utils.metrics import reporter
+    from velox_tpu.vector.batch import Batch
+
+    # 4 splits bucketed by key: keys 0-9 in split 0/2, 10-19 in 1/3 —
+    # with 2 groups, no key straddles a group (the bucketing contract)
+    def split(lo, seed):
+        rng = np.random.default_rng(seed)
+        n = 50
+        return Batch.from_pydict(
+            {"k": [lo + int(x) for x in rng.integers(0, 10, n)],
+             "v": [float(x) for x in rng.normal(size=n)]},
+            {"k": BIGINT, "v": DOUBLE})
+
+    splits = [split(0, 1), split(10, 2), split(0, 3), split(10, 4)]
+    register_table("grp_t", splits)
+    try:
+        before = reporter.counters["velox_tpu.task_barriers"]
+        groups = list(run_plan_grouped(
+            PlanBuilder().table_scan("grp_t")
+            .aggregate(["k"], ["sum(v) AS s", "count(*) AS c"])
+            .build(), num_groups=2))
+        assert len(groups) == 2
+        assert reporter.counters["velox_tpu.task_barriers"] - before == 2
+        got = pa.concat_tables(groups).to_pydict()
+        df = pd.concat([pd.DataFrame(s.to_pydict()) for s in splits])
+        exp = df.groupby("k").agg(
+            s=("v", "sum"), c=("v", "size")).reset_index()
+        gd = dict(zip(got["k"], zip(got["s"], got["c"])))
+        assert len(gd) == len(exp)
+        for _, r in exp.iterrows():
+            s, c = gd[r["k"]]
+            assert s == pytest.approx(r["s"], rel=1e-9)
+            assert c == r["c"]
+    finally:
+        drop_table("grp_t")

@@ -11,7 +11,8 @@ Pipelines split at join builds exactly where velox's LocalPlanner splits
 
 from velox_tpu.exec.operator import Operator, OperatorStats
 from velox_tpu.exec.task import (
-    Task, make_operator, register_operator, run_plan, run_plan_pydict,
+    Task, make_operator, register_operator, run_plan, run_plan_grouped,
+    run_plan_pydict,
 )
 from velox_tpu.exec.fragments import (
     Fragment, OutputBufferManager, partitioned_output, run_fragments,
@@ -20,6 +21,7 @@ from velox_tpu.exec.spill import MemoryManager, SpillableBuffer
 
 __all__ = [
     "Operator", "OperatorStats", "Task", "run_plan", "run_plan_pydict",
+    "run_plan_grouped",
     "make_operator", "register_operator", "Fragment",
     "OutputBufferManager", "partitioned_output", "run_fragments",
     "MemoryManager", "SpillableBuffer",

@@ -319,3 +319,65 @@ def run_plan(plan) -> "pa.Table":
 
 def run_plan_pydict(plan) -> Dict[str, list]:
     return run_plan(plan).to_pydict()
+
+
+def run_plan_grouped(plan, num_groups: int,
+                     tracer=None):
+    """Grouped execution: process the output pipeline's leaf splits in
+    ``num_groups`` sequential split groups with a task barrier between
+    groups (velox/core/PlanFragment.h groupedExecutionLeafNodeIds +
+    exec/Task.h:215 barriers). Blocking-operator state lives and dies
+    within ONE group, so peak memory is a single group's working set and
+    results stream out as each group finishes — the reference's bounded-
+    parallelism / streaming-checkpoint mechanism.
+
+    CORRECTNESS CONTRACT (same as the reference): stateful operators
+    must be group-local — the table's splits must be bucketed so that no
+    group-by/join key spans two split groups (velox validates this via
+    hive bucket properties; here the caller asserts it). Stateless plans
+    (scan/filter/project) are always safe.
+
+    Yields one Arrow table per group (the barrier stream).
+    """
+    import pyarrow as pa
+
+    from velox_tpu.exec.operators import TableScanOp
+    from velox_tpu.plan.builder import PlanBuilder as _PB
+    from velox_tpu.utils.metrics import reporter
+    from velox_tpu.vector.arrow_bridge import to_arrow
+
+    if isinstance(plan, _PB):
+        plan = plan.build()
+    # discover the grouped leaf's split count once
+    def leaf_scan(pipelines):
+        out_pipe = next(p for p in pipelines if p.is_output)
+        for op in out_pipe.operators:
+            if isinstance(op, TableScanOp):
+                return op
+            inner = getattr(op, "scan", None)  # fused scan chains
+            if isinstance(inner, TableScanOp):
+                return inner
+        return None
+
+    probe_task = Task(plan, tracer)
+    scan0 = leaf_scan(probe_task.planner.pipelines)
+    if scan0 is None:
+        raise ValueError("grouped execution needs a leaf TableScan in "
+                         "the output pipeline")
+    all_splits = list(scan0._splits)
+    for op in (o for p in probe_task.planner.pipelines
+               for o in p.operators):
+        op.close()
+
+    for g in range(num_groups):
+        group = all_splits[g::num_groups]
+        if not group:
+            continue
+        task = Task(plan, tracer)
+        scan = leaf_scan(task.planner.pipelines)
+        scan._splits.clear()
+        scan._splits.extend(group)
+        outs = [to_arrow(b) for b in task.run()]
+        reporter.add_counter("velox_tpu.task_barriers")
+        if outs:
+            yield pa.concat_tables(outs)

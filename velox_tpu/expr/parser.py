@@ -298,7 +298,16 @@ def _parse_primary(t: _Tokens) -> Expr:
                     args.append(_parse_arg(t))
                 t.expect("OP", ")")
             return call(_canon_fn(v), *args)
-        return FieldRef(None, v)
+        # dotted subfield access: shredded ROW leaves are plain columns
+        # named "s.f" (velox/type/Subfield.h paths as column names)
+        name = v
+        while t.accept("OP", "."):
+            tk2, v2 = t.next()
+            if tk2 != "NAME":
+                raise SyntaxError(f"expected field name after '.', "
+                                  f"got {v2!r}")
+            name = f"{name}.{v2}"
+        return FieldRef(None, name)
     if k == "OP" and v == "(":
         e = _parse_or(t)
         t.expect("OP", ")")

@@ -30,6 +30,11 @@ class Table:
     name: str
     schema: RowType
     batches: List[Batch]
+    #: struct columns SHREDDED at ingest: "s" -> ["s.f1", "s.f2", ...]
+    #: (columnar subfield layout — velox/type/Subfield.h paths become
+    #: plain column names; scanning "s" expands to its leaves, scanning
+    #: "s.f1" prunes to one leaf)
+    struct_groups: Dict[str, List[str]] = None  # type: ignore
     #: columns verified nondecreasing in storage order at ingest — the
     #: physical-ordering metadata a cost-based optimizer reads (velox keeps
     #: the analog in connector table layout / PlanNode ordering metadata);
@@ -77,12 +82,33 @@ def register_arrow(
     transfer, no per-row Decimal boxing (velox's short-decimal flat
     vectors analog, velox/type/DecimalUtil.h).
     """
+    table, struct_groups = flatten_structs(table)
     batches = ingest_splits(table, batch_rows, decimal_overrides)
     sorted_cols, unique_cols = _ordering_stats(table)
     t = Table(name, batches[0].schema, batches,
-              sorted_cols=sorted_cols, unique_cols=unique_cols)
+              sorted_cols=sorted_cols, unique_cols=unique_cols,
+              struct_groups=struct_groups)
     _TABLES[name] = t
     return t
+
+
+def flatten_structs(table: pa.Table):
+    """Shred struct columns into dotted leaf columns (recursively).
+
+    The TPU answer to nested ROW vectors (velox/vector/ComplexVector.h
+    RowVector + type/Subfield.h): structs are struct-of-arrays all the
+    way down, so a ROW column IS its leaf columns; subfield pruning is
+    then ordinary column pruning. Parent-struct validity merges into
+    the leaves (arrow flatten semantics)."""
+    groups: Dict[str, List[str]] = {}
+    top = [f.name for f in table.schema if pa.types.is_struct(f.type)]
+    while any(pa.types.is_struct(f.type) for f in table.schema):
+        table = table.flatten()
+    for name in top:
+        groups[name] = [
+            n for n in table.column_names
+            if n.startswith(name + ".")]
+    return table, groups
 
 
 def _ordering_stats(table: pa.Table) -> tuple:
@@ -313,6 +339,8 @@ class ParquetTable(Table):
             stats = {}
             g = md.row_group(rg)
             for n in columns:
+                if n not in col_idx:
+                    continue  # shredded subfield leaves: no rg stats
                 s = g.column(col_idx[n]).statistics
                 if s is not None and s.has_min_max:
                     stats[n] = (s.min, s.max)
@@ -321,7 +349,12 @@ class ParquetTable(Table):
         self.last_skipped = md.num_row_groups - len(keep)
         if not keep:
             return []
-        tbl = pf.read_row_groups(keep, columns=list(columns))
+        cols_req = []
+        for n in columns:
+            if n in col_idx or "." in n:
+                cols_req.append(n)
+        tbl = pf.read_row_groups(keep, columns=cols_req)
+        tbl, _ = flatten_structs(tbl)
         ov = {k: v for k, v in (self.decimal_overrides or {}).items()
               if k in columns}
         return ingest_splits(tbl, self.batch_rows, ov or None)

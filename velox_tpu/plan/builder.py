@@ -120,6 +120,12 @@ class PlanBuilder:
 
         t = get_table(table)
         names = list(columns) if columns else list(t.schema.names)
+        groups = getattr(t, "struct_groups", None) or {}
+        if groups:
+            expanded = []
+            for n in names:
+                expanded.extend(groups.get(n, [n]))
+            names = expanded
         types = [t.schema.find_child(n) for n in names]
         schema = row_type(names, types)
         sf = None

@@ -199,7 +199,33 @@ def to_arrow(batch: Batch) -> pa.Table:
                 for v in vals
             ]
         arrays[name] = pa.array(vals, type=at)
+    if any("." in n for n in arrays):
+        return _restruct(arrays)
     return pa.table(arrays)
+
+
+def _restruct(arrays: Dict[str, pa.Array]) -> pa.Table:
+    """Reassemble shredded "s.f" leaf columns into StructArrays so the
+    arrow output round-trips the ingested nesting (inverse of
+    io/catalog.flatten_structs)."""
+    groups: Dict[str, Dict[str, pa.Array]] = {}
+    out: Dict[str, object] = {}
+    for name, arr in arrays.items():
+        if "." in name:
+            head, rest = name.split(".", 1)
+            groups.setdefault(head, {})[rest] = arr
+            out.setdefault(head, None)
+        else:
+            out[name] = arr
+    for head, fields in groups.items():
+        sub = (_restruct(fields).columns if any(
+            "." in f for f in fields) else list(fields.values()))
+        names = (list(_restruct(fields).column_names) if any(
+            "." in f for f in fields) else list(fields))
+        out[head] = pa.StructArray.from_arrays(
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+             for c in sub], names=names)
+    return pa.table(out)
 
 
 def from_pydict(data: Dict[str, Sequence], types: Dict[str, DataType],
