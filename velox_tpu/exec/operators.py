@@ -1036,6 +1036,15 @@ class HashAggregationOp(Operator):
 
 # ------------------------------------------------------------------ order
 
+def _lane_kind(lane, dt) -> str:
+    """Clustered lane strategy: integer add lanes use cumsum prefix
+    differences ("cum"); everything else scatter-reduces ("acc")."""
+    import numpy as _np
+
+    return ("cum" if lane.scan_op == "add"
+            and _np.issubdtype(_np.dtype(dt), _np.integer) else "acc")
+
+
 class StreamingAggregationOp(HashAggregationOp):
     """velox/exec/StreamingAggregation.h:21 — aggregation over input
     CLUSTERED on the grouping keys: groups close as soon as the key
@@ -1068,6 +1077,11 @@ class StreamingAggregationOp(HashAggregationOp):
         self._carry_present = jnp.asarray(False)
         self._stream_jit = None
         self._stream_sig = None
+        is_final = self.step == AggStep.FINAL
+        #: scatter-free clustered path (see _step_fn use_scan)
+        self._use_scan = all(
+            f.scannable or (is_final and all(l.scan_op for l in f.lanes))
+            for f in self.fns)
         self._queue: collections.deque = collections.deque()
 
     # ------------------------------------------------------------ compile
@@ -1272,6 +1286,203 @@ class StreamingAggregationOp(HashAggregationOp):
 
         return step
 
+
+    # -------------------------------------------- two-phase scan emit
+    # Phase A computes boundary structure + per-lane cumsums/accs at the
+    # input capacity; ONE host sync reads the group count; phase B
+    # gathers keys/lanes at the (much smaller) rounded group capacity.
+    # Saves the full-width output gathers (the remaining hot cost after
+    # the scatter-free rewrite: an int64 gather at 8M rows is ~200ms on
+    # axon; at the 2M group capacity it is ~50ms).
+
+    def _phase_a_fn(self, dense: bool):
+        keys = self.keys
+        fns = self.fns
+        is_final = self.step == AggStep.FINAL
+
+        def keys_eq(a_pair, b_pair):
+            (av, avd), (bv, bvd) = a_pair, b_pair
+            an = jnp.zeros_like(av, jnp.bool_) if avd is None else ~avd
+            bn = jnp.zeros_like(bv, jnp.bool_) if bvd is None else ~bvd
+            return jnp.logical_or(
+                jnp.logical_and(av == bv, ~an & ~bn),
+                jnp.logical_and(an, bn))
+
+        def step(key_pairs, cols, sel, carry_present, carry_keys):
+            cap = sel.shape[0]
+            n = jnp.sum(sel.astype(jnp.int32))
+            r = jnp.arange(cap, dtype=jnp.int32)
+            packed = r < n
+            if dense:
+                kp = list(key_pairs)
+                pcols = dict(cols)
+            else:
+                pk = jnp.nonzero(
+                    sel, size=cap, fill_value=cap)[0].astype(jnp.int32)
+
+                def pack(pair):
+                    v, vd = pair
+                    return (jnp.take(v, pk, mode="clip"),
+                            None if vd is None
+                            else jnp.take(vd, pk, mode="clip"))
+
+                kp = [pack(p) for p in key_pairs]
+                pcols = {name: pack(p) for name, p in cols.items()}
+
+            same_prev = jnp.ones((cap,), jnp.bool_)
+            for (v, vd) in kp:
+                prev = (jnp.roll(v, 1), None if vd is None
+                        else jnp.roll(vd, 1))
+                same_prev = jnp.logical_and(
+                    same_prev, keys_eq((v, vd), prev))
+            head = jnp.logical_and(packed, ~same_prev).at[0].set(True)
+            head = jnp.logical_and(head, packed)
+
+            row0_eq = jnp.ones((), jnp.bool_)
+            for (v, vd), (cv, cvd) in zip(kp, carry_keys):
+                row0_eq = jnp.logical_and(row0_eq, keys_eq(
+                    (v[:1], None if vd is None else vd[:1]),
+                    (cv[None], None if cvd is None else cvd[None]))[0])
+            has_rows = n > 0
+            merge_carry = jnp.logical_and(
+                carry_present, jnp.logical_and(has_rows, row0_eq))
+            carry_alone = jnp.logical_and(
+                jnp.logical_and(carry_present, has_rows), ~merge_carry)
+            offset = carry_alone.astype(jnp.int32)
+            gids = jnp.cumsum(head.astype(jnp.int32)) - 1 + offset
+            ng = offset + jnp.sum(head.astype(jnp.int32)) \
+                + jnp.logical_and(carry_present, ~has_rows).astype(
+                    jnp.int32)
+            group_rows = (jnp.full((cap,), cap, jnp.int32)
+                          .at[jnp.where(head, gids, cap)]
+                          .min(r, mode="drop"))
+
+            inputs = self._agg_inputs(pcols, packed)
+            lanes_out = []
+            for fn, at, (vals, mask) in zip(
+                    fns, self.arg_types, inputs):
+                if is_final:
+                    contribs = tuple(
+                        jnp.where(mask, lv, jnp.asarray(
+                            lane.init_of(at), lv.dtype))
+                        for lane, lv in zip(fn.lanes, vals))
+                else:
+                    contribs = fn.lane_contribs(vals, mask, at)
+                ld = []
+                for lane, c in zip(fn.lanes, contribs):
+                    dt = lane.dtype_of(at)
+                    c = c.astype(dt)
+                    ident = jnp.asarray(lane.init_of(at), dt)
+                    if _lane_kind(lane, dt) == "cum":
+                        incl = jnp.cumsum(c)
+                        ld.append((incl, incl - c))
+                    elif lane.scan_op == "add":
+                        ld.append(((jnp.zeros((cap,), dt)
+                                    .at[gids].add(c, mode="drop")),))
+                    elif lane.scan_op == "min":
+                        ld.append(((jnp.full((cap,), ident, dt)
+                                    .at[gids].min(c, mode="drop")),))
+                    else:
+                        ld.append(((jnp.full((cap,), ident, dt)
+                                    .at[gids].max(c, mode="drop")),))
+                lanes_out.append(tuple(ld))
+            scalars = (n, ng, has_rows, merge_carry, carry_alone,
+                       jnp.logical_or(carry_present, has_rows))
+            return kp, lanes_out, group_rows, scalars
+
+        return step
+
+    def _phase_b_fn(self, cap: int, cap2: int):
+        fns = self.fns
+
+        def emit(kp, lanes_data, group_rows, scalars, carry_present,
+                 carry_keys, carry_lanes):
+            (n, ng, has_rows, merge_carry, carry_alone,
+             carry_present_out) = scalars
+            r2 = jnp.arange(cap2, dtype=jnp.int32)
+            gr2 = jnp.take(group_rows, r2, mode="clip")
+            fr2 = jnp.clip(gr2, 0, cap - 1)
+            nxt2 = jnp.take(
+                group_rows, jnp.minimum(r2 + 1, cap - 1), mode="clip")
+            last2 = jnp.where(r2 + 1 < ng, nxt2 - 1, n - 1)
+            lr2 = jnp.clip(last2, 0, cap - 1)
+            rows0 = jnp.logical_and(has_rows, ~carry_alone)
+            closed2 = r2 < ng - 1
+            last = jnp.maximum(ng - 1, 0)
+            lastrow = jnp.maximum(n - 1, 0)
+            lastrow_c = jnp.clip(lastrow, 0, cap - 1)
+            gr_last = jnp.clip(
+                jnp.take(group_rows, jnp.clip(last, 0, cap - 1),
+                         mode="clip"), 0, cap - 1)
+
+            results = []
+            carry_lanes_out = []
+            for fn, at, ld, cl in zip(
+                    fns, self.arg_types, lanes_data, carry_lanes):
+                accs2 = []
+                couts = []
+                for lane, item, cl_l in zip(fn.lanes, ld, cl):
+                    dt = lane.dtype_of(at)
+                    ident = jnp.asarray(lane.init_of(at), dt)
+                    comb = {"add": jnp.add, "min": jnp.minimum,
+                            "max": jnp.maximum}[lane.scan_op]
+                    if _lane_kind(lane, dt) == "cum":
+                        a, b = item
+                        acc2 = (jnp.take(a, lr2, mode="clip")
+                                - jnp.take(b, fr2, mode="clip"))
+                        raw_last = (jnp.take(a, lastrow_c, mode="clip")
+                                    - jnp.take(b, gr_last, mode="clip"))
+                    else:
+                        (a,) = item
+                        acc2 = a[:cap2]
+                        raw_last = jnp.take(
+                            a, jnp.clip(last, 0, cap - 1), mode="clip")
+                    raw_last = jnp.where(has_rows, raw_last, ident)
+                    a0 = jnp.where(rows0, acc2[0], ident)
+                    m0 = jnp.where(
+                        carry_present, comb(cl_l[0].astype(dt), a0), a0)
+                    accs2.append(acc2.at[0].set(m0))
+                    c_last = jnp.where(last == 0, m0, raw_last)
+                    c_last = jnp.where(
+                        has_rows | carry_present, c_last, cl_l[0])
+                    couts.append(c_last[None])
+                results.append(fn.extract(tuple(accs2), closed2))
+                carry_lanes_out.append(tuple(couts))
+
+            out_keys = []
+            carry_keys_out = []
+            for (v, vd), (cv, cvd) in zip(kp, carry_keys):
+                gv = jnp.take(v, fr2, mode="clip")
+                gv = jnp.where(
+                    jnp.logical_and(r2 == 0, carry_alone), cv, gv)
+                if vd is not None or cvd is not None:
+                    gvd = (jnp.take(vd, fr2, mode="clip")
+                           if vd is not None
+                           else jnp.ones((cap2,), jnp.bool_))
+                    cvd_s = cvd if cvd is not None else jnp.ones(
+                        (), jnp.bool_)
+                    gvd = jnp.where(
+                        jnp.logical_and(r2 == 0, carry_alone), cvd_s,
+                        gvd)
+                else:
+                    gvd = None
+                out_keys.append((gv, gvd))
+                nv = jnp.where(
+                    has_rows, jnp.take(v, lastrow_c, mode="clip"), cv)
+                nvd = None
+                if vd is not None or cvd is not None:
+                    pvd = (jnp.take(vd, lastrow_c, mode="clip")
+                           if vd is not None
+                           else jnp.ones((), jnp.bool_))
+                    ovd = cvd if cvd is not None else jnp.ones(
+                        (), jnp.bool_)
+                    nvd = jnp.where(has_rows, pvd, ovd)
+                carry_keys_out.append((nv, nvd))
+            return (out_keys, results, closed2, carry_present_out,
+                    carry_keys_out, tuple(carry_lanes_out))
+
+        return emit
+
     # ------------------------------------------------------------ execute
     def _init_carry(self, batch: Batch):
         keys = []
@@ -1297,17 +1508,35 @@ class StreamingAggregationOp(HashAggregationOp):
         cols = _cols_of(batch, self._needed)
         key_pairs = [cols[k] for k in self.keys]
         dense = batch.is_prefix_dense()
-        sig = (batch.capacity, dense,
+        cap = batch.capacity
+        sig = (cap, dense,
                tuple(sorted((n, p[1] is not None)
                             for n, p in cols.items())))
-        if self._stream_jit is None or self._stream_sig != sig:
-            self._stream_jit = cached_jit(
-                ("stream_agg", self.node.id, sig),
-                lambda: self._step_fn(dense))
-            self._stream_sig = sig
         ck, cl = self._carry
-        (out_keys, results, closed, cp, ck2, cl2) = self._stream_jit(
-            key_pairs, cols, batch.sel, self._carry_present, ck, cl)
+        if self._use_scan:
+            jit_a = cached_jit(
+                ("stream_agg_a", self.node.id, sig),
+                lambda: self._phase_a_fn(dense))
+            kp, lanes_data, group_rows, scalars = jit_a(
+                key_pairs, cols, batch.sel, self._carry_present, ck)
+            n_closed = max(int(scalars[1]) - 1, 0)  # the ONE host sync
+            cap2 = min(round_capacity(max(n_closed, 1)), cap)
+            jit_b = cached_jit(
+                ("stream_agg_b", self.node.id, sig, cap2),
+                lambda: self._phase_b_fn(cap, cap2))
+            (out_keys, results, closed, cp, ck2, cl2) = jit_b(
+                kp, lanes_data, group_rows, scalars,
+                self._carry_present, ck, cl)
+            num_rows = n_closed
+        else:
+            if self._stream_jit is None or self._stream_sig != sig:
+                self._stream_jit = cached_jit(
+                    ("stream_agg", self.node.id, sig),
+                    lambda: self._step_fn(dense))
+                self._stream_sig = sig
+            (out_keys, results, closed, cp, ck2, cl2) = self._stream_jit(
+                key_pairs, cols, batch.sel, self._carry_present, ck, cl)
+            num_rows = None
         self._carry = (ck2, cl2)
         self._carry_present = cp
         out = {}
@@ -1317,11 +1546,13 @@ class StreamingAggregationOp(HashAggregationOp):
         for name, (vals, valid) in zip(self.agg_names, results):
             out[name] = Column(
                 self.output_type.find_child(name), vals, valid)
-        # closed groups are few relative to the input capacity; compact so
-        # downstream sorts (TopN/OrderBy) never see the full-width batch.
-        # Group slots are dense by construction -> prefix compact (slices,
-        # not nonzero + random gathers)
-        self._queue.append(Batch(out, closed).compact_prefix())
+        if num_rows is not None:
+            # phase B already emitted at the rounded group capacity
+            self._queue.append(Batch(out, closed, num_rows))
+        else:
+            # closed groups are few relative to the input capacity;
+            # prefix-compact so downstream sorts never see full width
+            self._queue.append(Batch(out, closed).compact_prefix())
         self.stats.output_batches += 1
 
     def get_output(self) -> Optional[Batch]:

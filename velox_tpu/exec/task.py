@@ -278,15 +278,13 @@ class Task:
         def walk(node, depth):
             pad = "  " * depth
             stats = by_node.get(node.id, [])
-            ann = ""
-            if stats:
-                s = stats[0]
-                ann = (
-                    f"  [{s.operator_type}: in {s.input_rows} rows/"
-                    f"{s.input_batches} batches, out {s.output_rows} rows/"
-                    f"{s.output_batches} batches, "
-                    f"add {s.add_input_wall_s * 1e3:.1f}ms, "
-                    f"get {s.get_output_wall_s * 1e3:.1f}ms]")
+            ann = "".join(
+                f"  [{s.operator_type}: in {s.input_rows} rows/"
+                f"{s.input_batches} batches, out {s.output_rows} rows/"
+                f"{s.output_batches} batches, "
+                f"add {s.add_input_wall_s * 1e3:.1f}ms, "
+                f"get {s.get_output_wall_s * 1e3:.1f}ms]"
+                for s in stats)
             lines.append(f"{pad}- {node.name()}(id={node.id}){ann}")
             for src in node.sources:
                 walk(src, depth + 1)
