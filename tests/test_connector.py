@@ -135,3 +135,39 @@ def test_orc_csv_json_feather_ingest(tmp_path):
             from velox_tpu.io.catalog import drop_table
 
             drop_table(name)
+
+
+def test_selective_parquet_filtering(tmp_path):
+    """Convertible subfilter conjuncts evaluate arrow-side BEFORE device
+    transfer (SelectiveColumnReader filter-first / late-materialization
+    contract): only surviving rows ship to HBM."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from velox_tpu.exec import run_plan_pydict
+    from velox_tpu.io import drop_table
+    from velox_tpu.io.catalog import get_table, register_parquet
+    from velox_tpu.plan import PlanBuilder
+
+    path = tmp_path / "sel.parquet"
+    pq.write_table(pa.table({
+        "x": list(range(1000)),
+        "tag": (["keep", "drop"] * 500),
+        "pay": [float(i) / 3 for i in range(1000)],
+    }), path)
+    register_parquet("sel_t", str(path), batch_rows=256, lazy=True)
+    try:
+        out = run_plan_pydict(
+            PlanBuilder().table_scan(
+                "sel_t", columns=["x", "pay"],
+                subfilter="x >= 100 AND x < 200 AND tag = 'keep'")
+            .aggregate([], ["count(*) AS c", "sum(x) AS s"]).build())
+        # tag not projected: that conjunct runs arrow-side only... it
+        # must still filter (x even -> keep rows)
+        exp = [i for i in range(100, 200) if i % 2 == 0]
+        assert out["c"] == [len(exp)]
+        assert out["s"] == [sum(exp)]
+        t = get_table("sel_t")
+        assert t.last_row_filtered > 0, "arrow-side filter never ran"
+    finally:
+        drop_table("sel_t")

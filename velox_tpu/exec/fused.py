@@ -118,7 +118,8 @@ class FusedScanOp(Operator):
 
         if not self.scan._splits:
             return None
-        b = self.scan._splits.popleft().project(self.scan.node.columns)
+        b = self.scan._splits.popleft().project(
+            getattr(self.scan.node, 'all_columns', self.scan.node.columns))
         for df in self.scan.dynamic_filters:
             b = b.with_sel(df.filter_sel(b))
         jitted, out_dicts = self._compile(b)
@@ -221,7 +222,8 @@ class FusedScanAggOp(Operator):
             b = self.scan._splits.popleft() if self.scan._splits else None
             if b is None:
                 break
-            b = b.project(self.scan.node.columns)
+            b = b.project(getattr(self.scan.node, 'all_columns',
+                                   self.scan.node.columns))
             jitted, mode = self._compile(b)
             cols = eval_pairs(b)
             if mode == "array":

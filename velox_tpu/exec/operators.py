@@ -72,10 +72,19 @@ class TableScanOp(Operator):
         super().__init__(node)
         from velox_tpu.io.catalog import get_table
 
+        allc = getattr(node, "all_columns", node.columns)
         self._splits = collections.deque(
-            get_table(node.table).make_splits(node.columns, node.subfilter))
+            get_table(node.table).make_splits(allc, node.subfilter))
+        fschema = node.output_type
+        if getattr(node, "filter_columns", ()):
+            from velox_tpu.io.catalog import get_table as _gt
+            from velox_tpu.types.types import row_type as _rt
+
+            tschema = _gt(node.table).schema
+            fschema = _rt(list(allc),
+                          [tschema.find_child(n) for n in allc])
         self._filter = (
-            ExprEvaluator([node.subfilter], node.output_type)
+            ExprEvaluator([node.subfilter], fschema)
             if node.subfilter is not None else None)
         # dynamic filters pushed down mid-query by joins
         # (velox/exec/HashProbe.cpp:419-444 analog)
@@ -85,11 +94,13 @@ class TableScanOp(Operator):
         if not self._splits:
             return None
         b = self._splits.popleft()
-        b = b.project(self.node.columns)
+        b = b.project(getattr(self.node, "all_columns",
+                              self.node.columns))
         if self._filter is not None:
             b = b.with_sel(self._filter.filter_sel(b))
         for df in self.dynamic_filters:
             b = b.with_sel(df.filter_sel(b))
+        b = b.project(self.node.columns)  # drop filter-only columns
         self.stats.output_batches += 1
         return b
 

@@ -11,6 +11,8 @@ multi-driver execution over device meshes lives in velox_tpu/parallel.
 from __future__ import annotations
 
 import time
+
+import jax.numpy as jnp
 from typing import Dict, Iterator, List, Optional, Tuple
 
 from velox_tpu.vector.batch import Batch
@@ -169,14 +171,30 @@ def _record_out(op: Operator, b: Optional[Batch]) -> None:
             op.stats.output_rows += b.num_rows
 
 
+def _sync(b):
+    """Force one device value (profiling mode): on the axon backend only
+    a value FETCH proves execution finished (block_until_ready returns
+    early), so per-op walls are meaningless unless each operator's
+    output is synced before the clock stops."""
+    import numpy as _np
+
+    _np.asarray(jnp.sum(b.sel.astype(jnp.int32)))
+    return b
+
+
 def _stream(ops: List[Operator], i: int,
             tracer=None) -> Iterator[Batch]:
     """Serial driver inner loop (velox/exec/Driver.cpp:615-720 analog)."""
+    from velox_tpu.utils.config import config as _cfg
+
+    sync = _cfg.profile_sync_per_op
     op = ops[i]
     if i == 0:
         while not op.is_finished():
             t0 = time.perf_counter()
             b = op.get_output()
+            if b is not None and sync:
+                _sync(b)
             op.stats.get_output_wall_s += time.perf_counter() - t0
             if b is None:
                 break
@@ -199,6 +217,8 @@ def _stream(ops: List[Operator], i: int,
         while True:
             t0 = time.perf_counter()
             out = op.get_output()
+            if out is not None and sync:
+                _sync(out)
             op.stats.get_output_wall_s += time.perf_counter() - t0
             if out is None:
                 break

@@ -314,6 +314,8 @@ class ParquetTable(Table):
     decimal_overrides: Dict[str, tuple] = None  # type: ignore[assignment]
     #: row groups skipped by statistics on the last scan (test/stats hook)
     last_skipped: int = 0
+    #: rows dropped by arrow-side selective filtering on the last scan
+    last_row_filtered: int = 0
 
     @property
     def num_rows(self) -> int:
@@ -355,9 +357,104 @@ class ParquetTable(Table):
                 cols_req.append(n)
         tbl = pf.read_row_groups(keep, columns=cols_req)
         tbl, _ = flatten_structs(tbl)
+        # selective materialization: evaluate convertible subfilter
+        # conjuncts in arrow BEFORE device transfer, so only surviving
+        # rows ship to HBM (the SelectiveColumnReader filter-column-
+        # first contract, velox/dwio/common/SelectiveColumnReader.h:139
+        # + ColumnLoader.h late materialization — here the "lazy load"
+        # is skipping the host->device DMA for filtered-out rows). The
+        # device subfilter still runs (exactness; partial conversions).
+        mask = _arrow_filter_mask(tbl, conjuncts)
+        if mask is not None:
+            import pyarrow.compute as pc
+
+            before = tbl.num_rows
+            tbl = tbl.filter(mask)
+            self.last_row_filtered = before - tbl.num_rows
         ov = {k: v for k, v in (self.decimal_overrides or {}).items()
               if k in columns}
         return ingest_splits(tbl, self.batch_rows, ov or None)
+
+
+def _arrow_filter_mask(tbl: pa.Table, conjuncts):
+    """Boolean arrow mask for the conjuncts expressible as arrow compute
+    (field <cmp> literal, BETWEEN, IN); None when nothing converts.
+    Unconvertible conjuncts are simply skipped — the device subfilter
+    re-applies the full predicate."""
+    import datetime as _dt
+
+    import pyarrow.compute as pc
+
+    from velox_tpu.expr.ir import Call, Cast, FieldRef, Literal
+
+    def lit_of(e, col_type):
+        if not isinstance(e, Literal):
+            return None
+        v = e.value
+        if (pa.types.is_date32(col_type)
+                and isinstance(v, (int, float))):
+            return _dt.date(1970, 1, 1) + _dt.timedelta(days=int(v))
+        return v
+
+    def conv(c):
+        if not isinstance(c, Call):
+            return None
+        ops = {"eq": "equal", "neq": "not_equal", "lt": "less",
+               "lte": "less_equal", "gt": "greater",
+               "gte": "greater_equal"}
+        flipped = {"eq": "equal", "neq": "not_equal", "lt": "greater",
+                   "lte": "greater_equal", "gt": "less",
+                   "gte": "less_equal"}
+        args = c.args
+        if c.name in ops and len(args) == 2:
+            f, l = args
+            table = ops
+            if isinstance(l, FieldRef) and isinstance(f, Literal):
+                f, l = l, f
+                table = flipped  # literal <cmp> field
+            if not (isinstance(f, FieldRef) and isinstance(l, Literal)):
+                return None
+            if f.name not in tbl.column_names:
+                return None
+            v = lit_of(l, tbl.schema.field(f.name).type)
+            if v is None:
+                return None
+            return getattr(pc, table[c.name])(tbl.column(f.name), v)
+        if c.name == "between" and len(args) == 3:
+            f, lo, hi = args
+            if not (isinstance(f, FieldRef) and isinstance(lo, Literal)
+                    and isinstance(hi, Literal)
+                    and f.name in tbl.column_names):
+                return None
+            t = tbl.schema.field(f.name).type
+            lov, hiv = lit_of(lo, t), lit_of(hi, t)
+            if lov is None or hiv is None:
+                return None
+            col = tbl.column(f.name)
+            return pc.and_(pc.greater_equal(col, lov),
+                           pc.less_equal(col, hiv))
+        if c.name == "in":
+            f = args[0]
+            if not (isinstance(f, FieldRef)
+                    and f.name in tbl.column_names):
+                return None
+            t = tbl.schema.field(f.name).type
+            vals = []
+            for a in args[1:]:
+                v = lit_of(a, t)
+                if v is None:
+                    return None
+                vals.append(v)
+            return pc.is_in(tbl.column(f.name), value_set=pa.array(vals))
+        return None
+
+    mask = None
+    for c in conjuncts:
+        m = conv(c)
+        if m is None:
+            continue
+        mask = m if mask is None else pc.and_(mask, m)
+    return mask
 
 
 def _split_conjuncts(expr) -> List:

@@ -102,7 +102,9 @@ def try_distributed_pipeline(pipelines, out_ops, mesh, n_dev, axis):
             return None  # nested bridge shapes not covered
 
     # ---- shard the scan across the mesh
-    splits = [b.project(scan.node.columns) for b in scan._splits]
+    splits = [b.project(getattr(scan.node, 'all_columns',
+                                 scan.node.columns))
+              for b in scan._splits]
     if not splits:
         return None
     scan._splits.clear()

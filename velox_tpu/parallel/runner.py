@@ -73,7 +73,9 @@ def run_plan_distributed(plan, mesh=None, axis: str = "d"):
     scan = fused.scan
 
     # ---- stack the table splits into one (n_dev * shard_cap,) layout
-    splits = [b.project(scan.node.columns) for b in scan._splits]
+    splits = [b.project(getattr(scan.node, 'all_columns',
+                                 scan.node.columns))
+              for b in scan._splits]
     scan._splits.clear()
     big = concat_batches(splits) if len(splits) > 1 else splits[0]
     total = big.capacity
@@ -178,7 +180,9 @@ def _try_broadcast_semi_join(pipelines, out_ops, mesh, n_dev, axis):
 
     # 2. shard the probe scan across the mesh
     scan: TableScanOp = out_ops[0]
-    splits = [b.project(scan.node.columns) for b in scan._splits]
+    splits = [b.project(getattr(scan.node, 'all_columns',
+                                 scan.node.columns))
+              for b in scan._splits]
     scan._splits.clear()
     big = concat_batches(splits) if len(splits) > 1 else splits[0]
     shard_cap = max(-(-big.capacity // n_dev), 128)

@@ -100,6 +100,15 @@ def _parse_agg(text: str, default_name: str
     return name, fn, args, distinct
 
 
+def _collect_field_refs(expr):
+    from velox_tpu.expr.ir import FieldRef
+
+    if isinstance(expr, FieldRef):
+        yield expr
+    for c in expr.children:
+        yield from _collect_field_refs(c)
+
+
 class PlanBuilder:
     """Build a plan tree fluently; every method returns self."""
 
@@ -129,10 +138,21 @@ class PlanBuilder:
         types = [t.schema.find_child(n) for n in names]
         schema = row_type(names, types)
         sf = None
+        filter_cols: List[str] = []
         if subfilter is not None:
-            sf = resolve_types(parse_expr(subfilter), schema)
+            # filter-only columns (velox ScanSpec children that are read
+            # for filtering but not projected): resolve against the full
+            # table schema, record the extras
+            sf0 = parse_expr(subfilter)
+            refs = sorted({f.name for f in _collect_field_refs(sf0)})
+            filter_cols = [n for n in refs if n not in names]
+            full = row_type(
+                names + filter_cols,
+                types + [t.schema.find_child(n) for n in filter_cols])
+            sf = resolve_types(sf0, full)
         self.node = TableScanNode(
-            new_id(), schema, table, tuple(names), sf)
+            new_id(), schema, table, tuple(names), sf,
+            tuple(filter_cols))
         return self
 
     def exchange(self, schema: RowType, num_partitions: int = 1

@@ -69,6 +69,13 @@ class TableScanNode(PlanNode):
     table: str = ""
     columns: Tuple[str, ...] = ()
     subfilter: Optional[Expr] = None
+    #: columns read ONLY to evaluate the subfilter (velox ScanSpec
+    #: filter-only children): scanned + filtered, then dropped
+    filter_columns: Tuple[str, ...] = ()
+
+    @property
+    def all_columns(self) -> Tuple[str, ...]:
+        return tuple(self.columns) + tuple(self.filter_columns)
 
 
 @dataclass(frozen=True)

@@ -58,5 +58,10 @@ class SessionConfig:
     spill_agg_partitions: int = 8
     spill_join_partitions: int = 8
 
+    #: profiling: fetch one value of every operator output so per-op
+    #: walls reflect true device time (async dispatch otherwise charges
+    #: an op's compute to whichever downstream op syncs first)
+    profile_sync_per_op: bool = False
+
 
 config = SessionConfig()
