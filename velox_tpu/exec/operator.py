@@ -33,6 +33,7 @@ class OperatorStats:
     output_rows: int = 0
     add_input_wall_s: float = 0.0
     get_output_wall_s: float = 0.0
+    finish_wall_s: float = 0.0  # no_more_input work (build sinks)
     runtime: Dict[str, float] = field(default_factory=dict)
 
 

@@ -1130,8 +1130,9 @@ class StreamingAggregationOp(HashAggregationOp):
                 kp = list(key_pairs)
                 pcols = dict(cols)
             else:
-                pk = jnp.nonzero(sel, size=cap, fill_value=cap)[0].astype(
-                    jnp.int32)
+                from velox_tpu.ops.sort import pack_indices
+
+                pk = pack_indices(sel)
 
                 def pack(pair):
                     v, vd = pair
@@ -1328,8 +1329,9 @@ class StreamingAggregationOp(HashAggregationOp):
                 kp = list(key_pairs)
                 pcols = dict(cols)
             else:
-                pk = jnp.nonzero(
-                    sel, size=cap, fill_value=cap)[0].astype(jnp.int32)
+                from velox_tpu.ops.sort import pack_indices
+
+                pk = pack_indices(sel)
 
                 def pack(pair):
                     v, vd = pair
@@ -1941,6 +1943,13 @@ class HashBuildOp(Operator):
         batches = self._buffer.drain()
         if batches:
             big = concat_batches(batches)
+            # sparse build sides (e.g. a heavily filtered upstream kept
+            # at its input capacity) shrink before index construction:
+            # all build work then runs at the true row count, and the
+            # bridged build_batch that every probe batch gathers from
+            # stays small. compact() is one count sync + a sort-based
+            # pack (ops/sort.pack_indices).
+            big = big.compact()
         else:
             big = Batch.empty_like(
                 node.right.output_type, round_capacity(1))
@@ -2109,10 +2118,14 @@ class HashProbeOp(Operator):
         dicts = [batch.column(k).dictionary for k in keys]
         # bridge-state hints (incl. the build key codec, whose key
         # normalization offsets differ per build) are baked into the
-        # closure: key them too — spilled-probe restores rebuild the
-        # bridge once per partition
+        # closure: key them BY VALUE — key_sig() captures exactly the
+        # host constants the closure bakes, so a fresh Task over the
+        # same data reuses the compiled probe (keying by codec identity
+        # forced a re-trace + remote-compile round trip per run: ~1s
+        # per probe on the tunneled backend), while spilled-probe
+        # per-partition restores still get distinct programs
         sig = (tuple(id(d) for d in dicts), len(br.tables), br.key_lo,
-               br.build_has_null_key, id(br.codec))
+               br.build_has_null_key, br.codec.key_sig())
         fn = self._probe_jits.get(sig)
         if fn is not None:
             return fn

@@ -227,7 +227,9 @@ def _stream(ops: List[Operator], i: int,
             if op.is_finished():
                 upstream.close()
                 return
+    t0 = time.perf_counter()
     op.no_more_input()
+    op.stats.finish_wall_s += time.perf_counter() - t0
     while not op.is_finished():
         t0 = time.perf_counter()
         out = op.get_output()
@@ -268,7 +270,10 @@ class Task:
                 for _ in _stream(p.operators, len(p.operators) - 1,
                                  self.tracer):
                     pass
+                t0 = time.perf_counter()
                 p.operators[-1].no_more_input()
+                p.operators[-1].stats.finish_wall_s += (
+                    time.perf_counter() - t0)
             out = next(
                 p for p in self.planner.pipelines if p.is_output)
             yield from _stream(out.operators, len(out.operators) - 1,
@@ -303,7 +308,8 @@ class Task:
                 f"{s.input_batches} batches, out {s.output_rows} rows/"
                 f"{s.output_batches} batches, "
                 f"add {s.add_input_wall_s * 1e3:.1f}ms, "
-                f"get {s.get_output_wall_s * 1e3:.1f}ms]"
+                f"get {s.get_output_wall_s * 1e3:.1f}ms, "
+                f"fin {s.finish_wall_s * 1e3:.1f}ms]"
                 for s in stats)
             lines.append(f"{pad}- {node.name()}(id={node.id}){ann}")
             for src in node.sources:

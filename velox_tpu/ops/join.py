@@ -141,8 +141,9 @@ def build_join_index_presorted(
     if key.dtype not in (jnp.int32, jnp.int64):
         key = key.astype(jnp.int64)
     active = sel if valid is None else jnp.logical_and(sel, valid)
-    perm = jnp.nonzero(active, size=cap, fill_value=cap)[0].astype(
-        jnp.int32)
+    from velox_tpu.ops.sort import pack_indices
+
+    perm = pack_indices(active)
     n_active = jnp.sum(active.astype(jnp.int32))
     big = jnp.iinfo(key.dtype).max
     idx = jnp.arange(cap, dtype=jnp.int32)

@@ -66,3 +66,22 @@ def top_n_indices(
     top = perm[:n]
     active_sorted = jnp.take(sel, top, mode="clip")
     return top, active_sorted
+
+
+def pack_indices(sel, fill=None):
+    """Indices of True in ``sel``, front-packed in order, padded with
+    ``fill`` (default: capacity) — drop-in for
+    ``jnp.nonzero(sel, size=cap, fill_value=cap)[0]``, which lowers
+    pathologically on the axon TPU (577ms at 6M rows vs 38ms for the
+    equivalent 2-operand int32 sort this uses)."""
+    import jax
+    import jax.numpy as jnp
+
+    cap = sel.shape[0]
+    if fill is None:
+        fill = cap
+    perm = jnp.arange(cap, dtype=jnp.int32)
+    flag = jnp.where(sel, jnp.int32(0), jnp.int32(1))
+    _, idx = jax.lax.sort([flag, perm], is_stable=True, num_keys=1)
+    n = jnp.sum(sel.astype(jnp.int32))
+    return jnp.where(perm < n, idx, jnp.int32(fill))

@@ -195,9 +195,9 @@ class Batch:
         cap2 = round_capacity(max(count, 1))
         if cap2 >= self.capacity:
             return self
-        idx = jnp.nonzero(
-            self.sel, size=cap2, fill_value=self.capacity)[0].astype(
-            jnp.int32)
+        from velox_tpu.ops.sort import pack_indices
+
+        idx = pack_indices(self.sel)[:cap2]
         sel2 = jnp.arange(cap2, dtype=jnp.int32) < count
         return self.gather(idx, sel2, count)
 
