@@ -682,3 +682,44 @@ def test_grouped_execution_barriers():
             assert c == r["c"]
     finally:
         drop_table("grp_t")
+
+
+def test_index_lookup_join():
+    """velox/exec/IndexLookupJoin.h analog: lookup join against a
+    catalog-verified unique index column (kArray table = the index)."""
+    from velox_tpu.io import drop_table, register_arrow
+
+    register_arrow("ilj_dim", pa.table({
+        "id": list(range(1, 101)),
+        "name_len": [len(f"n{i}") for i in range(1, 101)]}), 128)
+    try:
+        rng = np.random.default_rng(5)
+        probe = make_batch({
+            "fk": [int(x) for x in rng.integers(1, 101, 300)],
+            "v": [float(x) for x in rng.normal(size=300)]})
+        out = run_plan_pydict(
+            PlanBuilder().values([probe])
+            .index_lookup_join(
+                PlanBuilder().table_scan("ilj_dim"), ["fk"], ["id"],
+                output=["fk", "v", "name_len"])
+            .aggregate([], ["count(*) AS c", "sum(name_len) AS s"])
+            .build())
+        assert out["c"] == [300]
+        # serde round-trips the node type
+        from velox_tpu.plan.serde import plan_from_json, plan_to_json
+
+        plan = (PlanBuilder().values([probe])
+                .index_lookup_join(
+                    PlanBuilder().table_scan("ilj_dim"), ["fk"], ["id"])
+                .build())
+        rt = plan_from_json(plan_to_json(plan))
+        assert type(rt).__name__ == "IndexLookupJoinNode"
+        # non-unique key refuses
+        register_arrow("ilj_bad", pa.table({"id": [1, 1, 2]}), 128)
+        with pytest.raises(AssertionError):
+            (PlanBuilder().values([probe])
+             .index_lookup_join(
+                 PlanBuilder().table_scan("ilj_bad"), ["fk"], ["id"]))
+    finally:
+        drop_table("ilj_dim")
+        drop_table("ilj_bad")

@@ -312,10 +312,17 @@ class ParquetTable(Table):
     path: str = ""
     batch_rows: int = 1 << 20
     decimal_overrides: Dict[str, tuple] = None  # type: ignore[assignment]
+    #: decoded-split cache (velox AsyncDataCache analog — parquet files
+    #: are immutable, so (columns, subfilter) fully keys the decoded
+    #: device splits; repeated scans skip decode + H2D entirely). LRU
+    #: over config.scan_cache_entries.
+    _split_cache: Dict[tuple, list] = None  # type: ignore[assignment]
     #: row groups skipped by statistics on the last scan (test/stats hook)
     last_skipped: int = 0
     #: rows dropped by arrow-side selective filtering on the last scan
     last_row_filtered: int = 0
+    #: decoded-split cache hits (test/stats hook)
+    cache_hits: int = 0
 
     @property
     def num_rows(self) -> int:
@@ -327,11 +334,21 @@ class ParquetTable(Table):
                     subfilter=None) -> List[Batch]:
         import pyarrow.parquet as pq
 
+        from velox_tpu.utils.config import config
         from velox_tpu.utils.testvalue import TestValue
 
         # FaultyFileSystem analog (velox/common/file/tests/FaultyFile
         # System.h): tests inject read failures/delays here
         TestValue.adjust("velox_tpu.scan.read_split", self)
+        ckey = (tuple(columns), repr(subfilter))
+        if self._split_cache is None:
+            self._split_cache = {}
+        hit = self._split_cache.get(ckey)
+        if hit is not None:
+            self.cache_hits += 1
+            # LRU touch
+            self._split_cache[ckey] = self._split_cache.pop(ckey)
+            return list(hit)
         pf = pq.ParquetFile(self.path)
         md = pf.metadata
         col_idx = {n: i for i, n in enumerate(pf.schema_arrow.names)}
@@ -373,7 +390,12 @@ class ParquetTable(Table):
             self.last_row_filtered = before - tbl.num_rows
         ov = {k: v for k, v in (self.decimal_overrides or {}).items()
               if k in columns}
-        return ingest_splits(tbl, self.batch_rows, ov or None)
+        splits = ingest_splits(tbl, self.batch_rows, ov or None)
+        if config.scan_cache_entries > 0:
+            self._split_cache[ckey] = list(splits)
+            while len(self._split_cache) > config.scan_cache_entries:
+                self._split_cache.pop(next(iter(self._split_cache)))
+        return splits
 
 
 def _arrow_filter_mask(tbl: pa.Table, conjuncts):

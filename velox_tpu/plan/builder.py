@@ -394,6 +394,36 @@ class PlanBuilder:
     def merge_join(self, *args, **kwargs) -> "PlanBuilder":
         return self.hash_join(*args, merge=True, **kwargs)
 
+    def index_lookup_join(
+        self, right: Union["PlanBuilder", PlanNode],
+        left_keys: Sequence[str], right_keys: Sequence[str],
+        join_type: Union[str, JoinType] = JoinType.INNER,
+        output: Optional[Sequence[str]] = None,
+    ) -> "PlanBuilder":
+        """Join against an indexed table source
+        (velox/exec/IndexLookupJoin.h:24): the right side must be a
+        TableScan whose lookup key the catalog verified strictly
+        increasing (unique) at ingest. Lowered onto the kArray
+        direct-address probe (the index)."""
+        from velox_tpu.io.catalog import get_table
+        from velox_tpu.plan.nodes import IndexLookupJoinNode, TableScanNode
+
+        rnode = right.node if isinstance(right, PlanBuilder) else right
+        assert isinstance(rnode, TableScanNode), (
+            "index_lookup_join right side must be a TableScan")
+        t = get_table(rnode.table)
+        for k in right_keys:
+            assert k in t.unique_cols, (
+                f"index_lookup_join: {k!r} is not a verified-unique "
+                f"index column of {rnode.table!r} "
+                f"(unique: {sorted(t.unique_cols)})")
+        self.hash_join(right, left_keys, right_keys, join_type, output)
+        n = self.node
+        self.node = IndexLookupJoinNode(
+            n.id, n.output_type, n.left, n.right, n.join_type,
+            n.left_keys, n.right_keys, n.filter)
+        return self
+
     def cross_join(
         self,
         right: Union["PlanBuilder", PlanNode],

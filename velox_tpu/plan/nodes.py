@@ -227,6 +227,18 @@ class HashJoinNode(PlanNode):
 
 
 @dataclass(frozen=True)
+class IndexLookupJoinNode(HashJoinNode):
+    """Lookup join against an INDEXED source (velox/core/PlanNode.h
+    IndexLookupJoinNode + exec/IndexLookupJoin.h:24). TPU redesign: the
+    kArray direct-address table this engine builds for every join IS
+    the index (two gathers per probe row), so the lookup join lowers to
+    the ordinary build/probe machinery — the node exists for plan
+    parity and validates the index precondition (the right side must be
+    a table scan whose key column the catalog verified strictly
+    increasing at ingest)."""
+
+
+@dataclass(frozen=True)
 class MergeJoinNode(HashJoinNode):
     """Join over inputs already sorted on the keys
     (velox/exec/MergeJoin.h:47)."""

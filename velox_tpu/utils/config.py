@@ -63,5 +63,10 @@ class SessionConfig:
     #: an op's compute to whichever downstream op syncs first)
     profile_sync_per_op: bool = False
 
+    #: decoded parquet splits kept per table (AsyncDataCache analog;
+    #: 0 disables). Entries key on (columns, subfilter) — parquet files
+    #: are immutable.
+    scan_cache_entries: int = 4
+
 
 config = SessionConfig()
