@@ -61,3 +61,16 @@ def test_window_fuzz_nightly():
     from velox_tpu.fuzzer.window_fuzzer import run_window_fuzz
 
     run_window_fuzz(iterations=100, seed=103)
+
+
+def test_exchange_fuzz():
+    from velox_tpu.fuzzer.exchange_fuzzer import run_exchange_fuzz
+
+    run_exchange_fuzz(iterations=15, seed=24)
+
+
+@pytest.mark.nightly
+def test_exchange_fuzz_nightly():
+    from velox_tpu.fuzzer.exchange_fuzzer import run_exchange_fuzz
+
+    run_exchange_fuzz(iterations=120, seed=104)
