@@ -1753,8 +1753,9 @@ class JoinKeyCodec:
                 if c.valid is not None:
                     act = jnp.logical_and(act, c.valid)
                 big = jnp.iinfo(v.dtype).max
-                lo = int(jnp.min(jnp.where(act, v, big)))
-                hi = int(jnp.max(jnp.where(act, v, -big - 1)))
+                # ONE fused fetch (each int() is a tunnel round trip)
+                lo, hi = (int(x) for x in np.asarray(_minmax_jit(
+                    v, act, big)))
                 if lo <= hi:
                     self.lohi = (lo, hi)
                     if (v.dtype == jnp.int64
@@ -1762,14 +1763,18 @@ class JoinKeyCodec:
                         self.narrow = (lo, hi)
         if self.multi:
             self.mins, self.bits = [], []
+            lohis = []
             for c in self.cols:
                 v = _canon_int(c.values)
                 act = build_batch.sel
                 if c.valid is not None:
                     act = jnp.logical_and(act, c.valid)
                 big = jnp.iinfo(jnp.int64).max
-                lo = int(jnp.min(jnp.where(act, v, big)))
-                hi = int(jnp.max(jnp.where(act, v, -big - 1)))
+                lohis.append(_minmax_jit(v.astype(jnp.int64), act, big))
+            # one fetch for every key's (lo, hi)
+            fetched = np.asarray(jnp.concatenate(lohis))
+            for ki in range(len(self.cols)):
+                lo, hi = int(fetched[2 * ki]), int(fetched[2 * ki + 1])
                 if hi < lo:  # empty build side
                     lo, hi = 0, 0
                 self.mins.append(lo)
@@ -1875,6 +1880,18 @@ class JoinKeyCodec:
         return key, null_valid, match_valid
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=2)
+def _minmax_jit(v, act, big):
+    """[min, max] of active values as one 2-element device array (fused
+    into one fetch — per-scalar int() costs a tunnel round trip each)."""
+    lo = jnp.min(jnp.where(act, v, big))
+    hi = jnp.max(jnp.where(act, v, -big - 1))
+    return jnp.stack([lo, hi])
+
+
 def _canon_int(v: jax.Array) -> jax.Array:
     """Values -> equality-preserving integer, keeping 32-bit lanes narrow
     (the TPU narrow-lane rule applied to join keys)."""
@@ -1947,9 +1964,10 @@ class HashBuildOp(Operator):
             # at its input capacity) shrink before index construction:
             # all build work then runs at the true row count, and the
             # bridged build_batch that every probe batch gathers from
-            # stays small. compact() is one count sync + a sort-based
-            # pack (ops/sort.pack_indices).
-            big = big.compact()
+            # stays small. compact() is a sort-based pack
+            # (ops/sort.pack_indices); the count sync is skipped when
+            # upstream already knows it.
+            big = big.compact(big.num_rows)
         else:
             big = Batch.empty_like(
                 node.right.output_type, round_capacity(1))
@@ -2085,7 +2103,13 @@ class HashProbeOp(Operator):
         br = self.bridge
         if scan is None or br.codec.multi or br.codec.dicts[0] is not None:
             return
-        n_active = int(br.n_active)
+        if not scan._splits:
+            # nothing left to filter: every fetch below is a tunnel
+            # round trip (~26ms each), pure waste on drained scans
+            return
+        n_active = getattr(br, "n_active_host", None)
+        if n_active is None:
+            n_active = int(br.n_active)
         key = self.node.left_keys[0]
         if n_active == 0:
             from velox_tpu.expr.ir import lit
