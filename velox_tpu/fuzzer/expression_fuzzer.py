@@ -26,16 +26,20 @@ _ALL_COLS = {**_NUM_COLS, "s": "varchar", "flag": "boolean"}
 
 
 class ExpressionFuzzer:
-    def __init__(self, seed: int = 0):
+    def __init__(self, seed: int = 0, num_cols=None, str_col="s",
+                 bool_col="flag", int_col="a"):
         self.rng = np.random.default_rng(seed)
+        self.num_cols = list(num_cols or _NUM_COLS)
+        self.str_col = str_col
+        self.bool_col = bool_col
+        self.int_col = int_col
 
     # ------------------------------------------------------- generation
     def gen_numeric(self, depth: int) -> Expr:
         r = self.rng
         if depth <= 0 or r.random() < 0.35:
             if r.random() < 0.6:
-                return FieldRef(None, str(r.choice(
-                    [c for c, k in _NUM_COLS.items()])))
+                return FieldRef(None, str(r.choice(self.num_cols)))
             if r.random() < 0.5:
                 return Literal(None, int(r.integers(-50, 50)))
             return Literal(None, float(np.round(r.normal(scale=20), 2)))
@@ -63,24 +67,25 @@ class ExpressionFuzzer:
             lo = int(self.rng.integers(-40, 0))
             hi = int(self.rng.integers(0, 40))
             return Call(None, "between", (
-                FieldRef(None, "a"), Literal(None, lo), Literal(None, hi)))
+                FieldRef(None, self.int_col), Literal(None, lo),
+                Literal(None, hi)))
         if kind == "in":
             vals = [int(v) for v in self.rng.integers(-20, 20, 3)]
             return Call(None, "in", (
-                FieldRef(None, "a"),
+                FieldRef(None, self.int_col),
                 *[Literal(None, v) for v in vals]))
         if kind == "streq":
             return Call(None, "eq", (
-                FieldRef(None, "s"),
+                FieldRef(None, self.str_col),
                 Literal(None, f"s{int(self.rng.integers(0, 14)):02d}")))
-        return FieldRef(None, "flag")
+        return FieldRef(None, self.bool_col)
 
     def gen_string(self, depth: int) -> Expr:
         """String-valued exprs over the dictionary column (exercises
         DictTransform composition + CSE across transforms)."""
         r = self.rng
         if depth <= 0 or r.random() < 0.4:
-            return FieldRef(None, "s")
+            return FieldRef(None, self.str_col)
         kind = str(r.choice(
             ["upper", "lower", "reverse", "replace", "lpad", "rpad",
              "substr"]))
@@ -241,11 +246,30 @@ def run_expression_fuzz(iterations: int = 100, seed: int = 0,
                         rows: int = 64) -> int:
     """Run the differential fuzz; returns #expressions checked. Raises on
     the first mismatch with a repro dump."""
-    ef = ExpressionFuzzer(seed)
+    rng = np.random.default_rng(seed + 99)
     vf = VectorFuzzer(seed + 1)
     checked = 0
     for it in range(iterations):
-        batch = vf.batch(_ALL_COLS, rows)
+        # randomized schema each iteration (the velox fuzzer generates
+        # random input types; a fixed schema misses name/width variety)
+        n_num = int(rng.integers(2, 6))
+        names = [f"c{j}" for j in range(n_num)]
+        kinds = [str(rng.choice(["bigint", "double"]))
+                 for _ in range(n_num)]
+        if "bigint" not in kinds:
+            kinds[0] = "bigint"
+        int_col = names[kinds.index("bigint")]
+        sc = f"s{it % 3}"
+        bc = f"b{it % 2}"
+        schema = dict(zip(names, kinds))
+        schema[sc] = "varchar"
+        schema[bc] = "boolean"
+        rows_it = int(rng.integers(max(rows // 2, 4), rows + 32))
+        ef = ExpressionFuzzer(
+            seed + it, num_cols=names, str_col=sc, bool_col=bc,
+            int_col=int_col)
+        batch = vf.batch(schema, rows_it)
+        rows_cur = rows_it
         df = pd.DataFrame(batch.to_pydict())
         expr = ef.gen(3)
         try:
@@ -260,15 +284,16 @@ def run_expression_fuzz(iterations: int = 100, seed: int = 0,
             for name in es.field_names}
         (vals, valid) = es.evaluate(arrays)[0]
         got_vals = np.broadcast_to(
-            np.asarray(vals), (max(rows, 1),))[: rows] \
-            if np.asarray(vals).ndim == 0 else np.asarray(vals)[: rows]
-        got_valid = (np.ones(rows, bool) if valid is None
+            np.asarray(vals), (max(rows_cur, 1),))[: rows_cur] \
+            if np.asarray(vals).ndim == 0 \
+            else np.asarray(vals)[: rows_cur]
+        got_valid = (np.ones(rows_cur, bool) if valid is None
                      else np.broadcast_to(
-                         np.asarray(valid), (rows,))[: rows]
+                         np.asarray(valid), (rows_cur,))[: rows_cur]
                      if np.asarray(valid).ndim == 0
-                     else np.asarray(valid)[: rows])
+                     else np.asarray(valid)[: rows_cur])
         exp = _oracle(expr, df)
-        for i in range(rows):
+        for i in range(rows_cur):
             ev = exp.iloc[i]
             if pd.isna(ev):
                 assert not got_valid[i], _repro(expr, df, i, got_vals[i], ev)
