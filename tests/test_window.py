@@ -320,3 +320,99 @@ def test_rows_frame_descending_order():
         exp = df[m]["v"].sum()
         got = out["s"][out["o"].index(row["o"])]
         assert got == pytest.approx(exp), (row["o"], got, exp)
+
+
+def test_streaming_window_matches_blocking():
+    """StreamingWindowOp (partition-clustered input) == blocking WindowOp
+    (velox RowsStreamingWindowBuild analog)."""
+    import dataclasses
+
+    from velox_tpu.exec.task import Task
+    from velox_tpu.plan.nodes import StreamingWindowNode, WindowNode
+
+    rng = np.random.default_rng(6)
+    # clustered by p across 3 batches; partitions span batch boundaries
+    p = sorted(int(x) for x in rng.integers(0, 12, 300))
+    o = [int(x) for x in rng.integers(0, 50, 300)]
+    v = [float(np.round(x, 3)) for x in rng.normal(size=300)]
+    rid = list(range(300))
+    batches = [
+        make_batch({"p": p[i:i + 100], "o": o[i:i + 100],
+                    "v": v[i:i + 100], "rid": rid[i:i + 100]})
+        for i in range(0, 300, 100)]
+
+    def build(streaming):
+        # rid tiebreaker: ROWS frames depend on order among peers, which
+        # is otherwise unstable-sort nondeterminism
+        pb = (PlanBuilder().values(batches)
+              .window(["p"], ["o", "rid"], [
+                  "row_number() AS rn", "rank() AS r",
+                  "sum(v) ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING "
+                  "AS s",
+                  "min(v) RANGE BETWEEN 2 PRECEDING AND CURRENT ROW "
+                  "AS lo"])
+              .order_by(["p", "o", "v"]))
+        node = pb.build()
+        if streaming:
+            # retype the WindowNode inside the tree
+            def retype(n):
+                srcs = tuple(retype(s) for s in n.sources)
+                if srcs != tuple(n.sources):
+                    n = dataclasses.replace(n, **(
+                        {"source": srcs[0]} if hasattr(n, "source")
+                        else {}))
+                if type(n) is WindowNode:
+                    n = StreamingWindowNode(**{
+                        f.name: getattr(n, f.name)
+                        for f in dataclasses.fields(n)})
+                return n
+            node = retype(node)
+        return node
+
+    a = run_plan_pydict(build(False))
+    b = run_plan_pydict(build(True))
+    assert set(a) == set(b)
+    for col in a:
+        for x, y in zip(a[col], b[col]):
+            if isinstance(x, float):
+                # prefix-sum association differs between whole-input and
+                # per-partition evaluation; equality is to float tolerance
+                assert y == pytest.approx(x, rel=1e-9, abs=1e-9)
+            else:
+                assert x == y, col
+
+
+def test_optimizer_picks_streaming_window():
+    import pyarrow as pa
+
+    from velox_tpu.io import drop_table, register_arrow
+    from velox_tpu.plan.nodes import StreamingWindowNode
+    from velox_tpu.plan.optimizer import optimize_plan
+
+    rng = np.random.default_rng(3)
+    n = 400
+    register_arrow("swin_t", pa.table({
+        "p": np.sort(rng.integers(0, 20, n)),
+        "o": rng.integers(0, 9, n),
+        "v": rng.normal(size=n)}), 128)
+    try:
+        plan = (PlanBuilder().table_scan("swin_t")
+                .window(["p"], ["o"], ["sum(v) AS s", "rank() AS r"])
+                .build())
+        opt = optimize_plan(plan)
+
+        def find(node):
+            if isinstance(node, StreamingWindowNode):
+                return True
+            return any(find(s) for s in node.sources)
+
+        assert find(opt), "optimizer did not pick the streaming window"
+        out = run_plan_pydict(
+            PlanBuilder().table_scan("swin_t")
+            .window(["p"], ["o"], ["sum(v) AS s"])
+            .order_by(["p", "o", "v"]).build())
+        df = (pd.DataFrame({"p": np.asarray(np.sort(
+            rng.integers(0, 0, 0))), }) if False else None)
+        assert len(out["s"]) == n
+    finally:
+        drop_table("swin_t")

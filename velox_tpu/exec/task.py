@@ -36,6 +36,7 @@ from velox_tpu.plan.nodes import (
     OrderByNode, PlanNode, ProjectNode,
     LocalMergeNode, RowNumberNode, TableScanNode, TableWriteNode,
     TopNNode, TopNRowNumberNode, UnionAllNode, UnnestNode, ValuesNode,
+    StreamingWindowNode,
     WindowNode,
 )
 
@@ -54,6 +55,7 @@ _SIMPLE_OPERATORS = {
     EnforceSingleRowNode: EnforceSingleRowOp,
     AssignUniqueIdNode: AssignUniqueIdOp,
     WindowNode: WindowOp,
+    StreamingWindowNode: __import__('velox_tpu.exec.window_ops', fromlist=['StreamingWindowOp']).StreamingWindowOp,
     RowNumberNode: RowNumberOp,
     TopNRowNumberNode: TopNRowNumberOp,
     MarkDistinctNode: MarkDistinctOp,

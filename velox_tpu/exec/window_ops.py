@@ -121,6 +121,9 @@ class WindowOp(Operator):
         if not batches:
             return None
         big = concat_batches(batches)
+        return self._evaluate(big)
+
+    def _evaluate(self, big: Batch) -> Batch:
         node = self.node
         needed = list(dict.fromkeys(
             list(node.partition_keys)
@@ -385,6 +388,93 @@ class WindowOp(Operator):
 
     def is_finished(self) -> bool:
         return self.no_more_input_seen and self._emitted
+
+
+class StreamingWindowOp(WindowOp):
+    """velox/exec/window/RowsStreamingWindowBuild.h analog: input is
+    CLUSTERED by the partition keys (optimizer-verified), so complete
+    partitions evaluate and emit per input batch; only the trailing
+    (possibly incomplete) partition carries across batches. Peak memory
+    is one batch + one partition instead of the whole input."""
+
+    blocking = False
+
+    def __init__(self, node):
+        super().__init__(node)
+        self._carry: Optional[Batch] = None
+        self._queue: collections.deque = collections.deque()
+        self._split_jit = None
+
+    def _split_fn(self):
+        pkeys = list(self.node.partition_keys)
+
+        def split(cols, sel):
+            from velox_tpu.ops.sort import pack_indices
+            from velox_tpu.ops.sortkey import encode_sort_key
+
+            cap = sel.shape[0]
+            pk = pack_indices(sel)
+            n = jnp.sum(sel.astype(jnp.int32))
+            ops = []
+            for k in pkeys:
+                v, vd = cols[k]
+                for o in encode_sort_key(v, vd):
+                    ops.append(jnp.take(o, pk, mode="clip"))
+            change = jnp.zeros((cap,), jnp.bool_)
+            for o in ops:
+                change = jnp.logical_or(change, jnp.concatenate(
+                    [jnp.zeros((1,), jnp.bool_), o[1:] != o[:-1]]))
+            r = jnp.arange(cap, dtype=jnp.int32)
+            change = jnp.logical_and(change, r < n)
+            # start of the LAST partition among packed rows
+            last_start = jnp.max(jnp.where(change, r, 0))
+            return pk, last_start, n
+
+        return split
+
+    def add_input(self, batch: Batch) -> None:
+        big = (concat_batches([self._carry, batch])
+               if self._carry is not None else batch)
+        cols = _cols_of(big, list(self.node.partition_keys))
+        if self._split_jit is None:
+            self._split_jit = cached_jit(
+                ("swindow_split", self.node.id), self._split_fn)
+        pk, last_start, n = self._split_jit(cols, big.sel)
+        # one host sync: (complete row count, total) — the task barrier
+        meta = np.asarray(jnp.stack([last_start, n]))
+        complete, total = int(meta[0]), int(meta[1])
+        from velox_tpu.vector.batch import round_capacity as _rc
+
+        if complete > 0:
+            cap_c = _rc(complete)
+            idx = pk[:cap_c]
+            selc = jnp.arange(cap_c, dtype=jnp.int32) < complete
+            done = big.gather(idx, selc, complete)
+            self._queue.append(self._evaluate(done))
+        tail = total - complete
+        cap_t = _rc(max(tail, 1))
+        tidx = jax.lax.dynamic_slice_in_dim(
+            jnp.concatenate([pk, jnp.full((cap_t,), big.capacity,
+                                          jnp.int32)]),
+            complete, cap_t)
+        selt = jnp.arange(cap_t, dtype=jnp.int32) < tail
+        self._carry = (big.gather(tidx, selt, tail)
+                       if tail > 0 else None)
+
+    def get_output(self) -> Optional[Batch]:
+        if self._queue:
+            return self._queue.popleft()
+        if self.no_more_input_seen and not self._emitted:
+            self._emitted = True
+            if self._carry is not None:
+                out = self._evaluate(self._carry)
+                self._carry = None
+                return out
+        return None
+
+    def is_finished(self) -> bool:
+        return (self.no_more_input_seen and not self._queue
+                and self._emitted)
 
 
 class RowNumberOp(Operator):

@@ -287,6 +287,14 @@ class WindowNode(SourceNode):
 
 
 @dataclass(frozen=True)
+class StreamingWindowNode(WindowNode):
+    """Window over input CLUSTERED by the partition keys
+    (velox/exec/window/RowsStreamingWindowBuild.h): complete partitions
+    evaluate and emit per input batch; only the trailing incomplete
+    partition buffers across batches."""
+
+
+@dataclass(frozen=True)
 class RowNumberNode(SourceNode):
     """Partitioned row numbering w/o sort (velox/core/PlanNode.h:5495)."""
 

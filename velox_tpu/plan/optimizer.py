@@ -51,7 +51,7 @@ from velox_tpu.plan.nodes import (
     PlanNode,
     ProjectNode,
     SourceNode,
-    StreamingAggregationNode,
+    StreamingAggregationNode, StreamingWindowNode, WindowNode,
     TableScanNode,
     TopNNode,
 )
@@ -135,6 +135,15 @@ class _Optimizer:
             )
             if ok:
                 return _retype(node, MergeJoinNode)
+        if type(node) is WindowNode and node.partition_keys:
+            ip = self._p(node.source)
+            fd = ip.fd_map()
+            for g in node.partition_keys:
+                if g not in ip.sorted_cols:
+                    continue
+                rest = set(node.partition_keys) - {g}
+                if rest <= fd.get(g, frozenset()):
+                    return _retype(node, StreamingWindowNode)
         if (type(node) is AggregationNode
                 and node.step == AggStep.SINGLE and node.keys
                 and not any(a.distinct for a in node.aggregates)):
@@ -160,6 +169,10 @@ class _Optimizer:
             return self._streaming_agg_props(node)
         if isinstance(node, AggregationNode):
             return _EMPTY
+        if isinstance(node, WindowNode):
+            # window functions append columns; results scatter back to
+            # arrival order, so input ordering properties pass through
+            return self._p(node.source)
         if isinstance(node, (OrderByNode, TopNNode)):
             return self._orderby_props(node)
         if isinstance(node, HashJoinNode):  # includes MergeJoinNode
