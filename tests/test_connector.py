@@ -214,3 +214,56 @@ def test_parquet_split_cache(tmp_path):
         assert out["c"] == [10]
     finally:
         drop_table("cache_t")
+
+
+def test_long_decimal_ingest_and_overflow(tmp_path):
+    import decimal as pydec
+
+    import pyarrow as pa
+
+    from velox_tpu.exec import run_plan_pydict
+    from velox_tpu.io import drop_table, register_arrow
+    from velox_tpu.plan import PlanBuilder
+
+    ok = pa.table({"d": pa.array(
+        [pydec.Decimal("123456789012345.12"),
+         pydec.Decimal("-987654321.99"), None],
+        pa.decimal128(38, 2))})
+    register_arrow("ldec", ok, 128)
+    try:
+        out = run_plan_pydict(
+            PlanBuilder().table_scan("ldec")
+            .aggregate([], ["sum(d) AS s", "min(d) AS lo"]).build())
+        assert out["s"] == [pydec.Decimal("123455801358023.13")]
+        assert out["lo"] == [pydec.Decimal("-987654321.99")]
+    finally:
+        drop_table("ldec")
+
+    too_big = pa.table({"d": pa.array(
+        [pydec.Decimal(10) ** 30], pa.decimal128(38, 2))})
+    with pytest.raises(OverflowError):
+        register_arrow("ldec2", too_big, 128)
+
+
+def test_register_parquet_dir_hive_partitions(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from velox_tpu.exec import run_plan_pydict
+    from velox_tpu.io import drop_table
+    from velox_tpu.io.catalog import register_parquet_dir
+    from velox_tpu.plan import PlanBuilder
+
+    for year, vals in ((2023, [1, 2, 3]), (2024, [10, 20])):
+        d = tmp_path / f"year={year}"
+        d.mkdir()
+        pq.write_table(pa.table({"v": vals}), d / "part0.parquet")
+    register_parquet_dir("hive_t", str(tmp_path), batch_rows=128)
+    try:
+        out = run_plan_pydict(
+            PlanBuilder().table_scan("hive_t", subfilter="year = 2024")
+            .aggregate([], ["sum(v) AS s", "count(*) AS c"]).build())
+        assert out["s"] == [30]
+        assert out["c"] == [2]
+    finally:
+        drop_table("hive_t")

@@ -723,3 +723,15 @@ def test_index_lookup_join():
     finally:
         drop_table("ilj_dim")
         drop_table("ilj_bad")
+
+
+def test_profile_plan_helper():
+    from velox_tpu.exec.task import profile_plan
+
+    b = make_batch({"g": [0, 1, 0], "v": [1.0, 2.0, 3.0]})
+    out = profile_plan(
+        PlanBuilder().values([b]).aggregate(["g"], ["sum(v) AS s"]))
+    assert "HashAggregationOp" in out and "add" in out
+    from velox_tpu.utils.config import config
+
+    assert config.profile_sync_per_op is False  # restored

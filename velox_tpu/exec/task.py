@@ -407,3 +407,24 @@ def run_plan_grouped(plan, num_groups: int,
         reporter.add_counter("velox_tpu.task_barriers")
         if outs:
             yield pa.concat_tables(outs)
+
+
+def profile_plan(plan) -> str:
+    """Execute with per-operator value syncs and return the annotated
+    plan tree with TRUE per-op walls (velox printPlanWithStats +
+    the process profiler role; async dispatch otherwise mis-attributes
+    device time — see config.profile_sync_per_op)."""
+    from velox_tpu.plan.builder import PlanBuilder as _PB
+    from velox_tpu.utils.config import config
+
+    if isinstance(plan, _PB):
+        plan = plan.build()
+    old = config.profile_sync_per_op
+    config.profile_sync_per_op = True
+    try:
+        task = Task(plan)
+        for _ in task.run():
+            pass
+        return task.print_plan_with_stats()
+    finally:
+        config.profile_sync_per_op = old

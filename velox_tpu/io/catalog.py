@@ -568,3 +568,18 @@ def drop_table(name: str) -> None:
 
 def list_tables() -> List[str]:
     return sorted(_TABLES)
+
+
+def register_parquet_dir(name: str, path: str,
+                         batch_rows: int = 1 << 20,
+                         decimal_overrides=None) -> Table:
+    """Register a hive-partitioned parquet DIRECTORY
+    (velox/connectors/hive partitioned-table catalogs): key=value path
+    segments become ordinary columns of the table; partition pruning is
+    then the normal subfilter path (arrow evaluates the partition
+    columns like any other)."""
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(path, format="parquet", partitioning="hive")
+    return register_arrow(name, ds.to_table(), batch_rows,
+                          decimal_overrides)

@@ -119,10 +119,13 @@ class DecimalType(DataType):
     scale: int = 0
 
     def __post_init__(self):
-        if self.precision > 18:
+        # long decimals (p <= 38) ride int64 lanes as long as every
+        # VALUE fits (~1.8e19 unscaled) — ingestion rejects true
+        # 128-bit values loudly (vector/arrow_bridge.py; velox HugeInt
+        # deviation documented in PARITY.md)
+        if self.precision > 38:
             raise NotImplementedError(
-                "long decimals (precision > 18) not supported yet"
-            )
+                f"decimal precision {self.precision} > 38")
 
     @property
     def dtype(self) -> np.dtype:

@@ -147,10 +147,20 @@ def _ingest_array(arr: pa.ChunkedArray, cap: int) -> Column:
         return Column(t, jnp.asarray(vals), valid, Dictionary(dict_vals))
 
     if pa.types.is_decimal(arr.type):
-        # unscaled int64 lane
-        np_vals = np.array(
-            [0 if v is None else int(v.scaleb(arr.type.scale))
-             for v in arr.to_pylist()], dtype=np.int64)
+        # unscaled int64 lane. LONG decimals (p > 18) ingest as long as
+        # every VALUE fits int64 (~1.8e19 unscaled) — the common case
+        # for decimal(38) columns in practice; true 128-bit values are
+        # rejected loudly rather than wrapped (documented deviation
+        # from velox's HugeInt lanes, velox/type/HugeInt.h).
+        try:
+            np_vals = np.array(
+                [0 if v is None else int(v.scaleb(arr.type.scale))
+                 for v in arr.to_pylist()], dtype=np.int64)
+        except OverflowError as e:
+            raise OverflowError(
+                f"decimal({arr.type.precision},{arr.type.scale}) column "
+                "holds values beyond int64 unscaled range; 128-bit "
+                "decimal lanes are not supported") from e
     elif pa.types.is_date32(arr.type):
         np_vals = arr.cast(pa.int32()).to_numpy(zero_copy_only=False)
     elif pa.types.is_timestamp(arr.type):
