@@ -70,3 +70,41 @@ def test_broadcast_output():
         assert out.column("c").to_pylist() == [100, 100, 100]
     finally:
         drop_table("frag_b")
+
+
+def test_round_robin_and_hive_bucket_partitioning():
+    """PartitionFunction family (velox RoundRobinPartitionFunction +
+    HivePartitionFunction)."""
+    import numpy as np
+
+    from velox_tpu.exec.fragments import (
+        OutputBufferManager, PartitionedOutputNode, PartitionedOutputOp)
+    from velox_tpu.plan.nodes import new_id
+    from velox_tpu.types import BIGINT
+    from velox_tpu.vector.batch import Batch
+
+    rng = np.random.default_rng(2)
+    vals = [int(x) for x in rng.integers(0, 1000, 400)]
+    b = Batch.from_pydict({"k": vals}, {"k": BIGINT})
+
+    for kind in ("round_robin", "hive_bucket"):
+        node = PartitionedOutputNode(
+            new_id(), b.schema, None, ("k",), 4, False, kind)
+        mgr = OutputBufferManager()
+        op = PartitionedOutputOp(node, mgr, "f")
+        op.add_input(b)
+        parts = []
+        rows_by_part = []
+        for p in range(4):
+            got = mgr.drain("f", p)
+            n = sum(x.selected_count() for x in got)
+            parts.append(n)
+            rows_by_part.append([
+                v for x in got for v in x.to_pydict()["k"]])
+        assert sum(parts) == 400, (kind, parts)
+        if kind == "round_robin":
+            assert max(parts) - min(parts) <= 1, parts
+        else:
+            for p in range(4):
+                assert all((v & 0x7FFFFFFF) % 4 == p
+                           for v in rows_by_part[p]), (kind, p)

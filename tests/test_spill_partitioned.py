@@ -201,3 +201,45 @@ def test_join_build_spill_right_outer(tiny_budget):
         left_on="k", right_on="bk", how="right")
     assert len(out["k"]) == len(exp)
     assert sorted(x for x in out["bk"]) == sorted(exp["bk"].tolist())
+
+
+def test_disk_spill_tier(tmp_path):
+    """HBM -> host RAM -> SerializedPage files (velox SpillFile): both
+    budgets tiny, the query still matches the oracle and spill files
+    were actually written."""
+    from velox_tpu.utils.metrics import reporter
+
+    old_dev = config.spill_memory_budget_bytes
+    old_host = config.spill_host_budget_bytes
+    old_dir = config.spill_dir
+    config.spill_memory_budget_bytes = 1 << 11
+    config.spill_host_budget_bytes = 1 << 12
+    config.spill_dir = str(tmp_path)
+    try:
+        rng = np.random.default_rng(3)
+        pk = [int(x) for x in rng.integers(0, 200, 1200)]
+        pv = [float(x) for x in rng.normal(size=1200)]
+        bk = [int(x) for x in rng.integers(0, 200, 600)]
+        probe = [Batch.from_pydict(
+            {"k": pk[i:i + 200], "v": pv[i:i + 200]},
+            {"k": BIGINT, "v": DOUBLE}) for i in range(0, 1200, 200)]
+        build = [Batch.from_pydict(
+            {"bk": bk[i:i + 100]}, {"bk": BIGINT})
+            for i in range(0, 600, 100)]
+        before = reporter.counters["velox_tpu.spill_file_bytes"]
+        out = run_plan_pydict(
+            PlanBuilder().values(probe)
+            .hash_join(PlanBuilder().values(build), ["k"], ["bk"],
+                       "left_semi")
+            .aggregate(["k"], ["sum(v) AS s"]).order_by(["k"]).build())
+        assert reporter.counters["velox_tpu.spill_file_bytes"] > before,\
+            "disk tier never engaged"
+        df = pd.DataFrame({"k": pk, "v": pv})
+        exp = df[df["k"].isin(set(bk))].groupby("k")["v"].sum()
+        assert out["k"] == list(exp.index)
+        for a, b in zip(out["s"], exp):
+            assert a == pytest.approx(b, rel=1e-9)
+    finally:
+        config.spill_memory_budget_bytes = old_dev
+        config.spill_host_budget_bytes = old_host
+        config.spill_dir = old_dir

@@ -38,6 +38,10 @@ class PartitionedOutputNode(SourceNode):
     keys: Tuple[str, ...] = ()
     num_partitions: int = 1
     broadcast: bool = False
+    #: "hash" | "round_robin" | "hive_bucket" (velox PartitionFunction
+    #: family: exec/HashPartitionFunction.h, RoundRobinPartitionFunction,
+    #: connectors/hive/HivePartitionFunction.h)
+    partition_kind: str = "hash"
 
 
 from velox_tpu.plan.serde import register_node_type
@@ -92,17 +96,38 @@ class PartitionedOutputOp(Operator):
         self.manager = manager
         self.fragment = fragment
 
-    def add_input(self, batch: Batch) -> None:
+    _rr_next = 0
+
+    def _partition_ids(self, batch: Batch):
         node = self.node
         n = node.num_partitions
-        if node.broadcast or not node.keys:
-            for p in range(n):
-                self.manager.enqueue(self.fragment, p, batch)
-            return
+        kind = getattr(node, "partition_kind", "hash")
+        if kind == "round_robin":
+            # row-wise cycling (velox RoundRobinPartitionFunction)
+            ranks = jnp.cumsum(batch.sel.astype(jnp.int64)) - 1
+            part = ((ranks + self._rr_next) % n).astype(jnp.int32)
+            self._rr_next = int(
+                (self._rr_next + jnp.sum(batch.sel.astype(jnp.int64)))
+                % n)
+            return part
         cols = [
             (batch.column(k).values, batch.column(k).valid)
             for k in node.keys]
-        part = partition_ids(hash_columns(cols), n)
+        if kind == "hive_bucket":
+            from velox_tpu.ops.hash import hive_bucket_ids
+
+            return hive_bucket_ids(cols, n)
+        return partition_ids(hash_columns(cols), n)
+
+    def add_input(self, batch: Batch) -> None:
+        node = self.node
+        n = node.num_partitions
+        if node.broadcast or (not node.keys and getattr(
+                node, "partition_kind", "hash") != "round_robin"):
+            for p in range(n):
+                self.manager.enqueue(self.fragment, p, batch)
+            return
+        part = self._partition_ids(batch)
         for p in range(n):
             sel = jnp.logical_and(batch.sel, part == p)
             self.manager.enqueue(
@@ -197,11 +222,13 @@ def _make_task(plan: PlanNode, ctx) -> Task:
 
 
 def partitioned_output(builder, keys: Sequence[str], num_partitions: int,
-                       broadcast: bool = False):
-    """PlanBuilder extension: terminate a fragment with a shuffle write."""
+                       broadcast: bool = False,
+                       partition_kind: str = "hash"):
+    """PlanBuilder extension: terminate a fragment with a shuffle write
+    (partition_kind: hash | round_robin | hive_bucket)."""
     node = PartitionedOutputNode(
         new_id(), builder.node.output_type, builder.node,
-        tuple(keys), num_partitions, broadcast)
+        tuple(keys), num_partitions, broadcast, partition_kind)
     builder.node = node
     return builder
 
@@ -219,15 +246,13 @@ class StreamingPartitionedOutputOp(PartitionedOutputOp):
 
         node = self.node
         n = node.num_partitions
-        if node.broadcast or not node.keys:
+        if node.broadcast or (not node.keys and getattr(
+                node, "partition_kind", "hash") != "round_robin"):
             page = serialize_page(batch)
             for p in range(n):
                 self.manager.enqueue(self.fragment, p, page)
             return
-        cols = [
-            (batch.column(k).values, batch.column(k).valid)
-            for k in node.keys]
-        part = partition_ids(hash_columns(cols), n)
+        part = self._partition_ids(batch)
         for p in range(n):
             sel = jnp.logical_and(batch.sel, part == p)
             self.manager.enqueue(

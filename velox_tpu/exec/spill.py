@@ -29,6 +29,7 @@ from velox_tpu.vector.column import Column
 
 METRIC_SPILLED_BYTES = "velox_tpu.spilled_bytes"
 METRIC_SPILL_EVENTS = "velox_tpu.spill_events"
+METRIC_SPILL_FILE_BYTES = "velox_tpu.spill_file_bytes"
 
 
 def batch_device_bytes(b: Batch) -> int:
@@ -38,6 +39,44 @@ def batch_device_bytes(b: Batch) -> int:
         if c.valid is not None:
             total += c.valid.size
     return total
+
+
+class _FileBatch:
+    """Disk tier: a Batch as a SerializedPage file
+    (velox/exec/SpillFile.h + serializer/.../SerializedPage): the third
+    rung of the spill ladder HBM -> host RAM -> disk."""
+
+    __slots__ = ("path", "nbytes")
+
+    def __init__(self, batch: Batch, spill_dir: Optional[str] = None):
+        import os
+        import tempfile
+
+        from velox_tpu.serial import serialize_page
+
+        page = serialize_page(batch, compress="zstd")
+        fd, self.path = tempfile.mkstemp(
+            suffix=".spill", dir=spill_dir)
+        with os.fdopen(fd, "wb") as f:
+            f.write(page)
+        self.nbytes = len(page)
+        reporter.add_counter(METRIC_SPILL_FILE_BYTES, self.nbytes)
+
+    def restore(self) -> Batch:
+        from velox_tpu.serial import deserialize_page
+
+        with open(self.path, "rb") as f:
+            b = deserialize_page(f.read())
+        self.close()
+        return b
+
+    def close(self) -> None:
+        import os
+
+        try:
+            os.unlink(self.path)
+        except OSError:
+            pass
 
 
 class _HostBatch:
@@ -62,6 +101,16 @@ class _HostBatch:
             for n, (dt, v, va, d, st) in self.cols.items()}
         return Batch(cols, jnp.asarray(self.sel), self.num_rows)
 
+    def to_file(self, spill_dir=None) -> _FileBatch:
+        # round-trip through a live batch on host numpy (no device)
+        cols = {
+            n: Column(dt, jnp.asarray(v),
+                      None if va is None else jnp.asarray(va), d, st)
+            for n, (dt, v, va, d, st) in self.cols.items()}
+        return _FileBatch(
+            Batch(cols, jnp.asarray(self.sel), self.num_rows),
+            spill_dir)
+
 
 class MemoryManager:
     """Tracks device bytes of registered buffers; arbitrates reclaim."""
@@ -85,15 +134,24 @@ class MemoryManager:
 
     def maybe_reclaim(self) -> None:
         budget = self.budget or config.spill_memory_budget_bytes
-        if budget is None:
+        if budget is not None:
+            while self.total_bytes() > budget:
+                victim = max(
+                    self._buffers, key=lambda b: b.device_bytes(),
+                    default=None)
+                if victim is None or victim.device_bytes() == 0:
+                    break
+                victim.spill_all()
+        hbudget = config.spill_host_budget_bytes
+        if hbudget is None:
             return
-        while self.total_bytes() > budget:
-            victim = max(
-                self._buffers, key=lambda b: b.device_bytes(),
-                default=None)
-            if victim is None or victim.device_bytes() == 0:
+        def hb(b):
+            return b.host_bytes() if hasattr(b, "host_bytes") else 0
+        while sum(hb(b) for b in self._buffers) > hbudget:
+            victim = max(self._buffers, key=hb, default=None)
+            if victim is None or hb(victim) == 0:
                 return
-            victim.spill_all()
+            victim.spill_to_disk()
 
 
 #: process-wide manager (velox MemoryManager::getInstance analog)
@@ -113,6 +171,7 @@ class SpillableBuffer:
         self.mm = mm or memory_manager
         self._device: List[Batch] = []
         self._host: List[_HostBatch] = []
+        self._files: List[_FileBatch] = []
         self.spilled_bytes = 0
         self.mm.register(self)
 
@@ -141,11 +200,24 @@ class SpillableBuffer:
         return len(self._device) + len(self._host)
 
     def has_spilled(self) -> bool:
-        return bool(self._host)
+        return bool(self._host) or bool(self._files)
+
+    def host_bytes(self) -> int:
+        return sum(hb.nbytes for hb in self._host)
+
+    def spill_to_disk(self) -> None:
+        """Second spill rung: host RAM -> SerializedPage files
+        (velox/exec/SpillFile.h)."""
+        for hb in self._host:
+            self._files.append(hb.to_file(config.spill_dir))
+        self._host = []
 
     def drain(self) -> List[Batch]:
         """All buffered batches, restoring spilled ones to device."""
-        out = [hb.restore() for hb in self._host] + list(self._device)
+        out = ([fb.restore() for fb in self._files]
+               + [hb.restore() for hb in self._host]
+               + list(self._device))
+        self._files = []
         self._host = []
         self._device = []
         self.mm.unregister(self)
@@ -155,6 +227,10 @@ class SpillableBuffer:
         """(host column dicts, remaining device batches) WITHOUT
         restoring to device — the partitioned-spill consumer splits the
         host side by key hash and restores one partition at a time."""
+        for fb in self._files:  # disk rung restores through host RAM
+            b = fb.restore()
+            self._host.append(_HostBatch(b))
+        self._files = []
         host = [hb.cols | {"__sel__": (None, hb.sel, None, None, None)}
                 for hb in self._host]
         device = list(self._device)
@@ -164,6 +240,9 @@ class SpillableBuffer:
         return host, device
 
     def close(self) -> None:
+        for fb in self._files:
+            fb.close()
+        self._files = []
         self._device = []
         self._host = []
         self.mm.unregister(self)

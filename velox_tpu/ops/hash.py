@@ -64,3 +64,38 @@ def hash_columns(
 def partition_ids(row_hash: jax.Array, num_partitions: int) -> jax.Array:
     """hash -> partition in [0, num_partitions) (int32)."""
     return (row_hash % jnp.uint64(num_partitions)).astype(jnp.int32)
+
+
+def hive_hash_columns(
+    cols: Sequence[Tuple[jax.Array, Optional[jax.Array]]]
+) -> jax.Array:
+    """Hive-compatible bucket hash (velox/connectors/hive/HivePartition
+    Function.h): integer columns hash to their own value (Java
+    hashCode), combined with the 31x + h rule; nulls contribute 0.
+    Output rows land in the same buckets Hive-written tables use."""
+    out = None
+    for values, valid in cols:
+        v = values.astype(jnp.int32) if values.dtype == jnp.bool_ \
+            else values
+        if jnp.issubdtype(v.dtype, jnp.integer):
+            if jnp.dtype(v.dtype).itemsize > 4:
+                v64 = v.astype(jnp.int64)
+                h = ((v64 >> 32) ^ v64).astype(jnp.int32)
+            else:
+                h = v.astype(jnp.int32)
+        else:
+            # doubles: Java Double.hashCode over raw bits
+            bits = jax.lax.bitcast_convert_type(
+                v.astype(jnp.float32), jnp.int32)
+            h = bits
+        if valid is not None:
+            h = jnp.where(valid, h, jnp.int32(0))
+        out = h if out is None else out * jnp.int32(31) + h
+    assert out is not None
+    return out
+
+
+def hive_bucket_ids(cols, num_buckets: int) -> jax.Array:
+    """(hash & Integer.MAX_VALUE) % buckets — Hive's bucket function."""
+    h = hive_hash_columns(cols)
+    return (h & jnp.int32(0x7FFFFFFF)) % jnp.int32(num_buckets)

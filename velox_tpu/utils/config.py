@@ -68,5 +68,11 @@ class SessionConfig:
     #: are immutable.
     scan_cache_entries: int = 4
 
+    #: second spill rung: host-RAM bytes across spilled buffers beyond
+    #: which batches move to SerializedPage FILES (velox SpillFile);
+    #: None = host RAM is the final tier
+    spill_host_budget_bytes: "int | None" = None
+    spill_dir: "str | None" = None  # default: system tempdir
+
 
 config = SessionConfig()
