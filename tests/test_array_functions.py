@@ -181,3 +181,23 @@ def test_slice_composes():
             .build())
     out = run_plan_pydict(plan)
     assert out["t"] == [3, 0, None, 10]
+
+
+def test_array_min_max():
+    from velox_tpu.types.types import array as array_t
+
+    from velox_tpu.types import BIGINT, DOUBLE
+    from velox_tpu.vector.batch import Batch
+
+    b = Batch.from_pydict(
+        {"a": [[3, 1, 7], [], [5], None, [2, None, -4]],
+         "f": [[1.5, -2.25], [0.0], None, [9.0, 9.5], []]},
+        {"a": array_t(BIGINT), "f": array_t(DOUBLE)})
+    out = run_plan_pydict(
+        PlanBuilder().values([b]).project([
+            "array_min(a) AS lo", "array_max(a) AS hi",
+            "array_min(f) AS flo", "array_max(f) AS fhi"]).build())
+    assert out["lo"] == [1, None, 5, None, -4]
+    assert out["hi"] == [7, None, 5, None, 2]
+    assert out["flo"] == [-2.25, 0.0, None, 9.0, None]
+    assert out["fhi"] == [1.5, 0.0, None, 9.5, None]

@@ -372,7 +372,8 @@ def _like_to_regex(pattern: str) -> str:
 
 #: surface array functions rewritten onto derived lanes at bind time
 _ARRAY_FUNCS = {
-    "cardinality", "array_sum", "array_average", "contains", "element_at",
+    "cardinality", "array_sum", "array_average", "array_min",
+    "array_max", "contains", "element_at",
     "array_position",
 }
 
@@ -503,6 +504,8 @@ def bind_array_funcs(expr: Expr,
             return Cast(BIGINT, ln, False)
         if expr.name == "array_sum":
             return Call(expr.dtype, "__array_sum", (st, ln, ev))
+        if expr.name in ("array_min", "array_max"):
+            return Call(et, f"__{expr.name}", (st, ln, ev))
         if expr.name == "array_average":
             return Call(DOUBLE, "__array_avg", (st, ln, ev))
         if expr.name == "array_position":

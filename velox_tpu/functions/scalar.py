@@ -556,6 +556,8 @@ for _n, _rt in [
     ("contains", lambda a: BOOLEAN),
     ("element_at", _array_elem_type),
     ("array_position", lambda a: BIGINT),
+    ("array_min", _array_elem_type),
+    ("array_max", _array_elem_type),
 ]:
     register_function(ScalarFunction(_n, _rt, _unbound_array))
 
@@ -642,6 +644,70 @@ register_function(ScalarFunction(
     default_nulls=False))
 register_function(ScalarFunction(
     "__array_element_at", lambda a: a[2], _array_element_at_impl,
+    default_nulls=False))
+
+
+def _range_tables(v, op, ident):
+    """Sparse table over the flat element lane: tables[j][i] = reduce of
+    v[i : i + 2**j] (idempotent ops; two overlapping windows answer any
+    range — the segment-tree role for per-row array reductions)."""
+    n = v.shape[0]
+    tables = [v]
+    t = v
+    k = 1
+    while k < n:
+        shifted = jnp.concatenate(
+            [t[k:], jnp.full((min(k, n),), ident, t.dtype)])[:n]
+        t = op(t, shifted)
+        tables.append(t)
+        k <<= 1
+    return tables
+
+
+def _range_reduce(tables, starts, lengths, op, ident):
+    n = tables[0].shape[0]
+    out = jnp.full(starts.shape, ident, tables[0].dtype)
+    for j, tab in enumerate(tables):
+        w = 1 << j
+        a = jnp.take(tab, jnp.clip(starts, 0, n - 1), mode="clip")
+        b = jnp.take(tab, jnp.clip(starts + lengths - w, 0, n - 1),
+                     mode="clip")
+        cand = op(a, b)
+        use = jnp.logical_and(lengths >= w, lengths < 2 * w)
+        out = jnp.where(use, cand, out)
+    return out
+
+
+def _make_array_minmax(is_min):
+    def impl(stp, lnp, evp):
+        (st, _), (ln, lv), (ev, evalid) = stp, lnp, evp
+        if jnp.issubdtype(ev.dtype, jnp.floating):
+            big = jnp.finfo(ev.dtype).max
+            ident = big if is_min else -big
+        else:
+            info = jnp.iinfo(ev.dtype)
+            ident = info.max if is_min else info.min
+        op = jnp.minimum if is_min else jnp.maximum
+        v = ev if evalid is None else jnp.where(evalid, ev, ident)
+        tables = _range_tables(v, op, ident)
+        # count non-null elements per row for validity
+        ones = (jnp.ones(ev.shape, jnp.int32) if evalid is None
+                else evalid.astype(jnp.int32))
+        cnt = _seg_range(_prefix(ones), st, ln)
+        out = _range_reduce(tables, st, ln, op, ident)
+        valid = cnt > 0
+        if lv is not None:
+            valid = jnp.logical_and(valid, lv)
+        return out, valid
+
+    return impl
+
+
+register_function(ScalarFunction(
+    "__array_min", lambda a: a[2], _make_array_minmax(True),
+    default_nulls=False))
+register_function(ScalarFunction(
+    "__array_max", lambda a: a[2], _make_array_minmax(False),
     default_nulls=False))
 
 
