@@ -160,3 +160,30 @@ def test_histogram():
         .aggregate(["g"], ["histogram(v) as h"]).order_by(["g"]).build())
     assert dict(out["h"][0]) == {"a": 3, "b": 1}
     assert dict(out["h"][1]) == {"z": 1}
+
+
+def test_map_union_sum():
+    g = [0, 0, 1]
+    m = [{"a": 1, "b": 2}, {"b": 5, "c": 3}, {"x": 7}]
+    b = Batch.from_pydict(
+        {"g": g, "m": m}, {"g": BIGINT, "m": map_(VARCHAR, BIGINT)})
+    out = run_plan_pydict(
+        PlanBuilder().values([b])
+        .aggregate(["g"], ["map_union_sum(m) as u"])
+        .order_by(["g"]).build())
+    assert dict(out["u"][0]) == {"a": 1, "b": 7, "c": 3}
+    assert dict(out["u"][1]) == {"x": 7}
+
+
+def test_approx_most_frequent_exact():
+    rng = np.random.default_rng(5)
+    g = [0] * 100 + [1] * 50
+    v = ([7] * 40 + [3] * 30 + [9] * 20 + [1] * 10
+         + [5] * 30 + [2] * 15 + [8] * 5)
+    b = Batch.from_pydict({"g": g, "v": v}, {"g": BIGINT, "v": BIGINT})
+    out = run_plan_pydict(
+        PlanBuilder().values([b])
+        .aggregate(["g"], ["approx_most_frequent(2, v) as f"])
+        .order_by(["g"]).build())
+    assert dict(out["f"][0]) == {7: 40, 3: 30}
+    assert dict(out["f"][1]) == {5: 30, 2: 15}

@@ -180,6 +180,68 @@ def finish_collect(op, big: Batch) -> Batch:
                     jnp.take(ai["ev"], perm, mode="clip"),
                     _valid_or_none(ai["evd"], perm),
                     jnp.logical_and(group_sel, _fit(counts, cap) > 0)))
+            elif kind == "most_frequent":
+                kf, vf = spec.arg
+                kv, _ = cols[kf]    # k literal column (uniform)
+                vv, vvd = cols[vf]
+                mm = m if vvd is None else jnp.logical_and(m, vvd)
+                g2, rows2, sel2, _ = group_ids_sorted(
+                    [(gids, None), (vv, None)], mm)
+                pair_cnt = (jnp.zeros((cap,), jnp.int64)
+                            .at[g2].add(mm.astype(jnp.int64),
+                                        mode="drop"))
+                r2 = jnp.clip(rows2, 0, cap - 1)
+                pk = jnp.take(vv, r2, mode="clip")
+                pgid = jnp.where(
+                    sel2, jnp.take(gids, r2, mode="clip"),
+                    jnp.int32(cap))
+                # group-major, count-DESC element order; then truncate
+                # each group's run to k
+                order = [(-pair_cnt).astype(jnp.int64)]
+                perm, counts, starts = collect_runs(pgid, sel2, order)
+                topk = jnp.take(kv, jnp.argmax(m), mode="clip")
+                counts = jnp.minimum(counts, topk.astype(jnp.int32))
+                results.append((
+                    counts, starts,
+                    jnp.take(pk, perm, mode="clip"), None,
+                    jnp.take(pair_cnt, perm, mode="clip"), None,
+                    jnp.logical_and(group_sel, counts > 0)))
+            elif kind == "map_union_sum":
+                mi = maps[spec.arg]
+                ecap = mi["kv"].shape[0]
+                mrow = m if mi["valid"] is None else jnp.logical_and(
+                    m, mi["valid"])
+                owner, within = element_owners(
+                    mi["starts"], mi["lengths"], ecap)
+                egid = jnp.where(
+                    jnp.logical_and(
+                        within, jnp.take(mrow, owner, mode="clip")),
+                    jnp.take(gids, owner, mode="clip"), jnp.int32(ecap))
+                em = egid < ecap
+                vvd = mi["vvd"]
+                if vvd is not None:
+                    em = jnp.logical_and(em, vvd)
+                # sub-group by (gid, key): reps carry per-key value sums
+                g2, rows2, sel2, _ = group_ids_sorted(
+                    [(egid, None), (mi["kv"], mi["kvd"])], em)
+                sdt = (jnp.float64 if jnp.issubdtype(
+                    mi["vv"].dtype, jnp.floating) else jnp.int64)
+                vsum = (jnp.zeros((ecap,), sdt)
+                        .at[g2].add(jnp.where(em, mi["vv"], 0).astype(
+                            sdt), mode="drop"))
+                r2 = jnp.clip(rows2, 0, ecap - 1)
+                pk = jnp.take(mi["kv"], r2, mode="clip")
+                pkd = _valid_or_none(mi["kvd"], r2)
+                pgid = jnp.where(
+                    sel2, jnp.take(egid, r2, mode="clip"),
+                    jnp.int32(ecap))
+                perm, counts, starts = collect_runs(pgid, sel2)
+                results.append((
+                    _fit(counts, cap), _fit(starts, cap),
+                    jnp.take(pk, perm, mode="clip"),
+                    _valid_or_none(pkd, perm),
+                    jnp.take(vsum, perm, mode="clip"), None,
+                    jnp.logical_and(group_sel, _fit(counts, cap) > 0)))
             elif kind == "map_union":
                 mi = maps[spec.arg]
                 ecap = mi["kv"].shape[0]
@@ -244,11 +306,15 @@ def finish_collect(op, big: Batch) -> Batch:
                 Column(t.element, ev, evd, edict), gvalid)
         else:  # map / map_union / histogram
             counts, starts, ekv, ekvd, evv, evvd, gvalid = res
-            if kind == "map_union":
+            if kind in ("map_union", "map_union_sum"):
                 src = big.column(spec.arg)
                 kdict, vdict = src.keys.dictionary, src.values.dictionary
             elif kind == "histogram":
                 kdict = big.column(spec.arg).dictionary
+                vdict = None
+            elif kind == "most_frequent":
+                kf, vf = spec.arg
+                kdict = big.column(vf).dictionary
                 vdict = None
             else:
                 kf, vf = spec.arg

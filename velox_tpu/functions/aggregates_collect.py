@@ -64,6 +64,18 @@ _register_collect("set_union", "set_union", lambda t: t)
 # histogram: value -> occurrence count map (HistogramAggregate.cpp)
 from velox_tpu.types import BIGINT as _BIGINT
 _register_collect("histogram", "histogram", lambda t: map_(t, _BIGINT))
+# map_union_sum: union of maps, values SUMMED per key (MapUnionSumAggregate)
+from velox_tpu.types import DOUBLE as _DOUBLE
+from velox_tpu.types.types import TypeKind as _TK
+_register_collect(
+    "map_union_sum", "map_union_sum",
+    lambda t: map_(t.key, _DOUBLE if t.value.kind in (
+        _TK.REAL, _TK.DOUBLE) else _BIGINT))
+# approx_most_frequent(k, v): top-k values by frequency as a map —
+# computed EXACTLY from the grouped counts (the sorted arrangement
+# makes the sketch unnecessary, like approx_percentile)
+_register_collect("approx_most_frequent", "most_frequent",
+                  lambda t: map_(t[1], _BIGINT))
 
 
 # ---------------------------------------------------------------- kernels
