@@ -74,3 +74,16 @@ def test_exchange_fuzz_nightly():
     from velox_tpu.fuzzer.exchange_fuzzer import run_exchange_fuzz
 
     run_exchange_fuzz(iterations=120, seed=104)
+
+
+def test_distributed_fuzz():
+    from velox_tpu.fuzzer.distributed_fuzzer import run_distributed_fuzz
+
+    run_distributed_fuzz(iterations=8, seed=25)
+
+
+@pytest.mark.nightly
+def test_distributed_fuzz_nightly():
+    from velox_tpu.fuzzer.distributed_fuzzer import run_distributed_fuzz
+
+    run_distributed_fuzz(iterations=60, seed=105)
