@@ -187,3 +187,19 @@ def test_approx_most_frequent_exact():
         .order_by(["g"]).build())
     assert dict(out["f"][0]) == {7: 40, 3: 30}
     assert dict(out["f"][1]) == {5: 30, 2: 15}
+
+
+def test_reduce_agg():
+    g = [0, 0, 0, 1, 1, 2]
+    v = [3, 5, 2, 7, 1, 4]
+    b = Batch.from_pydict({"g": g, "v": v}, {"g": BIGINT, "v": BIGINT})
+    out = run_plan_pydict(
+        PlanBuilder().values([b])
+        .aggregate(["g"], [
+            "reduce_agg(v, 0, (a, b) -> a + b) as s",
+            "reduce_agg(v, 1, (a, b) -> a * b) as p",
+            "reduce_agg(v, 0, (a, b) -> if(a > b, a, b)) as mx"])
+        .order_by(["g"]).build())
+    assert out["s"] == [10, 8, 4]
+    assert out["p"] == [30, 7, 4]
+    assert out["mx"] == [5, 7, 4]

@@ -267,6 +267,33 @@ def finish_collect(op, big: Batch) -> Batch:
                     jnp.take(mi["vv"], perm, mode="clip"),
                     _valid_or_none(mi["vvd"], perm),
                     jnp.logical_and(group_sel, _fit(counts, cap) > 0)))
+            elif kind == "reduce":
+                av, avd = cols[spec.arg]
+                mm = m if avd is None else jnp.logical_and(m, avd)
+                init_v, lam = spec.options
+                comb = _lambda_comb(lam, big.column(spec.arg).dtype)
+                perm, counts, starts = collect_runs(gids, mm)
+                sv = jnp.take(av, perm, mode="clip")
+                head = (jnp.zeros((cap,), jnp.bool_)
+                        .at[jnp.where(counts > 0, starts, cap)]
+                        .set(True, mode="drop"))
+
+                def seg(a, b):
+                    (avv, af) = a
+                    (bvv, bf) = b
+                    return (jnp.where(bf, bvv, comb(avv, bvv)),
+                            jnp.logical_or(af, bf))
+
+                scanned, _ = jax.lax.associative_scan(
+                    seg, (sv, head))
+                ends = jnp.clip(starts + counts - 1, 0, cap - 1)
+                red = jnp.take(scanned, ends, mode="clip")
+                init_arr = jnp.full(
+                    red.shape, init_v, red.dtype)
+                vals = comb(init_arr, red)
+                results.append((
+                    jnp.where(counts > 0, vals, init_arr),
+                    group_sel))
             elif kind == "percentile":
                 vf, qf = spec.arg
                 vv, vvd = cols[vf]
@@ -293,7 +320,7 @@ def finish_collect(op, big: Batch) -> Batch:
             op.agg_names, op.specs, op.fns, results):
         t = op.output_type.find_child(name)
         kind = fn.collect_kind
-        if kind is None or kind == "percentile":
+        if kind is None or kind in ("percentile", "reduce"):
             vals, valid = res
             out[name] = Column(t, vals, valid)
         elif kind in ("array", "set", "set_union"):
@@ -325,6 +352,26 @@ def finish_collect(op, big: Batch) -> Batch:
                 Column(t.key, ekv, ekvd, kdict),
                 Column(t.value, evv, evvd, vdict), gvalid)
     return Batch(out, group_sel)
+
+
+def _lambda_comb(lam, dtype):
+    """Compile a two-parameter combine lambda into an elementwise pure
+    fn over two arrays (exec/Aggregate ReduceAgg lambda, run through
+    the ordinary expression compiler)."""
+    from velox_tpu.expr.compiler import ExprSet, resolve_types
+    from velox_tpu.expr.ir import FieldRef
+    from velox_tpu.types.types import row_type
+
+    a, b = lam.params
+    schema = row_type([a, b], [dtype, dtype])
+    es = ExprSet([lam.body], schema)
+
+    def comb(x, y):
+        (v, _valid) = es.evaluate(
+            {a: (x, None), b: (y, None)})[0]
+        return v.astype(x.dtype)
+
+    return comb
 
 
 def _fit(a, cap: int):

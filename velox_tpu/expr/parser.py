@@ -103,7 +103,7 @@ class _Tokens:
 
 def parse_expr(text: str) -> Expr:
     toks = _Tokens(text)
-    e = _parse_or(toks)
+    e = _parse_arg(toks)  # lambda-aware: x -> body / (a, b) -> body
     k, v = toks.peek()
     if k != "EOF":
         raise SyntaxError(f"trailing input at {v!r}")
@@ -238,6 +238,20 @@ def _parse_arg(t: _Tokens) -> Expr:
         t.next()
         t.next()
         return Lambda(None, (v,), _parse_or(t))
+    # two-parameter form: (a, b) -> expr (reduce_agg combine lambdas)
+    if (k == "OP" and v == "(" and t.i + 5 < len(t.toks)
+            and t.toks[t.i + 1][0] == "NAME"
+            and t.toks[t.i + 2] == ("OP", ",")
+            and t.toks[t.i + 3][0] == "NAME"
+            and t.toks[t.i + 4] == ("OP", ")")
+            and t.toks[t.i + 5] == ("OP", "->")):
+        t.next()
+        _, p1 = t.next()
+        t.next()
+        _, p2 = t.next()
+        t.next()
+        t.next()
+        return Lambda(None, (p1, p2), _parse_or(t))
     return _parse_or(t)
 
 

@@ -71,6 +71,12 @@ _register_collect(
     "map_union_sum", "map_union_sum",
     lambda t: map_(t.key, _DOUBLE if t.value.kind in (
         _TK.REAL, _TK.DOUBLE) else _BIGINT))
+# reduce_agg(x, init, (a,b) -> combine): generic user-lambda reduction.
+# RESTRICTION vs presto: one ASSOCIATIVE lambda serves as both input
+# and combine function with state type == input type — which is what
+# lets it run as a segmented associative scan instead of a per-row fold
+# (ReduceAgg.cpp requires commutativity+associativity anyway).
+_register_collect("reduce_agg", "reduce", lambda t: t)
 # approx_most_frequent(k, v): top-k values by frequency as a map —
 # computed EXACTLY from the grouped counts (the sorted arrangement
 # makes the sketch unnecessary, like approx_percentile)

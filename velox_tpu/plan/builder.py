@@ -216,6 +216,19 @@ class PlanBuilder:
         for i, a in enumerate(aggs):
             name, fn, fargs, distinct = _parse_agg(a, f"a{i}")
             lookup_aggregate(fn)  # validate early
+            options = None
+            if fn == "reduce_agg":
+                # reduce_agg(x, init, (a, b) -> combine): the lambda and
+                # init stay host-side (spec.options); only the value
+                # expression becomes an input column
+                from velox_tpu.expr.ir import Lambda as _Lam
+                from velox_tpu.expr.ir import Literal as _Lit
+
+                assert len(fargs) == 3 and isinstance(fargs[1], _Lit) \
+                    and isinstance(fargs[2], _Lam), (
+                        "reduce_agg(x, init_literal, (a, b) -> expr)")
+                options = (fargs[1].value, fargs[2])
+                fargs = fargs[:1]
             fields: List[str] = []
             types: List[DataType] = []
             for ai, arg in enumerate(fargs):
@@ -244,7 +257,8 @@ class PlanBuilder:
             if mask is not None and mask not in pre_names:
                 pre_names.append(mask)
                 pre_exprs.append(resolve_types(FieldRef(None, mask), schema))
-            specs.append(AggregateSpec(fn, arg_field, mask, distinct))
+            specs.append(AggregateSpec(
+                fn, arg_field, mask, distinct, options))
             agg_names.append(name)
             arg_types.append(at)
 

@@ -120,6 +120,9 @@ class AggregateSpec:
     arg: Optional[object]
     mask: Optional[str] = None
     distinct: bool = False
+    #: extra host parameters (reduce_agg: (init literal, combine
+    #: Lambda)); serde round-trips exprs like any typed expr
+    options: Optional[tuple] = None
 
     def __post_init__(self):
         # JSON serde round-trips tuples as lists; normalize so frozen
