@@ -201,3 +201,22 @@ def test_array_min_max():
     assert out["hi"] == [7, None, 5, None, 2]
     assert out["flo"] == [-2.25, 0.0, None, 9.0, None]
     assert out["fhi"] == [1.5, 0.0, None, 9.5, None]
+
+
+def test_array_sort_and_distinct():
+    from velox_tpu.types.types import array as array_t
+
+    from velox_tpu.types import BIGINT
+    from velox_tpu.vector.batch import Batch
+
+    b = Batch.from_pydict(
+        {"a": [[3, 1, 2, 1], [], [9, 9], None, [5, -1]]},
+        {"a": array_t(BIGINT)})
+    out = run_plan_pydict(
+        PlanBuilder().values([b]).project([
+            "array_sort(a) AS s", "array_distinct(a) AS d",
+            "cardinality(a) AS n"]).build())
+    assert out["s"] == [[1, 1, 2, 3], [], [9, 9], None, [-1, 5]]
+    # distinct preserves FIRST-occurrence (arrival) order
+    assert out["d"] == [[3, 1, 2], [], [9], None, [5, -1]]
+    assert out["n"] == [4, 0, 2, None, 2]

@@ -159,6 +159,14 @@ class ProjectOp(Operator):
                 node.names, node.exprs, node.output_type.children)
             if isinstance(t, ArrayType) and isinstance(e, _Call)
             and e.name in ("sequence", "repeat")}
+        # array_sort / array_distinct: per-row element reorder/dedupe
+        # via one expand + in-row sorts (see _apply_reorder)
+        self._reorders = {
+            name: e for name, e, t in zip(
+                node.names, node.exprs, node.output_type.children)
+            if isinstance(t, ArrayType) and isinstance(e, _Call)
+            and e.name in ("array_sort", "array_distinct")
+            and isinstance(e.args[0], _FR)}
         # slice(arr, start, len): offsets-only transform, elements shared
         self._slices = {
             name: e for name, e, t in zip(
@@ -175,7 +183,7 @@ class ProjectOp(Operator):
             and isinstance(e.args[0], _FR)}
         skip = (set(self._array_pass) | set(self._transforms)
                 | set(self._map_projs) | set(self._sequences)
-                | set(self._slices))
+                | set(self._slices) | set(self._reorders))
         scalar = [
             (name, e) for name, e in zip(node.names, node.exprs)
             if name not in skip]
@@ -276,6 +284,72 @@ class ProjectOp(Operator):
         return ArrayColumn(out_t, src.starts + off, new_len,
                            src.elements, src.valid)
 
+    def _apply_reorder(self, batch: Batch, name: str):
+        """array_sort / array_distinct (velox/functions/prestosql/
+        ArraySort.cpp, ArrayDistinct.cpp): canonicalize the row's
+        elements into a compact layout, sort within rows by value, and
+        for distinct keep first occurrences restored to arrival order.
+        One host sync (element total), then sorts — no per-row loops."""
+        from velox_tpu.ops.sortkey import encode_sort_key
+        from velox_tpu.vector.column import ArrayColumn
+
+        e = self._reorders[name]
+        src = batch.column(e.args[0].name)
+        assert isinstance(src, ArrayColumn)
+        lens = jnp.where(batch.sel, src.lengths, 0)
+        total = int(jnp.sum(lens))                 # one host sync
+        ecap = round_capacity(max(total, 1))
+        nst = (jnp.cumsum(lens) - lens).astype(jnp.int32)
+        rows = jnp.arange(batch.capacity, dtype=jnp.int32)
+        pos = jnp.where(lens > 0, nst, ecap)
+        heads = jnp.zeros((ecap,), jnp.int32).at[pos].max(
+            rows + 1, mode="drop")
+        row_of = jnp.maximum(
+            jax.lax.associative_scan(jnp.maximum, heads) - 1, 0)
+        p = jnp.arange(ecap, dtype=jnp.int32)
+        ordinal = p - jnp.take(nst, row_of, mode="clip")
+        in_run = p < total
+        src_idx = jnp.take(src.starts, row_of, mode="clip") + ordinal
+        ev = jnp.take(src.elements.values, src_idx, mode="clip")
+        evd = (None if src.elements.valid is None else
+               jnp.take(src.elements.valid, src_idx, mode="clip"))
+        row_key = jnp.where(in_run, row_of, jnp.int32(ecap))
+        vops = encode_sort_key(ev, evd)
+        sorted_ops = jax.lax.sort(
+            [row_key, *vops, p], is_stable=True,
+            num_keys=1 + len(vops))
+        sperm = sorted_ops[-1]
+        srow = sorted_ops[0]
+        sv = jnp.take(ev, sperm, mode="clip")
+        svd = None if evd is None else jnp.take(evd, sperm, mode="clip")
+        out_t = dict(zip(self.node.names,
+                         self.output_type.children))[name]
+        if e.name == "array_sort":
+            elem = Column(out_t.element, sv, svd,
+                          src.elements.dictionary)
+            return ArrayColumn(out_t, nst, lens, elem, src.valid)
+        # array_distinct: keep first of each (row, value) run in the
+        # sorted order, then restore arrival order among the kept
+        diff = jnp.zeros((ecap,), jnp.bool_).at[0].set(True)
+        for k in sorted_ops[:-1]:
+            diff = jnp.logical_or(diff, jnp.concatenate(
+                [jnp.ones((1,), jnp.bool_), k[1:] != k[:-1]]))
+        keep_sorted = jnp.logical_and(diff, srow < ecap)
+        keep = (jnp.zeros((ecap,), jnp.bool_)
+                .at[sperm].set(keep_sorted, mode="drop"))
+        kcnt = (jnp.zeros((batch.capacity,), jnp.int32)
+                .at[jnp.where(keep, row_of, batch.capacity)]
+                .add(1, mode="drop"))
+        # re-sort kept elements by (row, ordinal) for arrival order
+        row_key2 = jnp.where(keep, row_of, jnp.int32(ecap))
+        _, _, perm2 = jax.lax.sort(
+            [row_key2, ordinal, p], is_stable=True, num_keys=2)
+        dv = jnp.take(ev, perm2, mode="clip")
+        dvd = None if evd is None else jnp.take(evd, perm2, mode="clip")
+        dst = (jnp.cumsum(kcnt) - kcnt).astype(jnp.int32)
+        elem = Column(out_t.element, dv, dvd, src.elements.dictionary)
+        return ArrayColumn(out_t, dst, kcnt, elem, src.valid)
+
     def add_input(self, batch: Batch) -> None:
         pairs, dicts = self._eval.project_pairs(batch)
         types = dict(zip(self.node.names, self.output_type.children))
@@ -290,6 +364,8 @@ class ProjectOp(Operator):
                 cols[name] = self._apply_sequence(batch, name)
             elif name in self._slices:
                 cols[name] = self._apply_slice(batch, name)
+            elif name in self._reorders:
+                cols[name] = self._apply_reorder(batch, name)
             elif name in self._map_projs:
                 from velox_tpu.vector.column import ArrayColumn, MapColumn
 

@@ -133,6 +133,11 @@ def resolve_types(expr: Expr, schema: RowType) -> Expr:
             if name == "date_add":
                 return Call(rest[1].dtype, impl, rest)
             return Call(BIGINT, impl, rest)
+        if name in ("array_sort", "array_distinct"):
+            from velox_tpu.types.types import ArrayType
+            if not isinstance(args[0].dtype, ArrayType):
+                raise TypeError(f"{name} expects an ARRAY")
+            return Call(args[0].dtype, name, args)
         if name == "slice":
             from velox_tpu.types.types import ArrayType
             if not isinstance(args[0].dtype, ArrayType):
@@ -452,7 +457,8 @@ def bind_array_funcs(expr: Expr,
         raise TypeError(
             "transform(...) is only supported as a top-level projection")
     if isinstance(expr, Call) and expr.name in (
-            "map_keys", "map_values", "sequence", "slice", "repeat"):
+            "map_keys", "map_values", "sequence", "slice", "repeat",
+            "array_sort", "array_distinct"):
         raise TypeError(
             f"{expr.name}(...) is only supported as a top-level projection")
 

@@ -558,6 +558,8 @@ for _n, _rt in [
     ("array_position", lambda a: BIGINT),
     ("array_min", _array_elem_type),
     ("array_max", _array_elem_type),
+    ("array_sort", lambda a: a[0]),
+    ("array_distinct", lambda a: a[0]),
 ]:
     register_function(ScalarFunction(_n, _rt, _unbound_array))
 
