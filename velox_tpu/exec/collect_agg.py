@@ -294,6 +294,16 @@ def finish_collect(op, big: Batch) -> Batch:
                 results.append((
                     jnp.where(counts > 0, vals, init_arr),
                     group_sel))
+            elif kind in ("digest", "digest_merge"):
+                av, avd = cols[spec.arg]
+                mm = m if avd is None else jnp.logical_and(m, avd)
+                order = (encode_sort_key(av, None)
+                         if kind == "digest" else None)
+                perm, counts, starts = collect_runs(gids, mm, order)
+                results.append((
+                    counts, starts,
+                    jnp.take(av, perm, mode="clip"),
+                    jnp.logical_and(group_sel, counts > 0)))
             elif kind == "percentile":
                 vf, qf = spec.arg
                 vv, vvd = cols[vf]
@@ -323,6 +333,8 @@ def finish_collect(op, big: Batch) -> Batch:
         if kind is None or kind in ("percentile", "reduce"):
             vals, valid = res
             out[name] = Column(t, vals, valid)
+        elif kind in ("digest", "digest_merge"):
+            out[name] = _digest_column(op, big, t, spec, fn, res)
         elif kind in ("array", "set", "set_union"):
             counts, starts, ev, evd, gvalid = res
             src = big.column(spec.arg)
@@ -352,6 +364,38 @@ def finish_collect(op, big: Batch) -> Batch:
                 Column(t.key, ekv, ekvd, kdict),
                 Column(t.value, evv, evvd, vdict), gvalid)
     return Batch(out, group_sel)
+
+
+def _digest_column(op, big, t, spec, fn, res):
+    """Host half of tdigest_agg / qdigest_agg / merge: serialize each
+    group's (sorted) run into a digest blob; blobs live in a string
+    Dictionary like any VARBINARY column."""
+    import numpy as np
+
+    from velox_tpu.functions.digest import (
+        build_group_digests, merge_digests,
+    )
+    from velox_tpu.types.types import TypeKind
+    from velox_tpu.vector.column import Dictionary
+
+    counts, starts, ev, gvalid = (np.asarray(x) for x in res)
+    if fn.collect_kind == "digest":
+        src_t = big.column(spec.arg).dtype
+        k = "f" if src_t.kind in (TypeKind.REAL, TypeKind.DOUBLE) else "i"
+        tag = "QD1" if fn.name == "qdigest_agg" else "TD1"
+        strs = build_group_digests(counts, starts, ev, k, tag)
+    else:
+        d = big.column(spec.arg).dictionary
+        strs = [None] * len(counts)
+        for g in np.nonzero(counts > 0)[0]:
+            codes = ev[starts[g]:starts[g] + counts[g]]
+            strs[g] = merge_digests(
+                [d.values[c] for c in codes if c >= 0])
+    nd = Dictionary(sorted({s for s in strs if s is not None}))
+    codes = np.array(
+        [-1 if s is None else nd.code_of(s) for s in strs], np.int32)
+    valid = jnp.asarray(np.array([s is not None for s in strs]))
+    return Column(t, jnp.asarray(codes), valid, nd)
 
 
 def _lambda_comb(lam, dtype):

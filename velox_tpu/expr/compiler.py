@@ -768,6 +768,8 @@ def _make_dict_value_fns():
         "codepoint": (BIGINT, H.codepoint_int),
         "normalize": (VARCHAR, H.normalize_nfc),
         "word_stem": (VARCHAR, H.word_stem_en),
+        "value_at_quantile": (DOUBLE, H.digest_value_at_quantile),
+        "quantile_at_value": (DOUBLE, H.digest_quantile_at_value),
     }
 
 

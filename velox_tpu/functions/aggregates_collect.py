@@ -82,6 +82,14 @@ _register_collect("reduce_agg", "reduce", lambda t: t)
 # makes the sketch unnecessary, like approx_percentile)
 _register_collect("approx_most_frequent", "most_frequent",
                   lambda t: map_(t[1], _BIGINT))
+# tdigest_agg / qdigest_agg: mergeable quantile sketches as VARBINARY
+# (TDigestAggregate.cpp, QDigestAggAggregate.cpp) — built EXACTLY from
+# the value-sorted runs in one vectorized pass (functions/digest.py)
+from velox_tpu.types import VARBINARY as _VARBINARY
+_register_collect("tdigest_agg", "digest", lambda t: _VARBINARY)
+_register_collect("qdigest_agg", "digest", lambda t: _VARBINARY)
+# merge(digest): re-compress the union of group digests' centroids
+_register_collect("merge", "digest_merge", lambda t: t)
 
 
 # ---------------------------------------------------------------- kernels

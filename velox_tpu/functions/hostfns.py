@@ -406,3 +406,17 @@ def word_stem_en(s: str) -> str:
                 return base + "y"
             return base
     return s
+
+
+def digest_value_at_quantile(digest: str, q) -> "float | None":
+    """value_at_quantile(tdigest|qdigest, q) — TDigestFunctions.h."""
+    from velox_tpu.functions.digest import value_at_quantile
+
+    return value_at_quantile(digest, q)
+
+
+def digest_quantile_at_value(digest: str, v) -> "float | None":
+    """quantile_at_value(tdigest|qdigest, v) — TDigestFunctions.h."""
+    from velox_tpu.functions.digest import quantile_at_value
+
+    return quantile_at_value(digest, v)

@@ -41,12 +41,20 @@ _AGG_ARGS: Dict[str, str] = {
     "approx_percentile": "x, 0.5",
     "every": "b", "sum_distinct": None, "count_distinct": None,
     "histogram": None, "avg_x": None,
+    "tdigest_agg": "x", "qdigest_agg": "i",
+    # covered by test_digest.py; 'merge' needs a digest-typed input
+    # column the fuzzer's random schema doesn't produce
+    "merge": None,
+    "set_agg": "i", "set_union": None, "map_union_sum": None,
+    "approx_most_frequent": None, "reduce_agg": None,
+    "noisy_count_gaussian": None,
 }
 
 #: aggregates whose multi-run equivalence can't use partial/final
 _SINGLE_ONLY = {"approx_distinct", "bitwise_and_agg", "bitwise_or_agg",
                 "bitwise_xor_agg", "array_agg", "map_agg", "map_union",
-                "approx_percentile"}
+                "approx_percentile", "tdigest_agg", "qdigest_agg",
+                "set_agg"}
 #: no streaming (collect/matrix lanes)
 _NO_STREAMING = _SINGLE_ONLY
 

@@ -20,6 +20,7 @@ from velox_tpu.types.types import (
     REAL,
     DOUBLE,
     VARCHAR,
+    VARBINARY,
     DATE,
     TIMESTAMP,
     DECIMAL,
@@ -49,7 +50,7 @@ from velox_tpu.types.filters import (
 __all__ = [
     "TypeKind", "DataType", "RowType", "ArrayType", "MapType", "DecimalType",
     "BOOLEAN", "TINYINT", "SMALLINT", "INTEGER", "BIGINT", "REAL", "DOUBLE",
-    "VARCHAR", "DATE", "TIMESTAMP", "DECIMAL", "ROW", "ARRAY", "MAP", "UNKNOWN",
+    "VARCHAR", "VARBINARY", "DATE", "TIMESTAMP", "DECIMAL", "ROW", "ARRAY", "MAP", "UNKNOWN",
     "Filter", "AlwaysTrue", "AlwaysFalse", "IsNull", "IsNotNull",
     "BigintRange", "DoubleRange", "BigintValuesUsingHashTable", "BytesValues",
     "NegatedBigintRange", "MultiRange",

@@ -71,6 +71,9 @@ def type_to_arrow(t: DataType) -> pa.DataType:
         TypeKind.SMALLINT: pa.int16(), TypeKind.INTEGER: pa.int32(),
         TypeKind.BIGINT: pa.int64(), TypeKind.REAL: pa.float32(),
         TypeKind.DOUBLE: pa.float64(), TypeKind.VARCHAR: pa.string(),
+        # VARBINARY blobs in this engine are ASCII (digest format) —
+        # exported as arrow strings
+        TypeKind.VARBINARY: pa.string(),
         TypeKind.DATE: pa.date32(), TypeKind.TIMESTAMP: pa.timestamp("us"),
     }
     return rev[t.kind]
