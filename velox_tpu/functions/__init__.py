@@ -18,6 +18,7 @@ from velox_tpu.functions.aggregates import (
 )
 import velox_tpu.functions.aggregates_multi  # noqa: F401  (registers)
 import velox_tpu.functions.aggregates_collect  # noqa: F401  (registers)
+import velox_tpu.functions.aggregates_noisy  # noqa: F401  (registers)
 
 __all__ = [
     "ScalarFunction", "registry", "register_function", "lookup_function",

@@ -47,7 +47,8 @@ _AGG_ARGS: Dict[str, str] = {
     "merge": None,
     "set_agg": "i", "set_union": None, "map_union_sum": None,
     "approx_most_frequent": None, "reduce_agg": None,
-    "noisy_count_gaussian": None,
+    "noisy_count_gaussian": "i, 0.5, 7", "noisy_count_if_gaussian": "b, 0.5, 7",
+    "noisy_sum_gaussian": "x, 0.5, 7", "noisy_avg_gaussian": "x, 0.5, 7",
 }
 
 #: aggregates whose multi-run equivalence can't use partial/final
@@ -55,8 +56,16 @@ _SINGLE_ONLY = {"approx_distinct", "bitwise_and_agg", "bitwise_or_agg",
                 "bitwise_xor_agg", "array_agg", "map_agg", "map_union",
                 "approx_percentile", "tdigest_agg", "qdigest_agg",
                 "set_agg"}
-#: no streaming (collect/matrix lanes)
-_NO_STREAMING = _SINGLE_ONLY
+#: no streaming (collect/matrix lanes; noisy_*: the gaussian draw is
+#: keyed by final group slot, and streaming assigns slots by arrival
+#: order instead of sorted-key rank — same contract as Presto, where
+#: seeded draws are per-accumulator and not strategy-stable)
+_NOISY = {"noisy_count_gaussian", "noisy_count_if_gaussian",
+          "noisy_sum_gaussian", "noisy_avg_gaussian"}
+_NO_STREAMING = _SINGLE_ONLY | _NOISY
+#: spilled partitions renumber group slots at extract, so slot-keyed
+#: gaussian draws differ (same reasoning as _NO_STREAMING)
+_NO_SPILL = _NOISY
 
 
 def _data(rng, n):
@@ -153,12 +162,13 @@ def run_aggregation_fuzz(iterations: int = 60, seed: int = 0,
                 .order_by(keys)
                 .streaming_aggregate(keys, [agg], masks=masks)
                 .build())
-        old = config.spill_memory_budget_bytes
-        config.spill_memory_budget_bytes = 1 << 11
-        try:
-            results["spilled"] = run_plan_pydict(single().build())
-        finally:
-            config.spill_memory_budget_bytes = old
+        if fn not in _NO_SPILL:
+            old = config.spill_memory_budget_bytes
+            config.spill_memory_budget_bytes = 1 << 11
+            try:
+                results["spilled"] = run_plan_pydict(single().build())
+            finally:
+                config.spill_memory_budget_bytes = old
 
         base = _canon(results["single"])
         for name, res in results.items():
