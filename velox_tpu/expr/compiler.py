@@ -770,6 +770,11 @@ def _make_dict_value_fns():
         "word_stem": (VARCHAR, H.word_stem_en),
         "value_at_quantile": (DOUBLE, H.digest_value_at_quantile),
         "quantile_at_value": (DOUBLE, H.digest_quantile_at_value),
+        "ip_prefix": (VARCHAR, H.ip_prefix),
+        "ip_subnet_min": (VARCHAR, H.ip_subnet_min),
+        "ip_subnet_max": (VARCHAR, H.ip_subnet_max),
+        "is_subnet_of": (BOOLEAN, H.is_subnet_of),
+        "is_private_ip": (BOOLEAN, H.is_private_ip),
     }
 
 
@@ -782,15 +787,28 @@ def _bind_dict_value(name, args, dictionaries) -> Expr:
     from velox_tpu.vector.column import Dictionary
 
     dst, fn = _DICT_VALUE_FNS[name]
-    src = _dict_source((args[0],), dictionaries)
+    # one argument is the dictionary column (usually the first, but e.g.
+    # is_subnet_of(prefix_literal, ip_column) keys on a later one);
+    # every other argument must be a literal
+    key_pos = next((j for j, a in enumerate(args)
+                    if not isinstance(a, Literal)), 0)
+    src = _dict_source((args[key_pos],), dictionaries)
     assert src is not None, f"{name} requires a dictionary-encoded input"
     codes_expr, d = src
     extras = []
-    for a in args[1:]:
+    for j, a in enumerate(args):
+        if j == key_pos:
+            continue
         assert isinstance(a, Literal), (
             f"{name} extra arguments must be literals")
         extras.append(a.value)
-    out_vals = [fn(str(v), *extras) for v in d.values]
+
+    def call(v):
+        pos = list(extras)
+        pos.insert(key_pos, str(v))
+        return fn(*pos)
+
+    out_vals = [call(v) for v in d.values]
 
     if dst.is_string:
         nd = Dictionary(sorted({v for v in out_vals if v is not None}))

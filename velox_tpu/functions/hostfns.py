@@ -420,3 +420,71 @@ def digest_quantile_at_value(digest: str, v) -> "float | None":
     from velox_tpu.functions.digest import quantile_at_value
 
     return quantile_at_value(digest, v)
+
+
+# --------------------------------------------------------- IP functions
+# velox/functions/prestosql/IPAddressFunctions.cpp. IPADDRESS/IPPREFIX
+# are represented as canonical VARCHAR strings here (documented
+# deviation: no dedicated binary type kind); invalid inputs -> None
+# (the host-fn family's error convention, vs the reference's throw).
+
+def _ip_net(prefix: str):
+    import ipaddress
+
+    return ipaddress.ip_network(prefix.strip(), strict=False)
+
+
+def ip_prefix(ip: str, bits) -> "str | None":
+    """Canonical prefix of an address: ip_prefix('1.2.3.4', 24) ->
+    '1.2.3.0/24'."""
+    try:
+        net = _ip_net(f"{ip}/{int(bits)}")
+        return f"{net.network_address}/{net.prefixlen}"
+    except ValueError:
+        return None
+
+
+def ip_subnet_min(prefix: str) -> "str | None":
+    try:
+        return str(_ip_net(prefix).network_address)
+    except ValueError:
+        return None
+
+
+def ip_subnet_max(prefix: str) -> "str | None":
+    try:
+        return str(_ip_net(prefix).broadcast_address)
+    except ValueError:
+        return None
+
+
+def is_subnet_of(prefix: str, target: str) -> "bool | None":
+    """is_subnet_of(prefix, ip) and is_subnet_of(prefix, prefix).
+    Mixed address families are False (a v6 address is never inside a
+    v4 prefix — Presto maps v4 into v6 space, where they also never
+    overlap); only unparseable inputs are None."""
+    import ipaddress
+
+    try:
+        net = _ip_net(prefix)
+        t = target.strip()
+        if "/" in t:
+            sub = ipaddress.ip_network(t, strict=False)
+            if sub.version != net.version:
+                return False
+            return sub.subnet_of(net)
+        a = ipaddress.ip_address(t)
+        if a.version != net.version:
+            return False
+        return net.network_address <= a <= net.broadcast_address
+    except ValueError:
+        return None
+
+
+def is_private_ip(ip: str) -> "bool | None":
+    import ipaddress
+
+    try:
+        return ipaddress.ip_address(ip.strip()).is_private
+    except ValueError:
+        return None
