@@ -22,11 +22,40 @@ import sys
 import time
 
 
+def _tpu_backend_ok(timeout_s: float = 240.0) -> bool:
+    """Probe the tunneled TPU in a SUBPROCESS with a hard timeout.
+
+    The axon tunnel can wedge so badly that even ``jax.devices()`` hangs
+    forever in fresh processes (BASELINE.md round-2 hazard). A hung
+    bench is worse than a CPU-fallback bench — probe first, and kill
+    the probe if it stalls."""
+    import os
+    import subprocess
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # let the probe pick axon naturally
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            timeout=timeout_s, capture_output=True, text=True, env=env)
+        return r.returncode == 0 and "axon" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
     import jax
 
     sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+
+    cpu_fallback = False
+    if not _tpu_backend_ok():
+        print("# TPU backend unreachable -> CPU fallback run",
+              file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
+        cpu_fallback = True
 
     from velox_tpu.exec import run_plan
     from velox_tpu.io.tpch import register_tpch_decimal
@@ -106,8 +135,10 @@ def main() -> None:
                    "lineitem_rows": n_li, "ingest_s": round(ingest_s, 1),
                    "queries": detail}, f, indent=1)
 
+    tag = "_CPU_FALLBACK" if cpu_fallback else ""
     print(json.dumps({
-        "metric": f"tpch_sf{sf:g}_q1_q3_q6_q18_geomean_rows_per_sec",
+        "metric":
+            f"tpch_sf{sf:g}_q1_q3_q6_q18_geomean_rows_per_sec{tag}",
         "value": round(geo_rows),
         "unit": "rows/s",
         "vs_baseline": round(geo_ratio, 3),

@@ -844,7 +844,14 @@ class TableWriteOp(Operator):
             table = pa.table({
                 n: pa.array([], type_to_arrow(t))
                 for n, t in zip(src.names, src.children)})
-        if node.partition_by:
+        if getattr(node, "scale_writers", 1) > 1:
+            from velox_tpu.exec.scale_writer import scaled_write
+            from velox_tpu.utils.config import config
+
+            self.stats.runtime["files_written"] = scaled_write(
+                table, node.path, list(node.partition_by),
+                node.scale_writers, config.writer_min_partition_bytes)
+        elif node.partition_by:
             import pyarrow.dataset as ds
 
             ds.write_dataset(

@@ -7,6 +7,7 @@ transfer per column chunk, device batches thereafter.
 
 from velox_tpu.io.catalog import (  # noqa: F401
     register_table, register_arrow, register_parquet, register_orc,
-    register_csv, register_json, register_feather, get_table, drop_table,
+    register_csv, register_json, register_feather, register_parquet_dir,
+    get_table, drop_table,
     list_tables, Table, ParquetTable,
 )

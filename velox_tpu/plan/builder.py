@@ -636,12 +636,16 @@ class PlanBuilder:
         return self
 
     def table_write(self, path: str, format: str = "parquet",
-                    partition_by: Sequence[str] = ()) -> "PlanBuilder":
+                    partition_by: Sequence[str] = (),
+                    scale_writers: int = 1) -> "PlanBuilder":
         """Write the plan's output to a file/dataset; the plan then
-        returns ROW<rows BIGINT> (velox PlanBuilder::tableWrite)."""
+        returns ROW<rows BIGINT> (velox PlanBuilder::tableWrite).
+        ``scale_writers > 1`` fans hot partitions out across several
+        balanced files (ScaleWriterLocalPartition analog)."""
         out = row_type(["rows"], [BIGINT])
         self.node = TableWriteNode(
-            new_id(), out, self.node, path, format, tuple(partition_by))
+            new_id(), out, self.node, path, format, tuple(partition_by),
+            scale_writers)
         return self
 
     def union_all(self, others: Sequence["PlanBuilder"]) -> "PlanBuilder":

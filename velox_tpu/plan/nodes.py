@@ -375,6 +375,8 @@ class TableWriteNode(SourceNode):
     path: str = ""
     format: str = "parquet"
     partition_by: Tuple[str, ...] = ()
+    #: >1 enables skew-scaled file fan-out (ScaleWriterLocalPartition)
+    scale_writers: int = 1
 
 
 @dataclass(frozen=True)

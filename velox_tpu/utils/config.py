@@ -51,6 +51,9 @@ class SessionConfig:
     #: spills buffers to host RAM (velox memory arbitration analog).
     #: None = unlimited.
     spill_memory_budget_bytes: "int | None" = None
+    #: a partition acquires another writer once it has written this many
+    #: bytes since its last scale-up (velox writer_min_size analog)
+    writer_min_partition_bytes: int = 128 << 20
 
     #: hash partitions for spilled aggregation state / join builds —
     #: finish merges one partition at a time, bounding peak HBM to the
