@@ -203,3 +203,41 @@ def test_reduce_agg():
     assert out["s"] == [10, 8, 4]
     assert out["p"] == [30, 7, 4]
     assert out["mx"] == [5, 7, 4]
+
+
+def test_approx_winsorized_mean():
+    import numpy as np
+
+    rng = np.random.default_rng(8)
+    g = [int(v) for v in rng.integers(0, 4, 600)]
+    x = [float(np.round(v, 4)) for v in rng.normal(size=600)]
+    out = run_plan_pydict(
+        PlanBuilder().values([Batch.from_pydict({"g": g, "x": x},
+                                   {"g": BIGINT, "x": DOUBLE})])
+        .aggregate(["g"], ["approx_winsorized_mean(x, 0.1, 0.9) AS w"])
+        .order_by(["g"]).build())
+    ga, xa = np.array(g), np.array(x)
+    for i, gid in enumerate(sorted(set(g))):
+        vals = np.sort(xa[ga == gid])
+        n = len(vals)
+        lo = vals[int(np.floor(0.1 * (n - 1)))]
+        hi = vals[int(np.floor(0.9 * (n - 1)))]
+        exp = float(np.clip(vals, lo, hi).mean())
+        assert abs(out["w"][i] - exp) < 1e-9, (gid, out["w"][i], exp)
+
+
+def test_numeric_histogram():
+    import numpy as np
+
+    x = [float(v) for v in range(100)]          # uniform 0..99
+    out = run_plan_pydict(
+        PlanBuilder().values([Batch.from_pydict({"x": x}, {"x": DOUBLE})])
+        .aggregate([], ["numeric_histogram(4, x) AS h"]).build())
+    h = dict(out["h"][0])        # maps surface as key/value pair lists
+    assert sum(h.values()) == 100.0
+    assert len(h) == 4                           # 4 equal-width bins
+    # bucket centers are the bin means; uniform data -> 12, 37, 62, 87.5
+    centers = sorted(h)
+    assert abs(centers[0] - 12.0) < 1.0
+    assert abs(centers[-1] - 87.0) < 1.0
+    assert all(v == 25.0 for v in h.values())

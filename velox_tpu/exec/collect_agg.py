@@ -294,6 +294,77 @@ def finish_collect(op, big: Batch) -> Batch:
                 results.append((
                     jnp.where(counts > 0, vals, init_arr),
                     group_sel))
+            elif kind == "winsorized":
+                xf, lof, hif = spec.arg
+                xv, xvd = cols[xf]
+                lo = jnp.take(cols[lof][0], jnp.argmax(m), mode="clip")
+                hi = jnp.take(cols[hif][0], jnp.argmax(m), mode="clip")
+                mm = m if xvd is None else jnp.logical_and(m, xvd)
+                perm, counts, starts = collect_runs(
+                    gids, mm, encode_sort_key(xv, None))
+                sv = jnp.take(xv, perm, mode="clip").astype(jnp.float64)
+                og = jnp.take(jnp.where(mm, gids, jnp.int32(cap)),
+                              perm, mode="clip")
+                ogs = jnp.minimum(og, cap - 1)
+                n1 = jnp.maximum(
+                    jnp.take(counts, ogs, mode="clip") - 1, 0)
+                st = jnp.take(starts, ogs, mode="clip")
+                lo_pos = st + jnp.floor(
+                    lo.astype(jnp.float32) * n1.astype(jnp.float32)
+                ).astype(jnp.int32)
+                hi_pos = st + jnp.floor(
+                    hi.astype(jnp.float32) * n1.astype(jnp.float32)
+                ).astype(jnp.int32)
+                cl = jnp.clip(sv,
+                              jnp.take(sv, lo_pos, mode="clip"),
+                              jnp.take(sv, hi_pos, mode="clip"))
+                tot = (jnp.zeros((cap,), jnp.float64)
+                       .at[og].add(jnp.where(og < cap, cl, 0.0),
+                                   mode="drop"))
+                mean = tot / jnp.maximum(counts, 1)
+                results.append((
+                    mean, jnp.logical_and(group_sel, counts > 0)))
+            elif kind == "numeric_histogram":
+                bf, xf = spec.arg
+                bv, _ = cols[bf]
+                xv, xvd = cols[xf]
+                mm = m if xvd is None else jnp.logical_and(m, xvd)
+                b = jnp.take(bv, jnp.argmax(m), mode="clip").astype(
+                    jnp.float64)
+                x = xv.astype(jnp.float64)
+                gmin = (jnp.full((cap,), jnp.inf)
+                        .at[jnp.where(mm, gids, cap)]
+                        .min(x, mode="drop"))
+                gmax = (jnp.full((cap,), -jnp.inf)
+                        .at[jnp.where(mm, gids, cap)]
+                        .max(x, mode="drop"))
+                gsafe = jnp.minimum(gids, cap - 1)
+                span = (jnp.take(gmax, gsafe, mode="clip")
+                        - jnp.take(gmin, gsafe, mode="clip"))
+                rel = jnp.where(span > 0,
+                                (x - jnp.take(gmin, gsafe, mode="clip"))
+                                / jnp.where(span > 0, span, 1.0), 0.0)
+                bucket = jnp.clip(jnp.floor(rel * b), 0,
+                                  jnp.maximum(b - 1, 0)).astype(jnp.int32)
+                g2, rows2, sel2, _ = group_ids_sorted(
+                    [(gids, None), (bucket, None)], mm)
+                pair_cnt = (jnp.zeros((cap,), jnp.float64)
+                            .at[g2].add(mm.astype(jnp.float64),
+                                        mode="drop"))
+                pair_sum = (jnp.zeros((cap,), jnp.float64)
+                            .at[g2].add(jnp.where(mm, x, 0.0),
+                                        mode="drop"))
+                center = pair_sum / jnp.maximum(pair_cnt, 1.0)
+                r2 = jnp.clip(rows2, 0, cap - 1)
+                pgid = jnp.where(
+                    sel2, jnp.take(gids, r2, mode="clip"),
+                    jnp.int32(cap))
+                perm, counts, starts = collect_runs(pgid, sel2)
+                results.append((
+                    counts, starts,
+                    jnp.take(center, perm, mode="clip"), None,
+                    jnp.take(pair_cnt, perm, mode="clip"), None,
+                    jnp.logical_and(group_sel, counts > 0)))
             elif kind in ("digest", "digest_merge"):
                 av, avd = cols[spec.arg]
                 mm = m if avd is None else jnp.logical_and(m, avd)
@@ -330,7 +401,8 @@ def finish_collect(op, big: Batch) -> Batch:
             op.agg_names, op.specs, op.fns, results):
         t = op.output_type.find_child(name)
         kind = fn.collect_kind
-        if kind is None or kind in ("percentile", "reduce"):
+        if kind is None or kind in ("percentile", "reduce",
+                                    "winsorized"):
             vals, valid = res
             out[name] = Column(t, vals, valid)
         elif kind in ("digest", "digest_merge"):
@@ -350,6 +422,9 @@ def finish_collect(op, big: Batch) -> Batch:
                 kdict, vdict = src.keys.dictionary, src.values.dictionary
             elif kind == "histogram":
                 kdict = big.column(spec.arg).dictionary
+                vdict = None
+            elif kind == "numeric_histogram":
+                kdict = None
                 vdict = None
             elif kind == "most_frequent":
                 kf, vf = spec.arg

@@ -82,6 +82,18 @@ _register_collect("reduce_agg", "reduce", lambda t: t)
 # makes the sketch unnecessary, like approx_percentile)
 _register_collect("approx_most_frequent", "most_frequent",
                   lambda t: map_(t[1], _BIGINT))
+# approx_winsorized_mean(x, lo, hi): mean after clamping to the exact
+# [lo, hi] quantile values (ApproxWinsorizedMeanAggregate — exact here,
+# the sorted runs make the percentile sketch unnecessary)
+_register_collect("approx_winsorized_mean", "winsorized",
+                  lambda t: _DOUBLE)
+# numeric_histogram(b, x): b-bucket histogram as map(center -> count),
+# bucket centers = mean of each equal-width bin over the group's exact
+# [min, max] span (NumericHistogramAggregate behavioral subset: the
+# reference's Ben-Haim/Tom-Tov streaming centroids exist to avoid the
+# full materialization this engine natively has)
+_register_collect("numeric_histogram", "numeric_histogram",
+                  lambda t: map_(_DOUBLE, _DOUBLE))
 # tdigest_agg / qdigest_agg: mergeable quantile sketches as VARBINARY
 # (TDigestAggregate.cpp, QDigestAggAggregate.cpp) — built EXACTLY from
 # the value-sorted runs in one vectorized pass (functions/digest.py)

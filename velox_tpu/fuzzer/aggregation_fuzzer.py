@@ -42,6 +42,8 @@ _AGG_ARGS: Dict[str, str] = {
     "every": "b", "sum_distinct": None, "count_distinct": None,
     "histogram": None, "avg_x": None,
     "tdigest_agg": "x", "qdigest_agg": "i",
+    "approx_winsorized_mean": "x, 0.1, 0.9",
+    "numeric_histogram": "4, x",
     # covered by test_digest.py; 'merge' needs a digest-typed input
     # column the fuzzer's random schema doesn't produce
     "merge": None,
@@ -55,7 +57,8 @@ _AGG_ARGS: Dict[str, str] = {
 _SINGLE_ONLY = {"approx_distinct", "bitwise_and_agg", "bitwise_or_agg",
                 "bitwise_xor_agg", "array_agg", "map_agg", "map_union",
                 "approx_percentile", "tdigest_agg", "qdigest_agg",
-                "set_agg"}
+                "set_agg", "approx_winsorized_mean",
+                "numeric_histogram"}
 #: no streaming (collect/matrix lanes; noisy_*: the gaussian draw is
 #: keyed by final group slot, and streaming assigns slots by arrival
 #: order instead of sorted-key rank — same contract as Presto, where
