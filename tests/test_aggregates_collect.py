@@ -241,3 +241,34 @@ def test_numeric_histogram():
     assert abs(centers[0] - 12.0) < 1.0
     assert abs(centers[-1] - 87.0) < 1.0
     assert all(v == 25.0 for v in h.values())
+
+
+def test_vector_sum():
+    import numpy as np
+
+    from velox_tpu.types.types import array as array_t
+
+    b = Batch.from_pydict(
+        {"g": [0, 0, 0, 1, 1, 2],
+         "a": [[1.0, 2.0, 3.0], [10.0, 20.0], [100.0], [5.0], None,
+               [7.0, None]]},
+        {"g": BIGINT, "a": array_t(DOUBLE)})
+    out = run_plan_pydict(
+        PlanBuilder().values([b])
+        .aggregate(["g"], ["vector_sum(a) AS s"])
+        .order_by(["g"]).build())
+    # shorter arrays zero-padded; null arrays skipped; null elems = 0
+    assert out["s"][0] == [111.0, 22.0, 3.0]
+    assert out["s"][1] == [5.0]
+    assert out["s"][2] == [7.0, 0.0]
+
+
+def test_vector_sum_bigint():
+    from velox_tpu.types.types import array as array_t
+
+    b = Batch.from_pydict(
+        {"a": [[1, 2], [3], [10, 20, 30]]}, {"a": array_t(BIGINT)})
+    out = run_plan_pydict(
+        PlanBuilder().values([b])
+        .aggregate([], ["vector_sum(a) AS s"]).build())
+    assert out["s"][0] == [14, 22, 30]

@@ -242,6 +242,44 @@ def finish_collect(op, big: Batch) -> Batch:
                     _valid_or_none(pkd, perm),
                     jnp.take(vsum, perm, mode="clip"), None,
                     jnp.logical_and(group_sel, _fit(counts, cap) > 0)))
+            elif kind == "vector_sum":
+                ai = maps[spec.arg]
+                ecap = ai["ev"].shape[0]
+                arow = m if ai["valid"] is None else jnp.logical_and(
+                    m, ai["valid"])
+                owner, within = element_owners(
+                    ai["starts"], ai["lengths"], ecap)
+                egid = jnp.where(
+                    jnp.logical_and(
+                        within, jnp.take(arow, owner, mode="clip")),
+                    jnp.take(gids, owner, mode="clip"), jnp.int32(ecap))
+                em = egid < ecap
+                e = jnp.arange(ecap, dtype=jnp.int32)
+                ordinal = e - jnp.take(ai["starts"], owner,
+                                       mode="clip")
+                evd = ai["evd"]         # null elements count as 0
+                # sub-group by (gid, ordinal): reps carry position sums
+                g2, rows2, sel2, _ = group_ids_sorted(
+                    [(egid, None), (ordinal, None)], em)
+                sdt = (jnp.float64 if jnp.issubdtype(
+                    ai["ev"].dtype, jnp.floating) else jnp.int64)
+                contrib = jnp.where(em, ai["ev"], 0).astype(sdt)
+                if evd is not None:
+                    contrib = jnp.where(evd, contrib, 0)
+                vsum = (jnp.zeros((ecap,), sdt)
+                        .at[g2].add(contrib, mode="drop"))
+                r2 = jnp.clip(rows2, 0, ecap - 1)
+                pord = jnp.take(ordinal, r2, mode="clip")
+                pgid = jnp.where(
+                    sel2, jnp.take(egid, r2, mode="clip"),
+                    jnp.int32(ecap))
+                # group-major, ordinal-ascending element layout
+                perm, counts, starts = collect_runs(
+                    pgid, sel2, [pord])
+                results.append((
+                    _fit(counts, cap), _fit(starts, cap),
+                    jnp.take(vsum, perm, mode="clip"), None,
+                    jnp.logical_and(group_sel, _fit(counts, cap) > 0)))
             elif kind == "map_union":
                 mi = maps[spec.arg]
                 ecap = mi["kv"].shape[0]
@@ -407,10 +445,11 @@ def finish_collect(op, big: Batch) -> Batch:
             out[name] = Column(t, vals, valid)
         elif kind in ("digest", "digest_merge"):
             out[name] = _digest_column(op, big, t, spec, fn, res)
-        elif kind in ("array", "set", "set_union"):
+        elif kind in ("array", "set", "set_union", "vector_sum"):
             counts, starts, ev, evd, gvalid = res
             src = big.column(spec.arg)
-            edict = (src.elements.dictionary if kind == "set_union"
+            edict = (src.elements.dictionary
+                     if kind in ("set_union", "vector_sum")
                      else src.dictionary)
             out[name] = ArrayColumn(
                 t, starts, counts,

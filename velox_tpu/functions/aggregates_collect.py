@@ -77,6 +77,13 @@ _register_collect(
 # lets it run as a segmented associative scan instead of a per-row fold
 # (ReduceAgg.cpp requires commutativity+associativity anyway).
 _register_collect("reduce_agg", "reduce", lambda t: t)
+# vector_sum: elementwise sum of arrays-as-vectors, shorter arrays
+# zero-padded (VectorSumAggregate) — one scatter-add over
+# (group, ordinal) pairs, the MXU-adjacent way to sum vectors
+_register_collect(
+    "vector_sum", "vector_sum",
+    lambda t: array(_DOUBLE if t.element.kind in (
+        _TK.REAL, _TK.DOUBLE) else _BIGINT))
 # approx_most_frequent(k, v): top-k values by frequency as a map —
 # computed EXACTLY from the grouped counts (the sorted arrangement
 # makes the sketch unnecessary, like approx_percentile)
