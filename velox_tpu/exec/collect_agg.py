@@ -242,6 +242,44 @@ def finish_collect(op, big: Batch) -> Batch:
                     _valid_or_none(pkd, perm),
                     jnp.take(vsum, perm, mode="clip"), None,
                     jnp.logical_and(group_sel, _fit(counts, cap) > 0)))
+            elif kind == "classification":
+                bf, of, pf = spec.arg[:3]
+                bv, _ = cols[bf]
+                ov, ovd = cols[of]
+                pv, pvd = cols[pf]
+                mm = m
+                for d in (ovd, pvd):
+                    if d is not None:
+                        mm = jnp.logical_and(mm, d)
+                b = jnp.take(bv, jnp.argmax(m), mode="clip").astype(
+                    jnp.float64)
+                bucket = jnp.clip(
+                    jnp.floor(pv.astype(jnp.float64) * b), 0,
+                    jnp.maximum(b - 1, 0)).astype(jnp.int32)
+                g2, rows2, sel2, _ = group_ids_sorted(
+                    [(gids, None), (bucket, None)], mm)
+                t_w = (jnp.zeros((cap,), jnp.float64)
+                       .at[g2].add(jnp.where(
+                           jnp.logical_and(mm, ov), 1.0, 0.0),
+                           mode="drop"))
+                f_w = (jnp.zeros((cap,), jnp.float64)
+                       .at[g2].add(jnp.where(
+                           jnp.logical_and(mm, ~ov), 1.0, 0.0),
+                           mode="drop"))
+                r2 = jnp.clip(rows2, 0, cap - 1)
+                pgid = jnp.where(
+                    sel2, jnp.take(gids, r2, mode="clip"),
+                    jnp.int32(cap))
+                pbucket = jnp.take(bucket, r2, mode="clip")
+                perm, counts, starts = collect_runs(
+                    pgid, sel2, [pbucket])
+                results.append((
+                    counts, starts,
+                    jnp.take(pbucket, perm, mode="clip"),
+                    jnp.take(t_w, perm, mode="clip"),
+                    jnp.take(f_w, perm, mode="clip"),
+                    b.astype(jnp.int32),
+                    jnp.logical_and(group_sel, counts > 0)))
             elif kind == "vector_sum":
                 ai = maps[spec.arg]
                 ecap = ai["ev"].shape[0]
@@ -445,6 +483,8 @@ def finish_collect(op, big: Batch) -> Batch:
             out[name] = Column(t, vals, valid)
         elif kind in ("digest", "digest_merge"):
             out[name] = _digest_column(op, big, t, spec, fn, res)
+        elif kind == "classification":
+            out[name] = _classification_column(t, fn, res)
         elif kind in ("array", "set", "set_union", "vector_sum"):
             counts, starts, ev, evd, gvalid = res
             src = big.column(spec.arg)
@@ -478,6 +518,52 @@ def finish_collect(op, big: Batch) -> Batch:
                 Column(t.key, ekv, ekvd, kdict),
                 Column(t.value, evv, evvd, vdict), gvalid)
     return Batch(out, group_sel)
+
+
+def _classification_column(t, fn, res):
+    """Host half of the classification metrics: per-group suffix sums
+    over present (bucket, true/false weight) reps -> length-b metric
+    arrays (ClassificationAggregation.cpp output contract)."""
+    import numpy as np
+
+    counts, starts, bucket, tw, fw, b, gvalid = (
+        np.asarray(x) for x in res)
+    b = int(b)
+    nslots = len(counts)
+    metric = fn.name.split("classification_")[1]
+    arrays, lens = [], np.zeros(nslots, np.int64)
+    for g in np.nonzero(counts > 0)[0]:
+        sl = slice(starts[g], starts[g] + counts[g])
+        tmat = np.zeros(b)
+        fmat = np.zeros(b)
+        tmat[bucket[sl]] = tw[sl]
+        fmat[bucket[sl]] = fw[sl]
+        # TP(i)/FP(i): weights at buckets >= i (suffix sums); FN/TN: < i
+        tp = np.cumsum(tmat[::-1])[::-1]
+        fp = np.cumsum(fmat[::-1])[::-1]
+        fn_ = tmat.sum() - tp
+        tn = fmat.sum() - fp
+        with np.errstate(divide="ignore", invalid="ignore"):
+            vals = {
+                "precision": tp / (tp + fp),
+                "recall": tp / (tp + fn_),
+                "miss_rate": fn_ / (tp + fn_),
+                "fall_out": fp / (fp + tn),
+                "thresholds": np.arange(b) / b,
+            }[metric]
+        vals = np.nan_to_num(vals, nan=0.0)
+        arrays.append(vals)
+        lens[g] = b
+    flat = (np.concatenate(arrays) if arrays else np.zeros(0))
+    ecap = max(128, 1 << (max(len(flat), 1) - 1).bit_length())
+    elems = np.zeros(ecap)
+    elems[:len(flat)] = flat
+    st = np.cumsum(lens) - lens
+    return ArrayColumn(
+        t, jnp.asarray(st.astype(np.int32)),
+        jnp.asarray(lens.astype(np.int32)),
+        Column(t.element, jnp.asarray(elems), None),
+        jnp.asarray(counts > 0))
 
 
 def _digest_column(op, big, t, spec, fn, res):

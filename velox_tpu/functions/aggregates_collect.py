@@ -77,6 +77,15 @@ _register_collect(
 # lets it run as a segmented associative scan instead of a per-row fold
 # (ReduceAgg.cpp requires commutativity+associativity anyway).
 _register_collect("reduce_agg", "reduce", lambda t: t)
+# classification metric family (ClassificationAggregation.cpp):
+# classification_*(buckets, outcome, pred) -> ARRAY(double) of the
+# metric at thresholds i/buckets. Per-bucket true/false weight counts
+# ride one (group, bucket) scatter; suffix sums + ratios finish on host
+for _cname in ("classification_precision", "classification_recall",
+               "classification_miss_rate", "classification_fall_out",
+               "classification_thresholds"):
+    _register_collect(_cname, "classification",
+                      lambda t: array(_DOUBLE))
 # vector_sum: elementwise sum of arrays-as-vectors, shorter arrays
 # zero-padded (VectorSumAggregate) — one scatter-add over
 # (group, ordinal) pairs, the MXU-adjacent way to sum vectors

@@ -28,7 +28,7 @@ def _canon(table) -> List[tuple]:
         rows.append(tuple(
             (None if x is None or (isinstance(x, float)
                                    and math.isnan(x))
-             else float(f"{x:.11g}") if isinstance(x, float) else x)
+             else float(f"{x:.10g}") if isinstance(x, float) else x)
             for x in r))
     return sorted(rows, key=lambda r: tuple(
         (x is None, str(x)) for x in r))
