@@ -258,3 +258,36 @@ def test_multi_arg_distinct_rejected():
         run_plan_pydict(
             PlanBuilder().values([b])
             .aggregate(["g"], ["min_by(distinct v, c) as lo"]).build())
+
+
+def test_data_size_for_stats():
+    """MaxSizeForStatsAggregate.cpp / SumDataSizeForStatsAggregate.cpp:
+    varchar = 4-byte length prefix + utf-8 bytes; fixed-width = width."""
+    from velox_tpu.types import VARCHAR
+
+    b = _batch(
+        {"g": [0, 0, 1, 1], "s": ["abc", "de", None, "é"],
+         "x": [1.0, 2.0, 3.0, 4.0], "i": [1, 2, 3, 4]},
+        {"g": BIGINT, "s": VARCHAR, "x": DOUBLE, "i": BIGINT})
+    out = run_plan_pydict(
+        PlanBuilder().values([b]).aggregate(
+            ["g"], ["max_data_size_for_stats(s) AS ms",
+                    "sum_data_size_for_stats(s) AS ss",
+                    "sum_data_size_for_stats(x) AS sx",
+                    "max_data_size_for_stats(i) AS mi"])
+        .order_by(["g"]).build())
+    assert out["ms"] == [7, 6]      # "abc"+4, "é"(2 bytes)+4
+    assert out["ss"] == [13, 6]
+    assert out["sx"] == [16, 16]
+    assert out["mi"] == [8, 8]
+
+
+def test_octet_length_scalar():
+    from velox_tpu.types import VARCHAR
+
+    b = _batch({"s": ["a", "é", "héllo", None]}, {"s": VARCHAR})
+    out = run_plan_pydict(
+        PlanBuilder().values([b])
+        .project(["octet_length(s) AS n", "length(s) AS c"]).build())
+    assert out["n"] == [1, 2, 6, None]
+    assert out["c"] == [1, 1, 5, None]

@@ -108,6 +108,16 @@ def resolve_types(expr: Expr, schema: RowType) -> Expr:
             return Call(VARCHAR, name, args)
         if name == "length":
             return Call(BIGINT, "length", args)
+        if (name == "data_size_for_stats"
+                and args[0].dtype is not None
+                and args[0].dtype.is_string):
+            # varchar: 4-byte length prefix + utf-8 bytes
+            # (velox/functions/prestosql/aggregates/
+            # MaxSizeForStatsAggregate.cpp size contract); fixed-width
+            # types fall through to the generic itemsize fn
+            return Call(BIGINT, "plus", (
+                Call(BIGINT, "octet_length", args),
+                Literal(BIGINT, 4)))
         if name in ("replace", "lpad", "rpad", "split_part"):
             return Call(VARCHAR, name, args)
         if name == "strpos":
@@ -770,6 +780,7 @@ def _make_dict_value_fns():
         "word_stem": (VARCHAR, H.word_stem_en),
         "value_at_quantile": (DOUBLE, H.digest_value_at_quantile),
         "quantile_at_value": (DOUBLE, H.digest_quantile_at_value),
+        "octet_length": (BIGINT, H.octet_length),
         "ip_prefix": (VARCHAR, H.ip_prefix),
         "ip_subnet_min": (VARCHAR, H.ip_subnet_min),
         "ip_subnet_max": (VARCHAR, H.ip_subnet_max),

@@ -408,6 +408,11 @@ def word_stem_en(s: str) -> str:
     return s
 
 
+def octet_length(s: str) -> int:
+    """UTF-8 byte length (prestosql octet_length)."""
+    return len(s.encode("utf-8"))
+
+
 def digest_value_at_quantile(digest: str, q) -> "float | None":
     """value_at_quantile(tdigest|qdigest, q) — TDigestFunctions.h."""
     from velox_tpu.functions.digest import value_at_quantile

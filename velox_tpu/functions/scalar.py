@@ -954,3 +954,19 @@ def _array_position_impl(stp, lnp, evp, litp):
 register_function(ScalarFunction(
     "__array_position", lambda a: BIGINT, _array_position_impl,
     default_nulls=False))
+
+
+def _data_size_resolve(types):
+    """Fixed-width per-row serialized size; strings resolve earlier to
+    octet_length + 4 (expr/compiler.py data_size_for_stats)."""
+    return BIGINT
+
+
+def _data_size_impl(v):
+    import jax.numpy as jnp
+
+    return jnp.full(v.shape, np.dtype(v.dtype).itemsize, jnp.int64)
+
+
+register_function(ScalarFunction(
+    "data_size_for_stats", _data_size_resolve, _data_size_impl))

@@ -215,6 +215,12 @@ class PlanBuilder:
         arg_types: List[Optional[DataType]] = []
         for i, a in enumerate(aggs):
             name, fn, fargs, distinct = _parse_agg(a, f"a{i}")
+            if fn in ("max_data_size_for_stats",
+                      "sum_data_size_for_stats"):
+                # MaxSizeForStatsAggregate.cpp / SumDataSizeForStats:
+                # ordinary max/sum over a per-row serialized-size expr
+                fargs = [Call(None, "data_size_for_stats", tuple(fargs))]
+                fn = fn.split("_data_size", 1)[0]
             lookup_aggregate(fn)  # validate early
             options = None
             if fn == "reduce_agg":
