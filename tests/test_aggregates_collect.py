@@ -272,3 +272,41 @@ def test_vector_sum_bigint():
         PlanBuilder().values([b])
         .aggregate([], ["vector_sum(a) AS s"]).build())
     assert out["s"][0] == [14, 22, 30]
+
+
+def test_multimap_agg():
+    b = Batch.from_pydict(
+        {"g": [0, 0, 0, 0, 1, 1],
+         "k": ["a", "b", "a", None, "a", "a"],
+         "v": [1, 2, 3, 4, 5, None]},
+        {"g": BIGINT, "k": VARCHAR, "v": BIGINT})
+    out = run_plan_pydict(
+        PlanBuilder().values([b])
+        .aggregate(["g"], ["multimap_agg(k, v) AS m"])
+        .order_by(["g"]).build())
+    # values keep arrival order per key; null keys dropped;
+    # null VALUES kept (presto multimap_agg keeps them)
+    assert dict(out["m"][0]) == {"a": [1, 3], "b": [2]}
+    assert dict(out["m"][1]) == {"a": [5, None]}
+
+
+def test_multimap_agg_bigint_keys():
+    import numpy as np
+
+    rng = np.random.default_rng(6)
+    n = 500
+    g = [int(v) for v in rng.integers(0, 3, n)]
+    k = [int(v) for v in rng.integers(0, 5, n)]
+    v = [float(np.round(x, 3)) for x in rng.normal(size=n)]
+    out = run_plan_pydict(
+        PlanBuilder().values([Batch.from_pydict(
+            {"g": g, "k": k, "v": v},
+            {"g": BIGINT, "k": BIGINT, "v": DOUBLE})])
+        .aggregate(["g"], ["multimap_agg(k, v) AS m"])
+        .order_by(["g"]).build())
+    for i, gid in enumerate(sorted(set(g))):
+        exp = {}
+        for gg, kk, vv in zip(g, k, v):
+            if gg == gid:
+                exp.setdefault(kk, []).append(vv)
+        assert dict(out["m"][i]) == exp, (gid, out["m"][i], exp)

@@ -160,6 +160,38 @@ def finish_collect(op, big: Batch) -> Batch:
                     jnp.take(vv, perm, mode="clip"),
                     _valid_or_none(vvd, perm),
                     jnp.logical_and(group_sel, counts > 0)))
+            elif kind == "multimap":
+                kf, vf = spec.arg
+                kv, kvd = cols[kf]
+                vv, vvd = cols[vf]
+                mm = m if kvd is None else jnp.logical_and(m, kvd)
+                key_ops = encode_sort_key(kv, None)
+                # flat values in (group, key, arrival) order
+                perm, _gc, _gs = collect_runs(gids, mm, key_ops)
+                # distinct (group, key) entries carry value counts
+                g2, rows2, sel2, _ = group_ids_sorted(
+                    [(gids, None), (kv, None)], mm)
+                pair_cnt = (jnp.zeros((cap,), jnp.int32)
+                            .at[g2].add(mm.astype(jnp.int32),
+                                        mode="drop"))
+                r2 = jnp.clip(rows2, 0, cap - 1)
+                pk = jnp.take(kv, r2, mode="clip")
+                pgid = jnp.where(
+                    sel2, jnp.take(gids, r2, mode="clip"),
+                    jnp.int32(cap))
+                perm2, kcounts, kstarts = collect_runs(
+                    pgid, sel2, encode_sort_key(pk, None))
+                pc = jnp.take(pair_cnt, perm2, mode="clip")
+                pc = jnp.where(jnp.take(sel2, perm2, mode="clip"),
+                               pc, 0)
+                vstarts = (jnp.cumsum(pc) - pc).astype(jnp.int32)
+                results.append((
+                    kcounts, kstarts,
+                    jnp.take(pk, perm2, mode="clip"),
+                    pc, vstarts,
+                    jnp.take(vv, perm, mode="clip"),
+                    _valid_or_none(vvd, perm),
+                    jnp.logical_and(group_sel, kcounts > 0)))
             elif kind == "set_union":
                 ai = maps[spec.arg]
                 ecap = ai["ev"].shape[0]
@@ -485,6 +517,17 @@ def finish_collect(op, big: Batch) -> Batch:
             out[name] = _digest_column(op, big, t, spec, fn, res)
         elif kind == "classification":
             out[name] = _classification_column(t, fn, res)
+        elif kind == "multimap":
+            kcounts, kstarts, ekv, pc, vstarts, evv, evvd, gvalid = res
+            kf, vf = spec.arg
+            inner = ArrayColumn(
+                t.value, vstarts, pc,
+                Column(t.value.element, evv, evvd,
+                       big.column(vf).dictionary), None)
+            out[name] = MapColumn(
+                t, kstarts, kcounts,
+                Column(t.key, ekv, None, big.column(kf).dictionary),
+                inner, gvalid)
         elif kind in ("array", "set", "set_union", "vector_sum"):
             counts, starts, ev, evd, gvalid = res
             src = big.column(spec.arg)

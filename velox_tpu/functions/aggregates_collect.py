@@ -54,6 +54,11 @@ def _register_collect(name: str, kind: str, resolve_type) -> None:
 
 _register_collect("array_agg", "array", lambda t: array(t))
 _register_collect("map_agg", "map", lambda t: map_(t[0], t[1]))
+# multimap_agg(K, V) -> map(K, array(V)): one (group, key, arrival)
+# sort lays the nested values out flat; entries are the distinct
+# (group, key) reps (MultiMapAggAggregate.cpp)
+_register_collect("multimap_agg", "multimap",
+                  lambda t: map_(t[0], array(t[1])))
 _register_collect("map_union", "map_union", lambda t: t)
 # approx_percentile(v, q): scalar result of the value type
 _register_collect("approx_percentile", "percentile", lambda t: t[0])
