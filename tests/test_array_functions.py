@@ -220,3 +220,43 @@ def test_array_sort_and_distinct():
     # distinct preserves FIRST-occurrence (arrival) order
     assert out["d"] == [[3, 1, 2], [], [9], None, [5, -1]]
     assert out["n"] == [4, 0, 2, None, 2]
+
+
+def test_array_set_ops():
+    from velox_tpu.types.types import array as array_t
+
+    from velox_tpu.types import BIGINT
+    from velox_tpu.vector.batch import Batch
+
+    b = Batch.from_pydict(
+        {"a": [[1, 2, 2, 3], [], [5, 6], None, [7]],
+         "b": [[2, 3, 4], [1], [6, 6, 5], [1], None]},
+        {"a": array_t(BIGINT), "b": array_t(BIGINT)})
+    out = run_plan_pydict(
+        PlanBuilder().values([b]).project([
+            "array_intersect(a, b) AS i", "array_except(a, b) AS e",
+            "array_union(a, b) AS u", "arrays_overlap(a, b) AS o"])
+        .build())
+    assert out["i"] == [[2, 3], [], [5, 6], None, None]
+    assert out["e"] == [[1], [], [], None, None]
+    # union keeps first-seen order (a side first)
+    assert out["u"] == [[1, 2, 3, 4], [1], [5, 6], None, None]
+    assert out["o"] == [True, False, True, None, None]
+
+
+def test_array_set_ops_doubles_with_null_elements():
+    from velox_tpu.types.types import array as array_t
+
+    from velox_tpu.types import DOUBLE
+    from velox_tpu.vector.batch import Batch
+
+    b = Batch.from_pydict(
+        {"a": [[1.5, None, 2.5]], "b": [[None, 3.5, 1.5]]},
+        {"a": array_t(DOUBLE), "b": array_t(DOUBLE)})
+    out = run_plan_pydict(
+        PlanBuilder().values([b]).project([
+            "array_intersect(a, b) AS i",
+            "array_union(a, b) AS u"]).build())
+    # null element matches null element (presto array_intersect)
+    assert out["i"] == [[1.5, None]]
+    assert out["u"] == [[1.5, None, 2.5, 3.5]]

@@ -167,6 +167,14 @@ class ProjectOp(Operator):
             if isinstance(t, ArrayType) and isinstance(e, _Call)
             and e.name in ("array_sort", "array_distinct")
             and isinstance(e.args[0], _FR)}
+        # array_intersect/except/union + arrays_overlap: two-array
+        # per-row set algebra via one combined tagged sort
+        self._setops = {
+            name: e for name, e in zip(node.names, node.exprs)
+            if isinstance(e, _Call)
+            and e.name in ("array_intersect", "array_except",
+                           "array_union", "arrays_overlap")
+            and all(isinstance(a, _FR) for a in e.args[:2])}
         # slice(arr, start, len): offsets-only transform, elements shared
         self._slices = {
             name: e for name, e, t in zip(
@@ -183,7 +191,8 @@ class ProjectOp(Operator):
             and isinstance(e.args[0], _FR)}
         skip = (set(self._array_pass) | set(self._transforms)
                 | set(self._map_projs) | set(self._sequences)
-                | set(self._slices) | set(self._reorders))
+                | set(self._slices) | set(self._reorders)
+                | set(self._setops))
         scalar = [
             (name, e) for name, e in zip(node.names, node.exprs)
             if name not in skip]
@@ -350,6 +359,132 @@ class ProjectOp(Operator):
         elem = Column(out_t.element, dv, dvd, src.elements.dictionary)
         return ArrayColumn(out_t, dst, kcnt, elem, src.valid)
 
+    def _apply_setop(self, batch: Batch, name: str):
+        """array_intersect / array_except / array_union /
+        arrays_overlap (velox/functions/prestosql/ArrayIntersectExcept
+        .cpp, ArraysOverlapFunction.h): expand both arrays into one
+        tagged element table, sort by (row, value, side, arrival);
+        each (row, value) run head decides membership. Output arrival
+        order = (side, ordinal) of the kept element. Null rows -> null;
+        string arrays must share one dictionary (same-table columns)."""
+        from velox_tpu.ops.sortkey import encode_sort_key
+        from velox_tpu.vector.column import ArrayColumn
+
+        e = self._setops[name]
+        ca = batch.column(e.args[0].name)
+        cb = batch.column(e.args[1].name)
+        assert isinstance(ca, ArrayColumn) and isinstance(cb, ArrayColumn)
+        if (ca.elements.dictionary is not None
+                or cb.elements.dictionary is not None):
+            assert ca.elements.dictionary is cb.elements.dictionary, (
+                f"{e.name}: string arrays must share a dictionary "
+                "(cross-table string set ops not supported)")
+        cap = batch.capacity
+        null_valid = None                      # null iff an input is null
+        for c in (ca, cb):
+            if c.valid is not None:
+                null_valid = (c.valid if null_valid is None
+                              else jnp.logical_and(null_valid, c.valid))
+        row_live = batch.sel
+        if null_valid is not None:
+            row_live = jnp.logical_and(row_live, null_valid)
+        la = jnp.where(row_live, ca.lengths, 0)
+        lb = jnp.where(row_live, cb.lengths, 0)
+        totals = np.asarray(jnp.stack(
+            [jnp.sum(la), jnp.sum(lb)]))           # one host sync
+        eca = round_capacity(max(int(totals[0]), 1))
+        ecb = round_capacity(max(int(totals[1]), 1))
+        ecap = eca + ecb
+
+        def expand(col, lens, ec, total):
+            nst = (jnp.cumsum(lens) - lens).astype(jnp.int32)
+            rows = jnp.arange(cap, dtype=jnp.int32)
+            pos = jnp.where(lens > 0, nst, ec)
+            heads = jnp.zeros((ec,), jnp.int32).at[pos].max(
+                rows + 1, mode="drop")
+            row_of = jnp.maximum(
+                jax.lax.associative_scan(jnp.maximum, heads) - 1, 0)
+            p = jnp.arange(ec, dtype=jnp.int32)
+            ordinal = p - jnp.take(nst, row_of, mode="clip")
+            in_run = p < total
+            src = jnp.take(col.starts, row_of, mode="clip") + ordinal
+            ev = jnp.take(col.elements.values, src, mode="clip")
+            evd = (None if col.elements.valid is None else
+                   jnp.take(col.elements.valid, src, mode="clip"))
+            return row_of, ordinal, in_run, ev, evd
+
+        ra, oa, ina, eva, evda = expand(ca, la, eca, totals[0])
+        rb, ob, inb, evb, evdb = expand(cb, lb, ecb, totals[1])
+        row_of = jnp.concatenate([ra, rb])
+        ordinal = jnp.concatenate([oa, ob])
+        in_run = jnp.concatenate([ina, inb])
+        ev = jnp.concatenate([eva, evb])
+        if evda is None and evdb is None:
+            evd = None
+        else:
+            one = jnp.ones((eca,), jnp.bool_)
+            evd = jnp.concatenate([
+                one if evda is None else evda,
+                jnp.ones((ecb,), jnp.bool_) if evdb is None else evdb])
+        tag = jnp.concatenate([jnp.zeros((eca,), jnp.int32),
+                               jnp.ones((ecb,), jnp.int32)])
+        row_key = jnp.where(in_run, row_of, jnp.int32(cap))
+        vops = encode_sort_key(ev, evd)
+        p = jnp.arange(ecap, dtype=jnp.int32)
+        sorted_ops = jax.lax.sort(
+            [row_key, *vops, tag, ordinal, p], is_stable=True,
+            num_keys=3 + len(vops))
+        sperm = sorted_ops[-1]
+        srow = sorted_ops[0]
+        stag = sorted_ops[-3]
+        # (row, value) run boundaries
+        diff = jnp.zeros((ecap,), jnp.bool_).at[0].set(True)
+        for kk in sorted_ops[:1 + len(vops)]:
+            diff = jnp.logical_or(diff, jnp.concatenate(
+                [jnp.ones((1,), jnp.bool_), kk[1:] != kk[:-1]]))
+        rid = (jnp.cumsum(diff.astype(jnp.int32)) - 1).astype(jnp.int32)
+        live = srow < cap
+        has_a = (jnp.zeros((ecap,), jnp.bool_)
+                 .at[jnp.where(live, rid, ecap)]
+                 .max(stag == 0, mode="drop"))
+        has_b = (jnp.zeros((ecap,), jnp.bool_)
+                 .at[jnp.where(live, rid, ecap)]
+                 .max(stag == 1, mode="drop"))
+        both = jnp.logical_and(jnp.take(has_a, rid, mode="clip"),
+                               jnp.take(has_b, rid, mode="clip"))
+        if e.name == "arrays_overlap":
+            hit = (jnp.zeros((cap,), jnp.bool_)
+                   .at[jnp.where(jnp.logical_and(diff, both), srow, cap)]
+                   .max(True, mode="drop"))
+            return Column(BOOLEAN, hit, null_valid)
+        if e.name == "array_intersect":
+            keep_sorted = jnp.logical_and(
+                jnp.logical_and(diff, live),
+                jnp.logical_and(stag == 0, both))
+        elif e.name == "array_except":
+            keep_sorted = jnp.logical_and(
+                jnp.logical_and(diff, live),
+                jnp.logical_and(
+                    stag == 0,
+                    ~jnp.take(has_b, rid, mode="clip")))
+        else:                                       # array_union
+            keep_sorted = jnp.logical_and(diff, live)
+        keep = (jnp.zeros((ecap,), jnp.bool_)
+                .at[sperm].set(keep_sorted, mode="drop"))
+        kcnt = (jnp.zeros((cap,), jnp.int32)
+                .at[jnp.where(keep, row_of, cap)]
+                .add(1, mode="drop"))
+        row_key2 = jnp.where(keep, row_of, jnp.int32(cap))
+        _, _, _, perm2 = jax.lax.sort(
+            [row_key2, tag, ordinal, p], is_stable=True, num_keys=3)
+        dv = jnp.take(ev, perm2, mode="clip")
+        dvd = None if evd is None else jnp.take(evd, perm2, mode="clip")
+        out_t = dict(zip(self.node.names,
+                         self.output_type.children))[name]
+        dst = (jnp.cumsum(kcnt) - kcnt).astype(jnp.int32)
+        elem = Column(out_t.element, dv, dvd, ca.elements.dictionary)
+        return ArrayColumn(out_t, dst, kcnt, elem, null_valid)
+
     def add_input(self, batch: Batch) -> None:
         pairs, dicts = self._eval.project_pairs(batch)
         types = dict(zip(self.node.names, self.output_type.children))
@@ -366,6 +501,8 @@ class ProjectOp(Operator):
                 cols[name] = self._apply_slice(batch, name)
             elif name in self._reorders:
                 cols[name] = self._apply_reorder(batch, name)
+            elif name in self._setops:
+                cols[name] = self._apply_setop(batch, name)
             elif name in self._map_projs:
                 from velox_tpu.vector.column import ArrayColumn, MapColumn
 

@@ -148,6 +148,16 @@ def resolve_types(expr: Expr, schema: RowType) -> Expr:
             if not isinstance(args[0].dtype, ArrayType):
                 raise TypeError(f"{name} expects an ARRAY")
             return Call(args[0].dtype, name, args)
+        if name in ("array_intersect", "array_except", "array_union",
+                    "arrays_overlap"):
+            from velox_tpu.types.types import ArrayType
+            for a in args[:2]:
+                if not isinstance(a.dtype, ArrayType):
+                    raise TypeError(f"{name} expects two ARRAYs")
+            if args[0].dtype.element.kind != args[1].dtype.element.kind:
+                raise TypeError(f"{name}: element types differ")
+            return Call(BOOLEAN if name == "arrays_overlap"
+                        else args[0].dtype, name, args)
         if name == "slice":
             from velox_tpu.types.types import ArrayType
             if not isinstance(args[0].dtype, ArrayType):
@@ -468,7 +478,8 @@ def bind_array_funcs(expr: Expr,
             "transform(...) is only supported as a top-level projection")
     if isinstance(expr, Call) and expr.name in (
             "map_keys", "map_values", "sequence", "slice", "repeat",
-            "array_sort", "array_distinct"):
+            "array_sort", "array_distinct", "array_intersect",
+            "array_except", "array_union", "arrays_overlap"):
         raise TypeError(
             f"{expr.name}(...) is only supported as a top-level projection")
 
