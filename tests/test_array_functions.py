@@ -260,3 +260,28 @@ def test_array_set_ops_doubles_with_null_elements():
     # null element matches null element (presto array_intersect)
     assert out["i"] == [[1.5, None]]
     assert out["u"] == [[1.5, None, 2.5, 3.5]]
+
+
+def test_split():
+    from velox_tpu.types import VARCHAR
+    from velox_tpu.vector.batch import Batch
+
+    b = Batch.from_pydict(
+        {"s": ["a,b,c", "", "x", None, "a,,b"]}, {"s": VARCHAR})
+    out = run_plan_pydict(
+        PlanBuilder().values([b]).project(["split(s, ',') AS p"])
+        .project(["p", "cardinality(p) AS n"]).build())
+    assert out["p"] == [["a", "b", "c"], [""], ["x"], None, ["a", "", "b"]]
+    assert out["n"] == [3, 1, 1, None, 3]
+
+
+def test_split_with_limit():
+    from velox_tpu.types import VARCHAR
+    from velox_tpu.vector.batch import Batch
+
+    b = Batch.from_pydict({"s": ["a,b,c,d"]}, {"s": VARCHAR})
+    out = run_plan_pydict(
+        PlanBuilder().values([b]).project(
+            ["split(s, ',', 2) AS p"]).build())
+    # limit keeps the remainder in the last piece (SplitFunctions.cpp)
+    assert out["p"] == [["a", "b,c,d"]]

@@ -167,6 +167,13 @@ class ProjectOp(Operator):
             if isinstance(t, ArrayType) and isinstance(e, _Call)
             and e.name in ("array_sort", "array_distinct")
             and isinstance(e.args[0], _FR)}
+        # split(s, delim [, limit]): string -> ARRAY(VARCHAR) via
+        # host-built per-distinct-value piece tables + one expansion
+        self._splits_fn = {
+            name: e for name, e, t in zip(
+                node.names, node.exprs, node.output_type.children)
+            if isinstance(t, ArrayType) and isinstance(e, _Call)
+            and e.name == "split" and isinstance(e.args[0], _FR)}
         # array_intersect/except/union + arrays_overlap: two-array
         # per-row set algebra via one combined tagged sort
         self._setops = {
@@ -192,7 +199,7 @@ class ProjectOp(Operator):
         skip = (set(self._array_pass) | set(self._transforms)
                 | set(self._map_projs) | set(self._sequences)
                 | set(self._slices) | set(self._reorders)
-                | set(self._setops))
+                | set(self._setops) | set(self._splits_fn))
         scalar = [
             (name, e) for name, e in zip(node.names, node.exprs)
             if name not in skip]
@@ -359,6 +366,67 @@ class ProjectOp(Operator):
         elem = Column(out_t.element, dv, dvd, src.elements.dictionary)
         return ArrayColumn(out_t, dst, kcnt, elem, src.valid)
 
+    def _apply_split(self, batch: Batch, name: str):
+        """split(s, delim [, limit]) — velox/functions/prestosql/
+        SplitFunctions.cpp (limit keeps the remainder in the last
+        piece). Splitting runs once per DISTINCT string on host; the
+        device sees two table gathers + the standard expansion."""
+        from velox_tpu.expr.ir import Literal as _Lit
+        from velox_tpu.vector.column import ArrayColumn, Dictionary
+
+        e = self._splits_fn[name]
+        src = batch.column(e.args[0].name)
+        d = src.dictionary
+        assert d is not None, "split requires a dictionary string input"
+        assert all(isinstance(a, _Lit) for a in e.args[1:]), (
+            "split delimiter/limit must be literals")
+        delim = e.args[1].value
+        limit = int(e.args[2].value) if len(e.args) > 2 else None
+        pieces = [
+            (str(v).split(delim) if limit is None
+             else str(v).split(delim, limit - 1))
+            for v in d.values]
+        nd = Dictionary(sorted({p for ps in pieces for p in ps}))
+        lens_t = np.zeros(len(d.values) + 1, np.int32)
+        flat: list = []
+        starts_t = np.zeros(len(d.values) + 1, np.int32)
+        for i, ps in enumerate(pieces):
+            starts_t[i + 1] = len(flat)
+            lens_t[i + 1] = len(ps)
+            flat.extend(nd.code_of(x) for x in ps)
+        flat_t = np.asarray(flat or [0], np.int32)
+
+        codes = src.values
+        lens = jnp.take(jnp.asarray(lens_t),
+                        jnp.clip(codes + 1, 0, len(d.values)),
+                        mode="clip")
+        valid = batch.sel
+        if src.valid is not None:
+            valid = jnp.logical_and(valid, src.valid)
+        lens = jnp.where(valid, lens, 0)
+        total = int(jnp.sum(lens))                 # one host sync
+        ecap = round_capacity(max(total, 1))
+        starts = (jnp.cumsum(lens) - lens).astype(jnp.int32)
+        rows = jnp.arange(batch.capacity, dtype=jnp.int32)
+        pos = jnp.where(lens > 0, starts, ecap)
+        heads = jnp.zeros((ecap,), jnp.int32).at[pos].max(
+            rows + 1, mode="drop")
+        row_of = jnp.maximum(
+            jax.lax.associative_scan(jnp.maximum, heads) - 1, 0)
+        p = jnp.arange(ecap, dtype=jnp.int32)
+        ordinal = p - jnp.take(starts, row_of, mode="clip")
+        rcode = jnp.take(codes, row_of, mode="clip")
+        src_idx = (jnp.take(jnp.asarray(starts_t),
+                            jnp.clip(rcode + 1, 0, len(d.values)),
+                            mode="clip") + ordinal)
+        ev = jnp.take(jnp.asarray(flat_t), src_idx, mode="clip")
+        out_t = dict(zip(self.node.names,
+                         self.output_type.children))[name]
+        return ArrayColumn(
+            out_t, starts, lens,
+            Column(out_t.element, ev, None, nd),
+            src.valid)
+
     def _apply_setop(self, batch: Batch, name: str):
         """array_intersect / array_except / array_union /
         arrays_overlap (velox/functions/prestosql/ArrayIntersectExcept
@@ -503,6 +571,8 @@ class ProjectOp(Operator):
                 cols[name] = self._apply_reorder(batch, name)
             elif name in self._setops:
                 cols[name] = self._apply_setop(batch, name)
+            elif name in self._splits_fn:
+                cols[name] = self._apply_split(batch, name)
             elif name in self._map_projs:
                 from velox_tpu.vector.column import ArrayColumn, MapColumn
 

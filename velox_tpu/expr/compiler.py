@@ -120,6 +120,9 @@ def resolve_types(expr: Expr, schema: RowType) -> Expr:
                 Literal(BIGINT, 4)))
         if name in ("replace", "lpad", "rpad", "split_part"):
             return Call(VARCHAR, name, args)
+        if name == "split":
+            from velox_tpu.types.types import array as _array
+            return Call(_array(VARCHAR), "split", args)
         if name == "strpos":
             return Call(BIGINT, "strpos", args)
         if name in ("starts_with", "ends_with"):
@@ -479,7 +482,7 @@ def bind_array_funcs(expr: Expr,
     if isinstance(expr, Call) and expr.name in (
             "map_keys", "map_values", "sequence", "slice", "repeat",
             "array_sort", "array_distinct", "array_intersect",
-            "array_except", "array_union", "arrays_overlap"):
+            "array_except", "array_union", "arrays_overlap", "split"):
         raise TypeError(
             f"{expr.name}(...) is only supported as a top-level projection")
 
