@@ -146,8 +146,10 @@ class WindowOp(Operator):
                 cols, list(node.partition_keys), perm)
             order_ops = _sorted_key_ops(cols, list(node.sort_keys), perm)
             part_change = _changes(part_ops, cap)
-            peer_change = _changes(order_ops, cap) if order_ops else (
-                jnp.ones((cap,), jnp.bool_))
+            # no ORDER BY -> every partition row is a peer (SQL frame
+            # semantics): default frames cover the whole partition
+            peer_change = (_changes(order_ops, cap) if order_ops
+                           else part_change)
             idx = jnp.arange(cap, dtype=jnp.int32)
             part_start = segment_starts(part_change)
             part_end = segment_ends(part_change, n_valid)

@@ -187,7 +187,258 @@ def q96() -> PlanBuilder:
     )
 
 
-_QUERIES = {3: q3, 7: q7, 19: q19, 42: q42, 52: q52, 55: q55, 96: q96}
+def q13() -> PlanBuilder:
+    """Demographic/address OR-band averages (spec q13 shape; the
+    net-profit band rides ss_ext_discount_amt — the generator's
+    closest measure)."""
+    dt = _dim("date_dim", ["d_date_sk", "d_year"], "d_year = 2001")
+    st = _dim("store", ["s_store_sk"])
+    cd = _dim("customer_demographics",
+              ["cd_demo_sk", "cd_marital_status",
+               "cd_education_status"])
+    cu = _dim("customer", ["c_customer_sk", "c_current_addr_sk"])
+    ca = _dim("customer_address", ["ca_address_sk", "ca_state"])
+    return (
+        PlanBuilder()
+        .table_scan("store_sales",
+                    columns=["ss_sold_date_sk", "ss_store_sk",
+                             "ss_cdemo_sk", "ss_customer_sk",
+                             "ss_quantity", "ss_sales_price",
+                             "ss_ext_sales_price", "ss_wholesale_cost",
+                             "ss_ext_discount_amt"])
+        .hash_join(dt, ["ss_sold_date_sk"], ["d_date_sk"], "left_semi")
+        .hash_join(st, ["ss_store_sk"], ["s_store_sk"], "left_semi")
+        .hash_join(cd, ["ss_cdemo_sk"], ["cd_demo_sk"], "inner",
+                   output=["ss_customer_sk", "ss_quantity",
+                           "ss_sales_price", "ss_ext_sales_price",
+                           "ss_wholesale_cost", "ss_ext_discount_amt",
+                           "cd_marital_status", "cd_education_status"])
+        .filter("(cd_marital_status = 'M' AND "
+                "cd_education_status = 'Advanced Degree' AND "
+                "ss_sales_price >= 100.0 AND ss_sales_price <= 150.0)"
+                " OR (cd_marital_status = 'S' AND "
+                "cd_education_status = 'College' AND "
+                "ss_sales_price >= 50.0 AND ss_sales_price <= 100.0)"
+                " OR (cd_marital_status = 'W' AND "
+                "cd_education_status = '2 yr Degree' AND "
+                "ss_sales_price >= 150.0 AND ss_sales_price <= 200.0)")
+        .hash_join(cu, ["ss_customer_sk"], ["c_customer_sk"], "inner",
+                   output=["ss_quantity", "ss_ext_sales_price",
+                           "ss_wholesale_cost", "ss_ext_discount_amt",
+                           "c_current_addr_sk"])
+        .hash_join(ca, ["c_current_addr_sk"], ["ca_address_sk"],
+                   "inner",
+                   output=["ss_quantity", "ss_ext_sales_price",
+                           "ss_wholesale_cost", "ss_ext_discount_amt",
+                           "ca_state"])
+        .filter("(ca_state IN ('TX', 'OH', 'CA') AND "
+                "ss_ext_discount_amt >= 0.0 AND "
+                "ss_ext_discount_amt <= 200.0)"
+                " OR (ca_state IN ('NY', 'KS', 'MI') AND "
+                "ss_ext_discount_amt >= 150.0 AND "
+                "ss_ext_discount_amt <= 300.0)"
+                " OR (ca_state IN ('AL', 'GA', 'TN') AND "
+                "ss_ext_discount_amt >= 50.0 AND "
+                "ss_ext_discount_amt <= 250.0)")
+        .aggregate([], ["avg(ss_quantity) AS a1",
+                        "avg(ss_ext_sales_price) AS a2",
+                        "avg(ss_wholesale_cost) AS a3",
+                        "sum(ss_wholesale_cost) AS s1"])
+    )
+
+
+def q27() -> PlanBuilder:
+    """Rollup (i_item_id, s_state) averages over a demographic slice
+    (spec q27 GROUP BY ROLLUP via the GroupId/Expand path)."""
+    cd = _dim("customer_demographics",
+              ["cd_demo_sk", "cd_gender", "cd_marital_status",
+               "cd_education_status"],
+              "cd_gender = 'F' AND cd_marital_status = 'S' AND "
+              "cd_education_status = 'College'")
+    dt = _dim("date_dim", ["d_date_sk", "d_year"], "d_year = 2002")
+    st = _dim("store", ["s_store_sk", "s_state"])
+    it = _dim("item", ["i_item_sk", "i_item_id"])
+    return (
+        PlanBuilder()
+        .table_scan("store_sales",
+                    columns=["ss_sold_date_sk", "ss_item_sk",
+                             "ss_store_sk", "ss_cdemo_sk",
+                             "ss_quantity", "ss_list_price",
+                             "ss_coupon_amt", "ss_sales_price"])
+        .hash_join(cd, ["ss_cdemo_sk"], ["cd_demo_sk"], "left_semi")
+        .hash_join(dt, ["ss_sold_date_sk"], ["d_date_sk"], "left_semi")
+        .hash_join(st, ["ss_store_sk"], ["s_store_sk"], "inner",
+                   output=["ss_item_sk", "ss_quantity",
+                           "ss_list_price", "ss_coupon_amt",
+                           "ss_sales_price", "s_state"])
+        .hash_join(it, ["ss_item_sk"], ["i_item_sk"], "inner",
+                   output=["i_item_id", "s_state", "ss_quantity",
+                           "ss_list_price", "ss_coupon_amt",
+                           "ss_sales_price"])
+        .group_id([["i_item_id", "s_state"], ["i_item_id"], []])
+        .aggregate(["i_item_id", "s_state", "group_id"],
+                   ["avg(ss_quantity) AS agg1",
+                    "avg(ss_list_price) AS agg2",
+                    "avg(ss_coupon_amt) AS agg3",
+                    "avg(ss_sales_price) AS agg4"])
+        .order_by(["i_item_id", "s_state"])
+        .limit(100)
+    )
+
+
+def q43() -> PlanBuilder:
+    """Per-store day-of-week sales pivot (spec q43 shape)."""
+    dt = _dim("date_dim", ["d_date_sk", "d_year", "d_day_name"],
+              "d_year = 2000")
+    st = _dim("store", ["s_store_sk", "s_store_id", "s_store_name"])
+    days = [("sun", "Sunday"), ("mon", "Monday"), ("tue", "Tuesday"),
+            ("wed", "Wednesday"), ("thu", "Thursday"),
+            ("fri", "Friday"), ("sat", "Saturday")]
+    return (
+        PlanBuilder()
+        .table_scan("store_sales",
+                    columns=["ss_sold_date_sk", "ss_store_sk",
+                             "ss_sales_price"])
+        .hash_join(dt, ["ss_sold_date_sk"], ["d_date_sk"], "inner",
+                   output=["ss_store_sk", "ss_sales_price",
+                           "d_day_name"])
+        .hash_join(st, ["ss_store_sk"], ["s_store_sk"], "inner",
+                   output=["s_store_id", "s_store_name",
+                           "ss_sales_price", "d_day_name"])
+        .project(["s_store_id", "s_store_name"] + [
+            f"if(d_day_name = '{full}', ss_sales_price, 0.0)"
+            f" AS {abbr}_raw" for abbr, full in days])
+        .aggregate(["s_store_id", "s_store_name"], [
+            f"sum({abbr}_raw) AS {abbr}_sales" for abbr, _ in days])
+        .order_by(["s_store_id"])
+        .limit(100)
+    )
+
+
+def q48() -> PlanBuilder:
+    """Total quantity under OR-band demographic/address predicates
+    (spec q48 shape; discount bands stand in for net profit)."""
+    dt = _dim("date_dim", ["d_date_sk", "d_year"], "d_year = 2001")
+    st = _dim("store", ["s_store_sk"])
+    cd = _dim("customer_demographics",
+              ["cd_demo_sk", "cd_marital_status",
+               "cd_education_status"])
+    cu = _dim("customer", ["c_customer_sk", "c_current_addr_sk"])
+    ca = _dim("customer_address", ["ca_address_sk", "ca_state"])
+    return (
+        PlanBuilder()
+        .table_scan("store_sales",
+                    columns=["ss_sold_date_sk", "ss_store_sk",
+                             "ss_cdemo_sk", "ss_customer_sk",
+                             "ss_quantity", "ss_sales_price",
+                             "ss_ext_discount_amt"])
+        .hash_join(dt, ["ss_sold_date_sk"], ["d_date_sk"], "left_semi")
+        .hash_join(st, ["ss_store_sk"], ["s_store_sk"], "left_semi")
+        .hash_join(cd, ["ss_cdemo_sk"], ["cd_demo_sk"], "inner",
+                   output=["ss_customer_sk", "ss_quantity",
+                           "ss_sales_price", "ss_ext_discount_amt",
+                           "cd_marital_status", "cd_education_status"])
+        .filter("(cd_marital_status = 'M' AND "
+                "cd_education_status = '4 yr Degree' AND "
+                "ss_sales_price >= 100.0 AND ss_sales_price <= 150.0)"
+                " OR (cd_marital_status = 'D' AND "
+                "cd_education_status = '2 yr Degree' AND "
+                "ss_sales_price >= 50.0 AND ss_sales_price <= 100.0)"
+                " OR (cd_marital_status = 'S' AND "
+                "cd_education_status = 'College' AND "
+                "ss_sales_price >= 150.0 AND ss_sales_price <= 200.0)")
+        .hash_join(cu, ["ss_customer_sk"], ["c_customer_sk"], "inner",
+                   output=["ss_quantity", "ss_ext_discount_amt",
+                           "c_current_addr_sk"])
+        .hash_join(ca, ["c_current_addr_sk"], ["ca_address_sk"],
+                   "inner",
+                   output=["ss_quantity", "ss_ext_discount_amt",
+                           "ca_state"])
+        .filter("(ca_state IN ('TX', 'NY') AND "
+                "ss_ext_discount_amt >= 0.0 AND "
+                "ss_ext_discount_amt <= 2000.0)"
+                " OR (ca_state IN ('CA', 'OH') AND "
+                "ss_ext_discount_amt >= 150.0 AND "
+                "ss_ext_discount_amt <= 3000.0)"
+                " OR (ca_state IN ('GA', 'IL') AND "
+                "ss_ext_discount_amt >= 50.0 AND "
+                "ss_ext_discount_amt <= 25000.0)")
+        .aggregate([], ["sum(ss_quantity) AS total_qty"])
+    )
+
+
+def q53() -> PlanBuilder:
+    """Quarterly manufacturer sums vs their windowed average (spec
+    q53's AVG() OVER (PARTITION BY i_manufact_id) deviation filter)."""
+    dt = _dim("date_dim", ["d_date_sk", "d_year", "d_qoy"],
+              "d_year = 2000")
+    it = _dim("item", ["i_item_sk", "i_manufact_id"],
+              "i_manufact_id >= 100 AND i_manufact_id <= 140")
+    return (
+        PlanBuilder()
+        .table_scan("store_sales",
+                    columns=["ss_sold_date_sk", "ss_item_sk",
+                             "ss_sales_price"])
+        .hash_join(dt, ["ss_sold_date_sk"], ["d_date_sk"], "inner",
+                   output=["ss_item_sk", "ss_sales_price", "d_qoy"])
+        .hash_join(it, ["ss_item_sk"], ["i_item_sk"], "inner",
+                   output=["i_manufact_id", "d_qoy",
+                           "ss_sales_price"])
+        .aggregate(["i_manufact_id", "d_qoy"],
+                   ["sum(ss_sales_price) AS sum_sales"])
+        .window(["i_manufact_id"], [],
+                ["avg(sum_sales) AS avg_quarterly_sales"])
+        .filter("avg_quarterly_sales > 0.0 AND "
+                "abs(sum_sales - avg_quarterly_sales)"
+                " / avg_quarterly_sales > 0.1")
+        .order_by(["avg_quarterly_sales", "sum_sales",
+                   "i_manufact_id"])
+        .limit(100)
+    )
+
+
+def q65() -> PlanBuilder:
+    """Underperforming (store, item) revenue pairs vs 10% of the
+    store's average revenue (spec q65 self-join of aggregations)."""
+    dt = _dim("date_dim", ["d_date_sk", "d_year"], "d_year = 2000")
+
+    def revenue():
+        return (PlanBuilder()
+                .table_scan("store_sales",
+                            columns=["ss_sold_date_sk", "ss_item_sk",
+                                     "ss_store_sk", "ss_sales_price"])
+                .hash_join(_dim("date_dim", ["d_date_sk", "d_year"],
+                                "d_year = 2000"),
+                           ["ss_sold_date_sk"], ["d_date_sk"],
+                           "left_semi")
+                .aggregate(["ss_store_sk", "ss_item_sk"],
+                           ["sum(ss_sales_price) AS revenue"]))
+
+    sc = (revenue()
+          .aggregate(["ss_store_sk"], ["avg(revenue) AS ave"])
+          .project(["ss_store_sk AS sb_store_sk", "ave"]))
+    st = _dim("store", ["s_store_sk", "s_store_name"])
+    it = _dim("item", ["i_item_sk", "i_item_id",
+                       "i_current_price"])
+    return (
+        revenue()
+        .hash_join(sc, ["ss_store_sk"], ["sb_store_sk"], "inner",
+                   output=["ss_store_sk", "ss_item_sk", "revenue",
+                           "ave"])
+        .filter("revenue <= 0.1 * ave")
+        .hash_join(st, ["ss_store_sk"], ["s_store_sk"], "inner",
+                   output=["s_store_name", "ss_item_sk", "revenue"])
+        .hash_join(it, ["ss_item_sk"], ["i_item_sk"], "inner",
+                   output=["s_store_name", "i_item_id",
+                           "i_current_price", "revenue"])
+        .order_by(["s_store_name", "i_item_id"])
+        .limit(100)
+    )
+
+
+_QUERIES = {3: q3, 7: q7, 13: q13, 19: q19, 27: q27, 42: q42,
+            43: q43, 48: q48, 52: q52, 53: q53, 55: q55, 65: q65,
+            96: q96}
 SUPPORTED_QUERIES = sorted(_QUERIES)
 
 
