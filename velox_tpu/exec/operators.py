@@ -129,6 +129,10 @@ class FilterOp(Operator):
         return self.no_more_input_seen and not self._queue
 
 
+def _valid_take(valid, idx):
+    return None if valid is None else jnp.take(valid, idx, mode="clip")
+
+
 class ProjectOp(Operator):
     """velox/exec/FilterProject.cpp project half: one fused program."""
 
@@ -167,6 +171,17 @@ class ProjectOp(Operator):
             if isinstance(t, ArrayType) and isinstance(e, _Call)
             and e.name in ("array_sort", "array_distinct")
             and isinstance(e.args[0], _FR)}
+        # map lambdas / concat: transform_values, map_filter,
+        # map_concat run over the map's entry lanes (MapFunctions.h)
+        self._map_lams = {
+            name: e for name, e in zip(node.names, node.exprs)
+            if isinstance(e, _Call)
+            and e.name in ("transform_values", "map_filter")
+            and isinstance(e.args[0], _FR)}
+        self._map_concats = {
+            name: e for name, e in zip(node.names, node.exprs)
+            if isinstance(e, _Call) and e.name == "map_concat"
+            and all(isinstance(a, _FR) for a in e.args[:2])}
         # split(s, delim [, limit]): string -> ARRAY(VARCHAR) via
         # host-built per-distinct-value piece tables + one expansion
         self._splits_fn = {
@@ -199,7 +214,8 @@ class ProjectOp(Operator):
         skip = (set(self._array_pass) | set(self._transforms)
                 | set(self._map_projs) | set(self._sequences)
                 | set(self._slices) | set(self._reorders)
-                | set(self._setops) | set(self._splits_fn))
+                | set(self._setops) | set(self._splits_fn)
+                | set(self._map_lams) | set(self._map_concats))
         scalar = [
             (name, e) for name, e in zip(node.names, node.exprs)
             if name not in skip]
@@ -365,6 +381,176 @@ class ProjectOp(Operator):
         dst = (jnp.cumsum(kcnt) - kcnt).astype(jnp.int32)
         elem = Column(out_t.element, dv, dvd, src.elements.dictionary)
         return ArrayColumn(out_t, dst, kcnt, elem, src.valid)
+
+    def _apply_map_lambda(self, batch: Batch, name: str):
+        """transform_values(m, (k,v)->body) / map_filter(m, (k,v)->pred)
+        (velox/functions/prestosql/MapFunctions.h): the lambda body runs
+        once over the flat entry lanes; transform_values shares offsets,
+        map_filter packs kept entries and rebuilds them."""
+        from velox_tpu.ops.sort import pack_indices
+        from velox_tpu.types.types import row_type as _rt
+        from velox_tpu.vector.column import MapColumn
+
+        from velox_tpu.exec.collect_agg import element_owners
+
+        e = self._map_lams[name]
+        src = batch.column(e.args[0].name)
+        assert isinstance(src, MapColumn)
+        lam = e.args[1]
+        kp, vp = lam.params
+        eschema = _rt([kp, vp], [src.dtype.key, src.dtype.value])
+        ecap = src.keys.capacity
+        fake = Batch({kp: src.keys, vp: src.values},
+                     jnp.ones((ecap,), jnp.bool_))
+        ev = ExprEvaluator([lam.body], eschema)
+        pairs, dicts = ev.project_pairs(fake)
+        vals, valid = pairs[0]
+        out_t = dict(zip(self.node.names,
+                         self.output_type.children))[name]
+        if e.name == "transform_values":
+            return MapColumn(out_t, src.starts, src.lengths, src.keys,
+                             Column(out_t.value, vals, valid, dicts[0]),
+                             src.valid)
+        # map_filter: pred==True keeps the entry
+        owner, within = element_owners(src.starts, src.lengths, ecap)
+        keep = jnp.logical_and(within, vals)
+        if valid is not None:           # null predicate -> drop
+            keep = jnp.logical_and(keep, valid)
+        kcnt = (jnp.zeros((batch.capacity,), jnp.int32)
+                .at[jnp.where(keep, owner, batch.capacity)]
+                .add(1, mode="drop"))
+        perm = pack_indices(keep, ecap)
+        nk = Column(src.keys.dtype,
+                    jnp.take(src.keys.values, perm, mode="clip"),
+                    _valid_take(src.keys.valid, perm),
+                    src.keys.dictionary)
+        nv = Column(src.values.dtype,
+                    jnp.take(src.values.values, perm, mode="clip"),
+                    _valid_take(src.values.valid, perm),
+                    src.values.dictionary)
+        nst = (jnp.cumsum(kcnt) - kcnt).astype(jnp.int32)
+        return MapColumn(out_t, nst, kcnt, nk, nv, src.valid)
+
+    def _apply_map_concat(self, batch: Batch, name: str):
+        """map_concat(m1, m2) (MapConcat.cpp): combined tagged entry
+        sort by (row, key, side); the LAST entry of each (row, key) run
+        wins — the later map overrides duplicate keys."""
+        from velox_tpu.ops.sort import pack_indices
+        from velox_tpu.ops.sortkey import encode_sort_key
+        from velox_tpu.vector.column import MapColumn
+
+        from velox_tpu.vector.column import Dictionary
+
+        e = self._map_concats[name]
+        ca = batch.column(e.args[0].name)
+        cb = batch.column(e.args[1].name)
+        assert isinstance(ca, MapColumn) and isinstance(cb, MapColumn)
+
+        def unify(colA, colB):
+            """Merge two string lanes' dictionaries -> (merged dict,
+            per-side code remap tables or None)."""
+            da, db = colA.dictionary, colB.dictionary
+            if da is None and db is None:
+                return None, None, None
+            if da is db:
+                return da, None, None
+            md = Dictionary(sorted(
+                set(da.values if da is not None else ())
+                | set(db.values if db is not None else ())))
+
+            def table(d):
+                t = np.full(len(d.values) + 1, -1, np.int32)
+                for i, v in enumerate(d.values):
+                    t[i + 1] = md.code_of(v)
+                return jnp.asarray(t)
+
+            return md, (None if da is None else table(da)), \
+                (None if db is None else table(db))
+
+        kdict, krem_a, krem_b = unify(ca.keys, cb.keys)
+        vdict, vrem_a, vrem_b = unify(ca.values, cb.values)
+
+        def remap(codes, t):
+            return codes if t is None else jnp.take(
+                t, jnp.clip(codes + 1, 0, t.shape[0] - 1), mode="clip")
+
+        cap = batch.capacity
+        null_valid = None
+        for c in (ca, cb):
+            if c.valid is not None:
+                null_valid = (c.valid if null_valid is None
+                              else jnp.logical_and(null_valid, c.valid))
+        row_live = batch.sel
+        if null_valid is not None:
+            row_live = jnp.logical_and(row_live, null_valid)
+        la = jnp.where(row_live, ca.lengths, 0)
+        lb = jnp.where(row_live, cb.lengths, 0)
+        totals = np.asarray(jnp.stack([jnp.sum(la), jnp.sum(lb)]))
+        eca = round_capacity(max(int(totals[0]), 1))
+        ecb = round_capacity(max(int(totals[1]), 1))
+        ecap = eca + ecb
+
+        def expand(col, lens, ec, total):
+            nst = (jnp.cumsum(lens) - lens).astype(jnp.int32)
+            rows = jnp.arange(cap, dtype=jnp.int32)
+            pos = jnp.where(lens > 0, nst, ec)
+            heads = jnp.zeros((ec,), jnp.int32).at[pos].max(
+                rows + 1, mode="drop")
+            row_of = jnp.maximum(
+                jax.lax.associative_scan(jnp.maximum, heads) - 1, 0)
+            p = jnp.arange(ec, dtype=jnp.int32)
+            ordinal = p - jnp.take(nst, row_of, mode="clip")
+            in_run = p < total
+            sidx = jnp.take(col.starts, row_of, mode="clip") + ordinal
+            kv = jnp.take(col.keys.values, sidx, mode="clip")
+            vv = jnp.take(col.values.values, sidx, mode="clip")
+            vvd = _valid_take(col.values.valid, sidx)
+            return row_of, in_run, kv, vv, vvd
+
+        ra, ina, ka, va, vda = expand(ca, la, eca, totals[0])
+        rb, inb, kb, vb, vdb = expand(cb, lb, ecb, totals[1])
+        ka, kb = remap(ka, krem_a), remap(kb, krem_b)
+        va, vb = remap(va, vrem_a), remap(vb, vrem_b)
+        row_of = jnp.concatenate([ra, rb])
+        in_run = jnp.concatenate([ina, inb])
+        kv = jnp.concatenate([ka, kb])
+        vv = jnp.concatenate([va, vb])
+        if vda is None and vdb is None:
+            vvd = None
+        else:
+            vvd = jnp.concatenate([
+                jnp.ones((eca,), jnp.bool_) if vda is None else vda,
+                jnp.ones((ecb,), jnp.bool_) if vdb is None else vdb])
+        tag = jnp.concatenate([jnp.zeros((eca,), jnp.int32),
+                               jnp.ones((ecb,), jnp.int32)])
+        row_key = jnp.where(in_run, row_of, jnp.int32(cap))
+        kops = encode_sort_key(kv, None)
+        p = jnp.arange(ecap, dtype=jnp.int32)
+        sorted_ops = jax.lax.sort(
+            [row_key, *kops, tag, p], is_stable=True,
+            num_keys=2 + len(kops))
+        sperm = sorted_ops[-1]
+        srow = sorted_ops[0]
+        diff = jnp.zeros((ecap,), jnp.bool_).at[0].set(True)
+        for kk in sorted_ops[:1 + len(kops)]:
+            diff = jnp.logical_or(diff, jnp.concatenate(
+                [jnp.ones((1,), jnp.bool_), kk[1:] != kk[:-1]]))
+        # run END wins (later map overrides)
+        nxt = jnp.concatenate([diff[1:], jnp.ones((1,), jnp.bool_)])
+        keep_sorted = jnp.logical_and(nxt, srow < cap)
+        perm = jnp.take(sperm, pack_indices(keep_sorted, ecap),
+                        mode="clip")
+        kcnt = (jnp.zeros((cap,), jnp.int32)
+                .at[jnp.where(keep_sorted, srow, cap)]
+                .add(1, mode="drop"))
+        out_t = dict(zip(self.node.names,
+                         self.output_type.children))[name]
+        nk = Column(out_t.key, jnp.take(kv, perm, mode="clip"), None,
+                    kdict)
+        nv = Column(out_t.value, jnp.take(vv, perm, mode="clip"),
+                    _valid_take(vvd, perm), vdict)
+        nst = (jnp.cumsum(kcnt) - kcnt).astype(jnp.int32)
+        return MapColumn(out_t, nst, kcnt, nk, nv, null_valid)
 
     def _apply_split(self, batch: Batch, name: str):
         """split(s, delim [, limit]) — velox/functions/prestosql/
@@ -573,6 +759,10 @@ class ProjectOp(Operator):
                 cols[name] = self._apply_setop(batch, name)
             elif name in self._splits_fn:
                 cols[name] = self._apply_split(batch, name)
+            elif name in self._map_lams:
+                cols[name] = self._apply_map_lambda(batch, name)
+            elif name in self._map_concats:
+                cols[name] = self._apply_map_concat(batch, name)
             elif name in self._map_projs:
                 from velox_tpu.vector.column import ArrayColumn, MapColumn
 

@@ -151,6 +151,15 @@ def resolve_types(expr: Expr, schema: RowType) -> Expr:
             if not isinstance(args[0].dtype, ArrayType):
                 raise TypeError(f"{name} expects an ARRAY")
             return Call(args[0].dtype, name, args)
+        if name == "map_concat":
+            from velox_tpu.types.types import MapType
+            for a in args[:2]:
+                if not isinstance(a.dtype, MapType):
+                    raise TypeError("map_concat expects two MAPs")
+            if (args[0].dtype.key.kind != args[1].dtype.key.kind or
+                    args[0].dtype.value.kind != args[1].dtype.value.kind):
+                raise TypeError("map_concat: map types differ")
+            return Call(args[0].dtype, "map_concat", args)
         if name in ("array_intersect", "array_except", "array_union",
                     "arrays_overlap"):
             from velox_tpu.types.types import ArrayType
@@ -407,18 +416,38 @@ _ARRAY_FUNCS = {
 
 #: higher-order array functions taking a lambda (velox prestosql
 #: ArrayFunctions transform/anyMatch/allMatch/noneMatch)
-_HIGHER_ORDER_FUNCS = {"transform", "any_match", "all_match", "none_match"}
+_HIGHER_ORDER_FUNCS = {"transform", "any_match", "all_match",
+                       "none_match", "transform_values", "map_filter"}
 
 
 def _resolve_higher_order(expr: Call, schema: RowType) -> Expr:
     """Resolve fn(arr, x -> body): the lambda body types against the
     element type ONLY (no outer-row captures — element lanes and row
     lanes have different capacities)."""
-    from velox_tpu.types.types import ArrayType, TypeKind as TK
+    from velox_tpu.types.types import ArrayType, MapType, TypeKind as TK
 
     if len(expr.args) != 2 or not isinstance(expr.args[1], Lambda):
         raise TypeError(f"{expr.name} expects (array, lambda)")
     arr = resolve_types(expr.args[0], schema)
+    if expr.name in ("transform_values", "map_filter"):
+        # map lambdas: (k, v) -> body over the entry lanes
+        # (velox/functions/prestosql/MapFunctions.h)
+        if not isinstance(arr.dtype, MapType):
+            raise TypeError(f"{expr.name} expects a MAP")
+        lam = expr.args[1]
+        if len(lam.params) != 2:
+            raise TypeError(f"{expr.name} lambda takes (k, v)")
+        body = resolve_types(lam.body, RowType(
+            TK.ROW, tuple(lam.params),
+            (arr.dtype.key, arr.dtype.value)))
+        lam2 = Lambda(body.dtype, lam.params, body)
+        if expr.name == "map_filter":
+            if body.dtype.kind != TK.BOOLEAN:
+                raise TypeError("map_filter lambda must return BOOLEAN")
+            return Call(arr.dtype, "map_filter", (arr, lam2))
+        from velox_tpu.types.types import map_ as _map
+        return Call(_map(arr.dtype.key, body.dtype),
+                    "transform_values", (arr, lam2))
     if not isinstance(arr.dtype, ArrayType):
         raise TypeError(f"{expr.name} expects an ARRAY, got {arr.dtype}")
     lam = expr.args[1]
@@ -476,9 +505,11 @@ def bind_array_funcs(expr: Expr,
         st = FieldRef(INTEGER, f"{x}#start")
         ln = FieldRef(INTEGER, f"{x}#len")
         return Call(BOOLEAN, f"__array_{expr.name}", (st, ln, body))
-    if isinstance(expr, Call) and expr.name == "transform":
+    if isinstance(expr, Call) and expr.name in (
+            "transform", "transform_values", "map_filter", "map_concat"):
         raise TypeError(
-            "transform(...) is only supported as a top-level projection")
+            f"{expr.name}(...) is only supported as a top-level "
+            "projection")
     if isinstance(expr, Call) and expr.name in (
             "map_keys", "map_values", "sequence", "slice", "repeat",
             "array_sort", "array_distinct", "array_intersect",
