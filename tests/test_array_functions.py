@@ -285,3 +285,37 @@ def test_split_with_limit():
             ["split(s, ',', 2) AS p"]).build())
     # limit keeps the remainder in the last piece (SplitFunctions.cpp)
     assert out["p"] == [["a", "b,c,d"]]
+
+
+def test_filter_lambda_and_array_remove():
+    from velox_tpu.types.types import array as array_t
+
+    from velox_tpu.types import BIGINT
+    from velox_tpu.vector.batch import Batch
+
+    b = Batch.from_pydict(
+        {"a": [[1, -2, 3, None], [], None, [-5, -6]]},
+        {"a": array_t(BIGINT)})
+    out = run_plan_pydict(
+        PlanBuilder().values([b]).project([
+            "filter(a, x -> x > 0) AS f",
+            "array_remove(a, 3) AS r"]).build())
+    assert out["f"] == [[1, 3], [], None, []]
+    # array_remove keeps null elements (presto semantics)
+    assert out["r"] == [[1, -2, None], [], None, [-5, -6]]
+
+
+def test_transform_keys():
+    from velox_tpu.types import BIGINT
+    from velox_tpu.types.types import map_
+    from velox_tpu.vector.batch import Batch
+
+    b = Batch.from_pydict(
+        {"m": [{1: 10, 2: 20}, None, {}]},
+        {"m": map_(BIGINT, BIGINT)})
+    out = run_plan_pydict(
+        PlanBuilder().values([b])
+        .project(["transform_keys(m, (k, v) -> k * 100) AS t"])
+        .build())
+    assert [None if x is None else dict(x) for x in out["t"]] == [
+        {100: 10, 200: 20}, None, {}]

@@ -176,7 +176,13 @@ class ProjectOp(Operator):
         self._map_lams = {
             name: e for name, e in zip(node.names, node.exprs)
             if isinstance(e, _Call)
-            and e.name in ("transform_values", "map_filter")
+            and e.name in ("transform_values", "map_filter",
+                           "transform_keys")
+            and isinstance(e.args[0], _FR)}
+        # filter(a, x -> pred): packed element keep (ArrayFilter)
+        self._array_filters = {
+            name: e for name, e in zip(node.names, node.exprs)
+            if isinstance(e, _Call) and e.name == "filter"
             and isinstance(e.args[0], _FR)}
         self._map_concats = {
             name: e for name, e in zip(node.names, node.exprs)
@@ -215,7 +221,8 @@ class ProjectOp(Operator):
                 | set(self._map_projs) | set(self._sequences)
                 | set(self._slices) | set(self._reorders)
                 | set(self._setops) | set(self._splits_fn)
-                | set(self._map_lams) | set(self._map_concats))
+                | set(self._map_lams) | set(self._map_concats)
+                | set(self._array_filters))
         scalar = [
             (name, e) for name, e in zip(node.names, node.exprs)
             if name not in skip]
@@ -411,6 +418,12 @@ class ProjectOp(Operator):
             return MapColumn(out_t, src.starts, src.lengths, src.keys,
                              Column(out_t.value, vals, valid, dicts[0]),
                              src.valid)
+        if e.name == "transform_keys":
+            # duplicate result keys are NOT detected (documented
+            # deviation from MapFunctions.h's throw)
+            return MapColumn(out_t, src.starts, src.lengths,
+                             Column(out_t.key, vals, valid, dicts[0]),
+                             src.values, src.valid)
         # map_filter: pred==True keeps the entry
         owner, within = element_owners(src.starts, src.lengths, ecap)
         keep = jnp.logical_and(within, vals)
@@ -430,6 +443,45 @@ class ProjectOp(Operator):
                     src.values.dictionary)
         nst = (jnp.cumsum(kcnt) - kcnt).astype(jnp.int32)
         return MapColumn(out_t, nst, kcnt, nk, nv, src.valid)
+
+    def _apply_array_filter(self, batch: Batch, name: str):
+        """filter(a, x -> pred) (velox/functions/prestosql/
+        ArrayFilter-style lambda): predicate over the flat element
+        lane, kept elements packed front, offsets rebuilt."""
+        from velox_tpu.ops.sort import pack_indices
+        from velox_tpu.types.types import row_type as _rt
+        from velox_tpu.vector.column import ArrayColumn
+
+        from velox_tpu.exec.collect_agg import element_owners
+
+        e = self._array_filters[name]
+        src = batch.column(e.args[0].name)
+        assert isinstance(src, ArrayColumn)
+        lam = e.args[1]
+        param = lam.params[0]
+        eschema = _rt([param], [src.dtype.element])
+        ecap = src.elements.capacity
+        fake = Batch({param: src.elements},
+                     jnp.ones((ecap,), jnp.bool_))
+        ev = ExprEvaluator([lam.body], eschema)
+        pairs, _dicts = ev.project_pairs(fake)
+        pred, pvalid = pairs[0]
+        owner, within = element_owners(src.starts, src.lengths, ecap)
+        keep = jnp.logical_and(within, pred)
+        if pvalid is not None:          # null predicate -> drop
+            keep = jnp.logical_and(keep, pvalid)
+        kcnt = (jnp.zeros((batch.capacity,), jnp.int32)
+                .at[jnp.where(keep, owner, batch.capacity)]
+                .add(1, mode="drop"))
+        perm = pack_indices(keep, ecap)
+        elem = Column(src.elements.dtype,
+                      jnp.take(src.elements.values, perm, mode="clip"),
+                      _valid_take(src.elements.valid, perm),
+                      src.elements.dictionary)
+        nst = (jnp.cumsum(kcnt) - kcnt).astype(jnp.int32)
+        out_t = dict(zip(self.node.names,
+                         self.output_type.children))[name]
+        return ArrayColumn(out_t, nst, kcnt, elem, src.valid)
 
     def _apply_map_concat(self, batch: Batch, name: str):
         """map_concat(m1, m2) (MapConcat.cpp): combined tagged entry
@@ -761,6 +813,8 @@ class ProjectOp(Operator):
                 cols[name] = self._apply_split(batch, name)
             elif name in self._map_lams:
                 cols[name] = self._apply_map_lambda(batch, name)
+            elif name in self._array_filters:
+                cols[name] = self._apply_array_filter(batch, name)
             elif name in self._map_concats:
                 cols[name] = self._apply_map_concat(batch, name)
             elif name in self._map_projs:

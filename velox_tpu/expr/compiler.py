@@ -160,6 +160,20 @@ def resolve_types(expr: Expr, schema: RowType) -> Expr:
                     args[0].dtype.value.kind != args[1].dtype.value.kind):
                 raise TypeError("map_concat: map types differ")
             return Call(args[0].dtype, "map_concat", args)
+        if name == "array_remove":
+            from velox_tpu.types.types import ArrayType
+            if not isinstance(args[0].dtype, ArrayType):
+                raise TypeError("array_remove expects an ARRAY")
+            # rewrite onto filter(a, x -> x <> v)
+            # (ArrayRemoveFunction.h); null elements are KEPT
+            et = args[0].dtype.element
+            px = "__arx"
+            body = Call(BOOLEAN, "neq",
+                        (FieldRef(et, px), args[1]))
+            body = Call(BOOLEAN, "or", (
+                body, Call(BOOLEAN, "is_null", (FieldRef(et, px),))))
+            return Call(args[0].dtype, "filter",
+                        (args[0], Lambda(BOOLEAN, (px,), body)))
         if name in ("array_intersect", "array_except", "array_union",
                     "arrays_overlap"):
             from velox_tpu.types.types import ArrayType
@@ -417,7 +431,8 @@ _ARRAY_FUNCS = {
 #: higher-order array functions taking a lambda (velox prestosql
 #: ArrayFunctions transform/anyMatch/allMatch/noneMatch)
 _HIGHER_ORDER_FUNCS = {"transform", "any_match", "all_match",
-                       "none_match", "transform_values", "map_filter"}
+                       "none_match", "transform_values", "map_filter",
+                       "filter", "transform_keys"}
 
 
 def _resolve_higher_order(expr: Call, schema: RowType) -> Expr:
@@ -429,7 +444,8 @@ def _resolve_higher_order(expr: Call, schema: RowType) -> Expr:
     if len(expr.args) != 2 or not isinstance(expr.args[1], Lambda):
         raise TypeError(f"{expr.name} expects (array, lambda)")
     arr = resolve_types(expr.args[0], schema)
-    if expr.name in ("transform_values", "map_filter"):
+    if expr.name in ("transform_values", "map_filter",
+                     "transform_keys"):
         # map lambdas: (k, v) -> body over the entry lanes
         # (velox/functions/prestosql/MapFunctions.h)
         if not isinstance(arr.dtype, MapType):
@@ -446,6 +462,9 @@ def _resolve_higher_order(expr: Call, schema: RowType) -> Expr:
                 raise TypeError("map_filter lambda must return BOOLEAN")
             return Call(arr.dtype, "map_filter", (arr, lam2))
         from velox_tpu.types.types import map_ as _map
+        if expr.name == "transform_keys":
+            return Call(_map(body.dtype, arr.dtype.value),
+                        "transform_keys", (arr, lam2))
         return Call(_map(arr.dtype.key, body.dtype),
                     "transform_values", (arr, lam2))
     if not isinstance(arr.dtype, ArrayType):
@@ -460,6 +479,10 @@ def _resolve_higher_order(expr: Call, schema: RowType) -> Expr:
     if expr.name == "transform":
         return Call(ArrayType(TK.ARRAY, body.dtype), "transform",
                     (arr, lam2))
+    if expr.name == "filter":
+        if body.dtype.kind != TK.BOOLEAN:
+            raise TypeError("filter lambda must return BOOLEAN")
+        return Call(arr.dtype, "filter", (arr, lam2))
     if body.dtype.kind != TK.BOOLEAN:
         raise TypeError(f"{expr.name} lambda must return BOOLEAN")
     return Call(BOOLEAN, expr.name, (arr, lam2))
@@ -506,7 +529,8 @@ def bind_array_funcs(expr: Expr,
         ln = FieldRef(INTEGER, f"{x}#len")
         return Call(BOOLEAN, f"__array_{expr.name}", (st, ln, body))
     if isinstance(expr, Call) and expr.name in (
-            "transform", "transform_values", "map_filter", "map_concat"):
+            "transform", "transform_values", "map_filter", "map_concat",
+            "filter", "transform_keys"):
         raise TypeError(
             f"{expr.name}(...) is only supported as a top-level "
             "projection")
