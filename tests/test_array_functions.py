@@ -319,3 +319,26 @@ def test_transform_keys():
         .build())
     assert [None if x is None else dict(x) for x in out["t"]] == [
         {100: 10, 200: 20}, None, {}]
+
+
+def test_zip_with_concat_reverse():
+    from velox_tpu.types.types import array as array_t
+
+    from velox_tpu.types import BIGINT
+    from velox_tpu.vector.batch import Batch
+
+    b = Batch.from_pydict(
+        {"a": [[1, 2, 3], [10], None, []],
+         "b": [[100, 200], [1, 2, 3], [5], [7]]},
+        {"a": array_t(BIGINT), "b": array_t(BIGINT)})
+    out = run_plan_pydict(
+        PlanBuilder().values([b]).project([
+            "zip_with(a, b, (x, y) -> x + y) AS z",
+            "concat(a, b) AS c",
+            "reverse(a) AS r"]).build())
+    # shorter side null-padded -> null results at the tail
+    assert out["z"] == [[101, 202, None], [11, None, None], None,
+                        [None]]
+    assert out["c"] == [[1, 2, 3, 100, 200], [10, 1, 2, 3], None,
+                        [7]]
+    assert out["r"] == [[3, 2, 1], [10], None, []]

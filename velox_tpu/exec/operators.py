@@ -137,7 +137,9 @@ class ProjectOp(Operator):
     """velox/exec/FilterProject.cpp project half: one fused program."""
 
     def __init__(self, node):
-        from velox_tpu.expr.ir import Call as _Call, FieldRef as _FR
+        from velox_tpu.expr.ir import (
+            Call as _Call, FieldRef as _FR, Lambda as _Lam,
+        )
         from velox_tpu.types.types import ArrayType
 
         super().__init__(node)
@@ -179,6 +181,14 @@ class ProjectOp(Operator):
             and e.name in ("transform_values", "map_filter",
                            "transform_keys")
             and isinstance(e.args[0], _FR)}
+        # zip_with / array_concat / array_reverse: offset-rebuilding
+        # array combinators
+        self._array_combos = {
+            name: e for name, e in zip(node.names, node.exprs)
+            if isinstance(e, _Call)
+            and e.name in ("zip_with", "array_concat", "array_reverse")
+            and all(isinstance(a, _FR) for a in e.args
+                    if not isinstance(a, _Lam))}
         # filter(a, x -> pred): packed element keep (ArrayFilter)
         self._array_filters = {
             name: e for name, e in zip(node.names, node.exprs)
@@ -222,7 +232,8 @@ class ProjectOp(Operator):
                 | set(self._slices) | set(self._reorders)
                 | set(self._setops) | set(self._splits_fn)
                 | set(self._map_lams) | set(self._map_concats)
-                | set(self._array_filters))
+                | set(self._array_filters)
+                | set(self._array_combos))
         scalar = [
             (name, e) for name, e in zip(node.names, node.exprs)
             if name not in skip]
@@ -443,6 +454,113 @@ class ProjectOp(Operator):
                     src.values.dictionary)
         nst = (jnp.cumsum(kcnt) - kcnt).astype(jnp.int32)
         return MapColumn(out_t, nst, kcnt, nk, nv, src.valid)
+
+    def _apply_array_combo(self, batch: Batch, name: str):
+        """zip_with(a, b, (x,y)->body) / concat(a, b) / reverse(a)
+        (velox/functions/prestosql/ZipWith.h, ArrayConcat, reverse):
+        one output expansion; elements gather from the sources (zip:
+        positionwise with null padding; concat: a's run then b's;
+        reverse: mirrored ordinals)."""
+        from velox_tpu.types.types import row_type as _rt
+        from velox_tpu.vector.column import ArrayColumn
+
+        e = self._array_combos[name]
+        out_t = dict(zip(self.node.names,
+                         self.output_type.children))[name]
+        cap = batch.capacity
+        srcs = [batch.column(a.name) for a in e.args
+                if isinstance(a, FieldRef)]
+        if e.name == "array_reverse":
+            src = srcs[0]
+            ecap = src.elements.capacity
+            from velox_tpu.exec.collect_agg import element_owners
+            owner, within = element_owners(
+                src.starts, src.lengths, ecap)
+            st = jnp.take(src.starts, owner, mode="clip")
+            ln = jnp.take(src.lengths, owner, mode="clip")
+            p = jnp.arange(ecap, dtype=jnp.int32)
+            mirror = st + (ln - 1) - (p - st)
+            idx = jnp.where(within, mirror, p)
+            elem = Column(src.elements.dtype,
+                          jnp.take(src.elements.values, idx,
+                                   mode="clip"),
+                          _valid_take(src.elements.valid, idx),
+                          src.elements.dictionary)
+            return ArrayColumn(out_t, src.starts, src.lengths, elem,
+                               src.valid)
+
+        ca, cb = srcs
+        if (ca.elements.dictionary is not None
+                or cb.elements.dictionary is not None):
+            assert ca.elements.dictionary is cb.elements.dictionary, (
+                f"{e.name}: string arrays must share a dictionary")
+        null_valid = None
+        for c in (ca, cb):
+            if c.valid is not None:
+                null_valid = (c.valid if null_valid is None
+                              else jnp.logical_and(null_valid, c.valid))
+        row_live = batch.sel
+        if null_valid is not None:
+            row_live = jnp.logical_and(row_live, null_valid)
+        la = jnp.where(row_live, ca.lengths, 0)
+        lb = jnp.where(row_live, cb.lengths, 0)
+        lens = ((la + lb) if e.name == "array_concat"
+                else jnp.maximum(la, lb)).astype(jnp.int32)
+        total = int(jnp.sum(lens))                 # one host sync
+        ecap = round_capacity(max(total, 1))
+        nst = (jnp.cumsum(lens) - lens).astype(jnp.int32)
+        rows = jnp.arange(cap, dtype=jnp.int32)
+        pos = jnp.where(lens > 0, nst, ecap)
+        heads = jnp.zeros((ecap,), jnp.int32).at[pos].max(
+            rows + 1, mode="drop")
+        row_of = jnp.maximum(
+            jax.lax.associative_scan(jnp.maximum, heads) - 1, 0)
+        p = jnp.arange(ecap, dtype=jnp.int32)
+        ordinal = p - jnp.take(nst, row_of, mode="clip")
+        ra_len = jnp.take(la, row_of, mode="clip")
+        rb_len = jnp.take(lb, row_of, mode="clip")
+
+        def gather(col, ord_, in_b):
+            idx = jnp.take(col.starts, row_of, mode="clip") + ord_
+            v = jnp.take(col.elements.values, idx, mode="clip")
+            vd = _valid_take(col.elements.valid, idx)
+            if vd is None:
+                vd = in_b
+            else:
+                vd = jnp.logical_and(vd, in_b)
+            return v, vd
+
+        if e.name == "array_concat":
+            from_a = ordinal < ra_len
+            av, avd = gather(ca, ordinal, from_a)
+            bv, bvd = gather(cb, ordinal - ra_len, ~from_a)
+            vals = jnp.where(from_a, av, bv)
+            valid = jnp.where(from_a, avd, bvd)
+            # padding positions past total are dead; in-bounds elements
+            # of either side keep their own validity
+            elem = Column(out_t.element, vals,
+                          None if (ca.elements.valid is None
+                                   and cb.elements.valid is None)
+                          else valid,
+                          ca.elements.dictionary)
+            return ArrayColumn(out_t, nst, lens, elem, null_valid)
+
+        # zip_with: run the lambda over two constructed element columns
+        av, avd = gather(ca, ordinal, ordinal < ra_len)
+        bv, bvd = gather(cb, ordinal, ordinal < rb_len)
+        lam = e.args[2]
+        xp, yp = lam.params
+        ea, eb = ca.dtype.element, cb.dtype.element
+        eschema = _rt([xp, yp], [ea, eb])
+        fake = Batch({
+            xp: Column(ea, av, avd, ca.elements.dictionary),
+            yp: Column(eb, bv, bvd, cb.elements.dictionary),
+        }, jnp.ones((ecap,), jnp.bool_))
+        ev = ExprEvaluator([lam.body], eschema)
+        pairs, dicts = ev.project_pairs(fake)
+        vals, valid = pairs[0]
+        elem = Column(out_t.element, vals, valid, dicts[0])
+        return ArrayColumn(out_t, nst, lens, elem, null_valid)
 
     def _apply_array_filter(self, batch: Batch, name: str):
         """filter(a, x -> pred) (velox/functions/prestosql/
@@ -815,6 +933,8 @@ class ProjectOp(Operator):
                 cols[name] = self._apply_map_lambda(batch, name)
             elif name in self._array_filters:
                 cols[name] = self._apply_array_filter(batch, name)
+            elif name in self._array_combos:
+                cols[name] = self._apply_array_combo(batch, name)
             elif name in self._map_concats:
                 cols[name] = self._apply_map_concat(batch, name)
             elif name in self._map_projs:

@@ -105,6 +105,21 @@ def resolve_types(expr: Expr, schema: RowType) -> Expr:
             return Call(VARCHAR, "substr", args)
         if name in ("upper", "lower", "trim", "ltrim", "rtrim",
                     "reverse", "concat"):
+            from velox_tpu.types.types import ArrayType as _AT
+            if (name in ("concat", "reverse") and args
+                    and isinstance(args[0].dtype, _AT)):
+                if name == "reverse":
+                    return Call(args[0].dtype, "array_reverse", args)
+                for a in args[1:]:
+                    if (not isinstance(a.dtype, _AT)
+                            or a.dtype.element.kind
+                            != args[0].dtype.element.kind):
+                        raise TypeError("concat: array types differ")
+                if len(args) != 2:
+                    raise TypeError(
+                        "concat over arrays supports exactly two "
+                        "inputs (chain calls for more)")
+                return Call(args[0].dtype, "array_concat", args)
             return Call(VARCHAR, name, args)
         if name == "length":
             return Call(BIGINT, "length", args)
@@ -432,7 +447,30 @@ _ARRAY_FUNCS = {
 #: ArrayFunctions transform/anyMatch/allMatch/noneMatch)
 _HIGHER_ORDER_FUNCS = {"transform", "any_match", "all_match",
                        "none_match", "transform_values", "map_filter",
-                       "filter", "transform_keys"}
+                       "filter", "transform_keys", "zip_with"}
+
+
+def _resolve_zip_with(expr: Call, schema: RowType) -> Expr:
+    """zip_with(a, b, (x, y) -> body): elementwise combine, shorter
+    array null-padded (velox/functions/prestosql/ZipWith.h)."""
+    from velox_tpu.types.types import ArrayType, TypeKind as TK
+
+    if len(expr.args) != 3 or not isinstance(expr.args[2], Lambda):
+        raise TypeError("zip_with expects (array, array, lambda)")
+    a = resolve_types(expr.args[0], schema)
+    b = resolve_types(expr.args[1], schema)
+    for x in (a, b):
+        if not isinstance(x.dtype, ArrayType):
+            raise TypeError("zip_with expects two ARRAYs")
+    lam = expr.args[2]
+    if len(lam.params) != 2:
+        raise TypeError("zip_with lambda takes (x, y)")
+    body = resolve_types(lam.body, RowType(
+        TK.ROW, tuple(lam.params),
+        (a.dtype.element, b.dtype.element)))
+    lam2 = Lambda(body.dtype, lam.params, body)
+    return Call(ArrayType(TK.ARRAY, body.dtype), "zip_with",
+                (a, b, lam2))
 
 
 def _resolve_higher_order(expr: Call, schema: RowType) -> Expr:
@@ -441,6 +479,8 @@ def _resolve_higher_order(expr: Call, schema: RowType) -> Expr:
     lanes have different capacities)."""
     from velox_tpu.types.types import ArrayType, MapType, TypeKind as TK
 
+    if expr.name == "zip_with":
+        return _resolve_zip_with(expr, schema)
     if len(expr.args) != 2 or not isinstance(expr.args[1], Lambda):
         raise TypeError(f"{expr.name} expects (array, lambda)")
     arr = resolve_types(expr.args[0], schema)
@@ -530,7 +570,8 @@ def bind_array_funcs(expr: Expr,
         return Call(BOOLEAN, f"__array_{expr.name}", (st, ln, body))
     if isinstance(expr, Call) and expr.name in (
             "transform", "transform_values", "map_filter", "map_concat",
-            "filter", "transform_keys"):
+            "filter", "transform_keys", "zip_with", "array_concat",
+            "array_reverse"):
         raise TypeError(
             f"{expr.name}(...) is only supported as a top-level "
             "projection")
