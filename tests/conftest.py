@@ -41,3 +41,18 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if "nightly" in item.keywords:
             item.add_marker(skip)
+
+
+_test_counter = {"n": 0}
+
+
+def pytest_runtest_teardown(item, nextitem):
+    """Drop XLA executables periodically: a long single-process run
+    accumulates compiled programs until LLVM hits the process mmap
+    budget and segfaults (observed at ~400 tests). Caches rebuild on
+    demand; only wall time is traded."""
+    _test_counter["n"] += 1
+    if _test_counter["n"] % 60 == 0:
+        import jax
+
+        jax.clear_caches()

@@ -568,28 +568,38 @@ register_aggregate(AggregateFunction(
 
 # -------------------------------------------------------- arbitrary / any
 
+def _arb_acc(accs, gids, values, mask):
+    """Scatter-MAX with the MIN identity so masked rows never win —
+    any deterministic choice satisfies "arbitrary"; an all-masked group
+    keeps the identity and count==0 nulls it at extract. (A prior
+    version used the max-identity fill, which made any null row win
+    with the sentinel — fuzzer-caught.)"""
+    ident = _minmax_identity_for(accs[0].dtype, False)
+    return (
+        accs[0].at[gids].max(_masked(values, mask, ident), mode="drop"),
+        accs[1].at[gids].add(mask.astype(accs[1].dtype), mode="drop"),
+    )
+
+
+def _arb_combine(accs, gids, lanes, mask):
+    ident = _minmax_identity_for(accs[0].dtype, False)
+    m = jnp.logical_and(mask, lanes[1] > 0)   # empty partials are inert
+    return (
+        accs[0].at[gids].max(_masked(lanes[0], m, ident), mode="drop"),
+        accs[1].at[gids].add(_masked(lanes[1], mask, 0), mode="drop"),
+    )
+
+
 register_aggregate(AggregateFunction(
     name="arbitrary",
     resolve_type=lambda t: t,
     lanes=(
-        AccLane("val", lambda t: t.dtype, lambda t: 0),
+        AccLane("val", lambda t: t.dtype,
+                lambda t: _minmax_identity_for(np.dtype(t.dtype), False)),
         AccLane("count", lambda t: np.dtype(np.int64), lambda t: 0),
     ),
-    # keep max value (any deterministic choice works for "arbitrary")
-    accumulate=lambda accs, gids, values, mask: (
-        accs[0].at[gids].max(
-            _masked(values, mask,
-                    _minmax_identity_for(accs[0].dtype, True)),
-            mode="drop"),
-        accs[1].at[gids].add(mask.astype(accs[1].dtype), mode="drop"),
-    ),
-    combine=lambda accs, gids, lanes, mask: (
-        accs[0].at[gids].max(
-            _masked(lanes[0], mask,
-                    _minmax_identity_for(accs[0].dtype, True)),
-            mode="drop"),
-        accs[1].at[gids].add(_masked(lanes[1], mask, 0), mode="drop"),
-    ),
+    accumulate=_arb_acc,
+    combine=_arb_combine,
     extract=lambda accs, gm: (accs[0], jnp.logical_and(gm, accs[1] > 0)),
     lane_types=lambda t: (t, BIGINT),
 ))
