@@ -450,6 +450,22 @@ _HIGHER_ORDER_FUNCS = {"transform", "any_match", "all_match",
                        "filter", "transform_keys", "zip_with"}
 
 
+def _lambda_schema(params, param_types, outer: RowType) -> RowType:
+    """Lambda body scope: parameters shadow outer-row columns; outer
+    scalar columns are capturable (velox lambda captures — at eval
+    they gather to element capacity by owning row)."""
+    from velox_tpu.types.types import ArrayType, MapType, TypeKind as TK
+
+    names = list(params)
+    types = list(param_types)
+    for n, t in zip(outer.names, outer.children):
+        if n in params or isinstance(t, (ArrayType, MapType)):
+            continue
+        names.append(n)
+        types.append(t)
+    return RowType(TK.ROW, tuple(names), tuple(types))
+
+
 def _resolve_zip_with(expr: Call, schema: RowType) -> Expr:
     """zip_with(a, b, (x, y) -> body): elementwise combine, shorter
     array null-padded (velox/functions/prestosql/ZipWith.h)."""
@@ -465,9 +481,8 @@ def _resolve_zip_with(expr: Call, schema: RowType) -> Expr:
     lam = expr.args[2]
     if len(lam.params) != 2:
         raise TypeError("zip_with lambda takes (x, y)")
-    body = resolve_types(lam.body, RowType(
-        TK.ROW, tuple(lam.params),
-        (a.dtype.element, b.dtype.element)))
+    body = resolve_types(lam.body, _lambda_schema(
+        lam.params, (a.dtype.element, b.dtype.element), schema))
     lam2 = Lambda(body.dtype, lam.params, body)
     return Call(ArrayType(TK.ARRAY, body.dtype), "zip_with",
                 (a, b, lam2))
@@ -493,9 +508,8 @@ def _resolve_higher_order(expr: Call, schema: RowType) -> Expr:
         lam = expr.args[1]
         if len(lam.params) != 2:
             raise TypeError(f"{expr.name} lambda takes (k, v)")
-        body = resolve_types(lam.body, RowType(
-            TK.ROW, tuple(lam.params),
-            (arr.dtype.key, arr.dtype.value)))
+        body = resolve_types(lam.body, _lambda_schema(
+            lam.params, (arr.dtype.key, arr.dtype.value), schema))
         lam2 = Lambda(body.dtype, lam.params, body)
         if expr.name == "map_filter":
             if body.dtype.kind != TK.BOOLEAN:
@@ -514,7 +528,7 @@ def _resolve_higher_order(expr: Call, schema: RowType) -> Expr:
         raise TypeError(f"{expr.name} lambda takes one parameter")
     et = arr.dtype.element
     body = resolve_types(
-        lam.body, RowType(TK.ROW, (lam.params[0],), (et,)))
+        lam.body, _lambda_schema(lam.params, (et,), schema))
     lam2 = Lambda(body.dtype, lam.params, body)
     if expr.name == "transform":
         return Call(ArrayType(TK.ARRAY, body.dtype), "transform",
