@@ -22,26 +22,47 @@ import sys
 import time
 
 
-def _tpu_backend_ok(timeout_s: float = 240.0) -> bool:
+def _tpu_backend_ok(timeout_s: float = 180.0, attempts: int = 4,
+                    retry_sleep_s: float = 45.0) -> bool:
     """Probe the tunneled TPU in a SUBPROCESS with a hard timeout.
 
     The axon tunnel can wedge so badly that even ``jax.devices()`` hangs
     forever in fresh processes (BASELINE.md round-2 hazard). A hung
-    bench is worse than a CPU-fallback bench — probe first, and kill
-    the probe if it stalls."""
+    bench is worse than a CPU-fallback bench — probe first, kill the
+    probe if it stalls, and RETRY over a window (the tunnel recovers as
+    stale remote leases expire). The probe also runs one tiny fetch:
+    device init alone can succeed while execution wedges.
+
+    NOTE the device's ``.platform`` string is ``"tpu"`` even under the
+    axon plugin (BENCH_r01.json tail) — round 2's probe looked for
+    ``"axon"`` and therefore ALWAYS fell back to CPU. Accept any
+    non-cpu platform that completes a real computation."""
     import os
     import subprocess
 
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # let the probe pick axon naturally
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; print(jax.devices()[0].platform)"],
-            timeout=timeout_s, capture_output=True, text=True, env=env)
-        return r.returncode == 0 and "axon" in r.stdout
-    except subprocess.TimeoutExpired:
-        return False
+    code = ("import jax, jax.numpy as jnp;"
+            "d = jax.devices()[0];"
+            "v = float(jnp.sum(jnp.arange(8, dtype=jnp.int32)));"
+            "print(d.platform, v)")
+    for i in range(attempts):
+        if i:
+            time.sleep(retry_sleep_s)
+            print(f"# TPU probe retry {i + 1}/{attempts}",
+                  file=sys.stderr)
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code],
+                timeout=timeout_s, capture_output=True, text=True,
+                env=env)
+            if r.returncode == 0:
+                parts = r.stdout.split()
+                if parts and parts[0] != "cpu" and parts[-1] == "28.0":
+                    return True
+        except subprocess.TimeoutExpired:
+            pass
+    return False
 
 
 def main() -> None:
@@ -130,8 +151,10 @@ def main() -> None:
                         / len(tpu_rows_s))
     geo_ratio = math.exp(sum(math.log(x) for x in ratios) / len(ratios))
 
+    platform = ("cpu_fallback" if cpu_fallback
+                else jax.devices()[0].platform)
     with open("BENCH_DETAIL.json", "w") as f:
-        json.dump({"sf": sf, "platform": jax.devices()[0].platform,
+        json.dump({"sf": sf, "platform": platform,
                    "lineitem_rows": n_li, "ingest_s": round(ingest_s, 1),
                    "queries": detail}, f, indent=1)
 
@@ -141,7 +164,10 @@ def main() -> None:
             f"tpch_sf{sf:g}_q1_q3_q6_q18_geomean_rows_per_sec{tag}",
         "value": round(geo_rows),
         "unit": "rows/s",
-        "vs_baseline": round(geo_ratio, 3),
+        "platform": platform,
+        # a CPU-fallback run measures nothing about the TPU engine —
+        # never publish a vs_baseline from it (round-2 verdict weak #2)
+        "vs_baseline": None if cpu_fallback else round(geo_ratio, 3),
     }))
 
 

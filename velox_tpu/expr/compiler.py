@@ -542,6 +542,26 @@ def _resolve_higher_order(expr: Call, schema: RowType) -> Expr:
     return Call(BOOLEAN, expr.name, (arr, lam2))
 
 
+def _wrap_captures(expr: Expr, params, lanes) -> Expr:
+    """Rewrite captured outer-row FieldRefs inside a lambda body into
+    ``__capture(st, ln, elemv, col)`` — gathered to element capacity by
+    owning row at eval (velox/expression/LambdaExpr.cpp captures)."""
+    st, ln, ev = lanes
+    if isinstance(expr, FieldRef):
+        if expr.name in params or "#" in expr.name:
+            return expr
+        return Call(expr.dtype, "__capture", (st, ln, ev, expr))
+    if isinstance(expr, Call):
+        return Call(expr.dtype, expr.name, tuple(
+            _wrap_captures(a, params, lanes) for a in expr.args))
+    if isinstance(expr, Cast):
+        return Cast(expr.dtype, _wrap_captures(expr.expr, params, lanes),
+                    expr.null_on_failure)
+    if isinstance(expr, TryExpr):
+        return TryExpr(expr.dtype, _wrap_captures(expr.expr, params, lanes))
+    return expr
+
+
 def _substitute_param(expr: Expr, param: str, repl: Expr) -> Expr:
     if isinstance(expr, FieldRef):
         return repl if expr.name == param else expr
@@ -581,6 +601,10 @@ def bind_array_funcs(expr: Expr,
             lam.body, lam.params[0], FieldRef(et, f"{x}#elemv"))
         st = FieldRef(INTEGER, f"{x}#start")
         ln = FieldRef(INTEGER, f"{x}#len")
+        ev = FieldRef(et, f"{x}#elemv")
+        # captured outer-row columns gather to element capacity by
+        # owning row (velox/expression/LambdaExpr.cpp capture semantics)
+        body = _wrap_captures(body, lam.params, (st, ln, ev))
         return Call(BOOLEAN, f"__array_{expr.name}", (st, ln, body))
     if isinstance(expr, Call) and expr.name in (
             "transform", "transform_values", "map_filter", "map_concat",

@@ -172,14 +172,15 @@ def _narrow_segment_sum(gids, contrib_i32, n_groups: int) -> jnp.ndarray:
 
         return (digit_total(pos) - digit_total(neg))[None]
 
-    if 2 <= n_groups <= 128:
-        # MXU one-hot matmul kernel: no scatters at all
-        from velox_tpu.ops.pallas_agg import (
-            grouped_sum_i32, pallas_available)
+    from velox_tpu.ops.pallas_agg import grouped_sum_i32, pallas_available
 
+    if 2 <= n_groups <= 128 and pallas_available():
+        # MXU one-hot matmul kernel: no scatters at all (interpret mode
+        # on CPU is far slower than the chunked scatter below — only
+        # compile it on a real TPU)
         return grouped_sum_i32(
             gids.astype(jnp.int32), contrib_i32.astype(jnp.int32),
-            n_groups, interpret=not pallas_available())
+            n_groups, interpret=False)
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
     cell = gids.astype(jnp.int32) * chunks + (rows >> _CHUNK_BITS)
@@ -215,13 +216,12 @@ def _narrow_segment_count(gids, mask, n_groups: int) -> jnp.ndarray:
             m = jnp.concatenate([m, jnp.zeros((pad,), jnp.int32)])
         per_chunk = jnp.sum(m.reshape(chunks, 1 << _CHUNK_BITS), axis=1)
         return jnp.sum(per_chunk.astype(jnp.int64))[None]
-    if 2 <= n_groups <= 128:
-        from velox_tpu.ops.pallas_agg import (
-            grouped_sum_i32, pallas_available)
+    from velox_tpu.ops.pallas_agg import grouped_sum_i32, pallas_available
 
+    if 2 <= n_groups <= 128 and pallas_available():
         return grouped_sum_i32(
             gids.astype(jnp.int32), mask.astype(jnp.int32), n_groups,
-            interpret=not pallas_available())
+            interpret=False)
     rows = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
     cell = gids.astype(jnp.int32) * chunks + (rows >> _CHUNK_BITS)
     cell = jnp.where(gids < n_groups, cell, n_groups * chunks)

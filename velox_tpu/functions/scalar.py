@@ -753,6 +753,27 @@ for _n, _impl in [("__array_any_match", _any_match_impl),
         _n, lambda a: BOOLEAN, _impl, default_nulls=False))
 
 
+def _capture_impl(stp, lnp, evp, colp):
+    """Lambda capture: gather an outer-row column to element capacity by
+    owning row (velox/expression/LambdaExpr.cpp capture semantics; the
+    element lanes contract assumes canonical ascending offsets —
+    exec/collect_agg.element_owners)."""
+    from velox_tpu.exec.collect_agg import element_owners
+
+    (st, _), (ln, _), (ev, _), (cv, cvalid) = stp, lnp, evp, colp
+    owner, within = element_owners(st, ln, ev.shape[0])
+    vals = jnp.take(cv, owner, mode="clip")
+    valid = within
+    if cvalid is not None:
+        valid = jnp.logical_and(
+            valid, jnp.take(cvalid, owner, mode="clip"))
+    return vals, valid
+
+
+register_function(ScalarFunction(
+    "__capture", lambda a: a[3], _capture_impl, default_nulls=False))
+
+
 
 def _map_element_at_impl(stp, lnp, kvp, vvp, litp):
     """MAP subscript: keys are unique per map, so the single hit is
