@@ -236,6 +236,9 @@ def _encode_string_column(arr) -> tuple:
     if not pa.types.is_dictionary(arr.type):
         arr = arr.dictionary_encode()
     dict_vals = np.asarray(arr.dictionary.to_pylist(), dtype=object)
+    if len(dict_vals) == 0:  # all-null column
+        return (Dictionary([]),
+                np.full(len(arr), -1, dtype=np.int32))
     order = np.argsort(dict_vals)
     rank = np.empty(len(order), dtype=np.int32)
     rank[order] = np.arange(len(order), dtype=np.int32)

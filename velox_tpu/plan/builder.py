@@ -32,8 +32,10 @@ from velox_tpu.plan.nodes import (
 
 _ALIAS_RE = re.compile(r"\s+[Aa][Ss]\s+([A-Za-z_]\w*)\s*$")
 _AGG_RE = re.compile(r"(?is)^\s*([A-Za-z_]\w*)\s*\((.*)\)\s*$")
+#: the direction keyword needs leading whitespace, else a trailing
+#: "desc" in a column name (i_item_desc) parses as DESC
 _SORT_RE = re.compile(
-    r"(?i)^\s*(.*?)\s*(asc|desc)?\s*(?:nulls\s+(first|last))?\s*$")
+    r"(?i)^\s*(.*?)(?:\s+(asc|desc))?(?:\s+nulls\s+(first|last))?\s*$")
 
 
 def parse_named_expr(text: str, default_name: Optional[str] = None

@@ -436,14 +436,321 @@ def q65() -> PlanBuilder:
     )
 
 
-_QUERIES = {3: q3, 7: q7, 13: q13, 19: q19, 27: q27, 42: q42,
+def q1(year: int = 2000, state: str = "TN") -> PlanBuilder:
+    """Customers whose store returns exceed 1.2x the store average
+    (spec q1: customer_total_return CTE + correlated avg subquery,
+    planned as agg self-join like the reference's decorrelation)."""
+    def ctr():
+        return (PlanBuilder()
+                .table_scan("store_returns",
+                            columns=["sr_returned_date_sk",
+                                     "sr_customer_sk", "sr_store_sk",
+                                     "sr_return_amt"])
+                .hash_join(_dim("date_dim", ["d_date_sk", "d_year"],
+                                f"d_year = {year}"),
+                           ["sr_returned_date_sk"], ["d_date_sk"],
+                           "left_semi")
+                .aggregate(["sr_customer_sk", "sr_store_sk"],
+                           ["sum(sr_return_amt) AS ctr_total_return"]))
+
+    avg_by_store = (ctr()
+                    .aggregate(["sr_store_sk"],
+                               ["avg(ctr_total_return) AS ctr_avg"])
+                    .project(["sr_store_sk AS avg_store_sk", "ctr_avg"]))
+    st = _dim("store", ["s_store_sk", "s_state"],
+              f"s_state = '{state}'")
+    cu = _dim("customer", ["c_customer_sk", "c_customer_id"])
+    return (
+        ctr()
+        .hash_join(avg_by_store, ["sr_store_sk"], ["avg_store_sk"],
+                   "inner",
+                   output=["sr_customer_sk", "sr_store_sk",
+                           "ctr_total_return", "ctr_avg"])
+        .filter("ctr_total_return > 1.2 * ctr_avg")
+        .hash_join(st, ["sr_store_sk"], ["s_store_sk"], "left_semi")
+        .hash_join(cu, ["sr_customer_sk"], ["c_customer_sk"], "inner",
+                   output=["c_customer_id"])
+        .order_by(["c_customer_id"])
+        .limit(100)
+    )
+
+
+def q6(month_seq: int = 1200, min_count: int = 10,
+       factor: float = 1.2) -> PlanBuilder:
+    """States where >= min_count customers bought items priced over
+    1.2x their category average in one month (spec q6; the category
+    average subquery decorrelates to an item-side agg join)."""
+    cat_avg = (PlanBuilder()
+               .table_scan("item",
+                           columns=["i_category", "i_current_price"])
+               .aggregate(["i_category"],
+                          ["avg(i_current_price) AS cat_avg"])
+               .project(["i_category AS avg_category", "cat_avg"]))
+    it = (PlanBuilder()
+          .table_scan("item", columns=["i_item_sk", "i_category",
+                                       "i_current_price"])
+          .hash_join(cat_avg, ["i_category"], ["avg_category"], "inner",
+                     output=["i_item_sk", "i_current_price", "cat_avg"])
+          .filter(f"i_current_price > {factor} * cat_avg"))
+    dt = _dim("date_dim", ["d_date_sk", "d_month_seq"],
+              f"d_month_seq = {month_seq}")
+    cu = _dim("customer", ["c_customer_sk", "c_current_addr_sk"])
+    ca = _dim("customer_address", ["ca_address_sk", "ca_state"])
+    return (
+        PlanBuilder()
+        .table_scan("store_sales",
+                    columns=["ss_sold_date_sk", "ss_item_sk",
+                             "ss_customer_sk"])
+        .hash_join(dt, ["ss_sold_date_sk"], ["d_date_sk"], "left_semi")
+        .hash_join(it, ["ss_item_sk"], ["i_item_sk"], "left_semi")
+        .hash_join(cu, ["ss_customer_sk"], ["c_customer_sk"], "inner",
+                   output=["c_current_addr_sk"])
+        .hash_join(ca, ["c_current_addr_sk"], ["ca_address_sk"],
+                   "inner", output=["ca_state"])
+        .aggregate(["ca_state"], ["count(*) AS cnt"])
+        .filter(f"cnt >= {min_count}")
+        .order_by(["cnt", "ca_state"])
+        .limit(100)
+    )
+
+
+def _channel_ratio(fact: str, pfx: str, date_col: str, item_col: str,
+                   price_col: str, categories, start: str,
+                   days: int = 30) -> PlanBuilder:
+    """q12/q20/q98 shape: item revenue + share of its class via a
+    window sum (spec's sum(sum())over(partition by i_class))."""
+    import datetime as _dt
+
+    d0 = _dt.date.fromisoformat(start)
+    d1 = d0 + _dt.timedelta(days=days)
+    cats = ", ".join(f"'{c}'" for c in categories)
+    dt = _dim("date_dim", ["d_date_sk", "d_date"],
+              f"d_date BETWEEN DATE '{d0}' AND DATE '{d1}'")
+    it = _dim("item", ["i_item_sk", "i_item_id", "i_item_desc",
+                       "i_category", "i_class", "i_current_price"],
+              f"i_category IN ({cats})")
+    return (
+        PlanBuilder()
+        .table_scan(fact, columns=[date_col, item_col, price_col])
+        .hash_join(dt, [date_col], ["d_date_sk"], "left_semi")
+        .hash_join(it, [item_col], ["i_item_sk"], "inner",
+                   output=["i_item_id", "i_item_desc", "i_category",
+                           "i_class", "i_current_price", price_col])
+        .aggregate(["i_item_id", "i_item_desc", "i_category",
+                    "i_class", "i_current_price"],
+                   [f"sum({price_col}) AS itemrevenue"])
+        .window(["i_class"], [], ["sum(itemrevenue) AS class_rev"])
+        .project(["i_item_id", "i_item_desc", "i_category", "i_class",
+                  "i_current_price", "itemrevenue",
+                  "itemrevenue * 100.0 / class_rev AS revenueratio"])
+        .order_by(["i_category", "i_class", "i_item_id", "i_item_desc",
+                   "revenueratio"])
+        .limit(100)
+    )
+
+
+def q12(categories=("Sports", "Books", "Home"),
+        start: str = "1999-02-22") -> PlanBuilder:
+    return _channel_ratio("web_sales", "ws", "ws_sold_date_sk",
+                          "ws_item_sk", "ws_ext_sales_price",
+                          categories, start)
+
+
+def q20(categories=("Sports", "Books", "Home"),
+        start: str = "1999-02-22") -> PlanBuilder:
+    return _channel_ratio("catalog_sales", "cs", "cs_sold_date_sk",
+                          "cs_item_sk", "cs_ext_sales_price",
+                          categories, start)
+
+
+def q98(categories=("Sports", "Books", "Home"),
+        start: str = "1999-02-22") -> PlanBuilder:
+    return _channel_ratio("store_sales", "ss", "ss_sold_date_sk",
+                          "ss_item_sk", "ss_ext_sales_price",
+                          categories, start)
+
+
+def q15(year: int = 2001, qoy: int = 2) -> PlanBuilder:
+    """Catalog sales by buyer zip: zip-prefix OR state OR big-ticket
+    predicate (spec q15)."""
+    cu = _dim("customer", ["c_customer_sk", "c_current_addr_sk"])
+    ca = _dim("customer_address", ["ca_address_sk", "ca_state",
+                                   "ca_zip"])
+    dt = _dim("date_dim", ["d_date_sk", "d_year", "d_qoy"],
+              f"d_qoy = {qoy} AND d_year = {year}")
+    return (
+        PlanBuilder()
+        .table_scan("catalog_sales",
+                    columns=["cs_sold_date_sk", "cs_bill_customer_sk",
+                             "cs_sales_price"])
+        .hash_join(dt, ["cs_sold_date_sk"], ["d_date_sk"], "left_semi")
+        .hash_join(cu, ["cs_bill_customer_sk"], ["c_customer_sk"],
+                   "inner",
+                   output=["cs_sales_price", "c_current_addr_sk"])
+        .hash_join(ca, ["c_current_addr_sk"], ["ca_address_sk"],
+                   "inner",
+                   output=["cs_sales_price", "ca_state", "ca_zip"])
+        .filter("substr(ca_zip, 1, 5) IN ('85669', '86197', '88274', "
+                "'83405', '86475', '85392', '85460', '80348', '81792')"
+                " OR ca_state IN ('CA', 'WA', 'GA')"
+                " OR cs_sales_price > 500.0")
+        .aggregate(["ca_zip"], ["sum(cs_sales_price) AS total"])
+        .order_by(["ca_zip"])
+        .limit(100)
+    )
+
+
+def q26(year: int = 2000) -> PlanBuilder:
+    """q7's demographic/promotion star on the catalog channel."""
+    cd = _dim("customer_demographics",
+              ["cd_demo_sk", "cd_gender", "cd_marital_status",
+               "cd_education_status"],
+              "cd_gender = 'M' AND cd_marital_status = 'S' AND "
+              "cd_education_status = 'College'")
+    dt = _dim("date_dim", ["d_date_sk", "d_year"], f"d_year = {year}")
+    pr = _dim("promotion",
+              ["p_promo_sk", "p_channel_email", "p_channel_event"],
+              "p_channel_email = 'N' OR p_channel_event = 'N'")
+    it = _dim("item", ["i_item_sk", "i_item_id"])
+    return (
+        PlanBuilder()
+        .table_scan("catalog_sales",
+                    columns=["cs_sold_date_sk", "cs_item_sk",
+                             "cs_bill_cdemo_sk", "cs_promo_sk",
+                             "cs_quantity", "cs_list_price",
+                             "cs_coupon_amt", "cs_sales_price"])
+        .hash_join(cd, ["cs_bill_cdemo_sk"], ["cd_demo_sk"],
+                   "left_semi")
+        .hash_join(dt, ["cs_sold_date_sk"], ["d_date_sk"], "left_semi")
+        .hash_join(pr, ["cs_promo_sk"], ["p_promo_sk"], "left_semi")
+        .hash_join(it, ["cs_item_sk"], ["i_item_sk"], "inner",
+                   output=["i_item_id", "cs_quantity", "cs_list_price",
+                           "cs_coupon_amt", "cs_sales_price"])
+        .aggregate(["i_item_id"],
+                   ["avg(cs_quantity) AS agg1",
+                    "avg(cs_list_price) AS agg2",
+                    "avg(cs_coupon_amt) AS agg3",
+                    "avg(cs_sales_price) AS agg4"])
+        .order_by(["i_item_id"])
+        .limit(100)
+    )
+
+
+def q30(year: int = 2000, state: str = "IL") -> PlanBuilder:
+    """Web-return outliers per (customer, state) vs 1.2x state average
+    (spec q30, decorrelated agg self-join)."""
+    def ctr():
+        return (PlanBuilder()
+                .table_scan("web_returns",
+                            columns=["wr_returned_date_sk",
+                                     "wr_returning_customer_sk",
+                                     "wr_returning_addr_sk",
+                                     "wr_return_amt"])
+                .hash_join(_dim("date_dim", ["d_date_sk", "d_year"],
+                                f"d_year = {year}"),
+                           ["wr_returned_date_sk"], ["d_date_sk"],
+                           "left_semi")
+                .hash_join(_dim("customer_address",
+                                ["ca_address_sk", "ca_state"]),
+                           ["wr_returning_addr_sk"], ["ca_address_sk"],
+                           "inner",
+                           output=["wr_returning_customer_sk",
+                                   "ca_state", "wr_return_amt"])
+                .aggregate(["wr_returning_customer_sk", "ca_state"],
+                           ["sum(wr_return_amt) AS ctr_total_return"]))
+
+    avg_by_state = (ctr()
+                    .aggregate(["ca_state"],
+                               ["avg(ctr_total_return) AS ctr_avg"])
+                    .project(["ca_state AS avg_state", "ctr_avg"]))
+    cu = _dim("customer", ["c_customer_sk", "c_customer_id",
+                           "c_first_name", "c_last_name",
+                           "c_current_addr_sk"])
+    ca2 = _dim("customer_address", ["ca_address_sk", "ca_state"],
+               f"ca_state = '{state}'")
+    return (
+        ctr()
+        .hash_join(avg_by_state, ["ca_state"], ["avg_state"], "inner",
+                   output=["wr_returning_customer_sk", "ca_state",
+                           "ctr_total_return", "ctr_avg"])
+        .filter("ctr_total_return > 1.2 * ctr_avg")
+        .hash_join(cu, ["wr_returning_customer_sk"], ["c_customer_sk"],
+                   "inner",
+                   output=["c_customer_id", "c_first_name",
+                           "c_last_name", "c_current_addr_sk",
+                           "ctr_total_return"])
+        .hash_join(ca2, ["c_current_addr_sk"], ["ca_address_sk"],
+                   "left_semi")
+        .order_by(["c_customer_id", "c_first_name", "c_last_name",
+                   "ctr_total_return"])
+        .limit(100)
+    )
+
+
+def q81(year: int = 2000, state: str = "IL") -> PlanBuilder:
+    """q30 on the catalog channel (spec q81)."""
+    def ctr():
+        return (PlanBuilder()
+                .table_scan("catalog_returns",
+                            columns=["cr_returned_date_sk",
+                                     "cr_returning_customer_sk",
+                                     "cr_returning_addr_sk",
+                                     "cr_return_amt_inc_tax"])
+                .hash_join(_dim("date_dim", ["d_date_sk", "d_year"],
+                                f"d_year = {year}"),
+                           ["cr_returned_date_sk"], ["d_date_sk"],
+                           "left_semi")
+                .hash_join(_dim("customer_address",
+                                ["ca_address_sk", "ca_state"]),
+                           ["cr_returning_addr_sk"], ["ca_address_sk"],
+                           "inner",
+                           output=["cr_returning_customer_sk",
+                                   "ca_state",
+                                   "cr_return_amt_inc_tax"])
+                .aggregate(["cr_returning_customer_sk", "ca_state"],
+                           ["sum(cr_return_amt_inc_tax)"
+                            " AS ctr_total_return"]))
+
+    avg_by_state = (ctr()
+                    .aggregate(["ca_state"],
+                               ["avg(ctr_total_return) AS ctr_avg"])
+                    .project(["ca_state AS avg_state", "ctr_avg"]))
+    cu = _dim("customer", ["c_customer_sk", "c_customer_id",
+                           "c_first_name", "c_last_name",
+                           "c_current_addr_sk"])
+    ca2 = _dim("customer_address", ["ca_address_sk", "ca_state"],
+               f"ca_state = '{state}'")
+    return (
+        ctr()
+        .hash_join(avg_by_state, ["ca_state"], ["avg_state"], "inner",
+                   output=["cr_returning_customer_sk", "ca_state",
+                           "ctr_total_return", "ctr_avg"])
+        .filter("ctr_total_return > 1.2 * ctr_avg")
+        .hash_join(cu, ["cr_returning_customer_sk"], ["c_customer_sk"],
+                   "inner",
+                   output=["c_customer_id", "c_first_name",
+                           "c_last_name", "c_current_addr_sk",
+                           "ctr_total_return"])
+        .hash_join(ca2, ["c_current_addr_sk"], ["ca_address_sk"],
+                   "left_semi")
+        .order_by(["c_customer_id", "c_first_name", "c_last_name",
+                   "ctr_total_return"])
+        .limit(100)
+    )
+
+
+_QUERIES = {1: q1, 3: q3, 6: q6, 7: q7, 12: q12, 13: q13, 15: q15,
+            19: q19, 20: q20, 26: q26, 27: q27, 30: q30, 42: q42,
             43: q43, 48: q48, 52: q52, 53: q53, 55: q55, 65: q65,
-            96: q96}
+            81: q81, 96: q96, 98: q98}
 SUPPORTED_QUERIES = sorted(_QUERIES)
 
 
-def tpcds_plan(n: int) -> PlanBuilder:
+def tpcds_plan(n: int, **params) -> PlanBuilder:
+    """Plan for TPC-DS query ``n``; ``params`` override the spec's
+    substitution constants (useful at tiny scale factors where the
+    defaults select empty slices)."""
     try:
-        return _QUERIES[n]()
+        return _QUERIES[n](**params)
     except KeyError:
         raise NotImplementedError(f"TPC-DS q{n} not implemented yet")
