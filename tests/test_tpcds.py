@@ -140,8 +140,10 @@ def test_q96(dfs):
 
 
 def test_supported_list():
-    assert SUPPORTED_QUERIES == [3, 7, 13, 19, 27, 42, 43, 48, 52,
-                                 53, 55, 65, 96]
+    assert SUPPORTED_QUERIES == [
+        1, 3, 6, 7, 12, 13, 15, 19, 20, 26, 27, 30, 33, 36, 37, 40,
+        42, 43, 48, 50, 52, 53, 55, 56, 60, 65, 81, 82, 86, 96, 98]
+    assert len(SUPPORTED_QUERIES) >= 30
 
 
 def _semi(ss, dim, lk, rk):

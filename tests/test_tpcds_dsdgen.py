@@ -257,3 +257,239 @@ def test_returns_outliers(dfs, qn, fact, dcol, ccol, acol, amt):
     assert len(exp) > 0
     _approx_rows(got, exp, {"c_customer_id": "c_customer_id",
                             "ctr_total_return": "ctr"})
+
+
+# --------------------------------------------- q33/q56/q60 unions
+
+def _multichannel_oracle(dfs, group_col, item_mask, year, moy, gmt):
+    dd, it, ca = dfs["date_dim"], dfs["item"], dfs["customer_address"]
+    dkeep = dd[(dd.d_year == year) & (dd.d_moy == moy)]
+    akeep = ca[ca.ca_gmt_offset == gmt]
+    keep_items = it[item_mask(it)]
+    parts = []
+    for fact, dcol, icol, acol, pcol in [
+        ("store_sales", "ss_sold_date_sk", "ss_item_sk", "ss_addr_sk",
+         "ss_ext_sales_price"),
+        ("catalog_sales", "cs_sold_date_sk", "cs_item_sk",
+         "cs_bill_addr_sk", "cs_ext_sales_price"),
+        ("web_sales", "ws_sold_date_sk", "ws_item_sk",
+         "ws_bill_addr_sk", "ws_ext_sales_price"),
+    ]:
+        f = _semi(dfs[fact], dkeep, dcol, "d_date_sk")
+        f = _semi(f, akeep, acol, "ca_address_sk")
+        j = f.merge(keep_items, left_on=icol, right_on="i_item_sk")
+        parts.append(j.groupby(group_col, dropna=False)[pcol].sum()
+                     .reset_index(name="total"))
+    allp = pd.concat(parts)
+    exp = (allp.groupby(group_col, dropna=False).total.sum()
+           .reset_index()
+           .sort_values(["total", group_col]).head(100))
+    return exp
+
+
+def test_q33(dfs):
+    it = dfs["item"]
+    mids = set(it[it.i_category == "Electronics"].i_manufact_id)
+    got = run_plan_pydict(
+        tpcds_plan(33, category="Electronics", year=1999, moy=2,
+                   gmt=-5.0).build())
+    exp = _multichannel_oracle(
+        dfs, "i_manufact_id",
+        lambda i: i.i_manufact_id.isin(mids), 1999, 2, -5.0)
+    assert len(exp) > 0
+    _approx_rows(got, exp, {"i_manufact_id": "i_manufact_id",
+                            "total_sales": "total"})
+
+
+def test_q56(dfs):
+    # 'sky' is the dominant sold item's color at SF0.01
+    colors = ("sky", "red", "orange")
+    it = dfs["item"]
+    ids = set(it[it.i_color.isin(colors)].i_item_id)
+    got = run_plan_pydict(
+        tpcds_plan(56, colors=colors, year=1999, moy=2,
+                   gmt=-5.0).build())
+    exp = _multichannel_oracle(
+        dfs, "i_item_id", lambda i: i.i_item_id.isin(ids),
+        1999, 2, -5.0)
+    assert len(exp) > 0
+    _approx_rows(got, exp, {"i_item_id": "i_item_id",
+                            "total_sales": "total"})
+
+
+def test_q60(dfs):
+    it = dfs["item"]
+    # 'Shoes' is the dominant sold category at SF0.01
+    ids = set(it[it.i_category == "Shoes"].i_item_id)
+    got = run_plan_pydict(
+        tpcds_plan(60, category="Shoes", year=1999, moy=9,
+                   gmt=-5.0).build())
+    exp = _multichannel_oracle(
+        dfs, "i_item_id", lambda i: i.i_item_id.isin(ids),
+        1999, 9, -5.0)
+    assert len(exp) > 0
+    _approx_rows(got, exp, {"i_item_id": "i_item_id",
+                            "total_sales": "total"})
+
+
+# --------------------------------------------- q36/q86 margin rollup
+
+def _margin_oracle(dfs, fact, dcol, icol, pfcol, prcol, year):
+    dd, it = dfs["date_dim"], dfs["item"]
+    f = _semi(dfs[fact], dd[dd.d_year == year], dcol, "d_date_sk")
+    if fact == "store_sales":  # q36 also semi-joins store
+        f = _semi(f, dfs["store"], "ss_store_sk", "s_store_sk")
+    j = f.merge(it, left_on=icol, right_on="i_item_sk")
+    levels = []
+    g0 = (j.groupby(["i_category", "i_class"], dropna=False)
+          .agg(profit=(pfcol, "sum"), sales=(prcol, "sum"))
+          .reset_index())
+    g0["lochierarchy"] = 0
+    g1 = (j.groupby(["i_category"], dropna=False)
+          .agg(profit=(pfcol, "sum"), sales=(prcol, "sum"))
+          .reset_index())
+    g1["i_class"] = None
+    g1["lochierarchy"] = 1
+    g2 = pd.DataFrame({"i_category": [None], "i_class": [None],
+                       "profit": [j[pfcol].sum()],
+                       "sales": [j[prcol].sum()],
+                       "lochierarchy": 2})
+    allg = pd.concat([g0, g1, g2], ignore_index=True)
+    allg["margin"] = allg.profit / allg.sales
+    allg["parent"] = allg.apply(
+        lambda r: r.i_category if r.lochierarchy == 0 else "~all~",
+        axis=1)
+    allg["rank"] = allg.groupby(["lochierarchy", "parent"],
+                                dropna=False).margin.rank("min")
+    return allg
+
+
+@pytest.mark.parametrize("qn,fact,dcol,icol,pf,pr", [
+    (36, "store_sales", "ss_sold_date_sk", "ss_item_sk",
+     "ss_net_profit", "ss_ext_sales_price"),
+    (86, "web_sales", "ws_sold_date_sk", "ws_item_sk",
+     "ws_net_profit", "ws_ext_sales_price"),
+])
+def test_margin_rollup(dfs, qn, fact, dcol, icol, pf, pr):
+    got = run_plan_pydict(tpcds_plan(qn, year=1999).build())
+    exp = _margin_oracle(dfs, fact, dcol, icol, pf, pr, 1999)
+    assert len(exp) > 2
+    n = len(got["lochierarchy"])
+    assert n == min(len(exp), 100)
+    # compare as sorted (level, parent, rank, margin) multisets: the
+    # within-tie order after rank is unspecified
+    g = sorted(zip(got["lochierarchy"],
+                   [p or "" for p in got["parent_cat"]],
+                   got["rank_within_parent"],
+                   [round(m, 9) for m in got["gross_margin"]]),
+               key=lambda r: (-r[0], r[1], r[2], r[3]))
+    e = sorted(zip(exp.lochierarchy,
+                   [p if isinstance(p, str) else "" for p in exp.parent],
+                   exp["rank"].astype(int),
+                   exp.margin.round(9)),
+               key=lambda r: (-r[0], r[1], r[2], r[3]))[:n]
+    for (gl, gp, gr, gm), (el, ep, er, em) in zip(g, e):
+        assert (gl, gp, gr) == (el, ep, er)
+        assert gm == pytest.approx(em, rel=1e-6)
+
+
+# --------------------------------------------- q37/q82 inventory
+
+@pytest.mark.parametrize("qn,fact,icol", [
+    (37, "catalog_sales", "cs_item_sk"),
+    (82, "store_sales", "ss_item_sk"),
+])
+def test_inventory_items(dfs, qn, fact, icol):
+    it, dd, inv = dfs["item"], dfs["date_dim"], dfs["inventory"]
+    sold = dfs[fact][icol].dropna()
+    mids = tuple(sorted(set(
+        it[it.i_item_sk.isin(set(sold))].i_manufact_id.dropna()
+        .astype(int))))[:20]
+    got = run_plan_pydict(tpcds_plan(
+        qn, price_lo=0.0, manufact_ids=mids,
+        start="2000-02-01").build())
+    import datetime as dtm
+    d0, d1 = dtm.date(2000, 2, 1), dtm.date(2000, 4, 1)
+    dkeep = dd[(dd.d_date >= d0) & (dd.d_date <= d1)]
+    invk = inv[(inv.inv_quantity_on_hand >= 100)
+               & (inv.inv_quantity_on_hand <= 500)]
+    invk = _semi(invk, dkeep, "inv_date_sk", "d_date_sk")
+    cand = it[(it.i_current_price >= 0.0) & (it.i_current_price <= 30.0)
+              & it.i_manufact_id.isin(mids)]
+    cand = cand[cand.i_item_sk.isin(set(invk.inv_item_sk))
+                & cand.i_item_sk.isin(set(sold))]
+    exp = (cand[["i_item_id", "i_item_desc", "i_current_price"]]
+           .drop_duplicates().sort_values("i_item_id").head(100))
+    assert len(exp) > 0
+    assert got["i_item_id"] == exp.i_item_id.tolist()
+
+
+# --------------------------------------------------------------- q40
+
+def test_q40(dfs):
+    got = run_plan_pydict(tpcds_plan(
+        40, split_date="2000-03-11", price_lo=9.0,
+        price_hi=10.0).build())
+    cs, cr = dfs["catalog_sales"], dfs["catalog_returns"]
+    wh, it, dd = dfs["warehouse"], dfs["item"], dfs["date_dim"]
+    import datetime as dtm
+    d0 = dtm.date(2000, 3, 11)
+    lo, hi = d0 - dtm.timedelta(days=30), d0 + dtm.timedelta(days=30)
+    j = cs.merge(cr[["cr_order_number", "cr_item_sk",
+                     "cr_refunded_cash"]],
+                 left_on=["cs_order_number", "cs_item_sk"],
+                 right_on=["cr_order_number", "cr_item_sk"],
+                 how="left")
+    j = j.merge(wh, left_on="cs_warehouse_sk",
+                right_on="w_warehouse_sk")
+    j = j.merge(it[(it.i_current_price >= 9.0)
+                   & (it.i_current_price <= 10.0)],
+                left_on="cs_item_sk", right_on="i_item_sk")
+    j = j.merge(dd[(dd.d_date >= lo) & (dd.d_date <= hi)],
+                left_on="cs_sold_date_sk", right_on="d_date_sk")
+    net = j.cs_sales_price - j.cr_refunded_cash.fillna(0.0)
+    j = j.assign(
+        before_amt=np.where(j.d_date < d0, net.fillna(0.0), 0.0),
+        after_amt=np.where(j.d_date >= d0, net.fillna(0.0), 0.0))
+    exp = (j.groupby(["w_state", "i_item_id"], dropna=False)
+           .agg(sales_before=("before_amt", "sum"),
+                sales_after=("after_amt", "sum")).reset_index()
+           .sort_values(["w_state", "i_item_id"]).head(100))
+    assert len(exp) > 0
+    _approx_rows(got, exp, {"i_item_id": "i_item_id",
+                            "sales_before": "sales_before",
+                            "sales_after": "sales_after"})
+
+
+# --------------------------------------------------------------- q50
+
+def test_q50(dfs):
+    got = run_plan_pydict(tpcds_plan(50, year=2001, moy=1).build())
+    ss, sr, st = (dfs["store_sales"], dfs["store_returns"],
+                  dfs["store"])
+    dd = dfs["date_dim"]
+    srk = _semi(sr, dd[(dd.d_year == 2001) & (dd.d_moy == 1)],
+                "sr_returned_date_sk", "d_date_sk")
+    j = ss.merge(
+        srk[["sr_ticket_number", "sr_item_sk", "sr_customer_sk",
+             "sr_returned_date_sk"]],
+        left_on=["ss_ticket_number", "ss_item_sk", "ss_customer_sk"],
+        right_on=["sr_ticket_number", "sr_item_sk", "sr_customer_sk"])
+    j = j.merge(st, left_on="ss_store_sk", right_on="s_store_sk")
+    lag = j.sr_returned_date_sk - j.ss_sold_date_sk
+    j = j.assign(
+        d30=(lag <= 30).astype(int),
+        d60=((lag > 30) & (lag <= 60)).astype(int),
+        d90=((lag > 60) & (lag <= 90)).astype(int),
+        d120=((lag > 90) & (lag <= 120)).astype(int),
+        dmore=(lag > 120).astype(int))
+    exp = (j.groupby(["s_store_name", "s_company_id",
+                      "s_street_number"], dropna=False)
+           .agg(d30=("d30", "sum"), d60=("d60", "sum"),
+                d90=("d90", "sum"), d120=("d120", "sum"),
+                dmore=("dmore", "sum")).reset_index()
+           .sort_values(["s_store_name", "s_company_id",
+                         "s_street_number"]).head(100))
+    assert len(exp) > 0
+    for c in ("d30", "d60", "d90", "d120", "dmore"):
+        assert got[c] == exp[c].tolist(), c

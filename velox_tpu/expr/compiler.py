@@ -798,6 +798,11 @@ def bind_strings(expr: Expr, dictionaries: Dict[str, "Dictionary"],
         return _bind_dict_value(name, args, dictionaries)
     if name in ("date_format", "format_datetime"):
         return _bind_range_format(name, args, ranges or {})
+    if (name == "if" and len(args) == 3 and expr.dtype is not None
+            and expr.dtype.is_string):
+        bound = _bind_string_if(args, dictionaries, expr.dtype)
+        if bound is not None:
+            return bound
 
     src = _dict_source(args, dictionaries)
     if src is not None:
@@ -1051,6 +1056,57 @@ _STRING_MULTI_FNS = {
     "starts_with": lambda s, pre: s.startswith(pre),
     "ends_with": lambda s, suf: s.endswith(suf),
 }
+
+
+def _bind_string_if(args, dictionaries, dtype) -> Optional[Expr]:
+    """if(cond, s1, s2) with string-typed branches: keep the result
+    dictionary-coded. Branch dictionaries (and any string literal)
+    merge into one sorted result dictionary; each branch's codes remap
+    through a table, NULL branches become code -1. Velox would produce
+    a flat string vector here (velox/expression/SwitchExpr); the TPU
+    answer keeps everything in int32 code space."""
+    from velox_tpu.vector.column import Dictionary
+
+    cond, a, b = args
+
+    def info(x):
+        if isinstance(x, Literal):
+            if x.value is None:
+                return ("null", None, None)
+            if isinstance(x.value, str):
+                return ("lit", x.value, None)
+            return None
+        s = _dict_source((x,), dictionaries)
+        if s is None:
+            return None
+        return ("dict", s[0], s[1])
+
+    ia, ib = info(a), info(b)
+    if ia is None or ib is None:
+        return None
+    values: set = set()
+    for kind, v, d in (ia, ib):
+        if kind == "lit":
+            values.add(v)
+        elif kind == "dict":
+            values.update(str(x) for x in d.values)
+    nd = Dictionary(sorted(values))
+
+    def branch(i):
+        kind, v, d = i
+        if kind == "null":
+            return Literal(INTEGER, -1)
+        if kind == "lit":
+            return Literal(INTEGER, nd.code_of(v))
+        remap = np.concatenate(
+            [[-1], [nd.code_of(str(x)) for x in d.values]]
+        ).astype(np.int32)
+        return DictTransform(INTEGER, v, remap, None)
+
+    codes = Call(INTEGER, "if", (cond, branch(ia), branch(ib)))
+    ident = np.concatenate(
+        [[-1], np.arange(len(nd))]).astype(np.int32)
+    return DictTransform(dtype, codes, ident, nd)
 
 
 def _bind_string_multi(name, args, dictionaries) -> Expr:

@@ -739,10 +739,310 @@ def q81(year: int = 2000, state: str = "IL") -> PlanBuilder:
     )
 
 
+_CHANNELS3 = (
+    ("store_sales", "ss_sold_date_sk", "ss_item_sk", "ss_addr_sk",
+     "ss_ext_sales_price"),
+    ("catalog_sales", "cs_sold_date_sk", "cs_item_sk",
+     "cs_bill_addr_sk", "cs_ext_sales_price"),
+    ("web_sales", "ws_sold_date_sk", "ws_item_sk", "ws_bill_addr_sk",
+     "ws_ext_sales_price"),
+)
+
+
+def _multichannel(group_col: str, restrict_col: str,
+                  restrict_filter: str, year: int, moy: int,
+                  gmt: float) -> PlanBuilder:
+    """q33/q56/q60 shape: per-item sales summed across all three
+    channels (UNION ALL of channel aggs, re-aggregated), the item set
+    restricted by an uncorrelated item subquery."""
+    def channel(fact, dcol, icol, acol, pcol):
+        keys = (PlanBuilder()
+                .table_scan("item",
+                            columns=[restrict_col]
+                            + ([c for c in ("i_category", "i_color")
+                                if c in restrict_filter]))
+                .filter(restrict_filter)
+                .project([restrict_col]).distinct()
+                .project([f"{restrict_col} AS rk"]))
+        it = (PlanBuilder()
+              .table_scan("item", columns=["i_item_sk", group_col,
+                                           restrict_col])
+              .hash_join(keys, [restrict_col], ["rk"], "left_semi"))
+        dt = _dim("date_dim", ["d_date_sk", "d_year", "d_moy"],
+                  f"d_year = {year} AND d_moy = {moy}")
+        ca = _dim("customer_address",
+                  ["ca_address_sk", "ca_gmt_offset"],
+                  f"ca_gmt_offset = {gmt}")
+        return (
+            PlanBuilder()
+            .table_scan(fact, columns=[dcol, icol, acol, pcol])
+            .hash_join(dt, [dcol], ["d_date_sk"], "left_semi")
+            .hash_join(ca, [acol], ["ca_address_sk"], "left_semi")
+            .hash_join(it, [icol], ["i_item_sk"], "inner",
+                       output=[group_col, pcol])
+            .project([group_col, f"{pcol} AS part_sales"])
+            .aggregate([group_col],
+                       ["sum(part_sales) AS total_sales"]))
+
+    chans = [channel(*c) for c in _CHANNELS3]
+    return (
+        chans[0]
+        .union_all(chans[1:])
+        .aggregate([group_col], ["sum(total_sales) AS total_sales"])
+        .order_by(["total_sales", group_col])
+        .limit(100)
+    )
+
+
+def q33(category: str = "Electronics", year: int = 2001,
+        moy: int = 1, gmt: float = -5.0) -> PlanBuilder:
+    """Manufacturer totals across channels for one category (spec
+    q33)."""
+    return _multichannel("i_manufact_id", "i_manufact_id",
+                         f"i_category = '{category}'", year, moy, gmt)
+
+
+def q56(colors=("slate", "blanched", "burnished"), year: int = 2001,
+        moy: int = 2, gmt: float = -5.0) -> PlanBuilder:
+    """Item-id totals across channels for a color set (spec q56)."""
+    cs = ", ".join(f"'{c}'" for c in colors)
+    return _multichannel("i_item_id", "i_item_id",
+                         f"i_color IN ({cs})", year, moy, gmt)
+
+
+def q60(category: str = "Music", year: int = 1998,
+        moy: int = 9, gmt: float = -5.0) -> PlanBuilder:
+    """Item-id totals across channels for one category (spec q60)."""
+    return _multichannel("i_item_id", "i_item_id",
+                         f"i_category = '{category}'", year, moy, gmt)
+
+
+def _margin_rollup(fact: str, dcol: str, icol: str,
+                   profit_col: str, price_col: str, year: int,
+                   extra_join=None) -> PlanBuilder:
+    """q36/q86 shape: gross-margin ROLLUP(i_category, i_class) with
+    rank() within each hierarchy level (spec's grouping()-driven
+    lochierarchy maps to the GroupIdNode's group_id column)."""
+    dt = _dim("date_dim", ["d_date_sk", "d_year"], f"d_year = {year}")
+    it = _dim("item", ["i_item_sk", "i_category", "i_class"])
+    pb = (PlanBuilder()
+          .table_scan(fact, columns=[dcol, icol, profit_col,
+                                     price_col]
+                      + ([extra_join[0]] if extra_join else []))
+          .hash_join(dt, [dcol], ["d_date_sk"], "left_semi"))
+    if extra_join:
+        fk, dim = extra_join
+        pb = pb.hash_join(dim, [fk], dim.node.output_type.names[:1],
+                          "left_semi")
+    return (
+        pb
+        .hash_join(it, [icol], ["i_item_sk"], "inner",
+                   output=["i_category", "i_class", profit_col,
+                           price_col])
+        .group_id([["i_category", "i_class"], ["i_category"], []])
+        .aggregate(["i_category", "i_class", "group_id"],
+                   [f"sum({profit_col}) AS profit",
+                    f"sum({price_col}) AS sales"])
+        .project(["i_category", "i_class", "group_id AS lochierarchy",
+                  "profit / sales AS gross_margin",
+                  "if(group_id = 0, i_category, '~all~')"
+                  " AS parent_cat"])
+        .window(["lochierarchy", "parent_cat"], ["gross_margin"],
+                ["rank() AS rank_within_parent"])
+        .order_by(["lochierarchy DESC", "parent_cat",
+                   "rank_within_parent"])
+        .limit(100)
+    )
+
+
+def q36(year: int = 2001) -> PlanBuilder:
+    st = _dim("store", ["s_store_sk"])
+    return _margin_rollup("store_sales", "ss_sold_date_sk",
+                          "ss_item_sk", "ss_net_profit",
+                          "ss_ext_sales_price", year,
+                          extra_join=("ss_store_sk", st))
+
+
+def q86(year: int = 2001) -> PlanBuilder:
+    return _margin_rollup("web_sales", "ws_sold_date_sk",
+                          "ws_item_sk", "ws_net_profit",
+                          "ws_ext_sales_price", year)
+
+
+def _inventory_items(fact: str, item_col: str, price_lo: float,
+                     manufact_ids, start: str, qty_lo: int = 100,
+                     qty_hi: int = 500, days: int = 60
+                     ) -> PlanBuilder:
+    """q37/q82 shape: items in a price band with mid-range inventory in
+    a 60-day window that actually sold through the channel."""
+    import datetime as _dt
+
+    d0 = _dt.date.fromisoformat(start)
+    d1 = d0 + _dt.timedelta(days=days)
+    mids = ", ".join(str(m) for m in manufact_ids)
+    dt = _dim("date_dim", ["d_date_sk", "d_date"],
+              f"d_date BETWEEN DATE '{d0}' AND DATE '{d1}'")
+    inv = (PlanBuilder()
+           .table_scan("inventory",
+                       columns=["inv_date_sk", "inv_item_sk",
+                                "inv_quantity_on_hand"],
+                       subfilter=f"inv_quantity_on_hand >= {qty_lo} "
+                                 f"AND inv_quantity_on_hand <= {qty_hi}")
+           .hash_join(dt, ["inv_date_sk"], ["d_date_sk"], "left_semi"))
+    sold = PlanBuilder().table_scan(fact, columns=[item_col])
+    return (
+        PlanBuilder()
+        .table_scan("item",
+                    columns=["i_item_sk", "i_item_id", "i_item_desc",
+                             "i_current_price", "i_manufact_id"],
+                    subfilter=f"i_current_price >= {price_lo} AND "
+                              f"i_current_price <= {price_lo + 30} AND "
+                              f"i_manufact_id IN ({mids})")
+        .hash_join(inv, ["i_item_sk"], ["inv_item_sk"], "left_semi")
+        .hash_join(sold, ["i_item_sk"], [item_col], "left_semi")
+        .project(["i_item_id", "i_item_desc", "i_current_price"])
+        .distinct()
+        .order_by(["i_item_id"])
+        .limit(100)
+    )
+
+
+def q37(price_lo: float = 68.0,
+        manufact_ids=(677, 940, 694, 808),
+        start: str = "2000-02-01") -> PlanBuilder:
+    return _inventory_items("catalog_sales", "cs_item_sk", price_lo,
+                            manufact_ids, start)
+
+
+def q82(price_lo: float = 62.0,
+        manufact_ids=(129, 270, 821, 423),
+        start: str = "2000-05-25") -> PlanBuilder:
+    return _inventory_items("store_sales", "ss_item_sk", price_lo,
+                            manufact_ids, start)
+
+
+def q40(split_date: str = "2000-03-11", price_lo: float = 0.99,
+        price_hi: float = 1.49) -> PlanBuilder:
+    """Warehouse sales before/after a date with returns netted out
+    (spec q40: catalog_sales LEFT OUTER catalog_returns on
+    (order, item))."""
+    import datetime as _dt
+
+    d0 = _dt.date.fromisoformat(split_date)
+    lo = d0 - _dt.timedelta(days=30)
+    hi = d0 + _dt.timedelta(days=30)
+    cr = _dim("catalog_returns",
+              ["cr_order_number", "cr_item_sk", "cr_refunded_cash"])
+    wh = _dim("warehouse", ["w_warehouse_sk", "w_state"])
+    it = _dim("item", ["i_item_sk", "i_item_id", "i_current_price"],
+              f"i_current_price >= {price_lo} AND "
+              f"i_current_price <= {price_hi}")
+    dt = _dim("date_dim", ["d_date_sk", "d_date"],
+              f"d_date BETWEEN DATE '{lo}' AND DATE '{hi}'")
+    return (
+        PlanBuilder()
+        .table_scan("catalog_sales",
+                    columns=["cs_sold_date_sk", "cs_order_number",
+                             "cs_item_sk", "cs_warehouse_sk",
+                             "cs_sales_price"])
+        .hash_join(cr, ["cs_order_number", "cs_item_sk"],
+                   ["cr_order_number", "cr_item_sk"], "left",
+                   output=["cs_sold_date_sk", "cs_item_sk",
+                           "cs_warehouse_sk", "cs_sales_price",
+                           "cr_refunded_cash"])
+        .hash_join(wh, ["cs_warehouse_sk"], ["w_warehouse_sk"],
+                   "inner",
+                   output=["cs_sold_date_sk", "cs_item_sk",
+                           "cs_sales_price", "cr_refunded_cash",
+                           "w_state"])
+        .hash_join(it, ["cs_item_sk"], ["i_item_sk"], "inner",
+                   output=["cs_sold_date_sk", "cs_sales_price",
+                           "cr_refunded_cash", "w_state", "i_item_id"])
+        .hash_join(dt, ["cs_sold_date_sk"], ["d_date_sk"], "inner",
+                   output=["cs_sales_price", "cr_refunded_cash",
+                           "w_state", "i_item_id", "d_date"])
+        .project(["w_state", "i_item_id",
+                  f"if(d_date < DATE '{d0}', cs_sales_price - "
+                  "coalesce(cr_refunded_cash, 0.0), 0.0)"
+                  " AS before_amt",
+                  f"if(d_date >= DATE '{d0}', cs_sales_price - "
+                  "coalesce(cr_refunded_cash, 0.0), 0.0)"
+                  " AS after_amt"])
+        .aggregate(["w_state", "i_item_id"],
+                   ["sum(before_amt) AS sales_before",
+                    "sum(after_amt) AS sales_after"])
+        .order_by(["w_state", "i_item_id"])
+        .limit(100)
+    )
+
+
+def q50(year: int = 2001, moy: int = 8) -> PlanBuilder:
+    """Return-latency buckets per store (spec q50: sales joined to
+    their returns on (ticket, item, customer); date_sks are julian
+    days so the day difference is the sk difference)."""
+    dt2 = _dim("date_dim", ["d_date_sk", "d_year", "d_moy"],
+               f"d_year = {year} AND d_moy = {moy}")
+    st = _dim("store", ["s_store_sk", "s_store_name", "s_company_id",
+                        "s_street_number", "s_street_name",
+                        "s_street_type", "s_suite_number", "s_city",
+                        "s_county", "s_state", "s_zip"])
+    sr = (PlanBuilder()
+          .table_scan("store_returns",
+                      columns=["sr_ticket_number", "sr_item_sk",
+                               "sr_customer_sk",
+                               "sr_returned_date_sk"])
+          .hash_join(dt2, ["sr_returned_date_sk"], ["d_date_sk"],
+                     "left_semi"))
+    buckets = [
+        ("d30", "lag <= 30"),
+        ("d60", "lag > 30 AND lag <= 60"),
+        ("d90", "lag > 60 AND lag <= 90"),
+        ("d120", "lag > 90 AND lag <= 120"),
+        ("dmore", "lag > 120"),
+    ]
+    return (
+        PlanBuilder()
+        .table_scan("store_sales",
+                    columns=["ss_ticket_number", "ss_item_sk",
+                             "ss_customer_sk", "ss_sold_date_sk",
+                             "ss_store_sk"])
+        .hash_join(sr, ["ss_ticket_number", "ss_item_sk",
+                        "ss_customer_sk"],
+                   ["sr_ticket_number", "sr_item_sk",
+                    "sr_customer_sk"], "inner",
+                   output=["ss_sold_date_sk", "ss_store_sk",
+                           "sr_returned_date_sk"])
+        .hash_join(st, ["ss_store_sk"], ["s_store_sk"], "inner",
+                   output=["ss_sold_date_sk", "sr_returned_date_sk",
+                           "s_store_name", "s_company_id",
+                           "s_street_number", "s_street_name",
+                           "s_street_type", "s_suite_number",
+                           "s_city", "s_county", "s_state", "s_zip"])
+        .project(["s_store_name", "s_company_id", "s_street_number",
+                  "s_street_name", "s_street_type", "s_suite_number",
+                  "s_city", "s_county", "s_state", "s_zip",
+                  "sr_returned_date_sk - ss_sold_date_sk AS lag"])
+        .project(["s_store_name", "s_company_id", "s_street_number",
+                  "s_street_name", "s_street_type", "s_suite_number",
+                  "s_city", "s_county", "s_state", "s_zip"] + [
+                  f"if({cond}, 1, 0) AS {name}_raw"
+                  for name, cond in buckets])
+        .aggregate(["s_store_name", "s_company_id", "s_street_number",
+                    "s_street_name", "s_street_type",
+                    "s_suite_number", "s_city", "s_county", "s_state",
+                    "s_zip"],
+                   [f"sum({name}_raw) AS {name}"
+                    for name, _ in buckets])
+        .order_by(["s_store_name", "s_company_id", "s_street_number"])
+        .limit(100)
+    )
+
+
 _QUERIES = {1: q1, 3: q3, 6: q6, 7: q7, 12: q12, 13: q13, 15: q15,
-            19: q19, 20: q20, 26: q26, 27: q27, 30: q30, 42: q42,
-            43: q43, 48: q48, 52: q52, 53: q53, 55: q55, 65: q65,
-            81: q81, 96: q96, 98: q98}
+            19: q19, 20: q20, 26: q26, 27: q27, 30: q30, 33: q33,
+            36: q36, 37: q37, 40: q40, 42: q42, 43: q43, 48: q48,
+            50: q50, 52: q52, 53: q53, 55: q55, 56: q56, 60: q60,
+            65: q65, 81: q81, 82: q82, 86: q86, 96: q96, 98: q98}
 SUPPORTED_QUERIES = sorted(_QUERIES)
 
 
