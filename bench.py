@@ -107,11 +107,14 @@ def main() -> None:
         acero_out[name] = out
     del f64_tables
 
+    # vanilla plans: the sort-order property pass (plan/optimizer.py)
+    # derives the merge-join/streaming shapes itself — verified equal
+    # to the former hand-written q3c/q18c in tests/test_optimizer.py
     plans = {
         "q1": tpch_plan(1).build(),
-        "q3": tpch_plan(3, clustered=True).build(),
+        "q3": tpch_plan(3).build(),
         "q6": tpch_plan(6).build(),
-        "q18": tpch_plan(18, clustered=True).build(),
+        "q18": tpch_plan(18).build(),
     }
 
     detail = {}

@@ -156,3 +156,33 @@ def test_optimized_results_match(tables):
          .sort_values("f_key").reset_index(drop=True))
     assert a["f_key"] == e["f_key"].tolist()
     np.testing.assert_allclose(a["a0"], e["s"].to_numpy(), rtol=1e-12)
+
+
+def test_vanilla_tpch_derives_hand_clustered_shapes():
+    """bench.py runs vanilla tpch_plan(3)/(18): the property pass must
+    derive exactly the hand-written q3c/q18c merge/streaming shapes
+    (r2 verdict weak #5)."""
+    from velox_tpu.io import drop_table
+    from velox_tpu.io.tpch import register_tpch
+    from velox_tpu.tpch import tpch_plan
+
+    register_tpch(0.002, batch_rows=1 << 12, prefix="optq_")
+    # the tpch plans reference unprefixed tables; register those too
+    register_tpch(0.002, batch_rows=1 << 12)
+
+    def shape(p):
+        return [type(p).__name__] + [shape(s) for s in p.sources]
+
+    try:
+        for n in (3, 18):
+            derived = optimize_plan(tpch_plan(n).build())
+            hand = tpch_plan(n, clustered=True).build()
+            assert shape(derived) == shape(hand), f"Q{n}"
+    finally:
+        for t in ("lineitem", "orders", "customer", "part", "supplier",
+                  "partsupp", "nation", "region"):
+            for p in ("optq_", ""):
+                try:
+                    drop_table(p + t)
+                except KeyError:
+                    pass

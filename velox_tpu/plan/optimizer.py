@@ -265,9 +265,10 @@ class _Optimizer:
         build_unique = (
             node.right_keys[0] in bp.unique_cols
             if len(node.right_keys) == 1 else False)
-        sorted_cols = pp.sorted_cols & out
+        sorted_cols = set(pp.sorted_cols & out)
         unique_cols = (pp.unique_cols & out) if build_unique else frozenset()
         fd = {k: v & out for k, v in pp.fd_map().items() if k in out}
+        gained = frozenset()
         if build_unique and node.filter is None:
             bfd = bp.fd_map().get(node.right_keys[0], frozenset())
             gained = (build_cols | bfd) & out
@@ -278,7 +279,24 @@ class _Optimizer:
             for k, v in list(fd.items()):
                 if node.left_keys[0] in v:
                     fd[k] = v | gained
-        return StreamProps(sorted_cols, unique_cols, _mkfd(fd))
+        if jt is JoinType.INNER:
+            # join-key equivalence: in the output stream the build key
+            # column EQUALS the probe key column row-by-row, so it
+            # inherits the probe key's ordering and determinants even
+            # when the probe key itself is projected away (the Q18
+            # shape: group keys name o_orderkey while the stream is
+            # sorted on l_orderkey)
+            pfd = pp.fd_map()
+            for lk, rk in zip(node.left_keys, node.right_keys):
+                if rk not in out or lk == rk:
+                    continue
+                if lk in pp.sorted_cols:
+                    sorted_cols.add(rk)
+                det = (pfd.get(lk, frozenset()) | {lk} | gained) & out
+                fd[rk] = (fd.get(rk, frozenset()) | det
+                          | fd.get(lk, frozenset())) - {rk}
+        return StreamProps(frozenset(sorted_cols), unique_cols,
+                           _mkfd(fd))
 
 
 def optimize_plan(plan: PlanNode) -> PlanNode:
