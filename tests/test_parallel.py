@@ -341,3 +341,161 @@ def test_distributed_q3_matches_serial(mesh):
                 drop_table(t)
             except KeyError:
                 pass
+
+
+# ----------------- r3: outer joins / sorts / partial-final on the mesh
+
+def _df_cmp(serial, dist, float_cols=(), sort_by=None):
+    import pandas as pd
+
+    a, b = pd.DataFrame(serial), pd.DataFrame(dist)
+    if sort_by:
+        a = a.sort_values(sort_by).reset_index(drop=True)
+        b = b.sort_values(sort_by).reset_index(drop=True)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b)
+    for c in a.columns:
+        if c in float_cols:
+            np.testing.assert_allclose(
+                a[c].to_numpy(dtype=float), b[c].to_numpy(dtype=float),
+                rtol=1e-9, equal_nan=True)
+        else:
+            av, bv = a[c].fillna(-987654321), b[c].fillna(-987654321)
+            assert av.tolist() == bv.tolist(), c
+
+
+@pytest.mark.parametrize("jt", ["right", "full"])
+def test_distributed_outer_join_matches_serial(mesh, jt):
+    from velox_tpu.exec import run_plan
+    from velox_tpu.io import drop_table
+    from velox_tpu.parallel.runner import run_plan_distributed
+    from velox_tpu.plan import PlanBuilder
+    from velox_tpu.types import BIGINT, DOUBLE
+    from velox_tpu.vector.batch import Batch
+
+    _mk_tables(11)
+    # build keys 0..59: some never probed (k2 in 0..49) -> unmatched
+    # build rows must appear exactly once globally
+    build = Batch.from_pydict(
+        {"bk": list(range(0, 60)),
+         "w": [float(i) / 3 for i in range(60)]},
+        {"bk": BIGINT, "w": DOUBLE})
+
+    def plan():
+        return (PlanBuilder()
+                .table_scan("dp_probe", columns=["k2", "v"])
+                .hash_join(PlanBuilder().values([build]), ["k2"],
+                           ["bk"], jt,
+                           output=["k2", "v", "bk", "w"]))
+
+    try:
+        serial = run_plan(plan().build()).to_pydict()
+        dist = run_plan_distributed(
+            plan().build(), mesh=mesh).to_pydict()
+        _df_cmp(serial, dist, float_cols=("v", "w"),
+                sort_by=["bk", "v"] if jt == "right" else ["k2", "v"])
+    finally:
+        drop_table("dp_probe")
+
+
+def test_distributed_order_by_matches_serial(mesh):
+    from velox_tpu.exec import run_plan
+    from velox_tpu.io import drop_table
+    from velox_tpu.parallel.runner import run_plan_distributed
+    from velox_tpu.plan import PlanBuilder
+    from velox_tpu.types import BIGINT, DOUBLE
+    from velox_tpu.vector.batch import Batch
+
+    _mk_tables(12)
+    build = Batch.from_pydict(
+        {"bk": list(range(0, 50)),
+         "w": [float(i) * 1.25 for i in range(50)]},
+        {"bk": BIGINT, "w": DOUBLE})
+
+    def plan(desc):
+        return (PlanBuilder()
+                .table_scan("dp_probe", columns=["k", "k2", "v"])
+                .hash_join(PlanBuilder().values([build]), ["k2"],
+                           ["bk"], "inner",
+                           output=["k", "v", "w"])
+                .order_by([f"v{' DESC' if desc else ''}", "k"]))
+
+    try:
+        for desc in (False, True):
+            serial = run_plan(plan(desc).build()).to_pydict()
+            dist = run_plan_distributed(
+                plan(desc).build(), mesh=mesh).to_pydict()
+            # ORDER BY contract: exact global order
+            assert dist["v"] == serial["v"]
+            assert dist["k"] == serial["k"]
+            assert dist["w"] == serial["w"]
+    finally:
+        drop_table("dp_probe")
+
+
+def test_distributed_order_by_limit_matches_serial(mesh):
+    from velox_tpu.exec import run_plan
+    from velox_tpu.io import drop_table
+    from velox_tpu.parallel.runner import run_plan_distributed
+    from velox_tpu.plan import PlanBuilder
+    from velox_tpu.types import BIGINT, DOUBLE
+    from velox_tpu.vector.batch import Batch
+
+    _mk_tables(13)
+    build = Batch.from_pydict(
+        {"bk": list(range(0, 50)), "w": [float(i) for i in range(50)]},
+        {"bk": BIGINT, "w": DOUBLE})
+
+    def plan():
+        return (PlanBuilder()
+                .table_scan("dp_probe", columns=["k2", "v"])
+                .hash_join(PlanBuilder().values([build]), ["k2"],
+                           ["bk"], "inner", output=["k2", "v"])
+                .order_by(["v DESC", "k2"])
+                .limit(23))
+
+    try:
+        serial = run_plan(plan().build()).to_pydict()
+        dist = run_plan_distributed(
+            plan().build(), mesh=mesh).to_pydict()
+        assert dist == serial
+    finally:
+        drop_table("dp_probe")
+
+
+def test_distributed_partial_final_agg_matches_serial(mesh):
+    from velox_tpu.exec import run_plan
+    from velox_tpu.io import drop_table
+    from velox_tpu.parallel.runner import run_plan_distributed
+    from velox_tpu.plan import PlanBuilder
+    from velox_tpu.types import BIGINT, DOUBLE
+    from velox_tpu.vector.batch import Batch
+
+    _mk_tables(14)
+    build = Batch.from_pydict(
+        {"bk": list(range(0, 200, 2)),
+         "w": [float(i) / 7 for i in range(100)]},
+        {"bk": BIGINT, "w": DOUBLE})
+
+    def plan():
+        return (PlanBuilder()
+                .table_scan("dp_probe", columns=["k", "v"])
+                .hash_join(PlanBuilder().values([build]), ["k"], ["bk"],
+                           "inner", output=["k", "v", "w"])
+                .partial_aggregation(
+                    ["k"], ["sum(v) AS s", "count(*) AS c",
+                            "max(w) AS hi"])
+                .final_aggregation()
+                .order_by(["k"]))
+
+    try:
+        serial = run_plan(plan().build()).to_pydict()
+        dist = run_plan_distributed(
+            plan().build(), mesh=mesh).to_pydict()
+        assert serial["k"] == dist["k"]
+        assert serial["c"] == dist["c"]
+        for a, b in zip(serial["s"], dist["s"]):
+            assert a == pytest.approx(b, rel=1e-12)
+        assert serial["hi"] == dist["hi"]
+    finally:
+        drop_table("dp_probe")

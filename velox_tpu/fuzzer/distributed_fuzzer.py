@@ -71,6 +71,13 @@ def run_distributed_fuzz(iterations: int = 20, seed: int = 0,
         use_inner = bool(rng.random() < 0.7) or not use_semi
         use_filter = bool(rng.random() < 0.5)
         keyed = bool(rng.random() < 0.7)
+        # tail shape: agg (partial/final or single), plain ORDER BY,
+        # TopN, or an outer-join finish (r3: distributed sorts + outer
+        # joins + multi-step aggregation)
+        tail = str(rng.choice(
+            ["agg", "agg2", "orderby", "topn", "outer"]))
+        join_type = ("inner" if tail != "outer"
+                     else str(rng.choice(["right", "full", "left"])))
         agg_fns = ["sum(x) AS s", "count(*) AS c"]
         if rng.random() < 0.5:
             agg_fns.append("min(x) AS lo")
@@ -86,13 +93,25 @@ def run_distributed_fuzz(iterations: int = 20, seed: int = 0,
                 pb = pb.hash_join(
                     PlanBuilder().values([semi]), ["k2"], ["sk"],
                     "left_semi")
-            if use_inner:
+            if use_inner or tail == "outer":
+                out = ["k", "k2", "v", "w"] + (
+                    ["bk"] if tail == "outer" else [])
                 pb = pb.hash_join(
                     PlanBuilder().values([build]), ["k"], ["bk"],
-                    "inner", output=["k", "k2", "v", "w"])
+                    join_type, output=out)
+                if tail == "outer":
+                    return pb
                 pb = pb.project(["k", "v + w AS x"])
             else:
                 pb = pb.project(["k", "v AS x"])
+            if tail == "orderby":
+                return pb.order_by(["x DESC", "k"])
+            if tail == "topn":
+                return pb.top_n(["x", "k DESC"], 13)
+            if tail == "agg2":
+                return (pb.partial_aggregation(
+                            ["k"] if keyed else [], agg_fns)
+                        .final_aggregation())
             return pb.aggregate(["k"] if keyed else [], agg_fns)
 
         try:
@@ -101,11 +120,12 @@ def run_distributed_fuzz(iterations: int = 20, seed: int = 0,
                                                mesh=mesh))
             assert dist == serial, (
                 f"iter {i}: distributed != serial "
-                f"(semi={use_semi} inner={use_inner} "
-                f"filter={use_filter} keyed={keyed})\n"
+                f"(semi={use_semi} inner={use_inner} tail={tail} "
+                f"jt={join_type} filter={use_filter} keyed={keyed})\n"
                 f"dist {dist[:5]}\nserial {serial[:5]}")
             if verbose:
                 print(f"iter {i}: semi={use_semi} inner={use_inner} "
+                      f"tail={tail} jt={join_type} "
                       f"filter={use_filter} keyed={keyed} "
                       f"rows={len(serial)} ok")
         finally:

@@ -23,6 +23,7 @@ from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
@@ -68,8 +69,20 @@ def try_distributed_pipeline(pipelines, out_ops, mesh, n_dev, axis):
         if isinstance(op, HashProbeOp):
             if op._semi_like and op._filter_exprs is None:
                 chain.append(("semi", op))
-            elif op.jt == JT.INNER:
+            elif op.jt in (JT.INNER, JT.LEFT):
+                if op.jt == JT.LEFT and op._filter_exprs is not None:
+                    return None  # filter resurrect rows stay serial
                 chain.append(("inner", op))
+            elif op.jt in (JT.RIGHT, JT.FULL):
+                # matched part expands per device; unmatched build rows
+                # emit once from the globally OR-reduced flags, so the
+                # right/full probe must END the sharded chain
+                if op._filter_exprs is not None:
+                    return None
+                chain.append(("inner", op))
+                n_probes += 1
+                k += 1
+                break
             else:
                 return None
             n_probes += 1
@@ -77,7 +90,8 @@ def try_distributed_pipeline(pipelines, out_ops, mesh, n_dev, axis):
             chain.append(("transform", op))
         elif (isinstance(op, HashAggregationOp)
               and not isinstance(op, StreamingAggregationOp)
-              and op.step == AggStep.SINGLE and not op.has_distinct
+              and op.step in (AggStep.SINGLE, AggStep.PARTIAL)
+              and not op.has_distinct
               and not op._collect
               and all(l.width == 1 for f in op.fns for l in f.lanes)):
             agg = op
@@ -129,6 +143,7 @@ def try_distributed_pipeline(pipelines, out_ops, mesh, n_dev, axis):
     seg = 0
     extra_args: List[tuple] = []
     extra_specs: List[tuple] = []
+    tails: List[Batch] = []  # right/full unmatched-build emissions
 
     for kind, op in chain:
         if kind == "transform":
@@ -204,12 +219,15 @@ def try_distributed_pipeline(pipelines, out_ops, mesh, n_dev, axis):
         bcols = {n: (br.build_batch.column(n).values,
                      br.build_batch.column(n).valid) for n in rt}
         flags = jnp.zeros((br.build_batch.capacity,), jnp.bool_)
+        track_tail = probe.jt in (JT.RIGHT, JT.FULL)
 
         def expand_step(env, sel, first, count, bcols, flags, perm):
             pcols = {n: env[n] for n in lt}
-            out, out_sel, _fl, _pc, _rz = ef(
+            out, out_sel, fl, _pc, _rz = ef(
                 pcols, bcols, first, count, sel, flags, perm)
             keep = {n: out[n] for n in probe.node.output_type.names}
+            if track_tail:
+                return keep, out_sel, fl
             return keep, out_sel
 
         in_env_spec = jax.tree_util.tree_map(lambda _: P(axis), env)
@@ -233,14 +251,47 @@ def try_distributed_pipeline(pipelines, out_ops, mesh, n_dev, axis):
             in_specs=(in_env_spec, P(axis), P(axis), P(axis), b_spec,
                       P(), P()),
             out_specs=out_specs2, check_vma=False))
-        env, sel = f2(env, sel, first, count, bcols, flags, br.perm)
+        if track_tail:
+            env, sel, fl_all = f2(
+                env, sel, first, count, bcols, flags, br.perm)
+            # global matched flags: OR across device shards (the SPMD
+            # analog of HashProbe's shared-bridge matched bits,
+            # velox/exec/HashProbe.cpp right-join tracking)
+            br.matched = jnp.any(
+                fl_all.reshape(n_dev, -1), axis=0)
+            tail = probe._emit_build_side()
+            if tail is not None:
+                tails.append(tail)
+        else:
+            env, sel = f2(env, sel, first, count, bcols, flags, br.perm)
         meta = _merge_meta(
             {n: meta[n] for n in lt if n in meta}, br.build_batch,
             names=probe.node.output_type.names)
 
+    # distributed sort reductions: a trailing TopN (or OrderBy+Limit)
+    # prunes per device before the gather; a plain OrderBy range-
+    # partitions + per-device-sorts so the gathered stream is globally
+    # sorted (velox/exec/Merge.h:378 MergeExchange analog)
+    rest = _attach_sort_reduction(
+        rest, stages, agg, env, meta, n_dev, axis)
+    ob = _detect_plain_orderby(rest, agg)
+    if ob is not None and not tails and ob.node.keys[0].name in env:
+        if stages:
+            env, sel = _flush_plain(
+                env, sel, stages, extra_args, extra_specs, mesh, n_dev,
+                axis, scan, seg)
+            stages, extra_args, extra_specs = [], [], []
+            seg += 1
+        sorted_out = _ranged_sort_flush(
+            env, sel, ob.node, mesh, n_dev, axis, seg)
+        if sorted_out is not None:
+            env, sel = sorted_out
+            seg += 1
+            rest = rest[1:]  # stream is globally sorted
+
     # project env down to the last node's output before finishing
     return _finish(env, sel, meta, stages, extra_args, extra_specs, agg,
-                   rest, mesh, n_dev, axis, scan, seg)
+                   rest, mesh, n_dev, axis, scan, seg, tails)
 
 
 def _apply_stages(stages, env, sel, extras):
@@ -250,12 +301,156 @@ def _apply_stages(stages, env, sel, extras):
         elif kind == "project":
             pairs = run(env, sel)
             env = dict(zip(names, pairs))
+        elif kind == "reduce":
+            # per-device capacity-changing reduction (top-n prune /
+            # range-partition sort); always the final stage
+            env, sel = run(env, sel)
         else:
             pf, (keys, xi) = run, names
             skeys, nact, tables = extras[xi]
             cols = [env[kn] for kn in keys]
             sel = pf(cols, sel, skeys, nact, tables)
     return env, sel
+
+
+def _attach_sort_reduction(rest, stages, agg, env, meta, n_dev, axis):
+    """Append a per-device sort reduction stage for a trailing
+    TopN / OrderBy(+Limit) / plain OrderBy; returns the (possibly
+    shortened) serial ``rest``."""
+    from velox_tpu.exec.operators import LimitOp, OrderByOp, TopNOp
+    from velox_tpu.ops.sort import sort_indices, top_n_indices
+
+    if agg is not None or not rest:
+        return rest
+
+    def keyspec(node):
+        return [(kk.name, kk.descending, kk.nulls_first)
+                for kk in node.keys]
+
+    def gather_env(env, idx):
+        return {nm: (jnp.take(v, idx, mode="clip"),
+                     None if va is None
+                     else jnp.take(va, idx, mode="clip"))
+                for nm, (v, va) in env.items()}
+
+    op0 = rest[0]
+    if isinstance(op0, TopNOp) or (
+            isinstance(op0, OrderByOp) and len(rest) > 1
+            and isinstance(rest[1], LimitOp)):
+        # per-device top-K prune: rows outside a device's top K cannot
+        # be in the global top K (velox/exec/TopN.h bounded carry)
+        if isinstance(op0, TopNOp):
+            count = op0.node.count
+        else:
+            count = rest[1].node.count + rest[1].node.offset
+        spec = keyspec(op0.node)
+        if any(nm not in env for nm, _, _ in spec):
+            return rest
+
+        def prune(env, sel):
+            keys = [(env[nm][0], env[nm][1], d, nf)
+                    for nm, d, nf in spec]
+            idx, osel = top_n_indices(keys, sel, count)
+            return gather_env(env, idx), osel
+
+        stages.append(("reduce", prune, None))
+        return rest  # the serial op finalizes over n_dev*K candidates
+
+    return rest
+
+
+def _detect_plain_orderby(rest, agg):
+    from velox_tpu.exec.operators import LimitOp, OrderByOp, TopNOp
+
+    if agg is not None or not rest:
+        return None
+    op0 = rest[0]
+    if not isinstance(op0, OrderByOp) or isinstance(op0, TopNOp):
+        return None
+    if len(rest) > 1 and isinstance(rest[1], LimitOp):
+        return None  # handled by the top-K prune
+    return op0
+
+
+def _ranged_sort_flush(env, sel, node, mesh, n_dev, axis, seg):
+    """Distributed ORDER BY: equi-depth range partition on the leading
+    key (host-sampled splitters) + all_to_all + per-device full sort;
+    device-ordered gather is then globally sorted (SURVEY §2.7 #5
+    ordered distributed merge / velox MergeExchange analog)."""
+    from velox_tpu.ops.sort import sort_indices
+    from velox_tpu.parallel.shuffle import bucket_by_destination
+
+    spec = [(kk.name, kk.descending, kk.nulls_first)
+            for kk in node.keys]
+    k0, desc0, nf0 = spec[0]
+    v_host = np.asarray(env[k0][0])
+    va = env[k0][1]
+    va_host = None if va is None else np.asarray(va)
+    live = v_host if va_host is None else v_host[va_host]
+    if live.size == 0:
+        return None
+    sample = np.sort(live[:: max(1, live.size // 4096)])
+    qs = np.quantile(sample, np.linspace(0, 1, n_dev + 1)[1:-1],
+                     method="nearest")
+    splitters = jnp.asarray(np.asarray(qs, dtype=v_host.dtype))
+    names = sorted(env)
+    valid_tag = [env[nm][1] is not None for nm in names]
+
+    def step(env, sel, splitters):
+        v, valid = env[k0]
+        dest = jnp.searchsorted(
+            splitters, v, side="right").astype(jnp.int32)
+        if desc0:
+            dest = (n_dev - 1) - dest
+        if valid is not None:
+            # device 0's shard leads the gathered output, so null rows
+            # go to device 0 exactly when NULLS FIRST
+            null_dest = 0 if nf0 else n_dev - 1
+            dest = jnp.where(valid, dest, jnp.int32(null_dest))
+        arrays = []
+        for nm, hv in zip(names, valid_tag):
+            vv, vva = env[nm]
+            arrays.append(vv)
+            if hv:
+                arrays.append(vva)
+        bufs, bvalid, _ovf = bucket_by_destination(
+            arrays, dest, sel, n_dev, sel.shape[0])
+        out_arrays = [
+            jax.lax.all_to_all(
+                buf, axis, split_axis=0, concat_axis=0,
+                tiled=False).reshape(-1)
+            for buf in bufs]
+        rsel = jax.lax.all_to_all(
+            bvalid, axis, split_axis=0, concat_axis=0,
+            tiled=False).reshape(-1)
+        env2 = {}
+        i = 0
+        for nm, hv in zip(names, valid_tag):
+            vv = out_arrays[i]
+            i += 1
+            vva = None
+            if hv:
+                vva = out_arrays[i]
+                i += 1
+            env2[nm] = (vv, vva)
+        keys = [(env2[nm][0], env2[nm][1], d, nf)
+                for nm, d, nf in spec]
+        perm = sort_indices(keys, rsel)
+        env3 = {nm: (jnp.take(vv, perm, mode="clip"),
+                     None if vva is None
+                     else jnp.take(vva, perm, mode="clip"))
+                for nm, (vv, vva) in env2.items()}
+        return env3, jnp.take(rsel, perm, mode="clip")
+
+    in_env_spec = jax.tree_util.tree_map(lambda _: P(axis), env)
+    out_specs = (in_env_spec, P(axis))
+    key = ("dpipe_rsort", node.id, seg, n_dev, axis,
+           tuple(sorted(env)),
+           tuple(d.id for d in mesh.devices.flatten()))
+    f = cached_jit(key, lambda: shard_map(
+        step, mesh=mesh, in_specs=(in_env_spec, P(axis), P()),
+        out_specs=out_specs, check_vma=False))
+    return f(env, sel, splitters)
 
 
 def _merge_meta(meta, build_batch, names=None):
@@ -283,9 +478,11 @@ def _pad_to(b: Batch, capacity: int) -> Batch:
 
 
 def _finish(env, sel, meta, stages, extra_args, extra_specs, agg, rest,
-            mesh, n_dev, axis, scan, seg):
+            mesh, n_dev, axis, scan, seg, tails=()):
     """Final segment: transforms (+ partial agg) per device, then serial
-    finalization + downstream operators."""
+    finalization + downstream operators. ``tails`` are serial batches
+    appended after the sharded stream (right/full unmatched build
+    rows)."""
     import pyarrow as pa
 
     from velox_tpu.vector.arrow_bridge import to_arrow
@@ -343,12 +540,15 @@ def _finish(env, sel, meta, stages, extra_args, extra_specs, agg, rest,
                 env, sel, stages, extra_args, extra_specs, mesh, n_dev,
                 axis, scan, seg)
         cols = {}
-        for n, (v, va) in env.items():
-            t, d, s = meta.get(n, (None, None, None))
+        for n in meta:  # meta preserves the node's output column order
+            if n not in env:
+                continue
+            v, va = env[n]
+            t, d, s = meta[n]
             if t is None:
                 continue
             cols[n] = Column(t, v, va, d, s)
-        batches = [Batch(cols, sel)]
+        batches = [Batch(cols, sel)] + list(tails)
 
     # downstream operators (TopN/OrderBy/Limit/Project...) run serially
     for op in rest:
