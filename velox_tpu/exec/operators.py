@@ -1070,26 +1070,33 @@ class HashAggregationOp(Operator):
             raise NotImplementedError(
                 "distinct aggregates only in single-step aggregation")
         if (self.step != AggStep.SINGLE
-                and any(lane.width > 1
+                and any(lane.width > 256
                         for fn in self.fns for lane in fn.lanes)):
             raise NotImplementedError(
-                "matrix-lane aggregates (approx_distinct, bitwise_*_agg) "
-                "are single-step only: (groups, k) lanes cannot be "
-                "emitted as partial-step columns")
+                "very wide matrix lanes (approx_distinct HLL registers) "
+                "are single-step only: emitting thousands of "
+                "name$lane@slot partial columns is not sensible")
         if any(s.distinct and isinstance(s.arg, tuple)
                for s in self.specs):
             raise NotImplementedError(
                 "DISTINCT over multi-argument aggregates")
-        self._collect = [i for i, f in enumerate(self.fns)
-                         if f.collect_kind is not None]
-        if self._collect:
-            if self.step != AggStep.SINGLE:
-                raise NotImplementedError(
-                    "collect aggregates (array_agg, map_agg, map_union, "
-                    "approx_percentile) are single-step only")
-            if any(self.specs[i].distinct for i in self._collect):
-                raise NotImplementedError(
-                    "DISTINCT over collect aggregates")
+        if self.step == AggStep.SINGLE:
+            self._collect = [i for i, f in enumerate(self.fns)
+                             if f.collect_kind is not None]
+        else:
+            # collect aggregates with lane companions (approx_percentile
+            # digest lanes, functions/aggregates_digest.py) run the
+            # normal partial/final lane machinery; pure-collect ones
+            # (array_agg, map_agg, ...) stay single-step
+            self._collect = []
+            for f in self.fns:
+                if f.collect_kind is not None and not f.lanes:
+                    raise NotImplementedError(
+                        "collect aggregates (array_agg, map_agg, "
+                        "map_union) are single-step only")
+        if any(self.specs[i].distinct for i in self._collect):
+            raise NotImplementedError(
+                "DISTINCT over collect aggregates")
         self._raw_batches: List[Batch] = []
         # input value types per aggregate (None for count(*)); for FINAL
         # the first lane's type stands in for the raw input type (every
@@ -1098,12 +1105,23 @@ class HashAggregationOp(Operator):
         self.lane_names: List[List[str]] = []
         for s, name, fn in zip(self.specs, node.agg_names, self.fns):
             if self.step == AggStep.FINAL:
-                lts = tuple(
-                    in_schema.find_child(f"{name}${i}")
-                    for i in range(len(fn.lanes)))
-                self.arg_types.append(fn.resolve_input_type(lts))
-                self.lane_names.append(
-                    [f"{name}${i}" for i in range(len(fn.lanes))])
+                # lane_names entries are per-lane COLUMN GROUPS: one
+                # column for scalar lanes, width columns for matrix
+                # lanes (name$lane@slot)
+                lts = []
+                groups = []
+                for i, lane in enumerate(fn.lanes):
+                    if lane.width == 1:
+                        lts.append(in_schema.find_child(f"{name}${i}"))
+                        groups.append([f"{name}${i}"])
+                    else:
+                        lts.append(
+                            in_schema.find_child(f"{name}${i}@0"))
+                        groups.append([f"{name}${i}@{j}"
+                                       for j in range(lane.width)])
+                self.arg_types.append(
+                    fn.resolve_input_type(tuple(lts)))
+                self.lane_names.append(groups)
             else:
                 if s.arg is None:
                     self.arg_types.append(None)
@@ -1123,7 +1141,8 @@ class HashAggregationOp(Operator):
             self.keys
             + [a for s in self.specs for a in _arg_fields(s)]
             + [s.mask for s in self.specs if s.mask is not None]
-            + [n for lanes in self.lane_names for n in lanes]))
+            + [n for lanes in self.lane_names
+               for grp in lanes for n in grp]))
         from velox_tpu.exec.spill import PartitionedEntryStore
 
         #: generic-mode partials: device entries with hash-partitioned
@@ -1146,6 +1165,18 @@ class HashAggregationOp(Operator):
         self._passthrough_jit = None
 
     # ----------------------------------------------------------- helpers
+    @staticmethod
+    def _lane_arrays(cols, lane_groups):
+        """FINAL-step lane reconstruction: scalar lanes read one column,
+        matrix lanes stack their ``name$lane@slot`` columns to (G, w)."""
+        out = []
+        for grp in lane_groups:
+            if len(grp) == 1:
+                out.append(cols[grp[0]][0])
+            else:
+                out.append(jnp.stack([cols[n][0] for n in grp], axis=1))
+        return tuple(out)
+
     def _agg_inputs(self, cols, sel):
         """Per-agg (values|lanes, mask) for accumulate/combine (traced)."""
         out = []
@@ -1159,7 +1190,7 @@ class HashAggregationOp(Operator):
                 if mvalid is not None:
                     mask = jnp.logical_and(mask, mvalid)
             if self.step == AggStep.FINAL:
-                out.append((tuple(cols[n][0] for n in lanes), mask))
+                out.append((self._lane_arrays(cols, lanes), mask))
             elif spec.arg is None:
                 out.append((None, mask))
             elif isinstance(spec.arg, tuple):
@@ -1351,7 +1382,7 @@ class HashAggregationOp(Operator):
             self._store.append({
                 "keys": [cols[k] for k in self.keys],
                 "lanes": [
-                    tuple(cols[n][0] for n in lanes)
+                    self._lane_arrays(cols, lanes)
                     for lanes in self.lane_names],
                 "sel": sel,
                 "distinct": [None] * len(self.specs),
@@ -1511,7 +1542,12 @@ class HashAggregationOp(Operator):
                 self.agg_names, self.fns, self.arg_types, entry["lanes"]):
             for li, (lane_arr, lt) in enumerate(
                     zip(lanes, fn.lane_types(at))):
-                cols[f"{name}${li}"] = Column(lt, lane_arr)
+                if lane_arr.ndim == 1:
+                    cols[f"{name}${li}"] = Column(lt, lane_arr)
+                else:  # matrix lane -> one column per slot
+                    for j in range(lane_arr.shape[1]):
+                        cols[f"{name}${li}@{j}"] = Column(
+                            lt, lane_arr[:, j])
         return Batch(cols, entry["sel"])
 
     def get_output(self) -> Optional[Batch]:

@@ -18,6 +18,13 @@ from velox_tpu.functions.aggregates import (
 )
 import velox_tpu.functions.aggregates_multi  # noqa: F401  (registers)
 import velox_tpu.functions.aggregates_collect  # noqa: F401  (registers)
+# approx_percentile gains digest lanes (partial/final companions) on
+# top of the exact SINGLE-step collect path — register AFTER collect
+from velox_tpu.functions.aggregates_digest import (  # noqa: E402
+    register_percentile_digest,
+)
+
+register_percentile_digest()
 import velox_tpu.functions.aggregates_noisy  # noqa: F401  (registers)
 
 __all__ = [

@@ -283,9 +283,17 @@ class PlanBuilder:
         for name, spec, at in zip(agg_names, specs, arg_types):
             fn = lookup_aggregate(spec.fn)
             if step == AggStep.PARTIAL:
-                for li, lt in enumerate(fn.lane_types(at)):
-                    out_names.append(f"{name}${li}")
-                    out_types.append(lt)
+                # matrix lanes (width > 1) emit one column per slot:
+                # ``name$lane@slot`` (digest centroids, HLL registers)
+                for li, (lane, lt) in enumerate(
+                        zip(fn.lanes, fn.lane_types(at))):
+                    if lane.width == 1:
+                        out_names.append(f"{name}${li}")
+                        out_types.append(lt)
+                    else:
+                        for j in range(lane.width):
+                            out_names.append(f"{name}${li}@{j}")
+                            out_types.append(lt)
             else:
                 out_names.append(name)
                 out_types.append(fn.resolve_type(at))
@@ -334,8 +342,14 @@ class PlanBuilder:
             fn = lookup_aggregate(spec.fn)
             lane_types = []
             li = 0
-            while schema.contains(f"{name}${li}"):
-                lane_types.append(schema.find_child(f"{name}${li}"))
+            while True:
+                if schema.contains(f"{name}${li}"):
+                    lane_types.append(schema.find_child(f"{name}${li}"))
+                elif schema.contains(f"{name}${li}@0"):
+                    lane_types.append(
+                        schema.find_child(f"{name}${li}@0"))
+                else:
+                    break
                 li += 1
             assert lane_types, f"no partial lanes for {name}"
             out_names.append(name)
