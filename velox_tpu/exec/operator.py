@@ -142,7 +142,9 @@ class ExprEvaluator:
              ) -> Tuple[ExprSet, Callable]:
         """(ExprSet, UNJITTED run fn) for composition into fused kernels."""
         ranges = ranges or {}
-        sig = ("pure", mode, self.schema,
+        from velox_tpu.utils.config import config as _cfg
+
+        sig = ("pure", mode, self.schema, _cfg.session_timezone,
                tuple(str(e) for e in self.exprs)) + tuple(
             sorted((n, id(d)) for n, d in dicts.items())) + tuple(
             sorted(ranges.items()))
@@ -185,8 +187,11 @@ class ExprEvaluator:
             n: c.stats for n, c in batch.columns.items()
             if c.stats is not None
         }
+        from velox_tpu.utils.config import config as _cfg
+
         sig = (
-            mode, self.schema, tuple(str(e) for e in self.exprs),
+            mode, self.schema, _cfg.session_timezone,
+            tuple(str(e) for e in self.exprs),
         ) + tuple(sorted((n, id(d)) for n, d in dicts.items())) + tuple(
             sorted(ranges.items()))
         hit = _EVAL_CACHE.get(sig)

@@ -146,6 +146,45 @@ def resolve_types(expr: Expr, schema: RowType) -> Expr:
             return Call(_DICT_VALUE_FNS[name][0], name, args)
         if name in ("date_format", "format_datetime"):
             return Call(VARCHAR, name, args)
+        if name in _DAY_PART_FNS or name in ("hour", "minute", "second",
+                                             "millisecond"):
+            a0 = args[0]
+            if (a0.dtype is not None
+                    and a0.dtype.kind == TypeKind.TIMESTAMP):
+                # idempotent under re-resolution: an already-adjusted
+                # arg (at_timezone / a prior session wrap) stays as-is
+                already = (isinstance(a0, Call) and a0.name in (
+                    "__tz_adjust", "__tz_unadjust"))
+                if not already:
+                    a0 = _session_adjust(a0)
+                if name in _DAY_PART_FNS:
+                    # day-granularity parts read DATE lanes; TIMESTAMP
+                    # µs floor-divide to days first
+                    a0 = Call(DATE_T, "__ts_days", (a0,))
+                rt = (DATE_T if name == "last_day_of_month" else BIGINT)
+                return Call(rt, name, (a0,) + args[1:])
+        if name in ("timezone_hour", "timezone_minute"):
+            tr, of = _session_tz_tables()
+            return Call(BIGINT, f"__{name}",
+                        (args[0], Literal(BIGINT, tr),
+                         Literal(BIGINT, of)))
+        if name in ("at_timezone", "with_timezone"):
+            # at_timezone shifts to the zone's wall clock (documented
+            # deviation: the engine has no tz-carrying timestamp type,
+            # so the local instant is materialized); with_timezone
+            # interprets a wall-clock timestamp as zone-local
+            if not (isinstance(args[1], Literal)
+                    and isinstance(args[1].value, str)):
+                raise TypeError(f"{name} zone must be a string literal")
+            from velox_tpu.utils.tz import zone_tables_us
+
+            tr, of = zone_tables_us(args[1].value)
+            impl = ("__tz_adjust" if name == "at_timezone"
+                    else "__tz_unadjust")
+            from velox_tpu.types import TIMESTAMP as _TS
+
+            return Call(_TS, impl, (args[0], Literal(BIGINT, tr),
+                                    Literal(BIGINT, of)))
         if name in ("date_trunc", "date_add", "date_diff"):
             # unit-string forms specialize at resolve time
             # (velox/functions/prestosql/DateTimeFunctions.h)
@@ -562,6 +601,35 @@ def _wrap_captures(expr: Expr, params, lanes) -> Expr:
     return expr
 
 
+#: date parts that read DATE (day) lanes
+_DAY_PART_FNS = {
+    "year", "month", "day", "day_of_month", "day_of_week", "dow",
+    "day_of_year", "doy", "quarter", "week", "week_of_year",
+    "last_day_of_month",
+}
+
+from velox_tpu.types import DATE as DATE_T  # noqa: E402
+
+
+def _session_tz_tables():
+    from velox_tpu.utils.config import config
+    from velox_tpu.utils.tz import zone_tables_us
+
+    return zone_tables_us(config.session_timezone)
+
+
+def _session_adjust(a0: Expr) -> Expr:
+    """Wrap a TIMESTAMP expr with the session-zone adjustment (no-op
+    for UTC sessions — velox adjust_timestamp_to_session_timezone)."""
+    from velox_tpu.utils.config import config
+
+    if config.session_timezone.strip().upper() in ("UTC", "GMT", ""):
+        return a0
+    tr, of = _session_tz_tables()
+    return Call(a0.dtype, "__tz_adjust",
+                (a0, Literal(BIGINT, tr), Literal(BIGINT, of)))
+
+
 def _substitute_param(expr: Expr, param: str, repl: Expr) -> Expr:
     if isinstance(expr, FieldRef):
         return repl if expr.name == param else expr
@@ -790,6 +858,9 @@ def bind_strings(expr: Expr, dictionaries: Dict[str, "Dictionary"],
 
     if name == "substr":
         return _bind_substr(args, dictionaries)
+    if name in ("trim", "ltrim", "rtrim") and len(args) == 2:
+        # trim(string, chars) overloads (StringFunctions.h)
+        return _bind_string_multi(name + "2", args, dictionaries)
     if name in _STRING_HOST_FNS or name == "length" or name == "concat":
         return _bind_string_fn(name, args, dictionaries)
     if name in _STRING_MULTI_FNS:
@@ -939,6 +1010,36 @@ def _make_dict_value_fns():
         "ip_subnet_max": (VARCHAR, H.ip_subnet_max),
         "is_subnet_of": (BOOLEAN, H.is_subnet_of),
         "is_private_ip": (BOOLEAN, H.is_private_ip),
+        # binary functions (velox/functions/prestosql/BinaryFunctions.h)
+        "sha1": (VARCHAR, H.sha1_hex),
+        "sha512": (VARCHAR, H.sha512_hex),
+        "xxhash64": (VARCHAR, H.xxhash64_hex),
+        "hmac_sha1": (VARCHAR, H.hmac_sha1),
+        "hmac_sha256": (VARCHAR, H.hmac_sha256),
+        "hmac_sha512": (VARCHAR, H.hmac_sha512),
+        "hmac_md5": (VARCHAR, H.hmac_md5),
+        "to_hex": (VARCHAR, H.to_hex),
+        "from_hex": (VARCHAR, H.from_hex),
+        "to_base64": (VARCHAR, H.to_base64),
+        "from_base64": (VARCHAR, H.from_base64),
+        "to_base64url": (VARCHAR, H.to_base64url),
+        "from_base64url": (VARCHAR, H.from_base64url),
+        "to_base32": (VARCHAR, H.to_base32),
+        "from_base32": (VARCHAR, H.from_base32),
+        "from_utf8": (VARCHAR, H.from_utf8),
+        "to_utf8": (VARCHAR, H.to_utf8),
+        "from_base": (BIGINT, H.from_base),
+        # string additions (StringFunctions.h)
+        "soundex": (VARCHAR, H.soundex),
+        "translate": (VARCHAR, H.translate3),
+        "luhn_check": (BOOLEAN, H.luhn_check),
+        "url_encode": (VARCHAR, H.url_encode),
+        "url_decode": (VARCHAR, H.url_decode),
+        # JSON additions (JsonFunctions.h)
+        "json_parse": (VARCHAR, H.json_parse),
+        "json_format": (VARCHAR, H.json_format),
+        "json_array_contains": (BOOLEAN, H.json_array_contains),
+        "json_array_get": (VARCHAR, H.json_array_get),
     }
 
 
@@ -951,6 +1052,22 @@ def _bind_dict_value(name, args, dictionaries) -> Expr:
     from velox_tpu.vector.column import Dictionary
 
     dst, fn = _DICT_VALUE_FNS[name]
+    # all-literal call: constant-fold on host (velox ExprOptimizer
+    # constant folding analog)
+    if all(isinstance(a, Literal) for a in args):
+        try:
+            v = fn(*[a.value for a in args])
+        except Exception:
+            v = None
+        if dst.is_string:
+            from velox_tpu.vector.column import Dictionary
+
+            nd = Dictionary([] if v is None else [str(v)])
+            code = Literal(INTEGER, -1 if v is None else 0)
+            table = np.asarray([-1] if v is None else [-1, 0],
+                               np.int32)
+            return DictTransform(dst, code, table, nd)
+        return Literal(dst, v)
     # one argument is the dictionary column (usually the first, but e.g.
     # is_subnet_of(prefix_literal, ip_column) keys on a later one);
     # every other argument must be a literal
@@ -1045,6 +1162,10 @@ def _split_part(s, delim, idx):
 
 _STRING_MULTI_FNS = {
     "replace": lambda s, a, b="": s.replace(a, b),
+    "trim2": lambda s, chars: s.strip(chars),
+    "ltrim2": lambda s, chars: s.lstrip(chars),
+    "rtrim2": lambda s, chars: s.rstrip(chars),
+    "position": lambda s, sub: s.find(sub) + 1,
     "lpad": lambda s, n, p: (
         s[:n] if len(s) >= n
         else (p * n)[: n - len(s)] + s if p else s),

@@ -22,11 +22,111 @@ from urllib.parse import urlparse
 
 # ------------------------------------------------------------------ regex
 
+#: Java \p{...} / POSIX-in-class names -> Python character classes
+#: (velox/functions/lib/Re2Functions.h semantics bar; RE2's own table
+#: is re2/unicode_groups; only the names Presto docs use are mapped)
+_JAVA_CLASSES = {
+    "Alpha": "a-zA-Z", "Digit": "0-9", "Alnum": "a-zA-Z0-9",
+    "Upper": "A-Z", "Lower": "a-z", "Space": r" \t\n\x0b\f\r",
+    "Blank": r" \t", "Punct": r"!-/:-@\[-`{-~",
+    "XDigit": "0-9a-fA-F", "ASCII": r"\x00-\x7f",
+    "Graph": r"\x21-\x7e", "Print": r"\x20-\x7e",
+    "Cntrl": r"\x00-\x1f\x7f",
+    # Unicode one-letter categories (approximated with Python's
+    # perl-class complements where exact sets would need unicodedata)
+    "L": r"^\W\d_", "Lu": "A-Z", "Ll": "a-z",
+    "N": r"0-9", "Nd": "0-9",
+}
+
+
+_H_SPACE = ("[ \\t\\xa0\\u1680\\u2000-\\u200a"
+            "\\u202f\\u205f\\u3000]")
+_V_SPACE = "[\\n\\x0b\\f\\r\\x85\\u2028\\u2029]"
+
+
 def _java_regex(pattern: str) -> str:
-    """Presto uses Java (RE2-compatible) regex syntax; Python's ``re`` is
-    close enough for the supported subset. Translate the common
-    divergences."""
-    return pattern
+    """Translate Java (Presto) regex syntax to Python ``re``.
+
+    Python 3.12 natively supports possessive quantifiers and atomic
+    groups, so the remaining divergences are: ``\\p{...}``/``\\P{...}``
+    property classes, POSIX ``[[:name:]]`` classes, ``\\h``/``\\H``
+    horizontal and ``\\v``/``\\V`` vertical whitespace, and
+    ``\\Q...\\E`` literal quoting
+    (velox/functions/lib/Re2Functions.h is the semantics bar)."""
+    out = []
+    i = 0
+    n = len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < n:
+            nxt = pattern[i + 1]
+            if nxt in "pP" and i + 2 < n and pattern[i + 2] == "{":
+                end = pattern.find("}", i + 3)
+                if end > 0:
+                    cls = _JAVA_CLASSES.get(pattern[i + 3: end])
+                    if cls is not None:
+                        neg = (nxt == "P") != cls.startswith("^")
+                        body = cls.lstrip("^")
+                        out.append(f"[{'^' if neg else ''}{body}]")
+                        i = end + 1
+                        continue
+            if nxt == "Q":  # \Q ... \E literal span
+                end = pattern.find(r"\E", i + 2)
+                lit = pattern[i + 2: end if end >= 0 else n]
+                out.append(re.escape(lit))
+                i = (end + 2) if end >= 0 else n
+                continue
+            if nxt == "h":
+                out.append(_H_SPACE)
+                i += 2
+                continue
+            if nxt == "H":
+                out.append(_H_SPACE.replace("[", "[^", 1))
+                i += 2
+                continue
+            if nxt == "v":
+                out.append(_V_SPACE)
+                i += 2
+                continue
+            if nxt == "V":
+                out.append(_V_SPACE.replace("[", "[^", 1))
+                i += 2
+                continue
+            out.append(pattern[i: i + 2])
+            i += 2
+            continue
+        if ch == "[" and pattern.startswith("[:", i + 1):
+            # POSIX class inside brackets: [[:alpha:][:digit:]] etc.
+            end = pattern.find("]", i + 1)
+            # rebuild the bracket expression replacing [:name:] parts
+            j = i + 1
+            body = []
+            neg = ""
+            if j < n and pattern[j] == "^":
+                neg = "^"
+                j += 1
+            while j < n and pattern[j] != "]":
+                if pattern.startswith("[:", j):
+                    pend = pattern.find(":]", j + 2)
+                    if pend > 0:
+                        nm = pattern[j + 2: pend].capitalize()
+                        nm = {"Xdigit": "XDigit", "Ascii": "ASCII"}.get(
+                            nm, nm)
+                        body.append(_JAVA_CLASSES.get(nm, ""))
+                        j = pend + 2
+                        continue
+                if pattern[j] == "\\" and j + 1 < n:
+                    body.append(pattern[j: j + 2])
+                    j += 2
+                    continue
+                body.append(pattern[j])
+                j += 1
+            out.append(f"[{neg}{''.join(body)}]")
+            i = j + 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 def regexp_like(s: str, pattern: str) -> bool:
@@ -493,3 +593,319 @@ def is_private_ip(ip: str) -> "bool | None":
         return ipaddress.ip_address(ip.strip()).is_private
     except ValueError:
         return None
+
+
+# ----------------------------------------------------- binary functions
+# velox/functions/prestosql/BinaryFunctions.h. VARBINARY rides VARCHAR
+# dictionary columns; byte payloads are represented as the reference's
+# canonical presentation forms (hex upper for to_hex, base64 text,
+# utf-8 passthrough for to_utf8/from_utf8 — documented deviation from
+# true binary lanes).
+
+def sha1_hex(s: str) -> str:
+    import hashlib
+
+    return hashlib.sha1(s.encode()).hexdigest()
+
+
+def sha512_hex(s: str) -> str:
+    import hashlib
+
+    return hashlib.sha512(s.encode()).hexdigest()
+
+
+def xxhash64_hex(s: str) -> str:
+    """xxhash64(varbinary) -> varbinary. No xxhash module in-image:
+    use the reference algorithm reimplemented (XXH64, seed 0)."""
+    data = s.encode()
+    p1, p2, p3, p4, p5 = (
+        11400714785074694791, 14029467366897019727, 1609587929392839161,
+        9650029242287828579, 2870177450012600261)
+    mask = (1 << 64) - 1
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & mask
+
+    n = len(data)
+    if n >= 32:
+        v1 = (p1 + p2) & mask
+        v2 = p2
+        v3 = 0
+        v4 = (-p1) & mask
+        i = 0
+        while i + 32 <= n:
+            for j, v in enumerate((v1, v2, v3, v4)):
+                lane = int.from_bytes(data[i + 8 * j: i + 8 * j + 8],
+                                      "little")
+                v = (v + lane * p2) & mask
+                v = rotl(v, 31)
+                v = (v * p1) & mask
+                if j == 0:
+                    v1 = v
+                elif j == 1:
+                    v2 = v
+                elif j == 2:
+                    v3 = v
+                else:
+                    v4 = v
+            i += 32
+        h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12)
+             + rotl(v4, 18)) & mask
+        for v in (v1, v2, v3, v4):
+            v = (v * p2) & mask
+            v = rotl(v, 31)
+            v = (v * p1) & mask
+            h = ((h ^ v) * p1 + p4) & mask
+    else:
+        h = (p5) & mask
+        i = 0
+    h = (h + n) & mask
+    while i + 8 <= n:
+        lane = int.from_bytes(data[i: i + 8], "little")
+        k = (lane * p2) & mask
+        k = rotl(k, 31)
+        k = (k * p1) & mask
+        h = (rotl(h ^ k, 27) * p1 + p4) & mask
+        i += 8
+    if i + 4 <= n:
+        lane = int.from_bytes(data[i: i + 4], "little")
+        h = (rotl(h ^ ((lane * p1) & mask), 23) * p2 + p3) & mask
+        i += 4
+    while i < n:
+        h = (rotl(h ^ ((data[i] * p5) & mask), 11) * p1) & mask
+        i += 1
+    h ^= h >> 33
+    h = (h * p2) & mask
+    h ^= h >> 29
+    h = (h * p3) & mask
+    h ^= h >> 32
+    return h.to_bytes(8, "big").hex()
+
+
+def _hmac_hex(algo: str):
+    def fn(s: str, key: str) -> str:
+        import hashlib
+        import hmac as _hmac
+
+        return _hmac.new(key.encode(), s.encode(), algo).hexdigest()
+    return fn
+
+
+hmac_sha1 = _hmac_hex("sha1")
+hmac_sha256 = _hmac_hex("sha256")
+hmac_sha512 = _hmac_hex("sha512")
+hmac_md5 = _hmac_hex("md5")
+
+
+def to_hex(s: str) -> str:
+    return s.encode().hex().upper()
+
+
+def from_hex(s: str) -> "str | None":
+    try:
+        return bytes.fromhex(s).decode("utf-8", errors="replace")
+    except ValueError:
+        return None
+
+
+def to_base64(s: str) -> str:
+    import base64
+
+    return base64.b64encode(s.encode()).decode()
+
+
+def from_base64(s: str) -> "str | None":
+    import base64
+
+    try:
+        pad = s + "=" * (-len(s) % 4)
+        return base64.b64decode(pad).decode("utf-8", errors="replace")
+    except Exception:
+        return None
+
+
+def to_base64url(s: str) -> str:
+    import base64
+
+    return base64.urlsafe_b64encode(s.encode()).decode()
+
+
+def from_base64url(s: str) -> "str | None":
+    import base64
+
+    try:
+        pad = s + "=" * (-len(s) % 4)
+        return base64.urlsafe_b64decode(pad).decode(
+            "utf-8", errors="replace")
+    except Exception:
+        return None
+
+
+def to_base32(s: str) -> str:
+    import base64
+
+    return base64.b32encode(s.encode()).decode()
+
+
+def from_base32(s: str) -> "str | None":
+    import base64
+
+    try:
+        pad = s + "=" * (-len(s) % 8)
+        return base64.b32decode(pad).decode("utf-8", errors="replace")
+    except Exception:
+        return None
+
+
+def from_utf8(s: str) -> str:
+    return s  # varbinary rides varchar lanes (module docstring)
+
+
+def to_utf8(s: str) -> str:
+    return s
+
+
+def from_base(s: str, radix: int) -> "int | None":
+    """from_base(varchar, radix) -> bigint (StringFunctions.h)."""
+    try:
+        return int(s.strip(), int(radix))
+    except (ValueError, TypeError):
+        return None
+
+
+# ------------------------------------------------- string additions
+# velox/functions/prestosql/StringFunctions.h
+
+def soundex(s: str) -> str:
+    s = s.strip()
+    if not s or not s[0].isalpha():
+        return s
+    codes = {**dict.fromkeys("BFPV", "1"),
+             **dict.fromkeys("CGJKQSXZ", "2"),
+             **dict.fromkeys("DT", "3"), "L": "4",
+             **dict.fromkeys("MN", "5"), "R": "6"}
+    up = s.upper()
+    out = [up[0]]
+    prev = codes.get(up[0], "")
+    for ch in up[1:]:
+        c = codes.get(ch, "")
+        if c and c != prev:
+            out.append(c)
+        if ch not in "HW":
+            prev = c
+        if len(out) == 4:
+            break
+    return ("".join(out) + "000")[:4]
+
+
+def translate3(s: str, frm: str, to: str) -> str:
+    table = {}
+    for i, ch in enumerate(frm):
+        if ch in table:
+            continue
+        table[ch] = to[i] if i < len(to) else None
+    out = []
+    for ch in s:
+        if ch in table:
+            if table[ch] is not None:
+                out.append(table[ch])
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def trim_chars(s: str, chars: str) -> str:
+    return s.strip(chars)
+
+
+def ltrim_chars(s: str, chars: str) -> str:
+    return s.lstrip(chars)
+
+
+def rtrim_chars(s: str, chars: str) -> str:
+    return s.rstrip(chars)
+
+
+def luhn_check(s: str) -> "bool | None":
+    if not s.isdigit():
+        return None
+    total = 0
+    for i, ch in enumerate(reversed(s)):
+        d = int(ch)
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+def url_encode(s: str) -> str:
+    from urllib.parse import quote_plus
+
+    return quote_plus(s)
+
+
+def url_decode(s: str) -> "str | None":
+    from urllib.parse import unquote_plus
+
+    try:
+        return unquote_plus(s)
+    except Exception:
+        return None
+
+
+# ------------------------------------------------- JSON additions
+# velox/functions/prestosql/JsonFunctions.h
+
+def json_parse(s: str) -> "str | None":
+    """Canonicalize (Presto json_parse output form: compact, sorted
+    keys like the reference's canonicalization)."""
+    try:
+        return json.dumps(json.loads(s), separators=(",", ":"),
+                          sort_keys=True)
+    except (ValueError, TypeError):
+        return None
+
+
+def json_format(s: str) -> "str | None":
+    try:
+        return json.dumps(json.loads(s), separators=(",", ":"))
+    except (ValueError, TypeError):
+        return None
+
+
+def json_array_contains(s: str, value) -> "bool | None":
+    try:
+        arr = json.loads(s)
+    except (ValueError, TypeError):
+        return None
+    if not isinstance(arr, list):
+        return None
+    if isinstance(value, str) and value.startswith("'"):
+        value = value.strip("'")
+    for e in arr:
+        if e == value:
+            return True
+        if (isinstance(e, (int, float))
+                and isinstance(value, (int, float)) and e == value):
+            return True
+    return False
+
+
+def json_array_get(s: str, index: int) -> "str | None":
+    try:
+        arr = json.loads(s)
+    except (ValueError, TypeError):
+        return None
+    if not isinstance(arr, list):
+        return None
+    i = int(index)
+    if i < 0:
+        i += len(arr)
+    if not 0 <= i < len(arr):
+        return None
+    e = arr[i]
+    if isinstance(e, str):
+        return e
+    return json.dumps(e, separators=(",", ":"))

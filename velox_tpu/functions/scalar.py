@@ -991,3 +991,175 @@ def _data_size_impl(v):
 
 register_function(ScalarFunction(
     "data_size_for_stats", _data_size_resolve, _data_size_impl))
+
+
+# ---------------------------------------------- probability functions
+# velox/functions/prestosql/Probability*.h (registration/
+# ProbabilityTrigonometricFunctionsRegistration.cpp). Transcendental
+# internals run in float32 — f64 transcendentals are software-emulated
+# (and some hang the compiler) on the tunneled TPU backend
+# (BASELINE.md round-1 notes); results widen back to f64. Documented
+# precision deviation: ~1e-7 relative vs the reference's long doubles.
+
+def _f32(x):
+    return x.astype(jnp.float32)
+
+
+def _prob2(fn):
+    def impl(a, b):
+        return fn(_f32(a), _f32(b)).astype(jnp.float64)
+    return impl
+
+
+def _prob3(fn):
+    def impl(a, b, c):
+        return fn(_f32(a), _f32(b), _f32(c)).astype(jnp.float64)
+    return impl
+
+
+def _register_prob(name, nargs, fn):
+    impl = _prob2(fn) if nargs == 2 else _prob3(fn)
+    register_function(ScalarFunction(
+        name, lambda a: DOUBLE, impl))
+
+
+import jax.scipy.special as _special
+
+_register_prob("normal_cdf", 3,
+               lambda m, sd, x: _special.ndtr((x - m) / sd))
+_register_prob("inverse_normal_cdf", 3,
+               lambda m, sd, p: m + sd * _special.ndtri(p))
+_register_prob("beta_cdf", 3,
+               lambda a, b, x: _special.betainc(a, b, x))
+_register_prob("cauchy_cdf", 3,
+               lambda m, s, x: 0.5 + jnp.arctan2(x - m, s) / jnp.pi)
+_register_prob("chi_squared_cdf", 2,
+               lambda k, x: _special.gammainc(k * 0.5, x * 0.5))
+_register_prob("gamma_cdf", 3,
+               lambda shape, scale, x: _special.gammainc(
+                   shape, x / scale))
+_register_prob("laplace_cdf", 3,
+               lambda m, s, x: jnp.where(
+                   x < m, 0.5 * jnp.exp((x - m) / s),
+                   1.0 - 0.5 * jnp.exp(-(x - m) / s)))
+_register_prob("poisson_cdf", 2,
+               lambda lam, k: _special.gammaincc(
+                   jnp.floor(k) + 1.0, lam))
+_register_prob("weibull_cdf", 3,
+               lambda a, b, x: -jnp.expm1(-jnp.power(
+                   jnp.maximum(x, 0.0) / b, a)))
+_register_prob("f_cdf", 3,
+               lambda d1, d2, x: _special.betainc(
+                   d1 * 0.5, d2 * 0.5,
+                   d1 * x / (d1 * x + d2)))
+_register_prob("binomial_cdf", 3,
+               lambda n, p, k: jnp.where(
+                   k >= n, 1.0,
+                   jnp.where(k < 0, 0.0, _special.betainc(
+                       jnp.maximum(n - jnp.floor(k), 1.0),
+                       jnp.floor(k) + 1.0, 1.0 - p))))
+
+
+def _wilson(lo: bool):
+    def impl(s, n, z):
+        s32, n32, z32 = _f32(s), _f32(n), _f32(z)
+        p = s32 / n32
+        z2 = z32 * z32
+        denom = 1.0 + z2 / n32
+        center = p + z2 / (2.0 * n32)
+        spread = z32 * jnp.sqrt(
+            p * (1.0 - p) / n32 + z2 / (4.0 * n32 * n32))
+        v = (center - spread if lo else center + spread) / denom
+        return v.astype(jnp.float64)
+    return impl
+
+
+register_function(ScalarFunction(
+    "wilson_interval_lower", lambda a: DOUBLE, _wilson(True)))
+register_function(ScalarFunction(
+    "wilson_interval_upper", lambda a: DOUBLE, _wilson(False)))
+
+
+def _width_bucket_impl(x, lo, hi, n):
+    # velox/functions/prestosql/WidthBucketArray.h scalar form
+    below = x < jnp.minimum(lo, hi)
+    above = x >= jnp.maximum(lo, hi)
+    asc = lo < hi
+    frac = (x - lo) / (hi - lo)
+    b = jnp.floor(frac * n.astype(frac.dtype)).astype(jnp.int64) + 1
+    b = jnp.clip(b, 1, n)
+    out = jnp.where(
+        asc,
+        jnp.where(below, 0, jnp.where(above, n + 1, b)),
+        jnp.where(x > jnp.maximum(lo, hi), 0,
+                  jnp.where(x <= jnp.minimum(lo, hi), n + 1, b)))
+    return out.astype(jnp.int64)
+
+
+register_function(ScalarFunction(
+    "width_bucket", lambda a: BIGINT, _width_bucket_impl))
+
+register_function(ScalarFunction(
+    "ceiling", lambda a: a[0], lambda a: jnp.ceil(a)))
+register_function(ScalarFunction(
+    "pow", lambda a: DOUBLE, lambda a, b: jnp.power(a, b)))
+
+
+# -------------------------------------------- session timezone support
+# velox/core/QueryConfig.h:103 adjust_timestamp_to_session_timezone +
+# velox/type/tz/. A zone becomes two captured device arrays
+# (transition instants, utc offsets, utils/tz.py); adjustment is one
+# searchsorted + gather. The compiler wraps TIMESTAMP args of part
+# functions with __tz_adjust when the session zone is not UTC
+# (expr/compiler.py resolve_types).
+
+def _ts_days_impl(ts):
+    return jnp.floor_divide(ts, _US_DAY).astype(jnp.int32)
+
+
+register_function(ScalarFunction(
+    "__ts_days", lambda a: DATE, _ts_days_impl))
+
+
+def _tz_adjust_impl(ts, trans, offs):
+    idx = jnp.searchsorted(trans, ts, side="right") - 1
+    idx = jnp.clip(idx, 0, offs.shape[0] - 1)
+    return ts + jnp.take(offs, idx, mode="clip")
+
+
+register_function(ScalarFunction(
+    "__tz_adjust", lambda a: TIMESTAMP, _tz_adjust_impl))
+
+
+def _tz_unadjust_impl(ts, trans, offs):
+    """Inverse adjustment (wall clock -> instant): the offset at the
+    wall-clock value approximates the offset at the instant (exact
+    except within an hour of a DST flip — velox's tz conversion has the
+    same ambiguity window and also picks one side)."""
+    idx = jnp.searchsorted(trans, ts, side="right") - 1
+    idx = jnp.clip(idx, 0, offs.shape[0] - 1)
+    return ts - jnp.take(offs, idx, mode="clip")
+
+
+register_function(ScalarFunction(
+    "__tz_unadjust", lambda a: TIMESTAMP, _tz_unadjust_impl))
+
+
+def _tz_offset_part(div):
+    def impl(ts, trans, offs):
+        idx = jnp.clip(
+            jnp.searchsorted(trans, ts, side="right") - 1,
+            0, offs.shape[0] - 1)
+        off_s = jnp.take(offs, idx, mode="clip") // 1_000_000
+        sign = jnp.where(off_s < 0, -1, 1)
+        mag = jnp.abs(off_s)
+        # truncate toward zero: -05:30 -> hour -5, minute -30 (Presto)
+        part = mag // 3600 if div == 3600 else (mag % 3600) // 60
+        return (sign * part).astype(jnp.int64)
+    return impl
+
+
+register_function(ScalarFunction(
+    "__timezone_hour", lambda a: BIGINT, _tz_offset_part(3600)))
+register_function(ScalarFunction(
+    "__timezone_minute", lambda a: BIGINT, _tz_offset_part(60)))

@@ -25,6 +25,12 @@ class SessionConfig:
     #: preferred_output_batch_rows analog)
     preferred_batch_rows: int = 1 << 20
 
+    #: session timezone (velox QueryConfig.h:103
+    #: adjust_timestamp_to_session_timezone + session_timezone):
+    #: timestamp part extraction (hour/day/year/...) interprets
+    #: instants in this zone via device offset tables (utils/tz.py)
+    session_timezone: str = "UTC"
+
     #: kArray aggregation mode cap (velox kArrayHashMaxSize analog)
     max_array_groups: int = 1 << 20
 
