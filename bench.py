@@ -117,6 +117,38 @@ def main() -> None:
         "q18": tpch_plan(18).build(),
     }
 
+    # bytes each query's device pipeline must touch at minimum: the
+    # referenced fact/dim column lanes (int32/int64/f64 per ingest
+    # layout). Drives the roofline fraction: (bytes/wall) / HBM BW
+    # (v5e HBM ~819 GB/s; BASELINE.json >=80%-of-roofline target,
+    # model velox/benchmarks/tpch/TpchBenchmark.cpp:27-60).
+    _HBM_GBPS = 819.0
+    import pyarrow as pa
+
+    def _width(t) -> int:
+        if pa.types.is_string(t) or pa.types.is_dictionary(t):
+            return 4  # device lane is int32 dictionary codes
+        try:
+            return t.bit_width // 8
+        except (ValueError, AttributeError):
+            return 8
+
+    col_bytes = {}
+    for tname, tab in tables.items():
+        for fld in tab.schema:
+            col_bytes[fld.name] = tab.num_rows * _width(fld.type)
+    _Q_COLS = {
+        "q1": ["l_returnflag", "l_linestatus", "l_quantity",
+               "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
+        "q3": ["l_orderkey", "l_extendedprice", "l_discount",
+               "l_shipdate", "o_orderkey", "o_custkey", "o_orderdate",
+               "o_shippriority", "c_custkey", "c_mktsegment"],
+        "q6": ["l_quantity", "l_extendedprice", "l_discount",
+               "l_shipdate"],
+        "q18": ["l_orderkey", "l_quantity", "o_orderkey", "o_custkey",
+                "o_orderdate", "o_totalprice", "c_custkey", "c_name"],
+    }
+
     detail = {}
     ratios = []
     tpu_rows_s = []
@@ -132,12 +164,16 @@ def main() -> None:
         best = min(times)
         rows_s = n_li / best
         base_rows_s = n_li / acero[name]
+        touched = sum(col_bytes.get(c, 0) for c in _Q_COLS[name])
+        roofline = (touched / best) / (_HBM_GBPS * 1e9)
         detail[name] = {
             "wall_ms": round(best * 1e3, 1),
             "rows_per_s": round(rows_s),
             "warmup_s": round(warm_s, 1),
             "acero_ms": round(acero[name] * 1e3, 1),
             "vs_acero": round(rows_s / base_rows_s, 3),
+            "bytes_touched_mb": round(touched / 1e6, 1),
+            "roofline_frac": round(roofline, 4),
             "out_rows": result.num_rows,
             "acero_out_rows": acero_out[name].num_rows,
         }

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from velox_tpu.types import BOOLEAN, DataType
+from velox_tpu.types import BIGINT, BOOLEAN, DataType
 from velox_tpu.types.types import TypeKind
 from velox_tpu.expr.ir import FieldRef
 from velox_tpu.vector.batch import Batch, concat_batches, round_capacity
@@ -104,11 +104,13 @@ class TableScanOp(Operator):
 
     def __init__(self, node):
         super().__init__(node)
-        from velox_tpu.io.catalog import get_table
-
         allc = getattr(node, "all_columns", node.columns)
-        self._splits = collections.deque(
-            get_table(node.table).make_splits(allc, node.subfilter))
+        self._allc = allc
+        #: splits realize LAZILY on first access: dynamic filters
+        #: pushed at build publication reach the parquet row-group
+        #: pruner (velox dwio ScanSpec update on addDynamicFilter,
+        #: exec/TableScan.cpp dynamic-filter intake)
+        self._splits_cache: Optional[collections.deque] = None
         fschema = node.output_type
         if getattr(node, "filter_columns", ()):
             from velox_tpu.io.catalog import get_table as _gt
@@ -123,6 +125,27 @@ class TableScanOp(Operator):
         # dynamic filters pushed down mid-query by joins
         # (velox/exec/HashProbe.cpp:419-444 analog)
         self.dynamic_filters: List[ExprEvaluator] = []
+        self._fschema = fschema
+
+    @property
+    def _splits(self) -> collections.deque:
+        if self._splits_cache is None:
+            from velox_tpu.io.catalog import get_table
+
+            sub = self.node.subfilter
+            # fold pushed dynamic filters into the scan predicate so
+            # file-backed tables prune row groups / pre-filter rows on
+            # them too
+            for df in self.dynamic_filters:
+                for e in df.exprs:
+                    from velox_tpu.expr.ir import Call as _C
+
+                    sub = e if sub is None else _C(BOOLEAN, "and",
+                                                  (sub, e))
+            self._splits_cache = collections.deque(
+                get_table(self.node.table).make_splits(
+                    self._allc, sub))
+        return self._splits_cache
 
     def get_output(self) -> Optional[Batch]:
         if not self._splits:
@@ -2684,6 +2707,17 @@ class JoinBridge:
         #: partition at a time
         self.spill_parts = None
         self.spill_empty = False
+        #: fired when the build publishes (dynamic-filter pushdown
+        #: happens HERE, before the probe-side scan realizes its lazy
+        #: splits — velox HashProbe pushes on first input instead,
+        #: exec/HashProbe.cpp:419; publishing-time pushdown lets the
+        #: parquet row-group pruner see the filter too)
+        self.on_ready: List[Callable] = []
+
+    def mark_ready(self) -> None:
+        self.ready = True
+        for cb in self.on_ready:
+            cb()
 
 
 class HashBuildOp(Operator):
@@ -2762,7 +2796,7 @@ class HashBuildOp(Operator):
         br = self.bridge
         br.spill_parts = parts
         br.spill_empty = not any_rows
-        br.ready = True
+        br.mark_ready()
 
     def _build_state(self, node, big: Batch) -> None:
         build_bridge_state(
@@ -2822,7 +2856,7 @@ def build_bridge_state(bridge, node, big: Batch, index_build) -> None:
         br.tables, br.key_lo = tables, (rng_hint[0] if rng_hint else 0)
         br.matched = jnp.zeros((big.capacity,), jnp.bool_)
         br.build_has_null_key = bool(has_null)
-        br.ready = True
+        br.mark_ready()
 
 
 class HashProbeOp(Operator):
@@ -2847,40 +2881,104 @@ class HashProbeOp(Operator):
         self._expand_jits: Dict[tuple, Callable] = {}
         self._pushdown_scan = None  # set by LocalPlanner
         self._pushdown_done = False
+        bridge.on_ready.append(self._on_build_ready)
         self._probe_buf = None       # spilled-build probe buffering
         self._spill_pending = None   # partition ids left to process
         self._probe_parts = None     # per-partition probe host fragments
         self._spill_global_null = False
 
+    #: value sets at most this large push as exact sorted IN-tables
+    _SET_PUSH_MAX = 4096
+    #: string sets at most this large push as IN literal lists (bound
+    #: per probe dictionary — works across differing dictionaries)
+    _STR_SET_MAX = 100
+    #: build columns beyond this capacity skip pushdown (D2H cost)
+    _PUSH_CAP_MAX = 1 << 21
+
+    def _on_build_ready(self) -> None:
+        if not self._pushdown_done and self._pushdown_scan is not None:
+            self._push_dynamic_filter()
+
     def _push_dynamic_filter(self) -> None:
-        """Push the build side's key range into the probe-side scan
-        (velox dynamic filter pushdown). Single non-dictionary key only."""
+        """Push build-side key filters into the probe-side scan: exact
+        IN-sets for small builds (incl. dictionary string keys and
+        every eligible key of a multi-key join), min/max ranges, and a
+        bloom bitmask for large integer builds
+        (velox/exec/HashProbe.cpp:419-444 dynamic filters; value sets +
+        bloom per velox/common/base/BloomFilter.h, build pattern
+        velox/exec/HashTable.cpp:1036-1048). Fires at build
+        publication — BEFORE the scan realizes lazy parquet splits, so
+        the row-group pruner (io/catalog.py _may_match) prunes on
+        these filters too."""
         self._pushdown_done = True
         scan = self._pushdown_scan
         br = self.bridge
-        if scan is None or br.codec.multi or br.codec.dicts[0] is not None:
+        if (scan is None or not br.ready or br.spill_parts is not None
+                or br.build_batch is None):
             return
-        if not scan._splits:
-            # nothing left to filter: every fetch below is a tunnel
-            # round trip (~26ms each), pure waste on drained scans
+        if (scan._splits_cache is not None
+                and not scan._splits_cache):
+            # drained scan: every push below is wasted tunnel traffic
             return
-        n_active = getattr(br, "n_active_host", None)
-        if n_active is None:
-            n_active = int(br.n_active)
-        key = self.node.left_keys[0]
-        if n_active == 0:
-            from velox_tpu.expr.ir import lit
+        big = br.build_batch
+        if big.capacity > self._PUSH_CAP_MAX:
+            return
+        from velox_tpu.expr.ir import (
+            Call as _Call, FieldRef as _FR, Literal as _Lit, and_,
+            field, gte, lit, lte,
+        )
 
+        sel_host = np.asarray(big.sel)
+        if not sel_host.any():
             scan.dynamic_filters.append(ExprEvaluator(
-                [lit(False)], scan.node.output_type))
+                [lit(False)], scan._fschema))
             return
-        lo = int(br.sorted_keys[0])
-        hi = int(br.sorted_keys[n_active - 1])
-        from velox_tpu.expr.ir import and_, field, gte, lit, lte
+        scan_cols = set(getattr(scan.node, "all_columns",
+                                scan.node.columns))
+        conjs = []
+        for lk, rk in zip(self.node.left_keys, self.node.right_keys):
+            if lk not in scan_cols:
+                continue
+            col = big.column(rk)
+            vals = np.asarray(col.values)
+            m = sel_host
+            if col.valid is not None:
+                m = np.logical_and(m, np.asarray(col.valid))
+            live = vals[m]
+            if live.size == 0:
+                continue
+            if col.dictionary is not None:
+                # decode distinct build codes; the IN literal list
+                # re-binds against the PROBE side's own dictionary
+                codes = np.unique(live)
+                codes = codes[codes >= 0]
+                if len(codes) > self._STR_SET_MAX:
+                    continue
+                svals = [str(col.dictionary.values[c]) for c in codes]
+                conjs.append(_Call(BOOLEAN, "in", tuple(
+                    [field(lk)] + [_Lit(None, s) for s in svals])))
+                continue
+            u = np.unique(live)
+            f = field(lk)
+            if len(u) <= self._SET_PUSH_MAX:
+                table = np.ascontiguousarray(u)
+                conjs.append(_Call(BOOLEAN, "__in_table",
+                                   (f, _Lit(BIGINT, table))))
+            else:
+                conjs.append(and_(gte(f, lit(u[0].item())),
+                                  lte(f, lit(u[-1].item()))))
+                from velox_tpu.ops.bloom import build_bloom
 
-        expr = and_(gte(field(key), lit(lo)), lte(field(key), lit(hi)))
+                words = build_bloom(u)
+                conjs.append(_Call(BOOLEAN, "__bloom_contains",
+                                   (f, _Lit(BIGINT, words))))
+        if not conjs:
+            return
+        expr = conjs[0]
+        for c in conjs[1:]:
+            expr = _Call(BOOLEAN, "and", (expr, c))
         scan.dynamic_filters.append(
-            ExprEvaluator([expr], scan.node.output_type))
+            ExprEvaluator([expr], scan._fschema))
 
     # ------------------------------------------------------------ helpers
     @property
@@ -3372,7 +3470,7 @@ class CrossBuildOp(Operator):
         sel_sorted = jnp.take(big.sel, perm, mode="clip")
         self.bridge.build_batch = big.gather(perm, sel_sorted)
         self.bridge.n_active = int(jnp.sum(big.sel))
-        self.bridge.ready = True
+        self.bridge.mark_ready()
 
     def get_output(self) -> Optional[Batch]:
         return None

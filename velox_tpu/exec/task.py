@@ -121,8 +121,8 @@ class LocalPlanner:
             # dynamic filter pushdown: build-side key range to the probe
             # side's scan (velox/exec/HashProbe.cpp:419-444)
             if (isinstance(chain[0], TableScanOp)
-                    and len(node.left_keys) == 1
-                    and node.left_keys[0] in chain[0].node.columns
+                    and any(k in chain[0].node.columns
+                            for k in node.left_keys)
                     and node.join_type in (
                         JT.INNER, JT.LEFT_SEMI, JT.RIGHT,
                         JT.RIGHT_SEMI)):

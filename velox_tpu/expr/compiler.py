@@ -97,6 +97,11 @@ def resolve_types(expr: Expr, schema: RowType) -> Expr:
     if isinstance(expr, Call):
         if expr.name in _HIGHER_ORDER_FUNCS:
             return _resolve_higher_order(expr, schema)
+        if expr.name in ("eq", "neq", "lt", "lte", "gt", "gte",
+                         "between", "is_null", "is_not_null"):
+            wc = _resolve_wide_compare(expr, schema)
+            if wc is not None:
+                return wc
         args = tuple(resolve_types(a, schema) for a in expr.args)
         name = expr.name
 
@@ -599,6 +604,102 @@ def _wrap_captures(expr: Expr, params, lanes) -> Expr:
     if isinstance(expr, TryExpr):
         return TryExpr(expr.dtype, _wrap_captures(expr.expr, params, lanes))
     return expr
+
+
+def _wide_lanes(schema: RowType, name: str):
+    """(lane FieldRefs, scale) when ``name`` is a shredded long-decimal
+    column (types/widedec.py lane naming), else None."""
+    for n in schema.names:
+        if n.startswith(f"{name}#w2s"):
+            from velox_tpu.types.widedec import parse_lane
+
+            base, _d, scale = parse_lane(n)
+            if base != name:
+                continue
+            lanes = [f"{name}#w{d}s{scale}" for d in (2, 1, 0)]
+            if all(schema.contains(x) for x in lanes):
+                return ([FieldRef(BIGINT, x) for x in lanes], scale)
+    return None
+
+
+def _resolve_wide_compare(expr: Call, schema: RowType):
+    """Comparisons on shredded long-decimal columns: a value literal
+    digit-splits (types/widedec.py) and the compare becomes a
+    lexicographic chain over the three signed-digit lanes (the signed
+    digits order exactly like the int128 values —
+    velox/type/HugeInt.h comparison semantics)."""
+    from velox_tpu.types.widedec import split_ints
+
+    ref = next((a for a in expr.args if isinstance(a, FieldRef)
+                and not schema.contains(a.name)), None)
+    if ref is None:
+        return None
+    wl = _wide_lanes(schema, ref.name)
+    if wl is None:
+        return None
+    lanes, scale = wl
+    name = expr.name
+    if name in ("is_null", "is_not_null"):
+        return resolve_types(
+            Call(BOOLEAN, name, (lanes[0],)), schema)
+
+    def digits(e):
+        if not isinstance(e, Literal):
+            raise TypeError(
+                "long-decimal comparison needs a literal operand")
+        v = e.value
+        unscaled = int(round(v * 10 ** scale)) if not isinstance(
+            v, int) else v * 10 ** scale
+        d2, d1, d0 = split_ints([unscaled])
+        return [Literal(BIGINT, int(d2[0])), Literal(BIGINT, int(d1[0])),
+                Literal(BIGINT, int(d0[0]))]
+
+    def chain(op, lits):
+        # lexicographic (d2, d1, d0) <op> (L2, L1, L0)
+        l2, l1, l0 = lits
+        f2, f1, f0 = lanes
+        eq2 = Call(BOOLEAN, "eq", (f2, l2))
+        eq1 = Call(BOOLEAN, "eq", (f1, l1))
+        strict = Call(BOOLEAN, "or", (
+            Call(BOOLEAN, op, (f2, l2)),
+            Call(BOOLEAN, "and", (eq2, Call(BOOLEAN, "or", (
+                Call(BOOLEAN, op, (f1, l1)),
+                Call(BOOLEAN, "and",
+                     (eq1, Call(BOOLEAN, op, (f0, l0))))))))))
+        return strict
+
+    def equal(lits):
+        l2, l1, l0 = lits
+        f2, f1, f0 = lanes
+        return Call(BOOLEAN, "and", (
+            Call(BOOLEAN, "eq", (f2, l2)),
+            Call(BOOLEAN, "and", (Call(BOOLEAN, "eq", (f1, l1)),
+                                  Call(BOOLEAN, "eq", (f0, l0))))))
+
+    others = [a for a in expr.args if a is not ref]
+    if name == "between":
+        lo, hi = digits(others[0]), digits(others[1])
+        out = Call(BOOLEAN, "and", (
+            Call(BOOLEAN, "or", (chain("gt", lo), equal(lo))),
+            Call(BOOLEAN, "or", (chain("lt", hi), equal(hi)))))
+        return resolve_types(out, schema)
+    lits = digits(others[0])
+    field_first = isinstance(expr.args[0], FieldRef)
+    if name == "eq":
+        out = equal(lits)
+    elif name == "neq":
+        out = Call(BOOLEAN, "not", (equal(lits),))
+    else:
+        op = name
+        if not field_first:  # literal <op> field: flip
+            op = {"lt": "gt", "lte": "gte",
+                  "gt": "lt", "gte": "lte"}[op]
+        strict = {"lt": "lt", "lte": "lt",
+                  "gt": "gt", "gte": "gt"}[op]
+        out = chain(strict, lits)
+        if op in ("lte", "gte"):
+            out = Call(BOOLEAN, "or", (out, equal(lits)))
+    return resolve_types(out, schema)
 
 
 #: date parts that read DATE (day) lanes
@@ -1526,7 +1627,11 @@ def _eval_cast(v, valid, src: DataType, dst: DataType) -> ValuePair:
     if dst_dec:
         if src.is_floating:
             scaled = v * _DECIMAL_POW[dst.scale]
-            return jnp.rint(scaled).astype(dst.dtype), valid
+            # half away from zero (velox/type/DecimalUtil.h rescale)
+            r = jnp.sign(scaled) * jnp.floor(jnp.abs(scaled) + 0.5)
+            ok = jnp.isfinite(v)
+            valid = ok if valid is None else jnp.logical_and(valid, ok)
+            return r.astype(dst.dtype), valid
         if src.is_integer:
             return v.astype(dst.dtype) * _DECIMAL_POW[dst.scale], valid
         raise TypeError(f"cast {src} -> {dst}")
@@ -1534,9 +1639,34 @@ def _eval_cast(v, valid, src: DataType, dst: DataType) -> ValuePair:
         return v != 0, valid
     if src.kind == TypeKind.BOOLEAN:
         return v.astype(dst.dtype), valid
+    # date <-> timestamp (velox/type/TimestampConversion.h)
+    if (src.kind == TypeKind.DATE
+            and dst.kind == TypeKind.TIMESTAMP):
+        return v.astype(jnp.int64) * 86_400_000_000, valid
+    if (src.kind == TypeKind.TIMESTAMP
+            and dst.kind == TypeKind.DATE):
+        return (jnp.floor_divide(v, 86_400_000_000)
+                .astype(jnp.int32)), valid
     if dst.is_floating or dst.is_integer:
+        # Presto cast matrix (velox/type/Conversions.h): float->int
+        # rounds HALF AWAY FROM ZERO; overflow / NaN / inf are errors
+        # (nulls here — the engine's row-error convention)
         if src.is_floating and dst.is_integer:
-            return jnp.rint(v).astype(dst.dtype), valid
+            info = np.iinfo(dst.dtype)
+            r = jnp.sign(v) * jnp.floor(jnp.abs(v) + 0.5)
+            ok = jnp.logical_and(
+                jnp.isfinite(v),
+                jnp.logical_and(r >= float(info.min),
+                                r <= float(info.max)))
+            valid = ok if valid is None else jnp.logical_and(valid, ok)
+            return r.astype(dst.dtype), valid
+        if (src.is_integer and dst.is_integer
+                and np.dtype(dst.dtype).itemsize
+                < np.dtype(src.dtype).itemsize):
+            info = np.iinfo(dst.dtype)
+            ok = jnp.logical_and(v >= info.min, v <= info.max)
+            valid = ok if valid is None else jnp.logical_and(valid, ok)
+            return v.astype(dst.dtype), valid
         return v.astype(dst.dtype), valid
     raise TypeError(f"unsupported cast {src} -> {dst}")
 

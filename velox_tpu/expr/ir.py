@@ -64,6 +64,14 @@ class Literal(Expr):
             return hash((self.dtype, id(self.value)))
         return hash((self.dtype, self.value))
 
+    def __repr__(self):
+        # ndarray payloads repr by identity: the default repr truncates
+        # ('...'), which would collide cache keys built from expr reprs
+        if isinstance(self.value, np.ndarray):
+            return (f"Literal(<array#{id(self.value)} "
+                    f"n={self.value.shape}>)")
+        return f"Literal({self.dtype!r}, {self.value!r})"
+
 
 @dataclass(frozen=True)
 class Call(Expr):

@@ -44,6 +44,7 @@ _TYPE_NAMES = {
     "SMALLINT": DataType(TypeKind.SMALLINT), "INTEGER": INTEGER,
     "INT": INTEGER, "BIGINT": BIGINT, "REAL": REAL, "DOUBLE": DOUBLE,
     "VARCHAR": VARCHAR, "DATE": DATE,
+    "TIMESTAMP": DataType(TypeKind.TIMESTAMP),
 }
 
 

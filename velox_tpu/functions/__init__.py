@@ -25,6 +25,11 @@ from velox_tpu.functions.aggregates_digest import (  # noqa: E402
 )
 
 register_percentile_digest()
+from velox_tpu.functions.aggregates_wide import (  # noqa: E402
+    register_wide_minmax,
+)
+
+register_wide_minmax()
 import velox_tpu.functions.aggregates_noisy  # noqa: F401  (registers)
 
 __all__ = [

@@ -1163,3 +1163,28 @@ register_function(ScalarFunction(
     "__timezone_hour", lambda a: BIGINT, _tz_offset_part(3600)))
 register_function(ScalarFunction(
     "__timezone_minute", lambda a: BIGINT, _tz_offset_part(60)))
+
+
+# ------------------------------------------- dynamic-filter internals
+# velox/exec/HashProbe.cpp:419-444 value-set + bloom pushdown forms.
+
+def _in_table_impl(v, table):
+    idx = jnp.searchsorted(table, v.astype(table.dtype))
+    inb = idx < table.shape[0]
+    hit = jnp.take(table, jnp.clip(idx, 0, table.shape[0] - 1),
+                   mode="clip") == v.astype(table.dtype)
+    return jnp.logical_and(inb, hit)
+
+
+register_function(ScalarFunction(
+    "__in_table", lambda a: BOOLEAN, _in_table_impl))
+
+
+def _bloom_contains_impl(v, words):
+    from velox_tpu.ops.bloom import bloom_contains_device
+
+    return bloom_contains_device(v, words)
+
+
+register_function(ScalarFunction(
+    "__bloom_contains", lambda a: BOOLEAN, _bloom_contains_impl))

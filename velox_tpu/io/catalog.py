@@ -35,6 +35,8 @@ class Table:
     #: plain column names; scanning "s" expands to its leaves, scanning
     #: "s.f1" prunes to one leaf)
     struct_groups: Dict[str, List[str]] = None  # type: ignore
+    #: long-decimal columns shredded to digit lanes (types/widedec.py)
+    wide_groups: Dict[str, List[str]] = None  # type: ignore
     #: columns verified nondecreasing in storage order at ingest — the
     #: physical-ordering metadata a cost-based optimizer reads (velox keeps
     #: the analog in connector table layout / PlanNode ordering metadata);
@@ -83,11 +85,12 @@ def register_arrow(
     vectors analog, velox/type/DecimalUtil.h).
     """
     table, struct_groups = flatten_structs(table)
+    table, wide_groups = shred_wide_decimals(table)
     batches = ingest_splits(table, batch_rows, decimal_overrides)
     sorted_cols, unique_cols = _ordering_stats(table)
     t = Table(name, batches[0].schema, batches,
               sorted_cols=sorted_cols, unique_cols=unique_cols,
-              struct_groups=struct_groups)
+              struct_groups=struct_groups, wide_groups=wide_groups)
     _TABLES[name] = t
     return t
 
@@ -109,6 +112,40 @@ def flatten_structs(table: pa.Table):
             n for n in table.column_names
             if n.startswith(name + ".")]
     return table, groups
+
+
+def shred_wide_decimals(table: pa.Table):
+    """Shred decimal columns whose values exceed int64 unscaled range
+    into three signed-digit int64 lanes ``{col}#w{digit}s{scale}``
+    (types/widedec.py; velox computes these on int128 —
+    velox/type/HugeInt.h, DecimalUtil.h). The decimal scale rides the
+    lane names; narrow columns keep the existing single-lane path."""
+    from velox_tpu.types.widedec import lane_names, split_ints
+
+    wide: Dict[str, List[str]] = {}
+    for f in list(table.schema):
+        if not pa.types.is_decimal(f.type):
+            continue
+        col = table.column(f.name)
+        import decimal as _dec
+
+        _ctx = _dec.Context(prec=60)
+        vals = [None if v is None
+                else int(v.scaleb(f.type.scale, _ctx))
+                for v in col.to_pylist()]
+        if all(v is None or -(2 ** 63) <= v < 2 ** 63 for v in vals):
+            continue
+        d2, d1, d0 = split_ints(vals)
+        nulls = np.array([v is None for v in vals], dtype=bool)
+        idx = table.column_names.index(f.name)
+        table = table.remove_column(idx)
+        names = lane_names(f.name, f.type.scale)
+        for j, arr in enumerate((d2, d1, d0)):
+            table = table.add_column(
+                idx + j, names[j],
+                pa.array(arr, pa.int64(), mask=nulls))
+        wide[f.name] = names
+    return table, wide
 
 
 def _ordering_stats(table: pa.Table) -> tuple:
@@ -471,6 +508,18 @@ def _arrow_filter_mask(tbl: pa.Table, conjuncts):
                     return None
                 vals.append(v)
             return pc.is_in(tbl.column(f.name), value_set=pa.array(vals))
+        if c.name == "__in_table" and len(args) == 2:
+            f, l = args
+            if not (isinstance(f, FieldRef) and isinstance(l, Literal)
+                    and isinstance(l.value, np.ndarray)
+                    and f.name in tbl.column_names):
+                return None
+            t = tbl.schema.field(f.name).type
+            try:
+                vs = pa.array(l.value).cast(t)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                return None
+            return pc.is_in(tbl.column(f.name), value_set=vs)
         return None
 
     mask = None
@@ -525,7 +574,20 @@ def _may_match(conjunct, stats: Dict[str, tuple]) -> bool:
         return True
     mm = stats.get(a[0].name)
     v = a[1].value
-    if mm is None or v is None or isinstance(v, (list, np.ndarray)):
+    if mm is None or v is None:
+        return True
+    if op == "__in_table" and isinstance(v, np.ndarray):
+        # dynamic IN-set (sorted): any set value inside [min, max]?
+        # (velox common/base/BloomFilter-backed value-set filters
+        # tested against rowgroup stats, dwio ScanSpec::testFilter)
+        try:
+            lo, hi = _stat_key(mm[0]), _stat_key(mm[1])
+            left = int(np.searchsorted(v, lo, side="left"))
+            right = int(np.searchsorted(v, hi, side="right"))
+            return right > left
+        except TypeError:
+            return True
+    if isinstance(v, (list, np.ndarray)):
         return True
     lo, hi = mm
     try:

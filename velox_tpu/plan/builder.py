@@ -131,7 +131,10 @@ class PlanBuilder:
 
         t = get_table(table)
         names = list(columns) if columns else list(t.schema.names)
-        groups = getattr(t, "struct_groups", None) or {}
+        groups = dict(getattr(t, "struct_groups", None) or {})
+        # long-decimal columns expand to digit lanes the same way
+        # struct columns expand to leaves (types/widedec.py)
+        groups.update(getattr(t, "wide_groups", None) or {})
         if groups:
             expanded = []
             for n in names:
@@ -212,11 +215,48 @@ class PlanBuilder:
             if not (isinstance(e, FieldRef) and e.name == name):
                 need_project = True
 
+        # long-decimal aggregate expansion: sum/avg/min/max/count over a
+        # shredded DECIMAL(p>18) column become per-digit-lane aggregates
+        # whose output names carry the lane pattern; arrow output
+        # reassembles them (types/widedec.py; velox computes these on
+        # int128 accumulators, velox/type/DecimalUtil.h)
+        parsed = []
+        for i, a in enumerate(aggs):
+            name, fn, fargs, distinct = _parse_agg(a, f"a{i}")
+            wl = None
+            if (len(fargs) == 1 and isinstance(fargs[0], FieldRef)
+                    and not schema.contains(fargs[0].name)):
+                from velox_tpu.expr.compiler import _wide_lanes
+
+                wl = _wide_lanes(schema, fargs[0].name)
+            if wl is None:
+                parsed.append((name, fn, fargs, distinct))
+                continue
+            lanes, scale = wl
+            lane_out = [f"{name}#w{d}s{scale}" for d in (2, 1, 0)]
+            if name in masks:
+                for ln in lane_out + [f"{name}#wn"]:
+                    masks[ln] = masks[name]
+            if fn == "count":
+                parsed.append((name, "count", [lanes[2]], distinct))
+            elif fn in ("sum", "avg"):
+                for ln, lref in zip(lane_out, lanes):
+                    parsed.append((ln, "sum", [lref], distinct))
+                if fn == "avg":
+                    parsed.append((f"{name}#wn", "count",
+                                   [lanes[2]], distinct))
+            elif fn in ("min", "max"):
+                for d, ln in zip((2, 1, 0), lane_out):
+                    parsed.append((ln, f"{fn}_wide{d}",
+                                   list(lanes), distinct))
+            else:
+                raise NotImplementedError(
+                    f"{fn} over long-decimal columns")
+
         specs: List[AggregateSpec] = []
         agg_names: List[str] = []
         arg_types: List[Optional[DataType]] = []
-        for i, a in enumerate(aggs):
-            name, fn, fargs, distinct = _parse_agg(a, f"a{i}")
+        for name, fn, fargs, distinct in parsed:
             if fn in ("max_data_size_for_stats",
                       "sum_data_size_for_stats"):
                 # MaxSizeForStatsAggregate.cpp / SumDataSizeForStats:

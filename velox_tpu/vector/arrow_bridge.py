@@ -156,8 +156,12 @@ def _ingest_array(arr: pa.ChunkedArray, cap: int) -> Column:
         # rejected loudly rather than wrapped (documented deviation
         # from velox's HugeInt lanes, velox/type/HugeInt.h).
         try:
+            import decimal as _dec
+
+            _ctx = _dec.Context(prec=60)
             np_vals = np.array(
-                [0 if v is None else int(v.scaleb(arr.type.scale))
+                [0 if v is None
+                 else int(v.scaleb(arr.type.scale, _ctx))
                  for v in arr.to_pylist()], dtype=np.int64)
         except OverflowError as e:
             raise OverflowError(
@@ -199,16 +203,70 @@ def from_arrow(table: pa.Table, capacity: Optional[int] = None) -> Batch:
 
 def to_arrow(batch: Batch) -> pa.Table:
     """Materialize active rows into an Arrow table (host gather)."""
+    from velox_tpu.types.widedec import parse_lane
+
     data = batch.to_pydict()
+    # long-decimal lane triples reassemble to one decimal128 column
+    # (types/widedec.py; the inverse of io/catalog.shred_wide_decimals)
+    wide: dict = {}
+    for name in batch.columns:
+        pl = parse_lane(name)
+        if pl is not None:
+            base, digit, scale = pl
+            wide.setdefault((base, scale), {})[digit] = name
+    wide = {k: v for k, v in wide.items() if set(v) == {0, 1, 2}}
+    wide_lane_names = {n for v in wide.values() for n in v.values()}
+
     arrays = {}
+    emitted_wide = set()
     for name, col in batch.columns.items():
+        if name in wide_lane_names:
+            pl = parse_lane(name)
+            base, _d, scale = pl
+            if (base, scale) in emitted_wide:
+                continue
+            emitted_wide.add((base, scale))
+            lanes = wide[(base, scale)]
+            import decimal
+
+            d2 = data[lanes[2]]
+            d1 = data[lanes[1]]
+            d0 = data[lanes[0]]
+            cnt = data.get(f"{base}#wn")
+            out = []
+            for i in range(len(d2)):
+                if d2[i] is None:
+                    out.append(None)
+                    continue
+                v = (int(d2[i]) << 84) + (int(d1[i]) << 42) + int(d0[i])
+                if cnt is not None:  # avg: divide, round half away
+                    n = int(cnt[i]) if cnt[i] else 0
+                    if n == 0:
+                        out.append(None)
+                        continue
+                    sgn = -1 if v < 0 else 1
+                    v = sgn * ((2 * abs(v) + n) // (2 * n))
+                if abs(v) >= 10 ** 38:
+                    # DECIMAL(38) overflow -> NULL (the engine's
+                    # row-error convention; Presto throws)
+                    out.append(None)
+                    continue
+                out.append(decimal.Decimal(v).scaleb(
+                    -scale, decimal.Context(prec=60)))
+            arrays[base] = pa.array(out, type=pa.decimal128(38, scale))
+            continue
+        if (name.endswith("#wn")
+                and name[:-3] in {b for b, _s in wide}):
+            continue  # avg divisor column, consumed above
         at = type_to_arrow(col.dtype)
         vals = data[name]
         if isinstance(col.dtype, DecimalType):
             import decimal
             s = col.dtype.scale
+            ctx = decimal.Context(prec=60)
             vals = [
-                None if v is None else decimal.Decimal(int(v)).scaleb(-s)
+                None if v is None
+                else decimal.Decimal(int(v)).scaleb(-s, ctx)
                 for v in vals
             ]
         arrays[name] = pa.array(vals, type=at)
