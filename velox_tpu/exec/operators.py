@@ -261,7 +261,9 @@ class ProjectOp(Operator):
             name: e for name, e, t in zip(
                 node.names, node.exprs, node.output_type.children)
             if isinstance(t, ArrayType) and isinstance(e, _Call)
-            and e.name == "split" and isinstance(e.args[0], _FR)}
+            and e.name in ("split", "regexp_split",
+                           "regexp_extract_all")
+            and isinstance(e.args[0], _FR)}
         # array_intersect/except/union + arrays_overlap: two-array
         # per-row set algebra via one combined tagged sort
         self._setops = {
@@ -831,11 +833,29 @@ class ProjectOp(Operator):
         assert all(isinstance(a, _Lit) for a in e.args[1:]), (
             "split delimiter/limit must be literals")
         delim = e.args[1].value
-        limit = int(e.args[2].value) if len(e.args) > 2 else None
-        pieces = [
-            (str(v).split(delim) if limit is None
-             else str(v).split(delim, limit - 1))
-            for v in d.values]
+        if e.name == "split":
+            limit = int(e.args[2].value) if len(e.args) > 2 else None
+            pieces = [
+                (str(v).split(delim) if limit is None
+                 else str(v).split(delim, limit - 1))
+                for v in d.values]
+        elif e.name == "regexp_split":
+            import re as _re
+
+            from velox_tpu.functions.hostfns import _java_regex
+
+            rx = _re.compile(_java_regex(delim))
+            pieces = [rx.split(str(v)) for v in d.values]
+        else:  # regexp_extract_all(s, pattern [, group])
+            import re as _re
+
+            from velox_tpu.functions.hostfns import _java_regex
+
+            rx = _re.compile(_java_regex(delim))
+            grp = int(e.args[2].value) if len(e.args) > 2 else 0
+            pieces = [
+                [m.group(grp) or "" for m in rx.finditer(str(v))]
+                for v in d.values]
         nd = Dictionary(sorted({p for ps in pieces for p in ps}))
         lens_t = np.zeros(len(d.values) + 1, np.int32)
         flat: list = []

@@ -140,9 +140,31 @@ def resolve_types(expr: Expr, schema: RowType) -> Expr:
                 Literal(BIGINT, 4)))
         if name in ("replace", "lpad", "rpad", "split_part"):
             return Call(VARCHAR, name, args)
-        if name == "split":
+        if name in ("split", "regexp_split", "regexp_extract_all"):
             from velox_tpu.types.types import array as _array
-            return Call(_array(VARCHAR), "split", args)
+            return Call(_array(VARCHAR), name, args)
+        if name == "to_iso8601":
+            if args[0].dtype is not None and \
+                    args[0].dtype.kind == TypeKind.DATE:
+                return resolve_types(Call(VARCHAR, "date_format", (
+                    args[0], Literal(VARCHAR, "%Y-%m-%d"))), schema)
+            raise TypeError("to_iso8601 supports DATE inputs")
+        if name == "date" and len(args) == 1:
+            from velox_tpu.types import DATE as _D
+            return Cast(_D, args[0], False)
+        if name in ("now", "current_timestamp", "current_date",
+                    "localtimestamp") and not args:
+            import time as _time
+
+            from velox_tpu.types import DATE as _D, TIMESTAMP as _TS
+            from velox_tpu.utils.config import config as _cfg
+
+            now_us = getattr(_cfg, "session_now_us", None)
+            if now_us is None:
+                now_us = int(_time.time() * 1e6)
+            if name == "current_date":
+                return Literal(_D, now_us // 86_400_000_000)
+            return Literal(_TS, now_us)
         if name == "strpos":
             return Call(BIGINT, "strpos", args)
         if name in ("starts_with", "ends_with"):
@@ -150,6 +172,8 @@ def resolve_types(expr: Expr, schema: RowType) -> Expr:
         if name in _DICT_VALUE_FNS:
             return Call(_DICT_VALUE_FNS[name][0], name, args)
         if name in ("date_format", "format_datetime"):
+            return Call(VARCHAR, name, args)
+        if name in _INT_VALUE_FNS:
             return Call(VARCHAR, name, args)
         if name in _DAY_PART_FNS or name in ("hour", "minute", "second",
                                              "millisecond"):
@@ -785,7 +809,8 @@ def bind_array_funcs(expr: Expr,
     if isinstance(expr, Call) and expr.name in (
             "map_keys", "map_values", "sequence", "slice", "repeat",
             "array_sort", "array_distinct", "array_intersect",
-            "array_except", "array_union", "arrays_overlap", "split"):
+            "array_except", "array_union", "arrays_overlap", "split",
+            "regexp_split", "regexp_extract_all"):
         raise TypeError(
             f"{expr.name}(...) is only supported as a top-level projection")
 
@@ -970,6 +995,8 @@ def bind_strings(expr: Expr, dictionaries: Dict[str, "Dictionary"],
         return _bind_dict_value(name, args, dictionaries)
     if name in ("date_format", "format_datetime"):
         return _bind_range_format(name, args, ranges or {})
+    if name in _INT_VALUE_FNS:
+        return _bind_int_value(name, args, ranges or {})
     if (name == "if" and len(args) == 3 and expr.dtype is not None
             and expr.dtype.is_string):
         bound = _bind_string_if(args, dictionaries, expr.dtype)
@@ -1141,6 +1168,7 @@ def _make_dict_value_fns():
         "json_format": (VARCHAR, H.json_format),
         "json_array_contains": (BOOLEAN, H.json_array_contains),
         "json_array_get": (VARCHAR, H.json_array_get),
+        "murmur3_x64_128": (VARCHAR, H.murmur3_x64_128_hex),
     }
 
 
@@ -1248,6 +1276,61 @@ def _bind_range_format(name, args, ranges) -> Expr:
     table = np.full(span + 1, -1, dtype=np.int32)
     for i, v in enumerate(out_vals):
         table[i + 1] = nd.code_of(v)
+    codes = Call(INTEGER, "minus", (
+        Cast(INTEGER, arg0, False), Literal(INTEGER, int(lo))))
+    return DictTransform(VARCHAR, codes, table, nd)
+
+
+#: integer -> string functions over stats-bounded int lanes: enumerate
+#: the (min, max) span once on host, one table gather on device (the
+#: kArray trick generalized from _bind_range_format)
+_INT_VALUE_FNS = {
+    "chr": lambda v: chr(v) if 0 <= v < 0x110000 else None,
+    "to_base": lambda v, radix: _to_base(v, radix),
+}
+
+
+def _to_base(v: int, radix: int):
+    if not 2 <= radix <= 36:
+        return None
+    digs = "0123456789abcdefghijklmnopqrstuvwxyz"
+    sgn = "-" if v < 0 else ""
+    a = abs(int(v))
+    out = []
+    while True:
+        out.append(digs[a % radix])
+        a //= radix
+        if a == 0:
+            break
+    return sgn + "".join(reversed(out))
+
+
+def _bind_int_value(name, args, ranges) -> Expr:
+    from velox_tpu.vector.column import Dictionary
+
+    fn = _INT_VALUE_FNS[name]
+    arg0 = args[0]
+    if all(isinstance(a, Literal) for a in args):
+        v = fn(*[int(a.value) for a in args])
+        nd = Dictionary([] if v is None else [str(v)])
+        table = np.asarray([-1] if v is None else [-1, 0], np.int32)
+        return DictTransform(
+            VARCHAR, Literal(INTEGER, -1 if v is None else 0),
+            table, nd)
+    if not isinstance(arg0, FieldRef) or arg0.name not in ranges:
+        raise NotImplementedError(
+            f"{name} needs column min/max stats to enumerate the "
+            "value range")
+    extras = [int(a.value) for a in args[1:]]
+    lo, hi = ranges[arg0.name]
+    span = int(hi) - int(lo) + 1
+    assert span <= _MAX_FORMAT_SPAN, f"{name}: range too wide ({span})"
+    out_vals = [fn(int(lo) + i, *extras) for i in range(span)]
+    nd = Dictionary(sorted({v for v in out_vals if v is not None}))
+    table = np.full(span + 1, -1, dtype=np.int32)
+    for i, v in enumerate(out_vals):
+        if v is not None:
+            table[i + 1] = nd.code_of(v)
     codes = Call(INTEGER, "minus", (
         Cast(INTEGER, arg0, False), Literal(INTEGER, int(lo))))
     return DictTransform(VARCHAR, codes, table, nd)

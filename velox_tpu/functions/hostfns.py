@@ -490,13 +490,13 @@ def codepoint_int(s: str) -> Optional[int]:
     return ord(s[0]) if s else None
 
 
-def normalize_nfc(s: str) -> str:
+def normalize_nfc(s: str, form: str = "NFC") -> str:
     import unicodedata
 
-    return unicodedata.normalize("NFC", s)
+    return unicodedata.normalize(form.upper(), s)
 
 
-def word_stem_en(s: str) -> str:
+def word_stem_en(s: str, lang: str = "en") -> str:
     """Tiny Porter-lite stemmer (suffix stripping) — the common cases of
     velox's word_stem without an external stemmer library."""
     for suf in ("ingly", "edly", "ing", "ed", "ies", "es", "s", "ly"):
@@ -909,3 +909,66 @@ def json_array_get(s: str, index: int) -> "str | None":
     if isinstance(e, str):
         return e
     return json.dumps(e, separators=(",", ":"))
+
+
+def murmur3_x64_128_hex(s: str) -> str:
+    """murmur3_x64_128(varbinary) -> 16-byte hex
+    (velox/functions/prestosql/BinaryFunctions.h; reference algorithm
+    reimplemented, seed 0)."""
+    data = s.encode()
+    mask = (1 << 64) - 1
+    c1, c2 = 0x87C37B91114253D5, 0x4CF5AD432745937F
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & mask
+
+    def fmix(k):
+        k ^= k >> 33
+        k = (k * 0xFF51AFD7ED558CCD) & mask
+        k ^= k >> 33
+        k = (k * 0xC4CEB9FE1A85EC53) & mask
+        return k ^ (k >> 33)
+
+    h1 = h2 = 0
+    n = len(data)
+    nblocks = n // 16
+    for i in range(nblocks):
+        k1 = int.from_bytes(data[16 * i: 16 * i + 8], "little")
+        k2 = int.from_bytes(data[16 * i + 8: 16 * i + 16], "little")
+        k1 = (k1 * c1) & mask
+        k1 = rotl(k1, 31)
+        k1 = (k1 * c2) & mask
+        h1 ^= k1
+        h1 = rotl(h1, 27)
+        h1 = (h1 + h2) & mask
+        h1 = (h1 * 5 + 0x52DCE729) & mask
+        k2 = (k2 * c2) & mask
+        k2 = rotl(k2, 33)
+        k2 = (k2 * c1) & mask
+        h2 ^= k2
+        h2 = rotl(h2, 31)
+        h2 = (h2 + h1) & mask
+        h2 = (h2 * 5 + 0x38495AB5) & mask
+    tail = data[nblocks * 16:]
+    k1 = k2 = 0
+    if len(tail) > 8:
+        k2 = int.from_bytes(tail[8:].ljust(8, b"\0"), "little")
+        k2 = (k2 * c2) & mask
+        k2 = rotl(k2, 33)
+        k2 = (k2 * c1) & mask
+        h2 ^= k2
+    if tail:
+        k1 = int.from_bytes(tail[:8].ljust(8, b"\0"), "little")
+        k1 = (k1 * c1) & mask
+        k1 = rotl(k1, 31)
+        k1 = (k1 * c2) & mask
+        h1 ^= k1
+    h1 ^= n
+    h2 ^= n
+    h1 = (h1 + h2) & mask
+    h2 = (h2 + h1) & mask
+    h1 = fmix(h1)
+    h2 = fmix(h2)
+    h1 = (h1 + h2) & mask
+    h2 = (h2 + h1) & mask
+    return (h1.to_bytes(8, "little") + h2.to_bytes(8, "little")).hex()

@@ -130,10 +130,18 @@ register_function(ScalarFunction(
     "floor", lambda a: a[0], lambda a: jnp.floor(a)))
 register_function(ScalarFunction(
     "ceil", lambda a: a[0], lambda a: jnp.ceil(a)))
+def _variadic(op):
+    def impl(a, *rest):
+        for b in rest:
+            a = op(a, b)
+        return a
+    return impl
+
+
 register_function(ScalarFunction(
-    "greatest", lambda a: a[0], lambda a, b: jnp.maximum(a, b)))
+    "greatest", lambda a: a[0], _variadic(jnp.maximum)))
 register_function(ScalarFunction(
-    "least", lambda a: a[0], lambda a, b: jnp.minimum(a, b)))
+    "least", lambda a: a[0], _variadic(jnp.minimum)))
 
 # ------------------------------------------------------------- comparisons
 
@@ -352,7 +360,11 @@ register_function(ScalarFunction(
     "sign", lambda a: a[0], lambda a: jnp.sign(a)))
 register_function(ScalarFunction(
     "truncate", lambda a: a[0],
-    lambda a: jnp.trunc(a) if jnp.issubdtype(a.dtype, jnp.floating) else a))
+    lambda a, *n: (
+        jnp.trunc(a) if not n and jnp.issubdtype(a.dtype, jnp.floating)
+        else a if not n
+        else jnp.trunc(a * jnp.power(10.0, n[0]))
+        / jnp.power(10.0, n[0]))))
 register_function(ScalarFunction(
     "is_nan", lambda a: BOOLEAN, lambda a: jnp.isnan(a)))
 register_function(ScalarFunction(
@@ -456,9 +468,12 @@ def _iso_weeks_in_year(y):
 def _iso_week(days):
     days = days.astype(jnp.int32)
     y, _, _ = _civil_from_days(days)
-    w = jnp.floor_divide(_doy(days) - _iso_dow(days) + 10, 7)
-    w = jnp.where(w == 0, _iso_weeks_in_year(y - 1), w)
-    return jnp.where(w > _iso_weeks_in_year(y), 1, w)
+    w0 = jnp.floor_divide(_doy(days) - _iso_dow(days) + 10, 7)
+    # both remaps act on the RAW w0: a w0==0 date belongs to the
+    # previous ISO year's last week (52 or 53) and must NOT then be
+    # clamped against THIS year's week count
+    return jnp.where(w0 == 0, _iso_weeks_in_year(y - 1),
+                     jnp.where(w0 > _iso_weeks_in_year(y), 1, w0))
 
 
 def _last_day_of_month_days(days):
@@ -1188,3 +1203,63 @@ def _bloom_contains_impl(v, words):
 
 register_function(ScalarFunction(
     "__bloom_contains", lambda a: BOOLEAN, _bloom_contains_impl))
+
+
+# --------------------------------------- datetime / bitwise additions
+
+def _yow_impl(days):
+    """ISO week-numbering year (velox DateTimeFunctions.h yearOfWeek):
+    the year that owns the date's ISO week."""
+    days = days.astype(jnp.int32)
+    y, _, _ = _civil_from_days(days)
+    w0 = jnp.floor_divide(_doy(days) - _iso_dow(days) + 10, 7)
+    yo = jnp.where(w0 == 0, y - 1,
+                   jnp.where(w0 > _iso_weeks_in_year(y), y + 1, y))
+    return yo.astype(jnp.int64)
+
+
+register_function(ScalarFunction(
+    "year_of_week", lambda a: BIGINT, _yow_impl))
+register_function(ScalarFunction("yow", lambda a: BIGINT, _yow_impl))
+
+
+def _logical_shr_impl(x, shift, bits):
+    # velox bitwise_logical_shift_right(x, shift, bits): zero-fill
+    # within a `bits`-wide window
+    mask = jnp.where(bits >= 64, jnp.int64(-1),
+                     (jnp.int64(1) << bits) - 1)
+    ux = x.astype(jnp.uint64) & mask.astype(jnp.uint64)
+    return (ux >> shift.astype(jnp.uint64)).astype(jnp.int64)
+
+
+register_function(ScalarFunction(
+    "bitwise_logical_shift_right", lambda a: BIGINT,
+    _logical_shr_impl))
+
+
+def _shl_bits_impl(x, shift, bits):
+    # velox bitwise_shift_left(x, shift, bits)
+    mask = jnp.where(bits >= 64, jnp.int64(-1),
+                     (jnp.int64(1) << bits) - 1)
+    return ((x << shift) & mask).astype(jnp.int64)
+
+
+register_function(ScalarFunction(
+    "bitwise_shift_left", lambda a: BIGINT, _shl_bits_impl))
+
+
+def _from_unixtime_tz(a, *off):
+    ts = (a.astype(jnp.float64) * 1e6).astype(jnp.int64)
+    if off:  # from_unixtime(t, hours, minutes): fixed-offset shift
+        h = off[0].astype(jnp.int64)
+        m = off[1].astype(jnp.int64) if len(off) > 1 else 0
+        ts = ts + (h * 3600 + jnp.sign(h) * m * 60) * 1_000_000
+    return ts
+
+
+register_function(ScalarFunction(
+    "from_unixtime", lambda a: TIMESTAMP, _from_unixtime_tz))
+
+
+def _cosine_similarity_unbound(*a):  # pragma: no cover
+    raise RuntimeError("cosine_similarity requires MAP inputs")

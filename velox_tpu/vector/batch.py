@@ -106,6 +106,22 @@ class Batch:
                 cols[name] = make_map_column(types[name], data[name], cap)
             else:
                 col, _ = make_column(types[name], data[name], cap)
+                # value-range stats for integer/date lanes (the
+                # VectorHasher ingest-stats analog — range-bound host
+                # transforms like date_format need them)
+                if (col.stats is None and col.dictionary is None
+                        and np.issubdtype(np.dtype(col.values.dtype),
+                                          np.integer)
+                        and col.values.dtype != np.dtype(bool)):
+                    lane = np.asarray(col.values)[:n]
+                    if col.valid is not None:
+                        lane = lane[np.asarray(col.valid)[:n]]
+                    if lane.size:
+                        import dataclasses as _dc
+
+                        col = _dc.replace(
+                            col,
+                            stats=(int(lane.min()), int(lane.max())))
                 cols[name] = col
         sel = np.zeros(cap, dtype=bool)
         sel[:n] = True
