@@ -505,8 +505,10 @@ def finish_collect(op, big: Batch) -> Batch:
     for k, (gv, gvd) in zip(op.keys, out_keys):
         out[k] = Column(op.output_type.find_child(k), gv, gvd,
                         op._key_dicts.get(k))
+    sfx = getattr(op, "_collect_suffix", "")
     for name, spec, fn, res in zip(
             op.agg_names, op.specs, op.fns, results):
+        name = name + sfx  # partial pages are name$0 columns
         t = op.output_type.find_child(name)
         kind = fn.collect_kind
         if kind is None or kind in ("percentile", "reduce",

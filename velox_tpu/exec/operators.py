@@ -1126,27 +1126,68 @@ class HashAggregationOp(Operator):
         if self.step == AggStep.SINGLE:
             self._collect = [i for i, f in enumerate(self.fns)
                              if f.collect_kind is not None]
+            self._collect_final = False
         else:
             # collect aggregates with lane companions (approx_percentile
-            # digest lanes, functions/aggregates_digest.py) run the
-            # normal partial/final lane machinery; pure-collect ones
-            # (array_agg, map_agg, ...) stay single-step
+            # digest lanes) run the lane machinery; array/set/map_agg
+            # gain partial/final page forms (partial emits the collected
+            # ARRAY/MAP page, FINAL re-expands to element rows —
+            # velox/exec/AggregateCompanionAdapter.h:24 companions with
+            # the page as the serialized accumulator); other collect
+            # kinds stay single-step
+            pure = [f for f in self.fns
+                    if f.collect_kind is not None and not f.lanes]
             self._collect = []
-            for f in self.fns:
-                if f.collect_kind is not None and not f.lanes:
+            self._collect_final = False
+            if pure:
+                if len(pure) != len(self.fns) or any(
+                        f.collect_kind not in ("array", "set", "map")
+                        for f in pure):
                     raise NotImplementedError(
-                        "collect aggregates (array_agg, map_agg, "
-                        "map_union) are single-step only")
+                        "partial/final collect planning supports "
+                        "nodes whose aggregates are ALL array_agg/"
+                        "set_agg/map_agg; other collect aggregates "
+                        "(map_union, histogram, ...) are single-step")
+                self._collect = list(range(len(self.fns)))
+                self._collect_final = self.step == AggStep.FINAL
+                if self._collect_final and len(self.fns) > 1:
+                    raise NotImplementedError(
+                        "FINAL collect expansion supports one collect "
+                        "aggregate per node (element capacities "
+                        "differ per aggregate)")
         if any(self.specs[i].distinct for i in self._collect):
             raise NotImplementedError(
                 "DISTINCT over collect aggregates")
+        #: collect output column suffix (partial pages are name$0)
+        self._collect_suffix = (
+            "$0" if (self._collect and self.step == AggStep.PARTIAL)
+            else "")
         self._raw_batches: List[Batch] = []
         # input value types per aggregate (None for count(*)); for FINAL
         # the first lane's type stands in for the raw input type (every
         # aggregate's lane-0 dtype equals its input-derived dtype)
         self.arg_types: List[Optional[DataType]] = []
         self.lane_names: List[List[str]] = []
-        for s, name, fn in zip(self.specs, node.agg_names, self.fns):
+        new_specs = list(self.specs)
+        for si, (s, name, fn) in enumerate(
+                zip(self.specs, node.agg_names, self.fns)):
+            if self.step == AggStep.FINAL and self._collect_final:
+                # collect FINAL: input is the partial page column
+                # name$0; add_input expands it to element rows named
+                # here (velox addIntermediateResults analog)
+                import dataclasses as _dc
+
+                page_t = in_schema.find_child(f"{name}$0")
+                if fn.collect_kind == "map":
+                    arg = (f"{name}@k", f"{name}@v")
+                    self.arg_types.append(
+                        (page_t.key, page_t.value))
+                else:
+                    arg = f"{name}@e"
+                    self.arg_types.append(page_t.element)
+                new_specs[si] = _dc.replace(s, arg=arg)
+                self.lane_names.append([])
+                continue
             if self.step == AggStep.FINAL:
                 # lane_names entries are per-lane COLUMN GROUPS: one
                 # column for scalar lanes, width columns for matrix
@@ -1175,8 +1216,11 @@ class HashAggregationOp(Operator):
                     self.arg_types.append(in_schema.find_child(s.arg))
                 self.lane_names.append([])
 
+        self.specs = new_specs
+
         def _arg_fields(s):
-            if s.arg is None or self.step == AggStep.FINAL:
+            if s.arg is None or (self.step == AggStep.FINAL
+                                 and not self._collect_final):
                 return []
             return list(s.arg) if isinstance(s.arg, tuple) else [s.arg]
 
@@ -1294,6 +1338,33 @@ class HashAggregationOp(Operator):
         self._mode = "generic"
         return self._mode
 
+    def _expand_collect_pages(self, batch: Batch) -> Batch:
+        """FINAL collect step: expand the partial ARRAY/MAP page column
+        back into element rows (group keys gathered by owning row) so
+        the SINGLE-step collect kernels re-run unchanged — the
+        addIntermediateResults analog (velox/exec/Aggregate.h:227)."""
+        from velox_tpu.exec.collect_agg import element_owners
+        from velox_tpu.vector.column import ArrayColumn, MapColumn
+
+        name = self.agg_names[0]
+        fn = self.fns[0]
+        page = batch.column(f"{name}$0")
+        ecap = (page.keys.capacity if isinstance(page, MapColumn)
+                else page.elements.capacity)
+        owner, within = element_owners(
+            page.starts, page.lengths, ecap)
+        sel = jnp.logical_and(
+            within, jnp.take(batch.sel, owner, mode="clip"))
+        cols: Dict[str, Column] = {}
+        for k in self.keys:
+            cols[k] = batch.column(k).gather(owner)
+        if isinstance(page, MapColumn):
+            cols[f"{name}@k"] = page.keys
+            cols[f"{name}@v"] = page.values
+        else:
+            cols[f"{name}@e"] = page.elements
+        return Batch(cols, sel)
+
     # ------------------------------------------------------------- input
     def add_input(self, batch: Batch) -> None:
         self.stats.input_batches += 1
@@ -1303,6 +1374,8 @@ class HashAggregationOp(Operator):
             if d is not None:
                 self._key_dicts.setdefault(k, d)
         if mode == "collect":
+            if self._collect_final:
+                batch = self._expand_collect_pages(batch)
             self._raw_batches.append(batch.project(self._needed))
             return
         cols = _cols_of(batch, self._needed)
@@ -1598,7 +1671,7 @@ class HashAggregationOp(Operator):
             return self._outputs.popleft()
         if not self.no_more_input_seen:
             return None
-        if self.step == AggStep.PARTIAL:
+        if self.step == AggStep.PARTIAL and self._mode != "collect":
             self._emitted = True
             return None
         if self._mode in ("array", "collect"):
@@ -1840,8 +1913,10 @@ class HashAggregationOp(Operator):
         return Batch(cols, sel)
 
     def is_finished(self) -> bool:
+        partial_done = (self.step == AggStep.PARTIAL
+                        and self._mode != "collect")
         return (self.no_more_input_seen and not self._outputs
-                and (self.step == AggStep.PARTIAL or self._emitted)
+                and (partial_done or self._emitted)
                 and not self._pending_parts)
 
 

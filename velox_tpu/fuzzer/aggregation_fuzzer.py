@@ -64,9 +64,9 @@ _AGG_ARGS: Dict[str, str] = {
 #: partial/final and spilled strategies must match the exact single
 #: path bit-for-bit at these sizes.
 _SINGLE_ONLY = {"approx_distinct", "bitwise_and_agg", "bitwise_or_agg",
-                "bitwise_xor_agg", "array_agg", "map_agg", "map_union",
+                "bitwise_xor_agg", "map_union",
                 "tdigest_agg", "qdigest_agg",
-                "set_agg", "approx_winsorized_mean",
+                "approx_winsorized_mean",
                 "numeric_histogram", "classification_precision"}
 #: no streaming (collect/matrix lanes; noisy_*: the gaussian draw is
 #: keyed by final group slot, and streaming assigns slots by arrival
@@ -74,7 +74,8 @@ _SINGLE_ONLY = {"approx_distinct", "bitwise_and_agg", "bitwise_or_agg",
 #: seeded draws are per-accumulator and not strategy-stable)
 _NOISY = {"noisy_count_gaussian", "noisy_count_if_gaussian",
           "noisy_sum_gaussian", "noisy_avg_gaussian"}
-_NO_STREAMING = _SINGLE_ONLY | _NOISY | {"approx_percentile"}
+_NO_STREAMING = _SINGLE_ONLY | _NOISY | {
+    "approx_percentile", "array_agg", "map_agg", "set_agg"}
 #: spilled partitions renumber group slots at extract, so slot-keyed
 #: gaussian draws differ (same reasoning as _NO_STREAMING)
 _NO_SPILL = _NOISY
@@ -160,7 +161,8 @@ def run_aggregation_fuzz(iterations: int = 60, seed: int = 0,
         masked = bool(rng.random() < 0.3)
         distinct = (bool(rng.random() < 0.25)
                     and "," not in args
-                    and fn not in _SINGLE_ONLY)
+                    and fn not in _SINGLE_ONLY
+                    and fn not in ("array_agg", "set_agg", "map_agg"))
         call = (f"{fn}(distinct {args})" if distinct
                 else f"{fn}({args})")
         agg = f"{call} as a"

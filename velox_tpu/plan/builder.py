@@ -323,6 +323,16 @@ class PlanBuilder:
         for name, spec, at in zip(agg_names, specs, arg_types):
             fn = lookup_aggregate(spec.fn)
             if step == AggStep.PARTIAL:
+                if fn.collect_kind in ("array", "set", "map") \
+                        and not fn.lanes:
+                    # collect partials emit the collected ARRAY/MAP as
+                    # one page column; FINAL re-expands it to element
+                    # rows (velox serializes ValueList accumulators —
+                    # exec/Aggregate.h:47; here the page IS the
+                    # engine's native offsets+elements layout)
+                    out_names.append(f"{name}$0")
+                    out_types.append(fn.resolve_type(at))
+                    continue
                 # matrix lanes (width > 1) emit one column per slot:
                 # ``name$lane@slot`` (digest centroids, HLL registers)
                 for li, (lane, lt) in enumerate(
