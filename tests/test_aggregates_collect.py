@@ -122,13 +122,21 @@ def test_array_agg_global():
     assert out["s"] == [6]
 
 
-def test_collect_rejects_partial_step():
-    b = Batch.from_pydict({"g": [0], "v": [1]},
+def test_collect_partial_step_supported():
+    # r3: array_agg gained partial/final page companions
+    # (tests/test_collect_partial.py has the full coverage); kinds
+    # without a page form still reject loudly
+    b = Batch.from_pydict({"g": [0, 0], "v": [1, 2]},
                           {"g": BIGINT, "v": BIGINT})
+    out = run_plan_pydict(
+        PlanBuilder().values([b])
+        .partial_aggregation(["g"], ["array_agg(v) as av"])
+        .final_aggregation().build())
+    assert out["av"] == [[1, 2]]
     with pytest.raises(Exception):
         run_plan_pydict(
             PlanBuilder().values([b])
-            .partial_aggregation(["g"], ["array_agg(v) as av"])
+            .partial_aggregation(["g"], ["histogram(v) as h"])
             .final_aggregation().build())
 
 
