@@ -493,3 +493,18 @@ def test_q50(dfs):
     assert len(exp) > 0
     for c in ("d30", "d60", "d90", "d120", "dmore"):
         assert got[c] == exp[c].tolist(), c
+
+
+def test_sf1_canonical_cardinalities():
+    """dsdgen SF1 canonical table cardinalities (TPC-DS spec):
+    store_sales 2,880,404 / store_returns 287,514 / item 18,000 /
+    customer 100,000 / date_dim 73,049."""
+    from velox_tpu.io.dsdgen import dsdgen_tables
+
+    ts = dsdgen_tables(1.0, ["store_sales", "store_returns", "item",
+                             "customer", "date_dim"])
+    assert ts["store_sales"].num_rows == 2_880_404
+    assert ts["store_returns"].num_rows == 287_514
+    assert ts["item"].num_rows == 18_000
+    assert ts["customer"].num_rows == 100_000
+    assert ts["date_dim"].num_rows == 73_049
