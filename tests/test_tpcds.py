@@ -142,8 +142,9 @@ def test_q96(dfs):
 def test_supported_list():
     assert SUPPORTED_QUERIES == [
         1, 3, 6, 7, 12, 13, 15, 19, 20, 26, 27, 30, 33, 36, 37, 40,
-        42, 43, 48, 50, 52, 53, 55, 56, 60, 65, 81, 82, 86, 96, 98]
-    assert len(SUPPORTED_QUERIES) >= 30
+        42, 43, 48, 50, 52, 53, 55, 56, 60, 62, 63, 65, 68, 73, 79,
+        81, 82, 86, 88, 90, 93, 96, 97, 98, 99]
+    assert len(SUPPORTED_QUERIES) >= 40
 
 
 def _semi(ss, dim, lk, rk):

@@ -508,3 +508,274 @@ def test_sf1_canonical_cardinalities():
     assert ts["item"].num_rows == 18_000
     assert ts["customer"].num_rows == 100_000
     assert ts["date_dim"].num_rows == 73_049
+
+
+# ------------------------------------------ batch 3: q62..q99
+
+def _lag_buckets(lag):
+    return {
+        "d30": (lag <= 30), "d60": (lag > 30) & (lag <= 60),
+        "d90": (lag > 60) & (lag <= 90),
+        "d120": (lag > 90) & (lag <= 120), "dmore": lag > 120}
+
+
+@pytest.mark.parametrize("qn,fact,dcol,shipcol,whcol,smcol,sitecol,"
+                         "stbl,skey,sname", [
+    (62, "web_sales", "ws_sold_date_sk", "ws_ship_date_sk",
+     "ws_warehouse_sk", "ws_ship_mode_sk", "ws_web_site_sk",
+     "web_site", "web_site_sk", "web_name"),
+    (99, "catalog_sales", "cs_sold_date_sk", "cs_ship_date_sk",
+     "cs_warehouse_sk", "cs_ship_mode_sk", "cs_call_center_sk",
+     "call_center", "cc_call_center_sk", "cc_name"),
+])
+def test_ship_buckets(dfs, qn, fact, dcol, shipcol, whcol, smcol,
+                      sitecol, stbl, skey, sname):
+    got = run_plan_pydict(tpcds_plan(qn, month_seq_lo=1200).build())
+    dd = dfs["date_dim"]
+    f = _semi(dfs[fact],
+              dd[(dd.d_month_seq >= 1200) & (dd.d_month_seq <= 1211)],
+              dcol, "d_date_sk")
+    j = (f.merge(dfs["warehouse"], left_on=whcol,
+                 right_on="w_warehouse_sk")
+         .merge(dfs["ship_mode"], left_on=smcol,
+                right_on="sm_ship_mode_sk")
+         .merge(dfs[stbl], left_on=sitecol, right_on=skey))
+    j = j.assign(wname=j.w_warehouse_name.astype("object").str[:20],
+                 lag=j[shipcol] - j[dcol])
+    for n, m in _lag_buckets(j.lag).items():
+        j[n] = m.astype(int)
+    exp = (j.groupby(["wname", "sm_type", sname], dropna=False)
+           [["d30", "d60", "d90", "d120", "dmore"]].sum()
+           .reset_index()
+           .sort_values(["wname", "sm_type", sname]).head(100))
+    assert len(exp) > 0
+    for c in ("d30", "d60", "d90", "d120", "dmore"):
+        assert got[c] == exp[c].tolist(), (qn, c)
+
+
+def test_q63(dfs):
+    # manager ids of items that actually sold (SF0.01 permutation)
+    sold = set(dfs["store_sales"].ss_item_sk.dropna().astype(int))
+    it = dfs["item"]
+    mids = tuple(sorted(set(
+        it[it.i_item_sk.isin(sold)].i_manager_id.dropna()
+        .astype(int))))
+    got = run_plan_pydict(
+        tpcds_plan(63, manager_ids=mids, year=1999).build())
+    dd, it = dfs["date_dim"], dfs["item"]
+    j = (dfs["store_sales"]
+         .merge(dd[dd.d_year == 1999], left_on="ss_sold_date_sk",
+                right_on="d_date_sk")
+         .merge(it[it.i_manager_id.isin(mids)], left_on="ss_item_sk",
+                right_on="i_item_sk"))
+    sums = (j.groupby(["i_manager_id", "d_moy"]).ss_sales_price.sum()
+            .reset_index(name="sum_sales"))
+    sums["avg_m"] = sums.groupby("i_manager_id")["sum_sales"] \
+        .transform("mean")
+    exp = sums[(sums.avg_m > 0)
+               & ((sums.sum_sales - sums.avg_m).abs()
+                  / sums.avg_m > 0.1)]
+    assert len(exp) > 0
+    assert len(got["sum_sales"]) == min(len(exp), 100)
+    g = sorted(zip(got["i_manager_id"],
+                   np.round(got["sum_sales"], 6)))
+    e = sorted(zip(exp.i_manager_id.astype(int),
+                   exp.sum_sales.round(6)))
+    assert g == e
+
+
+def test_q73(dfs):
+    # dsdgen tickets carry 8-16 lineitems and the hd filter keeps
+    # whole tickets, so the spec's 1..5 band is empty at this SF —
+    # widen it (the plan shape is identical)
+    got = run_plan_pydict(tpcds_plan(
+        73, year=1999, dep=4, vehicle=3,
+        buy=("'1001-5000'", "'Unknown'"), cnt_lo=1,
+        cnt_hi=20).build())
+    dd, st, hd, cu = (dfs["date_dim"], dfs["store"],
+                      dfs["household_demographics"], dfs["customer"])
+    f = _semi(dfs["store_sales"],
+              dd[(dd.d_dom >= 1) & (dd.d_dom <= 2)
+                 & (dd.d_year == 1999)],
+              "ss_sold_date_sk", "d_date_sk")
+    f = _semi(f, st, "ss_store_sk", "s_store_sk")
+    hdk = hd[(hd.hd_buy_potential.isin(["1001-5000", "Unknown"]))
+             & ((hd.hd_dep_count == 4) | (hd.hd_vehicle_count == 3))]
+    f = _semi(f, hdk, "ss_hdemo_sk", "hd_demo_sk")
+    cnt = (f.groupby(["ss_ticket_number", "ss_customer_sk"],
+                     dropna=False)
+           .size().reset_index(name="cnt"))
+    cnt = cnt[(cnt.cnt >= 1) & (cnt.cnt <= 20)]
+    exp = cnt.merge(cu, left_on="ss_customer_sk",
+                    right_on="c_customer_sk")
+    assert len(exp) > 0
+    assert len(got["cnt"]) == min(len(exp), 1000)
+    assert sorted(got["cnt"], reverse=True) == sorted(
+        exp.cnt.tolist(), reverse=True)[:len(got["cnt"])]
+
+
+def test_q79(dfs):
+    st = dfs["store"]
+    lo = int(st.s_number_employees.min())
+    hi = int(st.s_number_employees.max())
+    got = run_plan_pydict(tpcds_plan(
+        79, year=1999, dep=6, vehicle=2,
+        employees=(lo, hi)).build())
+    dd, hd, cu = (dfs["date_dim"],
+                  dfs["household_demographics"], dfs["customer"])
+    f = _semi(dfs["store_sales"],
+              dd[(dd.d_dow == 1) & (dd.d_year == 1999)],
+              "ss_sold_date_sk", "d_date_sk")
+    f = _semi(f, hd[(hd.hd_dep_count == 6)
+                    | (hd.hd_vehicle_count > 2)],
+              "ss_hdemo_sk", "hd_demo_sk")
+    j = f.merge(st[(st.s_number_employees >= lo)
+                   & (st.s_number_employees <= hi)],
+                left_on="ss_store_sk", right_on="s_store_sk")
+    gb = j.groupby(["ss_ticket_number", "ss_customer_sk",
+                    "ss_addr_sk", "s_city"], dropna=False)
+    agg = gb.ss_coupon_amt.sum(min_count=1).reset_index(name="amt")
+    agg["profit"] = gb.ss_net_profit.sum(min_count=1).values
+    exp = agg.merge(cu, left_on="ss_customer_sk",
+                    right_on="c_customer_sk")
+    assert len(exp) > 0
+    assert len(got["profit"]) == min(len(exp), 100)
+    key = lambda x: (x is None or (isinstance(x, float)
+                                    and np.isnan(x)), x or 0)
+    g = sorted((None if x is None else round(x, 4)
+                for x in got["profit"]), key=key)
+    exp_top = exp.sort_values(
+        ["c_last_name", "c_first_name", "s_city", "profit",
+         "ss_ticket_number"],
+        ascending=[True, True, True, False, True]).head(100)
+    e = sorted((None if pd.isna(x) else round(x, 4)
+                for x in exp_top.profit), key=key)
+    assert g == e
+
+
+def test_q88_time_bands(dfs):
+    got = run_plan_pydict(tpcds_plan(88, dep=4, vehicle=2).build())
+    hd, st, td = (dfs["household_demographics"], dfs["store"],
+                  dfs["time_dim"])
+    hdk = hd[((hd.hd_dep_count == 4) & (hd.hd_vehicle_count <= 6))
+             | ((hd.hd_dep_count == 2) & (hd.hd_vehicle_count <= 4))
+             | ((hd.hd_dep_count == 2) & (hd.hd_vehicle_count <= 4))]
+    f = _semi(dfs["store_sales"], hdk, "ss_hdemo_sk", "hd_demo_sk")
+    f = _semi(f, st, "ss_store_sk", "s_store_sk")
+    j = f.merge(td, left_on="ss_sold_time_sk", right_on="t_time_sk")
+    total = 0
+    for h in (8, 9, 10, 11):
+        for m in (0, 30):
+            mask = (j.t_hour == h) & ((j.t_minute < 30) if m == 0
+                                      else (j.t_minute >= 30))
+            key = f"h{h}_{m}"
+            assert got[key][0] == int(mask.sum()), key
+            total += int(mask.sum())
+    assert total > 0
+
+
+def test_q90_ratio(dfs):
+    wp = dfs["web_page"]
+    lo = int(wp.wp_char_count.min())
+    hi = int(wp.wp_char_count.max())
+    got = run_plan_pydict(tpcds_plan(
+        90, dep=6, chars=(lo, hi)).build())
+    hd, td = dfs["household_demographics"], dfs["time_dim"]
+    f = _semi(dfs["web_sales"], hd[hd.hd_dep_count == 6],
+              "ws_ship_hdemo_sk", "hd_demo_sk")
+    f = _semi(f, wp[(wp.wp_char_count >= lo)
+                    & (wp.wp_char_count <= hi)],
+              "ws_web_page_sk", "wp_web_page_sk")
+    j = f.merge(td, left_on="ws_sold_time_sk", right_on="t_time_sk")
+    am = int(((j.t_hour >= 8) & (j.t_hour <= 9)).sum())
+    pm = int(((j.t_hour >= 19) & (j.t_hour <= 20)).sum())
+    assert (am, pm) == (got["amc"][0], got["pmc"][0])
+    assert am + pm > 0
+    if pm:
+        assert got["am_pm_ratio"][0] == pytest.approx(am / pm)
+
+
+def test_q93(dfs):
+    got = run_plan_pydict(
+        tpcds_plan(93, reason="Package was damaged").build())
+    sr, rs = dfs["store_returns"], dfs["reason"]
+    srk = _semi(sr, rs[rs.r_reason_desc == "Package was damaged"],
+                "sr_reason_sk", "r_reason_sk")
+    j = dfs["store_sales"].merge(
+        srk[["sr_ticket_number", "sr_item_sk", "sr_return_quantity"]],
+        left_on=["ss_ticket_number", "ss_item_sk"],
+        right_on=["sr_ticket_number", "sr_item_sk"])
+    j = j.assign(act=(j.ss_quantity - j.sr_return_quantity)
+                 * j.ss_sales_price)
+    exp = (j.groupby("ss_customer_sk", dropna=False).act
+           .sum(min_count=1).reset_index(name="sumsales")
+           .sort_values(["sumsales", "ss_customer_sk"]).head(100))
+    assert len(exp) > 0
+    for a, b in zip(got["sumsales"], exp.sumsales):
+        if pd.isna(b):
+            assert a is None
+        else:
+            assert a == pytest.approx(b, rel=1e-9)
+
+
+def test_q97_overlap(dfs):
+    got = run_plan_pydict(tpcds_plan(97, month_seq_lo=1200).build())
+    dd = dfs["date_dim"]
+    dk = dd[(dd.d_month_seq >= 1200) & (dd.d_month_seq <= 1211)]
+    ss = _semi(dfs["store_sales"], dk, "ss_sold_date_sk", "d_date_sk")
+    cs = _semi(dfs["catalog_sales"], dk, "cs_sold_date_sk",
+               "d_date_sk")
+    # per-side null sentinels: null join keys never match the other
+    # side but DISTINCT still dedupes them (SQL null-equal grouping)
+    sset = set(map(tuple, ss[["ss_customer_sk", "ss_item_sk"]]
+                   .fillna(-999).drop_duplicates()
+                   .itertuples(index=False)))
+    cset = set(map(tuple, cs[["cs_bill_customer_sk", "cs_item_sk"]]
+                   .fillna(-888).drop_duplicates()
+                   .itertuples(index=False)))
+    # the spec's own CASE logic keys on customer null-ness (q97:
+    # "when ssci.customer_sk is not null and csci.customer_sk is
+    # null"), so null-customer rows count NOWHERE — replicate that
+    s_only = len({t for t in sset - cset if t[0] != -999})
+    c_only = len({t for t in cset - sset if t[0] != -888})
+    both = len(sset & cset)
+    assert (got["store_only"][0], got["catalog_only"][0],
+            got["store_and_catalog"][0]) == (s_only, c_only, both)
+    assert s_only + c_only + both > 0
+
+
+def test_q68(dfs):
+    cities = tuple(dfs["store"].s_city.dropna().unique().tolist())
+    got = run_plan_pydict(tpcds_plan(
+        68, year=1999, dep=4, vehicle=3, cities=cities).build())
+    dd, st, hd, ca, cu = (dfs["date_dim"], dfs["store"],
+                          dfs["household_demographics"],
+                          dfs["customer_address"], dfs["customer"])
+    f = _semi(dfs["store_sales"],
+              dd[(dd.d_dom >= 1) & (dd.d_dom <= 2)
+                 & (dd.d_year == 1999)],
+              "ss_sold_date_sk", "d_date_sk")
+    f = _semi(f, st[st.s_city.isin(cities)], "ss_store_sk",
+              "s_store_sk")
+    f = _semi(f, hd[(hd.hd_dep_count == 4)
+                    | (hd.hd_vehicle_count == 3)],
+              "ss_hdemo_sk", "hd_demo_sk")
+    j = f.merge(ca, left_on="ss_addr_sk", right_on="ca_address_sk")
+    agg = (j.groupby(["ss_ticket_number", "ss_customer_sk",
+                      "ca_city"], dropna=False)
+           .agg(extended_price=("ss_ext_sales_price", "sum"),
+                list_price=("ss_ext_list_price", "sum"),
+                extended_tax=("ss_ext_tax", "sum")).reset_index())
+    m = agg.merge(cu, left_on="ss_customer_sk",
+                  right_on="c_customer_sk")
+    m = m.merge(ca[["ca_address_sk", "ca_city"]].rename(
+        columns={"ca_address_sk": "cur_sk",
+                 "ca_city": "current_city"}),
+        left_on="c_current_addr_sk", right_on="cur_sk")
+    exp = m[m.current_city != m.ca_city]
+    exp = exp[exp.current_city.notna() & exp.ca_city.notna()]
+    assert len(exp) > 0
+    assert len(got["ss_ticket_number"]) == min(len(exp), 100)
+    assert sorted(got["ss_ticket_number"]) == sorted(
+        exp.sort_values(["c_last_name", "ss_ticket_number"])
+        .head(100).ss_ticket_number)

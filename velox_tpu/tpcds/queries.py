@@ -1038,11 +1038,371 @@ def q50(year: int = 2001, moy: int = 8) -> PlanBuilder:
     )
 
 
+def _ship_buckets(fact, dcol, shipcol, whcol, smcol, sitecol,
+                  site_table, site_key, site_name, month_seq_lo):
+    """q62/q99 shape: shipping-latency buckets per (warehouse,
+    ship mode, site); date_sks are julian days so the lag is the sk
+    difference."""
+    dt = _dim("date_dim", ["d_date_sk", "d_month_seq"],
+              f"d_month_seq >= {month_seq_lo} AND "
+              f"d_month_seq <= {month_seq_lo + 11}")
+    wh = _dim("warehouse", ["w_warehouse_sk", "w_warehouse_name"])
+    sm = _dim("ship_mode", ["sm_ship_mode_sk", "sm_type"])
+    st = _dim(site_table, [site_key, site_name])
+    buckets = [("d30", "lag <= 30"),
+               ("d60", "lag > 30 AND lag <= 60"),
+               ("d90", "lag > 60 AND lag <= 90"),
+               ("d120", "lag > 90 AND lag <= 120"),
+               ("dmore", "lag > 120")]
+    return (
+        PlanBuilder()
+        .table_scan(fact, columns=[dcol, shipcol, whcol, smcol,
+                                   sitecol])
+        .hash_join(dt, [dcol], ["d_date_sk"], "left_semi")
+        .hash_join(wh, [whcol], ["w_warehouse_sk"], "inner",
+                   output=[dcol, shipcol, smcol, sitecol,
+                           "w_warehouse_name"])
+        .hash_join(sm, [smcol], ["sm_ship_mode_sk"], "inner",
+                   output=[dcol, shipcol, sitecol, "w_warehouse_name",
+                           "sm_type"])
+        .hash_join(st, [sitecol], [site_key], "inner",
+                   output=[dcol, shipcol, "w_warehouse_name",
+                           "sm_type", site_name])
+        .project(["substr(w_warehouse_name, 1, 20) AS wname",
+                  "sm_type", site_name,
+                  f"{shipcol} - {dcol} AS lag"])
+        .project(["wname", "sm_type", site_name] + [
+            f"if({cond}, 1, 0) AS {n}_raw" for n, cond in buckets])
+        .aggregate(["wname", "sm_type", site_name],
+                   [f"sum({n}_raw) AS {n}" for n, _ in buckets])
+        .order_by(["wname", "sm_type", site_name])
+        .limit(100)
+    )
+
+
+def q62(month_seq_lo: int = 1200) -> PlanBuilder:
+    return _ship_buckets(
+        "web_sales", "ws_sold_date_sk", "ws_ship_date_sk",
+        "ws_warehouse_sk", "ws_ship_mode_sk", "ws_web_site_sk",
+        "web_site", "web_site_sk", "web_name", month_seq_lo)
+
+
+def q99(month_seq_lo: int = 1200) -> PlanBuilder:
+    return _ship_buckets(
+        "catalog_sales", "cs_sold_date_sk", "cs_ship_date_sk",
+        "cs_warehouse_sk", "cs_ship_mode_sk", "cs_call_center_sk",
+        "call_center", "cc_call_center_sk", "cc_name", month_seq_lo)
+
+
+def q63(manager_ids=(1, 2, 3, 4, 5, 6, 7, 8), year: int = 2001
+        ) -> PlanBuilder:
+    """Monthly manager sales vs their average (q53's shape keyed on
+    i_manager_id — spec q63)."""
+    mids = ", ".join(str(m) for m in manager_ids)
+    dt = _dim("date_dim", ["d_date_sk", "d_year", "d_moy"],
+              f"d_year = {year}")
+    it = _dim("item", ["i_item_sk", "i_manager_id"],
+              f"i_manager_id IN ({mids})")
+    return (
+        PlanBuilder()
+        .table_scan("store_sales",
+                    columns=["ss_sold_date_sk", "ss_item_sk",
+                             "ss_sales_price"])
+        .hash_join(dt, ["ss_sold_date_sk"], ["d_date_sk"], "inner",
+                   output=["ss_item_sk", "ss_sales_price", "d_moy"])
+        .hash_join(it, ["ss_item_sk"], ["i_item_sk"], "inner",
+                   output=["i_manager_id", "d_moy", "ss_sales_price"])
+        .aggregate(["i_manager_id", "d_moy"],
+                   ["sum(ss_sales_price) AS sum_sales"])
+        .window(["i_manager_id"], [],
+                ["avg(sum_sales) AS avg_monthly_sales"])
+        .filter("avg_monthly_sales > 0.0 AND "
+                "abs(sum_sales - avg_monthly_sales)"
+                " / avg_monthly_sales > 0.1")
+        .order_by(["i_manager_id", "avg_monthly_sales", "sum_sales"])
+        .limit(100)
+    )
+
+
+def q73(year: int = 2000, dep: int = 4, vehicle: int = 3,
+        buy=("'>10000'", "'Unknown'"), cnt_lo: int = 1,
+        cnt_hi: int = 5) -> PlanBuilder:
+    """Tickets with 1-5 items for high-potential households (spec
+    q73): per-(ticket, customer) counts with HAVING, joined back to
+    customer names."""
+    dt = _dim("date_dim", ["d_date_sk", "d_year", "d_dom"],
+              f"d_dom >= 1 AND d_dom <= 2 AND d_year = {year}")
+    st = _dim("store", ["s_store_sk"])
+    hd = _dim("household_demographics",
+              ["hd_demo_sk", "hd_buy_potential", "hd_dep_count",
+               "hd_vehicle_count"],
+              f"(hd_buy_potential = {buy[0]} OR "
+              f"hd_buy_potential = {buy[1]}) AND "
+              f"(hd_dep_count = {dep} OR hd_vehicle_count = {vehicle})")
+    cu = _dim("customer", ["c_customer_sk", "c_last_name",
+                           "c_first_name", "c_salutation",
+                           "c_preferred_cust_flag"])
+    return (
+        PlanBuilder()
+        .table_scan("store_sales",
+                    columns=["ss_sold_date_sk", "ss_store_sk",
+                             "ss_hdemo_sk", "ss_ticket_number",
+                             "ss_customer_sk"])
+        .hash_join(dt, ["ss_sold_date_sk"], ["d_date_sk"], "left_semi")
+        .hash_join(st, ["ss_store_sk"], ["s_store_sk"], "left_semi")
+        .hash_join(hd, ["ss_hdemo_sk"], ["hd_demo_sk"], "left_semi")
+        .aggregate(["ss_ticket_number", "ss_customer_sk"],
+                   ["count(*) AS cnt"])
+        .filter(f"cnt >= {cnt_lo} AND cnt <= {cnt_hi}")
+        .hash_join(cu, ["ss_customer_sk"], ["c_customer_sk"], "inner",
+                   output=["c_last_name", "c_first_name",
+                           "c_salutation", "c_preferred_cust_flag",
+                           "ss_ticket_number", "cnt"])
+        .order_by(["cnt DESC", "c_last_name"])
+        .limit(1000)
+    )
+
+
+def q79(year: int = 2000, dep: int = 6, vehicle: int = 2,
+        employees=(200, 295)) -> PlanBuilder:
+    """Monday-shopper ticket profits (spec q79)."""
+    dt = _dim("date_dim", ["d_date_sk", "d_year", "d_dow"],
+              f"d_dow = 1 AND d_year = {year}")
+    st = _dim("store", ["s_store_sk", "s_number_employees", "s_city"],
+              f"s_number_employees >= {employees[0]} AND "
+              f"s_number_employees <= {employees[1]}")
+    hd = _dim("household_demographics",
+              ["hd_demo_sk", "hd_dep_count", "hd_vehicle_count"],
+              f"hd_dep_count = {dep} OR hd_vehicle_count > {vehicle}")
+    cu = _dim("customer", ["c_customer_sk", "c_last_name",
+                           "c_first_name"])
+    return (
+        PlanBuilder()
+        .table_scan("store_sales",
+                    columns=["ss_sold_date_sk", "ss_store_sk",
+                             "ss_hdemo_sk", "ss_ticket_number",
+                             "ss_customer_sk", "ss_addr_sk",
+                             "ss_coupon_amt", "ss_net_profit"])
+        .hash_join(dt, ["ss_sold_date_sk"], ["d_date_sk"], "left_semi")
+        .hash_join(hd, ["ss_hdemo_sk"], ["hd_demo_sk"], "left_semi")
+        .hash_join(st, ["ss_store_sk"], ["s_store_sk"], "inner",
+                   output=["ss_ticket_number", "ss_customer_sk",
+                           "ss_addr_sk", "ss_coupon_amt",
+                           "ss_net_profit", "s_city"])
+        .aggregate(["ss_ticket_number", "ss_customer_sk", "ss_addr_sk",
+                    "s_city"],
+                   ["sum(ss_coupon_amt) AS amt",
+                    "sum(ss_net_profit) AS profit"])
+        .hash_join(cu, ["ss_customer_sk"], ["c_customer_sk"], "inner",
+                   output=["c_last_name", "c_first_name", "s_city",
+                           "ss_ticket_number", "amt", "profit"])
+        .order_by(["c_last_name", "c_first_name", "s_city",
+                   "profit DESC", "ss_ticket_number"])
+        .limit(100)
+    )
+
+
+def q88(dep: int = 4, vehicle: int = 2) -> PlanBuilder:
+    """Store traffic in 8 half-hour bands (spec q88's eight scalar
+    subqueries computed as conditional counts in ONE pass — documented
+    shape deviation, identical values)."""
+    hd = _dim("household_demographics",
+              ["hd_demo_sk", "hd_dep_count", "hd_vehicle_count"],
+              f"(hd_dep_count = {dep} AND hd_vehicle_count <= "
+              f"{dep + 2}) OR (hd_dep_count = {dep - 2} AND "
+              f"hd_vehicle_count <= {dep}) OR (hd_dep_count = "
+              f"{vehicle} AND hd_vehicle_count <= {vehicle + 2})")
+    st = _dim("store", ["s_store_sk"])
+    td = _dim("time_dim", ["t_time_sk", "t_hour", "t_minute"],
+              "t_hour >= 8 AND t_hour <= 12")
+    bands = [(f"h{h}_{m}", f"t_hour = {h} AND "
+              + ("t_minute < 30" if m == 0 else "t_minute >= 30"))
+             for h in (8, 9, 10, 11) for m in (0, 30)]
+    return (
+        PlanBuilder()
+        .table_scan("store_sales",
+                    columns=["ss_sold_time_sk", "ss_hdemo_sk",
+                             "ss_store_sk"])
+        .hash_join(hd, ["ss_hdemo_sk"], ["hd_demo_sk"], "left_semi")
+        .hash_join(st, ["ss_store_sk"], ["s_store_sk"], "left_semi")
+        .hash_join(td, ["ss_sold_time_sk"], ["t_time_sk"], "inner",
+                   output=["t_hour", "t_minute"])
+        .project([f"if({cond}, 1, 0) AS {n}_raw" for n, cond in bands])
+        .aggregate([], [f"sum({n}_raw) AS {n}" for n, _ in bands])
+    )
+
+
+def q90(dep: int = 6, am=(8, 9), pm=(19, 20),
+        chars=(5000, 5200)) -> PlanBuilder:
+    """AM/PM web traffic ratio (spec q90)."""
+    hd = _dim("household_demographics", ["hd_demo_sk", "hd_dep_count"],
+              f"hd_dep_count = {dep}")
+    wp = _dim("web_page", ["wp_web_page_sk", "wp_char_count"],
+              f"wp_char_count >= {chars[0]} AND "
+              f"wp_char_count <= {chars[1]}")
+    td = _dim("time_dim", ["t_time_sk", "t_hour"],
+              f"(t_hour >= {am[0]} AND t_hour <= {am[1]}) OR "
+              f"(t_hour >= {pm[0]} AND t_hour <= {pm[1]})")
+    return (
+        PlanBuilder()
+        .table_scan("web_sales",
+                    columns=["ws_sold_time_sk", "ws_ship_hdemo_sk",
+                             "ws_web_page_sk"])
+        .hash_join(hd, ["ws_ship_hdemo_sk"], ["hd_demo_sk"],
+                   "left_semi")
+        .hash_join(wp, ["ws_web_page_sk"], ["wp_web_page_sk"],
+                   "left_semi")
+        .hash_join(td, ["ws_sold_time_sk"], ["t_time_sk"], "inner",
+                   output=["t_hour"])
+        .project([f"if(t_hour <= {am[1]}, 1, 0) AS am_raw",
+                  f"if(t_hour >= {pm[0]}, 1, 0) AS pm_raw"])
+        .aggregate([], ["sum(am_raw) AS amc", "sum(pm_raw) AS pmc"])
+        .project(["amc", "pmc",
+                  "amc * 1.0 / pmc AS am_pm_ratio"])
+    )
+
+
+def q93(reason: str = "reason 1") -> PlanBuilder:
+    """Actual sales after returns for one return reason (spec q93;
+    the WHERE's reason equi-filter makes the outer join effectively
+    inner on returns)."""
+    rs = _dim("reason", ["r_reason_sk", "r_reason_desc"],
+              f"r_reason_desc = '{reason}'")
+    sr = (PlanBuilder()
+          .table_scan("store_returns",
+                      columns=["sr_ticket_number", "sr_item_sk",
+                               "sr_reason_sk", "sr_return_quantity"])
+          .hash_join(rs, ["sr_reason_sk"], ["r_reason_sk"],
+                     "left_semi"))
+    return (
+        PlanBuilder()
+        .table_scan("store_sales",
+                    columns=["ss_ticket_number", "ss_item_sk",
+                             "ss_customer_sk", "ss_quantity",
+                             "ss_sales_price"])
+        .hash_join(sr, ["ss_ticket_number", "ss_item_sk"],
+                   ["sr_ticket_number", "sr_item_sk"], "inner",
+                   output=["ss_customer_sk", "ss_quantity",
+                           "sr_return_quantity", "ss_sales_price"])
+        .project(["ss_customer_sk",
+                  "(ss_quantity - sr_return_quantity) * "
+                  "ss_sales_price AS act_sales"])
+        .aggregate(["ss_customer_sk"],
+                   ["sum(act_sales) AS sumsales"])
+        .order_by(["sumsales", "ss_customer_sk"])
+        .limit(100)
+    )
+
+
+def q97(month_seq_lo: int = 1200) -> PlanBuilder:
+    """Store/catalog shopper overlap via FULL OUTER join of distinct
+    (customer, item) sets (spec q97)."""
+    dt = _dim("date_dim", ["d_date_sk", "d_month_seq"],
+              f"d_month_seq >= {month_seq_lo} AND "
+              f"d_month_seq <= {month_seq_lo + 11}")
+
+    ssci = (PlanBuilder()
+            .table_scan("store_sales",
+                        columns=["ss_sold_date_sk", "ss_customer_sk",
+                                 "ss_item_sk"])
+            .hash_join(dt, ["ss_sold_date_sk"], ["d_date_sk"],
+                       "left_semi")
+            .project(["ss_customer_sk", "ss_item_sk"])
+            .distinct())
+    csci = (PlanBuilder()
+            .table_scan("catalog_sales",
+                        columns=["cs_sold_date_sk",
+                                 "cs_bill_customer_sk", "cs_item_sk"])
+            .hash_join(_dim("date_dim", ["d_date_sk", "d_month_seq"],
+                            f"d_month_seq >= {month_seq_lo} AND "
+                            f"d_month_seq <= {month_seq_lo + 11}"),
+                       ["cs_sold_date_sk"], ["d_date_sk"],
+                       "left_semi")
+            .project(["cs_bill_customer_sk", "cs_item_sk"])
+            .distinct())
+    return (
+        ssci
+        .hash_join(csci, ["ss_customer_sk", "ss_item_sk"],
+                   ["cs_bill_customer_sk", "cs_item_sk"], "full",
+                   output=["ss_customer_sk", "ss_item_sk",
+                           "cs_bill_customer_sk", "cs_item_sk"])
+        .project([
+            "if(is_not_null(ss_customer_sk) AND "
+            "is_null(cs_bill_customer_sk), 1, 0) AS s_only",
+            "if(is_null(ss_customer_sk) AND "
+            "is_not_null(cs_bill_customer_sk), 1, 0) AS c_only",
+            "if(is_not_null(ss_customer_sk) AND "
+            "is_not_null(cs_bill_customer_sk), 1, 0) AS both_raw"])
+        .aggregate([], ["sum(s_only) AS store_only",
+                        "sum(c_only) AS catalog_only",
+                        "sum(both_raw) AS store_and_catalog"])
+    )
+
+
+def q68(year: int = 2000, dep: int = 4, vehicle: int = 3,
+        cities=("Midway", "Fairview")) -> PlanBuilder:
+    """Per-ticket spend for early-month city shoppers whose bought
+    city differs from their current city (spec q68; two address
+    roles)."""
+    cs = ", ".join(f"'{c}'" for c in cities)
+    dt = _dim("date_dim", ["d_date_sk", "d_year", "d_dom"],
+              f"d_dom >= 1 AND d_dom <= 2 AND d_year = {year}")
+    st = _dim("store", ["s_store_sk", "s_city"],
+              f"s_city IN ({cs})")
+    hd = _dim("household_demographics",
+              ["hd_demo_sk", "hd_dep_count", "hd_vehicle_count"],
+              f"hd_dep_count = {dep} OR hd_vehicle_count = {vehicle}")
+    ca = _dim("customer_address", ["ca_address_sk", "ca_city"])
+    cu = _dim("customer", ["c_customer_sk", "c_last_name",
+                           "c_first_name", "c_current_addr_sk"])
+    cur = (PlanBuilder()
+           .table_scan("customer_address",
+                       columns=["ca_address_sk", "ca_city"])
+           .project(["ca_address_sk AS cur_addr_sk",
+                     "ca_city AS current_city"]))
+    return (
+        PlanBuilder()
+        .table_scan("store_sales",
+                    columns=["ss_sold_date_sk", "ss_store_sk",
+                             "ss_hdemo_sk", "ss_addr_sk",
+                             "ss_ticket_number", "ss_customer_sk",
+                             "ss_ext_sales_price", "ss_ext_list_price",
+                             "ss_ext_tax"])
+        .hash_join(dt, ["ss_sold_date_sk"], ["d_date_sk"], "left_semi")
+        .hash_join(st, ["ss_store_sk"], ["s_store_sk"], "left_semi")
+        .hash_join(hd, ["ss_hdemo_sk"], ["hd_demo_sk"], "left_semi")
+        .hash_join(ca, ["ss_addr_sk"], ["ca_address_sk"], "inner",
+                   output=["ss_ticket_number", "ss_customer_sk",
+                           "ss_ext_sales_price", "ss_ext_list_price",
+                           "ss_ext_tax", "ca_city"])
+        .aggregate(["ss_ticket_number", "ss_customer_sk", "ca_city"],
+                   ["sum(ss_ext_sales_price) AS extended_price",
+                    "sum(ss_ext_list_price) AS list_price",
+                    "sum(ss_ext_tax) AS extended_tax"])
+        .hash_join(cu, ["ss_customer_sk"], ["c_customer_sk"], "inner",
+                   output=["c_last_name", "c_first_name",
+                           "c_current_addr_sk", "ca_city",
+                           "ss_ticket_number", "extended_price",
+                           "list_price", "extended_tax"])
+        .hash_join(cur, ["c_current_addr_sk"], ["cur_addr_sk"],
+                   "inner",
+                   output=["c_last_name", "c_first_name", "ca_city",
+                           "current_city", "ss_ticket_number",
+                           "extended_price", "list_price",
+                           "extended_tax"])
+        .filter("current_city <> ca_city")
+        .order_by(["c_last_name", "ss_ticket_number"])
+        .limit(100)
+    )
+
+
 _QUERIES = {1: q1, 3: q3, 6: q6, 7: q7, 12: q12, 13: q13, 15: q15,
             19: q19, 20: q20, 26: q26, 27: q27, 30: q30, 33: q33,
             36: q36, 37: q37, 40: q40, 42: q42, 43: q43, 48: q48,
             50: q50, 52: q52, 53: q53, 55: q55, 56: q56, 60: q60,
-            65: q65, 81: q81, 82: q82, 86: q86, 96: q96, 98: q98}
+            62: q62, 63: q63, 65: q65, 68: q68, 73: q73, 79: q79,
+            81: q81, 82: q82, 86: q86, 88: q88, 90: q90, 93: q93,
+            96: q96, 97: q97, 98: q98, 99: q99}
 SUPPORTED_QUERIES = sorted(_QUERIES)
 
 
