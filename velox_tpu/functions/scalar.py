@@ -1046,8 +1046,16 @@ _register_prob("inverse_normal_cdf", 3,
                lambda m, sd, p: m + sd * _special.ndtri(p))
 _register_prob("beta_cdf", 3,
                lambda a, b, x: _special.betainc(a, b, x))
-_register_prob("cauchy_cdf", 3,
-               lambda m, s, x: 0.5 + jnp.arctan2(x - m, s) / jnp.pi)
+def _cauchy_cdf(m, s, x):
+    # tail-stable form: 0.5 + atan((x-m)/s)/pi cancels catastrophically
+    # for x << m; use atan(s/(m-x))/pi there (atan complement identity)
+    d = x - m
+    lo = jnp.arctan2(s, -d) / jnp.pi          # exact for d < 0
+    hi = 1.0 - jnp.arctan2(s, d) / jnp.pi     # exact for d > 0
+    return jnp.where(d < 0, lo, hi)
+
+
+_register_prob("cauchy_cdf", 3, _cauchy_cdf)
 _register_prob("chi_squared_cdf", 2,
                lambda k, x: _special.gammainc(k * 0.5, x * 0.5))
 _register_prob("gamma_cdf", 3,

@@ -43,6 +43,18 @@ class ExpressionFuzzer:
             if r.random() < 0.5:
                 return Literal(None, int(r.integers(-50, 50)))
             return Literal(None, float(np.round(r.normal(scale=20), 2)))
+        roll = r.random()
+        if roll < 0.15:
+            # unary math (exact semantics)
+            op = str(r.choice(["abs", "floor", "ceil", "sign"]))
+            return Call(None, op, (self.gen_numeric(depth - 1),))
+        if roll < 0.3:
+            # probability cdfs (f32-internal: compared with loose tol)
+            op = str(r.choice(["normal_cdf", "cauchy_cdf",
+                               "laplace_cdf"]))
+            return Call(None, op, (
+                Literal(None, 0.0), Literal(None, 2.5),
+                self.gen_numeric(depth - 1)))
         op = str(r.choice(["plus", "minus", "multiply"]))
         return Call(None, op, (
             self.gen_numeric(depth - 1), self.gen_numeric(depth - 1)))
@@ -88,10 +100,18 @@ class ExpressionFuzzer:
             return FieldRef(None, self.str_col)
         kind = str(r.choice(
             ["upper", "lower", "reverse", "replace", "lpad", "rpad",
-             "substr"]))
+             "substr", "trim", "ltrim", "rtrim", "soundex",
+             "translate", "concat"]))
         inner = self.gen_string(depth - 1)
-        if kind in ("upper", "lower", "reverse"):
+        if kind in ("upper", "lower", "reverse", "trim", "ltrim",
+                    "rtrim", "soundex"):
             return Call(None, kind, (inner,))
+        if kind == "translate":
+            return Call(None, "translate", (
+                inner, Literal(None, "s01"), Literal(None, "z9")))
+        if kind == "concat":
+            return Call(None, "concat", (
+                inner, Literal(None, str(r.choice(["_t", ""])))))
         if kind == "replace":
             a = str(r.choice(list("s0123")))
             b = str(r.choice(["", "x", "yy"]))
@@ -109,7 +129,9 @@ class ExpressionFuzzer:
         if self.rng.random() < 0.15:
             # string -> scalar bridges: length/strpos/starts_with over a
             # composed transform
-            k = str(self.rng.choice(["length", "strpos", "starts_with"]))
+            k = str(self.rng.choice(
+                ["length", "strpos", "starts_with",
+                 "levenshtein_distance", "regexp_like"]))
             inner = self.gen_string(2)
             if k == "length":
                 return Call(None, "length", (inner,))
@@ -117,6 +139,15 @@ class ExpressionFuzzer:
                 return Call(None, "strpos", (
                     inner, Literal(None, str(self.rng.choice(
                         list("s01x*"))))))
+            if k == "levenshtein_distance":
+                return Call(None, "levenshtein_distance", (
+                    FieldRef(None, self.str_col),
+                    Literal(None, "s05")))
+            if k == "regexp_like":
+                return Call(None, "regexp_like", (
+                    FieldRef(None, self.str_col),
+                    Literal(None, str(self.rng.choice(
+                        [r"^s\\d+$", "0", r"\\p{Digit}{2}"])))))
             return Call(None, "starts_with", (
                 inner, Literal(None, str(self.rng.choice(
                     ["s", "s0", "*", ""])))))
@@ -196,8 +227,43 @@ def _oracle(e: Expr, df: pd.DataFrame):
             vals = [a.value for a in e.args[1:]]
             return v.map(lambda x: None if pd.isna(x) else x in vals)
 
+        if name in ("abs", "floor", "ceil", "sign"):
+            a = _oracle(e.args[0], df)
+            f = {"abs": abs,
+                 "floor": math.floor, "ceil": math.ceil,
+                 "sign": lambda v: int(v > 0) - int(v < 0)}[name]
+            def apply_unary(v):
+                if pd.isna(v):
+                    return None
+                r = f(v)
+                if name in ("floor", "ceil") and isinstance(v, float):
+                    return float(r)
+                if name == "sign" and isinstance(v, float):
+                    return float(r)
+                return r
+            return a.map(apply_unary)
+        if name in ("normal_cdf", "cauchy_cdf", "laplace_cdf"):
+            import scipy.stats as st
+
+            m, sd = e.args[0].value, e.args[1].value
+            x = _oracle(e.args[2], df)
+            dist = {"normal_cdf": st.norm, "cauchy_cdf": st.cauchy,
+                    "laplace_cdf": st.laplace}[name](m, sd)
+            return x.map(lambda v: None if pd.isna(v)
+                         else float(dist.cdf(v)))
+        if name in ("levenshtein_distance", "regexp_like"):
+            from velox_tpu.functions import hostfns as H
+
+            base = _oracle(e.args[0], df)
+            lit = e.args[1].value
+            hf = (H.levenshtein_distance
+                  if name == "levenshtein_distance" else H.regexp_like)
+            return base.map(
+                lambda v: None if pd.isna(v) else hf(str(v), lit))
         if name in ("upper", "lower", "reverse", "replace", "lpad",
-                    "rpad", "substr", "length", "strpos", "starts_with"):
+                    "rpad", "substr", "length", "strpos", "starts_with",
+                    "trim", "ltrim", "rtrim", "soundex", "translate",
+                    "concat"):
             def lpad_(s2, k, p):
                 return (s2[:k] if len(s2) >= k
                         else (p * k)[: k - len(s2)] + s2)
@@ -205,6 +271,9 @@ def _oracle(e: Expr, df: pd.DataFrame):
             def rpad_(s2, k, p):
                 return (s2[:k] if len(s2) >= k
                         else s2 + (p * k)[: k - len(s2)])
+
+            from velox_tpu.functions.hostfns import soundex as _sx
+            from velox_tpu.functions.hostfns import translate3 as _tr
 
             sfn = {
                 "upper": lambda s2: s2.upper(),
@@ -216,6 +285,12 @@ def _oracle(e: Expr, df: pd.DataFrame):
                 "length": lambda s2: len(s2),
                 "strpos": lambda s2, sub: s2.find(sub) + 1,
                 "starts_with": lambda s2, p2: s2.startswith(p2),
+                "trim": lambda s2: s2.strip(),
+                "ltrim": lambda s2: s2.lstrip(),
+                "rtrim": lambda s2: s2.rstrip(),
+                "soundex": _sx,
+                "translate": _tr,
+                "concat": lambda s2, suf: s2 + suf,
             }[name]
             base = _oracle(e.args[0], df)
             extras = [a.value for a in e.args[1:]]
@@ -304,9 +379,12 @@ def run_expression_fuzz(iterations: int = 100, seed: int = 0,
                     assert bool(gv) == bool(ev), _repro(
                         expr, df, i, gv, ev)
                 elif isinstance(ev, float) or isinstance(gv, float):
+                    # f32-internal probability fns compare loosely
+                    # (relative error survives downstream arithmetic)
+                    tol = 3e-5 if _has_approx(expr) else 1e-9
                     assert math.isclose(
-                        float(gv), float(ev), rel_tol=1e-9,
-                        abs_tol=1e-9), _repro(expr, df, i, gv, ev)
+                        float(gv), float(ev), rel_tol=tol,
+                        abs_tol=tol), _repro(expr, df, i, gv, ev)
                 else:
                     assert int(gv) == int(ev), _repro(expr, df, i, gv, ev)
         checked += 1
@@ -317,6 +395,13 @@ def expr_resolved(expr: Expr, batch) -> Expr:
     """The oracle consumes the UNRESOLVED tree (it does its own numeric
     coercions via python semantics)."""
     return expr
+
+
+def _has_approx(e: Expr) -> bool:
+    if isinstance(e, Call) and e.name in (
+            "normal_cdf", "cauchy_cdf", "laplace_cdf"):
+        return True
+    return any(_has_approx(c) for c in e.children)
 
 
 def _repro(expr, df, i, got, exp) -> str:
