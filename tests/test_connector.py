@@ -239,10 +239,21 @@ def test_long_decimal_ingest_and_overflow(tmp_path):
     finally:
         drop_table("ldec")
 
-    too_big = pa.table({"d": pa.array(
-        [pydec.Decimal(10) ** 30], pa.decimal128(38, 2))})
-    with pytest.raises(OverflowError):
-        register_arrow("ldec2", too_big, 128)
+    # r3: values beyond int64 unscaled now SHRED into digit lanes
+    # (types/widedec.py) instead of rejecting — full coverage in
+    # tests/test_wide_decimal.py
+    big = pa.table({"d": pa.array(
+        [pydec.Decimal(10) ** 30, pydec.Decimal(-3).scaleb(25)],
+        pa.decimal128(38, 2))})
+    register_arrow("ldec2", big, 128)
+    try:
+        out = run_plan_pydict(
+            PlanBuilder().table_scan("ldec2")
+            .aggregate([], ["sum(d) AS s"]).build())
+        assert out["s"] == [pydec.Decimal(10) ** 30
+                            + pydec.Decimal(-3).scaleb(25)]
+    finally:
+        drop_table("ldec2")
 
 
 def test_register_parquet_dir_hive_partitions(tmp_path):
