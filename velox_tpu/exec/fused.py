@@ -21,7 +21,9 @@ from velox_tpu.utils.config import config
 from velox_tpu.vector.batch import Batch
 from velox_tpu.vector.column import Dictionary
 from velox_tpu.exec.jitcache import cached_jit
-from velox_tpu.exec.operator import Operator, eval_dicts, eval_pairs
+from velox_tpu.exec.operator import (
+    AdaptiveOutput, Operator, eval_dicts, eval_pairs,
+)
 from velox_tpu.exec.operators import (
     FilterOp, HashAggregationOp, ProjectOp, TableScanOp,
 )
@@ -36,10 +38,11 @@ def maybe_fuse(chain: List[Operator]) -> List[Operator]:
         return chain
     from velox_tpu.types.types import TypeKind
 
-    # ARRAY/MAP columns flow through operators as offset+element lanes
-    # that a fused env can't passthrough; leave those chains unfused
+    # ARRAY/MAP/ROW columns flow through operators as offset+element or
+    # child lanes that a fused env can't passthrough; leave those
+    # chains unfused
     for op in chain:
-        if any(t.kind in (TypeKind.ARRAY, TypeKind.MAP)
+        if any(t.kind in (TypeKind.ARRAY, TypeKind.MAP, TypeKind.ROW)
                for t in op.node.output_type.children):
             return chain
     # longest transform prefix after the scan
@@ -58,7 +61,7 @@ def maybe_fuse(chain: List[Operator]) -> List[Operator]:
     return chain
 
 
-class FusedScanOp(Operator):
+class FusedScanOp(AdaptiveOutput, Operator):
     """Scan -> filters/projects as one jit per split (no aggregation)."""
 
     def __init__(self, chain: List[Operator]):
@@ -132,7 +135,13 @@ class FusedScanOp(Operator):
             vals, valid = env[n]
             out_cols[n] = Column(t, vals, valid, out_dicts.get(n))
         self.stats.output_batches += 1
-        return Batch(out_cols, sel)
+        out = Batch(out_cols, sel)
+        if (self.scan._filter is not None or self.scan.dynamic_filters
+                or any(isinstance(op, FilterOp) for op in self.transforms)):
+            out = self._shape_output(out)
+        elif b.num_rows is not None:
+            out = Batch(out_cols, sel, b.num_rows)
+        return out
 
     def is_finished(self) -> bool:
         return not self.scan._splits

@@ -37,6 +37,51 @@ class OperatorStats:
     runtime: Dict[str, float] = field(default_factory=dict)
 
 
+#: below this capacity padded work is already cheap — never sync to shrink
+_COMPACT_MIN_CAP = 1 << 16
+#: compact when live rows * this < capacity (i.e. < 12.5% live)
+_COMPACT_FRACTION = 8
+
+
+class AdaptiveOutput:
+    """Right-size sparse outputs (config.adaptive_compact, off by
+    default).
+
+    Velox operators emit right-sized RowVectors (output batching,
+    velox/core/QueryConfig.h:479); this engine's batches instead keep
+    their padded capacity with a selection mask so filters cost no host
+    sync, and the stateful operators (join build/probe, aggregation
+    emit) right-size at sync points they need anyway. This opt-in policy
+    adds sizing for long post-filter operator chains those built-ins
+    can't see: on an operator's first large output batch, sync ONE count
+    (~26ms fixed round-trip on the tunneled backend, BASELINE.md); a
+    dense verdict is remembered so non-selective operators never pay a
+    second sync, while a sparse verdict compacts every batch — re-using
+    exactly the count compact() needs.
+    """
+
+    _sparse_verdict: Optional[bool] = None
+
+    def _shape_output(self, batch: Optional[Batch]) -> Optional[Batch]:
+        from velox_tpu.utils.config import config as _cfg
+
+        if (batch is None or not _cfg.adaptive_compact
+                or self._sparse_verdict is False
+                or batch.capacity < _COMPACT_MIN_CAP):
+            return batch
+        if (batch.num_rows is not None
+                and batch.num_rows * _COMPACT_FRACTION >= batch.capacity):
+            return batch          # dense, known without a sync
+        count = (batch.num_rows if batch.num_rows is not None
+                 else batch.selected_count())
+        if self._sparse_verdict is None:
+            self._sparse_verdict = (
+                count * _COMPACT_FRACTION < batch.capacity)
+        if count * _COMPACT_FRACTION >= batch.capacity:
+            return batch
+        return batch.compact(count)
+
+
 class Operator:
     """Base operator. Subclasses override add_input/get_output/is_finished."""
 
@@ -86,20 +131,43 @@ _EVAL_CACHE: Dict[tuple, Tuple["ExprSet", Callable]] = {}
 def eval_pairs(batch: Batch) -> Dict[str, tuple]:
     """All (values, valid) pairs expression eval can reference. ARRAY
     columns contribute three derived flat lanes (#start/#len/#elemv) that
-    bind_array_funcs targets (velox_tpu/expr/compiler.py)."""
-    from velox_tpu.vector.column import ArrayColumn, MapColumn
+    bind_array_funcs targets (velox_tpu/expr/compiler.py); ROW columns
+    contribute their scalar children under dotted subfield names ("r.a"),
+    so field access over ROW intermediates is a plain lane read with the
+    row's own null mask ANDed in (velox RowVector child access)."""
+    from velox_tpu.vector.column import ArrayColumn, MapColumn, RowColumn
 
     out: Dict[str, tuple] = {}
+
+    def add_row(prefix: str, rc: RowColumn, parent_valid):
+        rv = rc.valid
+        if parent_valid is not None:
+            rv = (parent_valid if rv is None
+                  else jnp.logical_and(rv, parent_valid))
+        for nm, kid in zip(rc.dtype.names, rc.children):
+            key = f"{prefix}.{nm}"
+            if isinstance(kid, RowColumn):
+                add_row(key, kid, rv)
+            elif not isinstance(kid, (ArrayColumn, MapColumn)):
+                kv = kid.valid
+                if rv is not None:
+                    kv = (rv if kv is None
+                          else jnp.logical_and(kv, rv))
+                out[key] = (kid.values, kv)
+
     for n, c in batch.columns.items():
         if isinstance(c, ArrayColumn):
             out[f"{n}#start"] = (c.starts, None)
             out[f"{n}#len"] = (c.lengths, c.valid)
-            out[f"{n}#elemv"] = (c.elements.values, c.elements.valid)
+            if not isinstance(c.elements, RowColumn):
+                out[f"{n}#elemv"] = (c.elements.values, c.elements.valid)
         elif isinstance(c, MapColumn):
             out[f"{n}#start"] = (c.starts, None)
             out[f"{n}#len"] = (c.lengths, c.valid)
             out[f"{n}#kv"] = (c.keys.values, c.keys.valid)
             out[f"{n}#vv"] = (c.values.values, c.values.valid)
+        elif isinstance(c, RowColumn):
+            add_row(n, c, None)
         else:
             out[n] = (c.values, c.valid)
     return out
@@ -107,9 +175,19 @@ def eval_pairs(batch: Batch) -> Dict[str, tuple]:
 
 def eval_dicts(batch: Batch) -> Dict[str, object]:
     """Dictionaries visible to bind time, incl. array element tables."""
-    from velox_tpu.vector.column import ArrayColumn, MapColumn
+    from velox_tpu.vector.column import ArrayColumn, MapColumn, RowColumn
 
     out: Dict[str, object] = {}
+
+    def add_row(prefix: str, rc: RowColumn):
+        for nm, kid in zip(rc.dtype.names, rc.children):
+            key = f"{prefix}.{nm}"
+            if isinstance(kid, RowColumn):
+                add_row(key, kid)
+            elif (not isinstance(kid, (ArrayColumn, MapColumn))
+                  and kid.dictionary is not None):
+                out[key] = kid.dictionary
+
     for n, c in batch.columns.items():
         if isinstance(c, ArrayColumn):
             if c.elements.dictionary is not None:
@@ -119,6 +197,8 @@ def eval_dicts(batch: Batch) -> Dict[str, object]:
                 out[f"{n}#kv"] = c.keys.dictionary
             if c.values.dictionary is not None:
                 out[f"{n}#vv"] = c.values.dictionary
+        elif isinstance(c, RowColumn):
+            add_row(n, c)
         elif c.dictionary is not None:
             out[n] = c.dictionary
     return out

@@ -25,7 +25,7 @@ from velox_tpu.types.types import TypeKind
 from velox_tpu.expr.ir import FieldRef
 from velox_tpu.vector.batch import Batch, concat_batches, round_capacity
 from velox_tpu.vector.column import Column, Dictionary
-from velox_tpu.exec.operator import ExprEvaluator, Operator
+from velox_tpu.exec.operator import AdaptiveOutput, ExprEvaluator, Operator
 from velox_tpu.exec.jitcache import cached_jit
 from velox_tpu.exec.spill import SpillableBuffer
 from velox_tpu.functions.aggregates import lookup_aggregate
@@ -98,12 +98,13 @@ class ValuesOp(Operator):
         return not self._queue
 
 
-class TableScanOp(Operator):
+class TableScanOp(AdaptiveOutput, Operator):
     """velox/exec/TableScan.cpp:146 — drains catalog splits, applies the
     pushed-down subfilter on device (ScanSpec analog)."""
 
     def __init__(self, node):
         super().__init__(node)
+        self._df_seen = 0
         allc = getattr(node, "all_columns", node.columns)
         self._allc = allc
         #: splits realize LAZILY on first access: dynamic filters
@@ -153,11 +154,19 @@ class TableScanOp(Operator):
         b = self._splits.popleft()
         b = b.project(getattr(self.node, "all_columns",
                               self.node.columns))
+        filtered = self._filter is not None or bool(self.dynamic_filters)
         if self._filter is not None:
             b = b.with_sel(self._filter.filter_sel(b))
         for df in self.dynamic_filters:
             b = b.with_sel(df.filter_sel(b))
         b = b.project(self.node.columns)  # drop filter-only columns
+        if filtered:
+            # selective scans (static subfilter or a pushed dynamic
+            # IN/bloom filter) right-size before downstream operators
+            if len(self.dynamic_filters) != self._df_seen:
+                self._df_seen = len(self.dynamic_filters)
+                self._sparse_verdict = None   # re-judge with new filters
+            b = self._shape_output(b)
         self.stats.output_batches += 1
         return b
 
@@ -167,7 +176,7 @@ class TableScanOp(Operator):
 
 # --------------------------------------------------------- filter/project
 
-class FilterOp(Operator):
+class FilterOp(AdaptiveOutput, Operator):
     """velox/exec/FilterProject.cpp filter half: one fused program."""
 
     def __init__(self, node):
@@ -180,7 +189,9 @@ class FilterOp(Operator):
         self._queue.append(batch.with_sel(self._eval.filter_sel(batch)))
 
     def get_output(self) -> Optional[Batch]:
-        return self._queue.popleft() if self._queue else None
+        if not self._queue:
+            return None
+        return self._shape_output(self._queue.popleft())
 
     def is_finished(self) -> bool:
         return self.no_more_input_seen and not self._queue
@@ -188,6 +199,43 @@ class FilterOp(Operator):
 
 def _valid_take(valid, idx):
     return None if valid is None else jnp.take(valid, idx, mode="clip")
+
+
+def _extract_row_path(batch: Batch, dotted: str, dtype):
+    """Resolve a (possibly dotted) column reference to a column,
+    navigating RowColumn children and ANDing each parent row's null
+    mask into the extracted child (velox RowVector childAt + null
+    propagation). Whole-column references return the column as-is."""
+    import dataclasses as _dc
+
+    from velox_tpu.vector.column import RowColumn
+
+    if dotted in batch:
+        return batch.column(dotted)
+    parts = dotted.split(".")
+    for k in range(len(parts) - 1, 0, -1):
+        head = ".".join(parts[:k])
+        if head not in batch:
+            continue
+        col = batch.column(head)
+        acc_valid = None
+        ok = True
+        for nm in parts[k:]:
+            if not isinstance(col, RowColumn):
+                ok = False
+                break
+            if col.valid is not None:
+                acc_valid = (col.valid if acc_valid is None
+                             else jnp.logical_and(acc_valid, col.valid))
+            col = col.child(nm)
+        if not ok:
+            continue
+        if acc_valid is not None:
+            merged = (acc_valid if col.valid is None
+                      else jnp.logical_and(col.valid, acc_valid))
+            col = _dc.replace(col, valid=merged)
+        return col
+    raise KeyError(f"no column or row subfield {dotted!r} in batch")
 
 
 class ProjectOp(Operator):
@@ -286,16 +334,61 @@ class ProjectOp(Operator):
             if isinstance(t, ArrayType) and isinstance(e, _Call)
             and e.name in ("map_keys", "map_values")
             and isinstance(e.args[0], _FR)}
+        # ROW intermediates (velox/vector/ComplexVector.h:31 RowVector;
+        # velox/expression/ExprConstants.h kRowConstructor):
+        # row_constructor(...) builds a RowColumn; a ROW-typed FieldRef
+        # (whole column or dotted sub-row/complex child) passes through
+        from velox_tpu.types.types import MapType as _MT, RowType as _RT
+        self._row_ctors = {
+            name: e for name, e, t in zip(
+                node.names, node.exprs, node.output_type.children)
+            if isinstance(t, _RT) and isinstance(e, _Call)
+            and e.name == "row_constructor"}
+        self._row_pass = {
+            name: e.name for name, e, t in zip(
+                node.names, node.exprs, node.output_type.children)
+            if isinstance(t, (_RT, _MT)) and isinstance(e, _FR)}
+        # map_entries(m) -> ARRAY(ROW(key,value)) sharing the map's
+        # offsets and flat lanes (zero device work); zip(a,b,...) ->
+        # ARRAY(ROW(...)) via positionwise alignment
+        self._map_entries = {
+            name: e for name, e in zip(node.names, node.exprs)
+            if isinstance(e, _Call) and e.name == "map_entries"
+            and isinstance(e.args[0], _FR)}
+        self._zips = {
+            name: e for name, e in zip(node.names, node.exprs)
+            if isinstance(e, _Call) and e.name == "zip"
+            and all(isinstance(a, _FR) for a in e.args)}
+        # complex-typed children of dotted ROW subfield refs that the
+        # scalar lane env can't carry (e.g. "r.tags" where tags ARRAY)
+        out_types = dict(zip(node.names, node.output_type.children))
+        self._row_sub = {
+            name: e.name for name, e in zip(node.names, node.exprs)
+            if isinstance(e, _FR) and "." in e.name
+            and not node.source.output_type.contains(e.name)
+            and out_types[name].kind in (
+                TypeKind.ARRAY, TypeKind.MAP, TypeKind.ROW)}
         skip = (set(self._array_pass) | set(self._transforms)
                 | set(self._map_projs) | set(self._sequences)
                 | set(self._slices) | set(self._reorders)
                 | set(self._setops) | set(self._splits_fn)
                 | set(self._map_lams) | set(self._map_concats)
                 | set(self._array_filters)
-                | set(self._array_combos))
+                | set(self._array_combos)
+                | set(self._row_ctors) | set(self._row_pass)
+                | set(self._map_entries) | set(self._zips)
+                | set(self._row_sub))
         scalar = [
             (name, e) for name, e in zip(node.names, node.exprs)
             if name not in skip]
+        # row_constructor's scalar fields evaluate through the same
+        # fused program as synthetic outputs "name#fi"
+        for name, e in self._row_ctors.items():
+            rt = out_types[name]
+            for i, (ct, a) in enumerate(zip(rt.children, e.args)):
+                if ct.kind not in (TypeKind.ARRAY, TypeKind.MAP,
+                                   TypeKind.ROW):
+                    scalar.append((f"{name}#f{i}", a))
         self._scalar_names = [n for n, _ in scalar]
         self._eval = ExprEvaluator(
             [e for _, e in scalar], node.source.output_type)
@@ -1023,6 +1116,94 @@ class ProjectOp(Operator):
         elem = Column(out_t.element, dv, dvd, ca.elements.dictionary)
         return ArrayColumn(out_t, dst, kcnt, elem, null_valid)
 
+    def _make_row(self, batch: Batch, name: str, by_name, types):
+        """row_constructor(...) -> RowColumn: scalar fields come from the
+        fused projection's synthetic "name#fi" lanes, complex fields
+        pass through by reference (velox RowConstructor special form).
+        The result row is never null (Presto semantics) — field nulls
+        live in the children."""
+        from velox_tpu.expr.ir import FieldRef as _FR
+        from velox_tpu.vector.column import RowColumn
+
+        rt = types[name]
+        e = self._row_ctors[name]
+        kids = []
+        for i, (ct, a) in enumerate(zip(rt.children, e.args)):
+            if ct.kind in (TypeKind.ARRAY, TypeKind.MAP, TypeKind.ROW):
+                assert isinstance(a, _FR), (
+                    "row_constructor: complex fields must be column "
+                    "references")
+                kids.append(_extract_row_path(batch, a.name, ct))
+            else:
+                (vals, valid), d = by_name[f"{name}#f{i}"]
+                kids.append(Column(ct, vals, valid, d))
+        return RowColumn(rt, tuple(kids), None)
+
+    def _apply_map_entries(self, batch: Batch, name: str):
+        """map_entries(m) -> ARRAY(ROW(key,value)) sharing the map's
+        offsets and flat key/value lanes — zero device work
+        (velox/functions/prestosql/MapEntries.cpp)."""
+        from velox_tpu.vector.column import ArrayColumn, MapColumn, RowColumn
+
+        e = self._map_entries[name]
+        src = batch.column(e.args[0].name)
+        assert isinstance(src, MapColumn)
+        out_t = dict(zip(self.node.names,
+                         self.output_type.children))[name]
+        elem = RowColumn(out_t.element, (src.keys, src.values), None)
+        return ArrayColumn(out_t, src.starts, src.lengths, elem,
+                           src.valid)
+
+    def _apply_zip(self, batch: Batch, name: str):
+        """zip(a, b, ...) -> ARRAY(ROW(...)): output length per row is
+        the max input length; shorter inputs contribute null fields
+        (velox/functions/prestosql/Zip.cpp:32-41). One output expansion
+        shared by every field; each field gathers positionwise from its
+        own source elements."""
+        from velox_tpu.vector.column import ArrayColumn, RowColumn
+
+        e = self._zips[name]
+        out_t = dict(zip(self.node.names,
+                         self.output_type.children))[name]
+        srcs = [batch.column(a.name) for a in e.args]
+        cap = batch.capacity
+        null_valid = None
+        for c in srcs:
+            if c.valid is not None:
+                null_valid = (c.valid if null_valid is None
+                              else jnp.logical_and(null_valid, c.valid))
+        row_live = batch.sel
+        if null_valid is not None:
+            row_live = jnp.logical_and(row_live, null_valid)
+        lens_in = [jnp.where(row_live, c.lengths, 0) for c in srcs]
+        lens = lens_in[0]
+        for l in lens_in[1:]:
+            lens = jnp.maximum(lens, l)
+        lens = lens.astype(jnp.int32)
+        total = int(jnp.sum(lens))                 # one host sync
+        ecap = round_capacity(max(total, 1))
+        nst = (jnp.cumsum(lens) - lens).astype(jnp.int32)
+        rows = jnp.arange(cap, dtype=jnp.int32)
+        pos = jnp.where(lens > 0, nst, ecap)
+        heads = jnp.zeros((ecap,), jnp.int32).at[pos].max(
+            rows + 1, mode="drop")
+        row_of = jnp.maximum(
+            jax.lax.associative_scan(jnp.maximum, heads) - 1, 0)
+        p = jnp.arange(ecap, dtype=jnp.int32)
+        ordinal = p - jnp.take(nst, row_of, mode="clip")
+        kids = []
+        rt = out_t.element
+        for c, li, ct in zip(srcs, lens_in, rt.children):
+            in_range = ordinal < jnp.take(li, row_of, mode="clip")
+            idx = jnp.take(c.starts, row_of, mode="clip") + ordinal
+            v = jnp.take(c.elements.values, idx, mode="clip")
+            vd = _valid_take(c.elements.valid, idx)
+            vd = (in_range if vd is None
+                  else jnp.logical_and(vd, in_range))
+            kids.append(Column(ct, v, vd, c.elements.dictionary))
+        elem = RowColumn(rt, tuple(kids), None)
+        return ArrayColumn(out_t, nst, lens, elem, null_valid)
+
     def add_input(self, batch: Batch) -> None:
         pairs, dicts = self._eval.project_pairs(batch)
         types = dict(zip(self.node.names, self.output_type.children))
@@ -1030,7 +1211,10 @@ class ProjectOp(Operator):
         cols = {}
         for name in self.node.names:
             if name in self._array_pass:
-                cols[name] = batch.column(self._array_pass[name])
+                # plain passthrough, or an ARRAY-typed child of a ROW
+                # column referenced by dotted subfield path
+                cols[name] = _extract_row_path(
+                    batch, self._array_pass[name], types[name])
             elif name in self._transforms:
                 cols[name] = self._apply_transform(batch, name)
             elif name in self._sequences:
@@ -1060,6 +1244,18 @@ class ProjectOp(Operator):
                 elem = (src.keys if which == "map_keys" else src.values)
                 cols[name] = ArrayColumn(
                     types[name], src.starts, src.lengths, elem, src.valid)
+            elif name in self._row_ctors:
+                cols[name] = self._make_row(batch, name, by_name, types)
+            elif name in self._row_pass:
+                cols[name] = _extract_row_path(
+                    batch, self._row_pass[name], types[name])
+            elif name in self._row_sub:
+                cols[name] = _extract_row_path(
+                    batch, self._row_sub[name], types[name])
+            elif name in self._map_entries:
+                cols[name] = self._apply_map_entries(batch, name)
+            elif name in self._zips:
+                cols[name] = self._apply_zip(batch, name)
             else:
                 (vals, valid), d = by_name[name]
                 cols[name] = Column(types[name], vals, valid, d)
@@ -2794,7 +2990,10 @@ class JoinBridge:
         self.n_active = None
         self.tables = ()   # kArray (tfirst, tcount) when range is small
         self.key_lo = 0
-        self.build_has_null_key = False
+        #: device bool until first read — only anti joins ever need it,
+        #: so inner/semi/left probes never pay the ~33ms scalar sync
+        self._has_null_dev = None
+        self._has_null: Optional[bool] = False
         self.matched = None  # accumulated build-row matched flags
         self.probe_done = False
         #: partitioned host spill: list of per-partition host fragment
@@ -2808,6 +3007,21 @@ class JoinBridge:
         #: exec/HashProbe.cpp:419; publishing-time pushdown lets the
         #: parquet row-group pruner see the filter too)
         self.on_ready: List[Callable] = []
+
+    @property
+    def build_has_null_key(self) -> bool:
+        if self._has_null is None:
+            self._has_null = bool(self._has_null_dev)  # lazy host sync
+        return self._has_null
+
+    @build_has_null_key.setter
+    def build_has_null_key(self, v) -> None:
+        if isinstance(v, (bool, np.bool_)):
+            self._has_null = bool(v)
+            self._has_null_dev = None
+        else:
+            self._has_null_dev = v        # device scalar, defer the sync
+            self._has_null = None
 
     def mark_ready(self) -> None:
         self.ready = True
@@ -2950,11 +3164,11 @@ def build_bridge_state(bridge, node, big: Batch, index_build) -> None:
         br.sorted_keys, br.perm, br.n_active = sorted_keys, perm, n_active
         br.tables, br.key_lo = tables, (rng_hint[0] if rng_hint else 0)
         br.matched = jnp.zeros((big.capacity,), jnp.bool_)
-        br.build_has_null_key = bool(has_null)
+        br.build_has_null_key = has_null    # device scalar; lazy sync
         br.mark_ready()
 
 
-class HashProbeOp(Operator):
+class HashProbeOp(AdaptiveOutput, Operator):
     """velox/exec/HashProbe.cpp — vectorized probe over the sorted build
     index; all 8 join types. Two jitted programs per batch shape: probe
     (counts) and expand+gather (keyed by output capacity)."""
@@ -3023,22 +3237,33 @@ class HashProbeOp(Operator):
             field, gte, lit, lte,
         )
 
-        sel_host = np.asarray(big.sel)
+        scan_cols = set(getattr(scan.node, "all_columns",
+                                scan.node.columns))
+        # ONE device->host transfer for everything the push reads (each
+        # np.asarray is a full ~33ms round trip on the tunneled backend)
+        fetch = {"__sel__": big.sel}
+        for lk, rk in zip(self.node.left_keys, self.node.right_keys):
+            if lk not in scan_cols:
+                continue
+            col = big.column(rk)
+            fetch[f"v.{rk}"] = col.values
+            if col.valid is not None:
+                fetch[f"m.{rk}"] = col.valid
+        host = jax.device_get(fetch)
+        sel_host = host["__sel__"]
         if not sel_host.any():
             scan.dynamic_filters.append(ExprEvaluator(
                 [lit(False)], scan._fschema))
             return
-        scan_cols = set(getattr(scan.node, "all_columns",
-                                scan.node.columns))
         conjs = []
         for lk, rk in zip(self.node.left_keys, self.node.right_keys):
             if lk not in scan_cols:
                 continue
             col = big.column(rk)
-            vals = np.asarray(col.values)
+            vals = host[f"v.{rk}"]
             m = sel_host
             if col.valid is not None:
-                m = np.logical_and(m, np.asarray(col.valid))
+                m = np.logical_and(m, host[f"m.{rk}"])
             live = vals[m]
             if live.size == 0:
                 continue
@@ -3098,15 +3323,21 @@ class HashProbeOp(Operator):
         # forced a re-trace + remote-compile round trip per run: ~1s
         # per probe on the tunneled backend), while spilled-probe
         # per-partition restores still get distinct programs
+        # only the ANTI family bakes the build-null flag into the traced
+        # program — reading it lazily keeps inner/semi/left probes free
+        # of the build's has-null host sync (JoinBridge property)
+        null_flag = (br.build_has_null_key
+                     if self.jt in (JoinType.ANTI, JoinType.ANTI_SIMPLE)
+                     else False)
         sig = (tuple(id(d) for d in dicts), len(br.tables), br.key_lo,
-               br.build_has_null_key, br.codec.key_sig())
+               null_flag, br.codec.key_sig())
         fn = self._probe_jits.get(sig)
         if fn is not None:
             return fn
         jt = self.jt
         codec = br.codec
         no_filter_semi = self._semi_like and self._filter_exprs is None
-        build_has_null = br.build_has_null_key
+        build_has_null = null_flag
         left_like = self._left_like
         index_probe = type(self)._index_probe
         use_table = len(br.tables) == 2
@@ -3260,9 +3491,11 @@ class HashProbeOp(Operator):
         return fn
 
     def _project_out(self, b: Batch) -> Batch:
-        return Batch(
+        out = Batch(
             {n: b.columns[n] for n in self.output_type.names}, b.sel,
             b.num_rows)
+        out._prefix_dense = b._prefix_dense   # sel unchanged
+        return out
 
     # -------------------------------------------------------------- input
     def add_input(self, batch: Batch) -> None:
@@ -3334,12 +3567,18 @@ class HashProbeOp(Operator):
         if jt == JoinType.RIGHT_SEMI:
             return  # build rows emitted at finish
 
-        joined = self._joined_batch(batch, out, out_sel)
+        joined = self._joined_batch(
+            batch, out, out_sel,
+            # unfiltered expansions emit a packed prefix of exactly
+            # `total` rows (ops/join.py expand_matches out_sel) — record
+            # it so downstream dense fast paths need no count sync
+            total if self._filter_exprs is None else None)
         self._queue.append(self._project_out(joined))
         if resurrect is not None:
             self._queue.append(self._null_extended(batch, resurrect))
 
-    def _joined_batch(self, batch: Batch, out, out_sel) -> Batch:
+    def _joined_batch(self, batch: Batch, out, out_sel,
+                      num_rows: Optional[int] = None) -> Batch:
         node = self.node
         cols = {}
         for n in node.left.output_type.names:
@@ -3350,7 +3589,10 @@ class HashProbeOp(Operator):
             src = self.bridge.build_batch.column(n)
             v, va = out[n]
             cols[n] = Column(src.dtype, v, va, src.dictionary)
-        return Batch(cols, out_sel)
+        b = Batch(cols, out_sel, num_rows)
+        if num_rows is not None:
+            b._prefix_dense = True
+        return b
 
     def _null_extended(self, batch: Batch, sel) -> Batch:
         """Probe rows + all-null build columns (left-outer no-match)."""
@@ -3368,7 +3610,7 @@ class HashProbeOp(Operator):
     # ------------------------------------------------------------- output
     def get_output(self) -> Optional[Batch]:
         if self._queue:
-            return self._queue.popleft()
+            return self._shape_output(self._queue.popleft())
         if (self.no_more_input_seen
                 and self.bridge.spill_parts is not None
                 and not self._final_emitted):
@@ -3377,14 +3619,14 @@ class HashProbeOp(Operator):
             while self._spill_pending and not self._queue:
                 self._process_spill_partition(self._spill_pending.pop())
             if self._queue:
-                return self._queue.popleft()
+                return self._shape_output(self._queue.popleft())
             self._final_emitted = True
             return None
         if (self.no_more_input_seen and not self._final_emitted
                 and self.jt in (JoinType.RIGHT, JoinType.FULL,
                                 JoinType.RIGHT_SEMI)):
             self._final_emitted = True
-            return self._emit_build_side()
+            return self._shape_output(self._emit_build_side())
         return None
 
     # ------------------------------------- spilled-build partitioning

@@ -79,7 +79,17 @@ _RANGE_COMPARE = {"lt", "lte", "gt", "gte"}
 def resolve_types(expr: Expr, schema: RowType) -> Expr:
     """Bind field types, resolve result types, insert implicit casts."""
     if isinstance(expr, FieldRef):
-        return FieldRef(schema.find_child(expr.name), expr.name)
+        try:
+            return FieldRef(schema.find_child(expr.name), expr.name)
+        except KeyError:
+            # dotted subfield over a ROW-TYPED column ("r.a" where the
+            # schema holds column "r" of RowType): navigate the type
+            # tree; the eval env exposes the child lane under the same
+            # dotted name (exec/operator.py eval_pairs)
+            t = _navigate_row_field(schema, expr.name)
+            if t is None:
+                raise
+            return FieldRef(t, expr.name)
 
     if isinstance(expr, Literal):
         if expr.dtype is not None:
@@ -104,6 +114,38 @@ def resolve_types(expr: Expr, schema: RowType) -> Expr:
                 return wc
         args = tuple(resolve_types(a, schema) for a in expr.args)
         name = expr.name
+
+        if name in ("row_constructor", "row"):
+            # velox/expression/ExprConstants.h kRowConstructor: anonymous
+            # fields named c1..cn (velox RowType default naming)
+            from velox_tpu.types.types import row_type as _rt
+            rt = _rt([f"c{i + 1}" for i in range(len(args))],
+                     [a.dtype for a in args])
+            return Call(rt, "row_constructor", args)
+        if name == "map_entries":
+            # map(K,V) -> array(row(key K, value V))
+            # (velox/functions/prestosql/MapEntries.cpp)
+            from velox_tpu.types.types import (
+                MapType as _MT, array as _array, row_type as _rt,
+            )
+            if not isinstance(args[0].dtype, _MT):
+                raise TypeError("map_entries expects a MAP argument")
+            rt = _rt(["key", "value"],
+                     [args[0].dtype.key, args[0].dtype.value])
+            return Call(_array(rt), "map_entries", args)
+        if name == "zip":
+            # zip(array(T), array(U), ...) -> array(row(T, U, ...)),
+            # shorter inputs padded with nulls
+            # (velox/functions/prestosql/Zip.cpp:32-41)
+            from velox_tpu.types.types import (
+                ArrayType as _AT, array as _array, row_type as _rt,
+            )
+            for a in args:
+                if not isinstance(a.dtype, _AT):
+                    raise TypeError("zip expects ARRAY arguments")
+            rt = _rt([f"c{i + 1}" for i in range(len(args))],
+                     [a.dtype.element for a in args])
+            return Call(_array(rt), "zip", args)
 
         if name in ("substr", "substring"):
             # bound to a dictionary transform in phase 2
@@ -316,6 +358,27 @@ def resolve_types(expr: Expr, schema: RowType) -> Expr:
         return Call(dtype, name, args)
 
     raise TypeError(f"cannot resolve {expr!r}")
+
+
+def _navigate_row_field(schema: RowType, dotted: str):
+    """Resolve "r.a.b" against a schema whose column "r" is ROW-typed.
+    Returns the leaf type or None (leaving shredded-leaf resolution —
+    where "r.a" IS a column name — to the direct lookup)."""
+    parts = dotted.split(".")
+    for k in range(len(parts) - 1, 0, -1):
+        head = ".".join(parts[:k])
+        if not schema.contains(head):
+            continue
+        t = schema.find_child(head)
+        ok = True
+        for nm in parts[k:]:
+            if t.kind != TypeKind.ROW or not t.contains(nm):
+                ok = False
+                break
+            t = t.find_child(nm)
+        if ok:
+            return t
+    return None
 
 
 def _literal_type(value) -> DataType:

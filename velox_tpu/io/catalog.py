@@ -220,7 +220,9 @@ def ingest_splits(
                 cols[cname] = _ingest_array(chunk.column(cname), cap)
         sel = np.zeros(cap, dtype=bool)
         sel[:rows] = True
-        batches.append(Batch(cols, jnp.asarray(sel), num_rows=rows))
+        b = Batch(cols, jnp.asarray(sel), num_rows=rows)
+        b._prefix_dense = True   # by construction — no sync to re-check
+        batches.append(b)
     if decimal_overrides:
         from velox_tpu.types.types import DecimalType, TypeKind
 

@@ -42,6 +42,16 @@ class SessionConfig:
     #: use the fused linear-pipeline compiler when a pipeline matches
     fused_pipelines: bool = True
 
+    #: right-size sparse operator outputs (exec/operator.py
+    #: AdaptiveOutput): sync one count on an operator's first large
+    #: output batch and compact when <12.5% of rows are live. Off by
+    #: default: builds/probes/aggregations already right-size at their
+    #: own (required) sync points, and on the tunneled backend the extra
+    #: pack gathers measured NET-NEGATIVE on TPC-H Q18 (1.24s -> 1.43s);
+    #: enable for plans with long post-filter operator chains the
+    #: built-in sizing can't see.
+    adaptive_compact: bool = False
+
     #: max key-range span for the direct-address (kArray) join table
     #: (velox HashMode::kArray analog, velox/exec/HashTable.cpp:470-520):
     #: when the build key domain fits, probing is two gathers instead of

@@ -63,9 +63,13 @@ def type_to_arrow(t: DataType) -> pa.DataType:
         return pa.decimal128(t.precision, t.scale)
     if isinstance(t, ArrayType):
         return pa.list_(type_to_arrow(t.element))
-    from velox_tpu.types.types import MapType as _MT
+    from velox_tpu.types.types import MapType as _MT, RowType as _RT
     if isinstance(t, _MT):
         return pa.map_(type_to_arrow(t.key), type_to_arrow(t.value))
+    if isinstance(t, _RT):
+        return pa.struct([
+            pa.field(n, type_to_arrow(c))
+            for n, c in zip(t.names, t.children)])
     rev = {
         TypeKind.BOOLEAN: pa.bool_(), TypeKind.TINYINT: pa.int8(),
         TypeKind.SMALLINT: pa.int16(), TypeKind.INTEGER: pa.int32(),

@@ -98,12 +98,16 @@ class Batch:
             make_array_column, make_map_column,
         )
 
+        from velox_tpu.vector.column import make_row_column
+
         cols = {}
         for name in names:
             if types[name].kind == TypeKind.ARRAY:
                 cols[name] = make_array_column(types[name], data[name], cap)
             elif types[name].kind == TypeKind.MAP:
                 cols[name] = make_map_column(types[name], data[name], cap)
+            elif types[name].kind == TypeKind.ROW:
+                cols[name] = make_row_column(types[name], data[name], cap)
             else:
                 col, _ = make_column(types[name], data[name], cap)
                 # value-range stats for integer/date lanes (the
@@ -125,7 +129,9 @@ class Batch:
                 cols[name] = col
         sel = np.zeros(cap, dtype=bool)
         sel[:n] = True
-        return Batch(cols, jnp.asarray(sel), num_rows=n)
+        out = Batch(cols, jnp.asarray(sel), num_rows=n)
+        out._prefix_dense = True   # by construction — no sync to re-check
+        return out
 
     @staticmethod
     def empty_like(schema: RowType, capacity: int) -> "Batch":
@@ -141,14 +147,21 @@ class Batch:
     def with_column(self, name: str, col: Column) -> "Batch":
         cols = dict(self.columns)
         cols[name] = col
-        return Batch(cols, self.sel, self.num_rows)
+        out = Batch(cols, self.sel, self.num_rows)
+        out._prefix_dense = self._prefix_dense  # sel unchanged
+        return out
 
     def project(self, names: Iterable[str]) -> "Batch":
-        return Batch({n: self.columns[n] for n in names}, self.sel, self.num_rows)
+        out = Batch({n: self.columns[n] for n in names}, self.sel,
+                    self.num_rows)
+        out._prefix_dense = self._prefix_dense  # sel unchanged
+        return out
 
     def rename(self, mapping: Dict[str, str]) -> "Batch":
         cols = {mapping.get(n, n): c for n, c in self.columns.items()}
-        return Batch(cols, self.sel, self.num_rows)
+        out = Batch(cols, self.sel, self.num_rows)
+        out._prefix_dense = self._prefix_dense  # sel unchanged
+        return out
 
     def gather(self, indices: jax.Array, sel: jax.Array,
                num_rows: Optional[int] = None) -> "Batch":
@@ -182,21 +195,12 @@ class Batch:
         cap2 = round_capacity(max(count, 1))
         if cap2 >= self.capacity:
             return self
-        from velox_tpu.vector.column import ArrayColumn, MapColumn
-
-        cols = {}
-        for n, c in self.columns.items():
-            if isinstance(c, (ArrayColumn, MapColumn)):
-                cols[n] = dataclasses.replace(
-                    c, starts=c.starts[:cap2], lengths=c.lengths[:cap2],
-                    valid=None if c.valid is None else c.valid[:cap2])
-            else:
-                cols[n] = Column(
-                    c.dtype, c.values[:cap2],
-                    None if c.valid is None else c.valid[:cap2],
-                    c.dictionary, c.stats)
+        cols = {n: _slice_column(c, cap2)
+                for n, c in self.columns.items()}
         sel2 = jnp.arange(cap2, dtype=jnp.int32) < count
-        return Batch(cols, sel2, count)
+        out = Batch(cols, sel2, count)
+        out._prefix_dense = True   # by construction — no sync to re-check
+        return out
 
     def compact(self, count: Optional[int] = None) -> "Batch":
         """Gather active rows to the front of a right-sized batch.
@@ -215,7 +219,9 @@ class Batch:
 
         idx = pack_indices(self.sel)[:cap2]
         sel2 = jnp.arange(cap2, dtype=jnp.int32) < count
-        return self.gather(idx, sel2, count)
+        out = self.gather(idx, sel2, count)
+        out._prefix_dense = True   # by construction — no sync to re-check
+        return out
 
     # --------------------------------------------------------- host output
     def to_pydict(self, limit: Optional[int] = None) -> Dict[str, list]:
@@ -225,10 +231,12 @@ class Batch:
             self = self.compact()
         # ONE device->host transfer for the whole batch (each np.asarray
         # would pay a full round trip on tunneled backends)
-        from velox_tpu.vector.column import ArrayColumn, MapColumn
+        from velox_tpu.vector.column import ArrayColumn, MapColumn, RowColumn
 
         device = {"__sel__": self.sel}
         for name, col in self.columns.items():
+            if isinstance(col, RowColumn):
+                continue   # small post-compact batches: per-child fetch
             if isinstance(col, (ArrayColumn, MapColumn)):
                 device[f"s.{name}"] = col.starts
                 device[f"l.{name}"] = col.lengths
@@ -243,6 +251,10 @@ class Batch:
             idx = idx[:limit]
         out: Dict[str, list] = {}
         for name, col in self.columns.items():
+            if isinstance(col, RowColumn):
+                rows = col.to_pylist()
+                out[name] = [rows[i] for i in idx]
+                continue
             if isinstance(col, (ArrayColumn, MapColumn)):
                 starts = host[f"s.{name}"][idx]
                 lengths = host[f"l.{name}"][idx]
@@ -284,6 +296,28 @@ class Batch:
         return f"Batch[{fields}; rows={nr}/{self.capacity}]"
 
 
+def _slice_column(c, cap2: int):
+    """Prefix-slice any column kind to a smaller capacity (flat element
+    stores of Array/Map columns are shared unchanged — only row-level
+    lanes shrink)."""
+    import dataclasses as _dc
+
+    from velox_tpu.vector.column import ArrayColumn, MapColumn, RowColumn
+
+    if isinstance(c, (ArrayColumn, MapColumn)):
+        return _dc.replace(
+            c, starts=c.starts[:cap2], lengths=c.lengths[:cap2],
+            valid=None if c.valid is None else c.valid[:cap2])
+    if isinstance(c, RowColumn):
+        return RowColumn(
+            c.dtype, tuple(_slice_column(k, cap2) for k in c.children),
+            None if c.valid is None else c.valid[:cap2])
+    return Column(
+        c.dtype, c.values[:cap2],
+        None if c.valid is None else c.valid[:cap2],
+        c.dictionary, c.stats)
+
+
 def concat_batches(
     batches: Sequence["Batch"], capacity: Optional[int] = None
 ) -> "Batch":
@@ -312,6 +346,11 @@ def concat_batches(
         if isinstance(parts[0], (ArrayColumn, MapColumn)):
             cols[n] = _concat_offset_columns(parts, pad)
             continue
+        from velox_tpu.vector.column import RowColumn as _RC
+
+        if isinstance(parts[0], _RC):
+            cols[n] = _concat_row_columns(parts, pad)
+            continue
         dicts = [p.dictionary for p in parts if p.dictionary is not None]
         d = dicts[0] if dicts else None
         for other in dicts[1:]:
@@ -336,6 +375,39 @@ def concat_batches(
     if all(b.num_rows is not None for b in batches):
         nr = sum(b.num_rows for b in batches)
     return Batch(cols, sel, num_rows=nr)
+
+
+def _concat_row_columns(parts, pad: int):
+    """Concatenate RowColumn parts child-by-child."""
+    from velox_tpu.vector.column import (
+        ArrayColumn, MapColumn, RowColumn,
+    )
+
+    kids = []
+    for j in range(len(parts[0].children)):
+        sub = [p.children[j] for p in parts]
+        if isinstance(sub[0], (ArrayColumn, MapColumn)):
+            kids.append(_concat_offset_columns(sub, pad))
+        elif isinstance(sub[0], RowColumn):
+            kids.append(_concat_row_columns(sub, pad))
+        else:
+            vals = jnp.concatenate(
+                [p.values for p in sub]
+                + ([jnp.zeros(pad, dtype=sub[0].values.dtype)]
+                   if pad else []))
+            valid = None
+            if any(p.valid is not None for p in sub):
+                valid = jnp.concatenate(
+                    [p.validity() for p in sub]
+                    + ([jnp.zeros(pad, dtype=jnp.bool_)] if pad else []))
+            kids.append(Column(sub[0].dtype, vals, valid,
+                               sub[0].dictionary))
+    valid = None
+    if any(p.valid is not None for p in parts):
+        valid = jnp.concatenate(
+            [p.validity() for p in parts]
+            + ([jnp.zeros(pad, dtype=jnp.bool_)] if pad else []))
+    return RowColumn(parts[0].dtype, tuple(kids), valid)
 
 
 def _concat_flat(parts: List[Column]) -> tuple:

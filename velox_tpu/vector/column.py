@@ -245,6 +245,85 @@ class MapColumn:
         return out
 
 
+@dataclass(frozen=True)
+class RowColumn:
+    """ROW (struct) column: named child columns at the batch capacity.
+
+    Replaces velox/vector/ComplexVector.h:31 (RowVector: struct-of-
+    children). Scans never produce these — struct columns SHRED to
+    dotted leaf columns at ingest (io/catalog.py flatten_structs) — but
+    expressions can build them (``row_constructor``) and array-typed
+    functions can carry them as element columns (``map_entries``,
+    ``zip`` -> ARRAY(ROW(...))). Children may themselves be Row/Array/
+    Map columns. A null row leaves its children's values as padding
+    (Presto ROW semantics: the row itself null, fields unreadable).
+    """
+
+    dtype: DataType                        # RowType
+    children: tuple                        # of columns, each at capacity
+    valid: Optional[jax.Array] = None
+    dictionary = None
+    stats = None
+
+    @property
+    def capacity(self) -> int:
+        return self.children[0].capacity
+
+    @property
+    def names(self) -> tuple:
+        return tuple(self.dtype.names)
+
+    def child(self, name: str):
+        return self.children[self.dtype.index_of(name)]
+
+    def validity(self) -> jax.Array:
+        if self.valid is not None:
+            return self.valid
+        return jnp.ones((self.capacity,), dtype=jnp.bool_)
+
+    def gather(self, indices: jax.Array) -> "RowColumn":
+        kids = tuple(c.gather(indices) for c in self.children)
+        valid = (jnp.take(self.valid, indices, mode="clip")
+                 if self.valid is not None else None)
+        return RowColumn(self.dtype, kids, valid)
+
+    def to_pylist(self, num_rows: Optional[int] = None) -> list:
+        kids = [c.to_pylist(num_rows) for c in self.children]
+        n = len(kids[0]) if kids else 0
+        valid = (np.asarray(self.valid)[:n]
+                 if self.valid is not None else None)
+        names = self.names
+        return [
+            None if valid is not None and not valid[i]
+            else {nm: kids[j][i] for j, nm in enumerate(names)}
+            for i in range(n)
+        ]
+
+
+def make_row_column(dtype: DataType, data: Sequence,
+                    capacity: int) -> RowColumn:
+    """Host list-of-dicts -> RowColumn (None -> null row)."""
+    n = len(data)
+    has_null = any(row is None for row in data)
+    kids = []
+    for nm, ct in zip(dtype.names, dtype.children):
+        vals = [None if row is None else row.get(nm) for row in data]
+        if ct.kind == TypeKind.ROW:
+            kids.append(make_row_column(ct, vals, capacity))
+        elif ct.kind == TypeKind.ARRAY:
+            kids.append(make_array_column(ct, vals, capacity))
+        elif ct.kind == TypeKind.MAP:
+            kids.append(make_map_column(ct, vals, capacity))
+        else:
+            kids.append(make_column(ct, vals, capacity)[0])
+    valid = None
+    if has_null:
+        v = np.zeros(capacity, dtype=bool)
+        v[:n] = np.array([row is not None for row in data], dtype=bool)
+        valid = jnp.asarray(v)
+    return RowColumn(dtype, tuple(kids), valid)
+
+
 def make_map_column(dtype: DataType, data: Sequence,
                     capacity: int) -> MapColumn:
     """Host list-of-dicts -> MapColumn (None -> null row)."""
