@@ -2164,6 +2164,14 @@ class StreamingAggregationOp(HashAggregationOp):
         self._use_scan = all(
             f.scannable or (is_final and all(l.scan_op for l in f.lanes))
             for f in self.fns)
+        #: fused HAVING (StreamingAggregationNode.having): emit sizes to
+        #: the passing-group count; else mask outputs post-emit
+        self._having = getattr(node, "having", None)
+        self._having_eval = (
+            ExprEvaluator([self._having], node.output_type)
+            if self._having is not None else None)
+        self._having_fused = (self._having is not None
+                              and self._having_ok())
         self._queue: collections.deque = collections.deque()
 
     # ------------------------------------------------------------ compile
@@ -2567,6 +2575,282 @@ class StreamingAggregationOp(HashAggregationOp):
 
         return emit
 
+    # ---------------------------------------------- fused HAVING phases
+    # (StreamingAggregationNode.having): the predicate over the agg's
+    # own outputs evaluates PER INPUT ROW — each referenced cum lane's
+    # group total comes from one reverse segmented broadcast (an
+    # associative pair-scan; no full-width gathers) — so the emit stage
+    # sizes its output to the PASSING-group count. A selective HAVING
+    # over millions of groups (TPC-H Q18 big_orders: 1.5M groups -> 57)
+    # then emits a 128-capacity batch instead of a group-capacity batch
+    # + a separate filter pass + a downstream count-sync compact.
+
+    @staticmethod
+    def _seg_bcast_last(vals, is_last):
+        """Per row: ``vals`` at the nearest is_last row AT OR AFTER it
+        (reverse 'latest seen wins' associative scan)."""
+        seen0 = jnp.flip(is_last, 0)
+        v0 = jnp.flip(jnp.where(is_last, vals, jnp.zeros_like(vals)), 0)
+
+        def comb(a, b):
+            sa, va = a
+            sb, vb = b
+            return (jnp.logical_or(sa, sb), jnp.where(sb, vb, va))
+
+        _, v = jax.lax.associative_scan(comb, (seen0, v0))
+        return jnp.flip(v, 0)
+
+    def _having_ok(self) -> bool:
+        """Fused having needs: scan path + every aggregate the predicate
+        references having all-cum (integer add) lanes."""
+        if not self._use_scan or self.step != AggStep.SINGLE:
+            return False
+        from velox_tpu.expr.compiler import resolve_types as _rt
+
+        refs = set()
+
+        def walk(e):
+            if isinstance(e, FieldRef):
+                refs.add(e.name)
+            for c in e.children:
+                walk(c)
+
+        walk(_rt(self.node.having, self.output_type))
+        for name, fn, at in zip(self.agg_names, self.fns,
+                                self.arg_types):
+            if name in refs and any(
+                    _lane_kind(l, l.dtype_of(at)) != "cum"
+                    for l in fn.lanes):
+                return False
+        return True
+
+    def _phase_a_hav_fn(self, dense: bool, having_run):
+        keys = self.keys
+        fns = self.fns
+
+        def keys_eq(a_pair, b_pair):
+            (av, avd), (bv, bvd) = a_pair, b_pair
+            an = jnp.zeros_like(av, jnp.bool_) if avd is None else ~avd
+            bn = jnp.zeros_like(bv, jnp.bool_) if bvd is None else ~bvd
+            return jnp.logical_or(
+                jnp.logical_and(av == bv, ~an & ~bn),
+                jnp.logical_and(an, bn))
+
+        def step(key_pairs, cols, sel, carry_present, carry_keys,
+                 carry_lanes):
+            cap = sel.shape[0]
+            n = jnp.sum(sel.astype(jnp.int32))
+            r = jnp.arange(cap, dtype=jnp.int32)
+            packed = r < n
+            if dense:
+                kp = list(key_pairs)
+                pcols = dict(cols)
+            else:
+                from velox_tpu.ops.sort import pack_indices
+
+                pk = pack_indices(sel)
+
+                def pack(pair):
+                    v, vd = pair
+                    return (jnp.take(v, pk, mode="clip"),
+                            None if vd is None
+                            else jnp.take(vd, pk, mode="clip"))
+
+                kp = [pack(p) for p in key_pairs]
+                pcols = {name: pack(p) for name, p in cols.items()}
+
+            same_prev = jnp.ones((cap,), jnp.bool_)
+            for (v, vd) in kp:
+                prev = (jnp.roll(v, 1), None if vd is None
+                        else jnp.roll(vd, 1))
+                same_prev = jnp.logical_and(
+                    same_prev, keys_eq((v, vd), prev))
+            head = jnp.logical_and(packed, ~same_prev).at[0].set(True)
+            head = jnp.logical_and(head, packed)
+
+            row0_eq = jnp.ones((), jnp.bool_)
+            for (v, vd), (cv, cvd) in zip(kp, carry_keys):
+                row0_eq = jnp.logical_and(row0_eq, keys_eq(
+                    (v[:1], None if vd is None else vd[:1]),
+                    (cv[None], None if cvd is None else cvd[None]))[0])
+            has_rows = n > 0
+            merge_carry = jnp.logical_and(
+                carry_present, jnp.logical_and(has_rows, row0_eq))
+            carry_alone = jnp.logical_and(
+                jnp.logical_and(carry_present, has_rows), ~merge_carry)
+            offset = carry_alone.astype(jnp.int32)
+            gids = jnp.cumsum(head.astype(jnp.int32)) - 1 + offset
+            ng = offset + jnp.sum(head.astype(jnp.int32)) \
+                + jnp.logical_and(carry_present, ~has_rows).astype(
+                    jnp.int32)
+            group_rows = (jnp.full((cap,), cap, jnp.int32)
+                          .at[jnp.where(head, gids, cap)]
+                          .min(r, mode="drop"))
+            # last packed row of each group
+            nxt_head = jnp.roll(head, -1).at[cap - 1].set(False)
+            is_last = jnp.logical_and(
+                packed, jnp.logical_or(nxt_head, r == n - 1))
+
+            inputs = self._agg_inputs(pcols, packed)
+            lanes_out = []
+            for fn, at, (vals, mask), cl in zip(
+                    fns, self.arg_types, inputs, carry_lanes):
+                contribs = fn.lane_contribs(vals, mask, at)
+                ld = []
+                for lane, c, cl_l in zip(fn.lanes, contribs, cl):
+                    dt = lane.dtype_of(at)
+                    c = c.astype(dt)
+                    ident = jnp.asarray(lane.init_of(at), dt)
+                    if _lane_kind(lane, dt) == "cum":
+                        incl = jnp.cumsum(c)
+                        excl = incl - c
+                        # per-row group total, valid AT HEAD rows:
+                        # incl at the group's last row minus excl here
+                        tot = self._seg_bcast_last(incl, is_last) - excl
+                        tot = tot.at[0].add(jnp.where(
+                            merge_carry, cl_l[0].astype(dt), ident))
+                        ld.append((tot, incl, excl))
+                    elif lane.scan_op == "add":
+                        ld.append((jnp.zeros((cap,), dt)
+                                   .at[gids].add(c, mode="drop"),))
+                    elif lane.scan_op == "min":
+                        ld.append((jnp.full((cap,), ident, dt)
+                                   .at[gids].min(c, mode="drop"),))
+                    else:
+                        ld.append((jnp.full((cap,), ident, dt)
+                                   .at[gids].max(c, mode="drop"),))
+                lanes_out.append(tuple(ld))
+
+            # per-row predicate arrays: keys read directly, referenced
+            # aggregates extract from the per-row totals
+            arrays = {}
+            for k, (v, vd) in zip(keys, kp):
+                arrays[k] = (v, vd)
+            for name, fn, at, ld in zip(
+                    self.agg_names, fns, self.arg_types, lanes_out):
+                if all(_lane_kind(l, l.dtype_of(at)) == "cum"
+                       for l in fn.lanes):
+                    arrays[name] = fn.extract(
+                        tuple(item[0] for item in ld), packed)
+            closed_row = gids < ng - 1
+            E = having_run(arrays, jnp.logical_and(head, closed_row))
+            n_emit = jnp.sum(E.astype(jnp.int32))
+
+            scalars = (n, ng, n_emit, has_rows, merge_carry,
+                       carry_alone,
+                       jnp.logical_or(carry_present, has_rows))
+            return kp, lanes_out, group_rows, gids, E, scalars
+
+        return step
+
+    def _phase_b_hav_fn(self, cap: int, cap2: int, having_run):
+        fns = self.fns
+        keys = self.keys
+
+        def emit(kp, lanes_data, group_rows, gids, E, scalars,
+                 carry_present, carry_keys, carry_lanes):
+            (n, ng, n_emit, has_rows, merge_carry, carry_alone,
+             carry_present_out) = scalars
+            from velox_tpu.ops.sort import pack_indices
+
+            offset = carry_alone.astype(jnp.int32)
+            pos = pack_indices(E)[:cap2]
+            r2 = jnp.arange(cap2, dtype=jnp.int32)
+            src = jnp.take(pos, jnp.maximum(r2 - offset, 0), mode="clip")
+            live = r2 < n_emit + offset
+            row0_carry = jnp.logical_and(r2 == 0, carry_alone)
+
+            last = jnp.maximum(ng - 1, 0)
+            lastrow = jnp.maximum(n - 1, 0)
+            lastrow_c = jnp.clip(lastrow, 0, cap - 1)
+            gr_last = jnp.clip(
+                jnp.take(group_rows, jnp.clip(last, 0, cap - 1),
+                         mode="clip"), 0, cap - 1)
+            rows0 = jnp.logical_and(has_rows, ~carry_alone)
+            slot2 = jnp.take(gids, src, mode="clip")
+
+            results = []
+            carry_lanes_out = []
+            for fn, at, ld, cl in zip(
+                    fns, self.arg_types, lanes_data, carry_lanes):
+                accs2 = []
+                couts = []
+                for lane, item, cl_l in zip(fn.lanes, ld, cl):
+                    dt = lane.dtype_of(at)
+                    ident = jnp.asarray(lane.init_of(at), dt)
+                    comb = {"add": jnp.add, "min": jnp.minimum,
+                            "max": jnp.maximum}[lane.scan_op]
+                    if _lane_kind(lane, dt) == "cum":
+                        tot, incl, excl = item
+                        # tot already includes the merged carry at row 0
+                        acc2 = jnp.take(tot, src, mode="clip")
+                        t0 = tot[0]
+                        raw_last = (jnp.take(incl, lastrow_c, mode="clip")
+                                    - jnp.take(excl, gr_last, mode="clip"))
+                    else:
+                        (acc,) = item
+                        a2 = jnp.take(acc, slot2, mode="clip")
+                        acc2 = jnp.where(
+                            jnp.logical_and(slot2 == 0, merge_carry),
+                            comb(cl_l[0].astype(dt), a2), a2)
+                        a0 = jnp.where(rows0, acc[0], ident)
+                        t0 = jnp.where(
+                            carry_present,
+                            comb(cl_l[0].astype(dt), a0), a0)
+                        raw_last = jnp.take(
+                            acc, jnp.clip(last, 0, cap - 1), mode="clip")
+                    acc2 = jnp.where(row0_carry, cl_l[0].astype(dt),
+                                     acc2)
+                    accs2.append(acc2)
+                    raw_last = jnp.where(has_rows, raw_last, ident)
+                    # t0 = the merged slot-0 total — the carry-out when
+                    # the whole batch is one group (last == 0)
+                    c_last = jnp.where(last == 0, t0, raw_last)
+                    c_last = jnp.where(
+                        has_rows | carry_present, c_last, cl_l[0])
+                    couts.append(c_last[None])
+                results.append(fn.extract(tuple(accs2), live))
+                carry_lanes_out.append(tuple(couts))
+
+            out_keys = []
+            carry_keys_out = []
+            for (v, vd), (cv, cvd) in zip(kp, carry_keys):
+                gv = jnp.take(v, src, mode="clip")
+                gv = jnp.where(row0_carry, cv, gv)
+                if vd is not None or cvd is not None:
+                    gvd = (jnp.take(vd, src, mode="clip")
+                           if vd is not None
+                           else jnp.ones((cap2,), jnp.bool_))
+                    cvd_s = cvd if cvd is not None else jnp.ones(
+                        (), jnp.bool_)
+                    gvd = jnp.where(row0_carry, cvd_s, gvd)
+                else:
+                    gvd = None
+                out_keys.append((gv, gvd))
+                nv = jnp.where(
+                    has_rows, jnp.take(v, lastrow_c, mode="clip"), cv)
+                nvd = None
+                if vd is not None or cvd is not None:
+                    pvd = (jnp.take(vd, lastrow_c, mode="clip")
+                           if vd is not None
+                           else jnp.ones((), jnp.bool_))
+                    ovd = cvd if cvd is not None else jnp.ones(
+                        (), jnp.bool_)
+                    nvd = jnp.where(has_rows, pvd, ovd)
+                carry_keys_out.append((nv, nvd))
+
+            # the carry row (closed by this batch without merging) must
+            # pass the predicate too: re-evaluate on the tiny output
+            arrays = {k: p for k, p in zip(keys, out_keys)}
+            for name, (vals, valid) in zip(self.agg_names, results):
+                arrays[name] = (vals, valid)
+            live = having_run(arrays, live)
+
+            return (out_keys, results, live, carry_present_out,
+                    carry_keys_out, tuple(carry_lanes_out))
+
+        return emit
+
     # ------------------------------------------------------------ execute
     def _init_carry(self, batch: Batch):
         keys = []
@@ -2597,7 +2881,28 @@ class StreamingAggregationOp(HashAggregationOp):
                tuple(sorted((n, p[1] is not None)
                             for n, p in cols.items())))
         ck, cl = self._carry
-        if self._use_scan:
+        if self._use_scan and self._having_fused:
+            hdicts = {
+                k: batch.column(k).dictionary for k in self.keys
+                if batch.column(k).dictionary is not None}
+            _, hav_run = self._having_eval.pure(hdicts, "filter")
+            hsig = sig + ("hav", tuple(sorted(
+                (k, id(d)) for k, d in hdicts.items())))
+            jit_a = cached_jit(
+                ("stream_agg_ah", self.node.id, hsig),
+                lambda: self._phase_a_hav_fn(dense, hav_run))
+            kp, lanes_data, group_rows, gids, E, scalars = jit_a(
+                key_pairs, cols, batch.sel, self._carry_present, ck, cl)
+            n_emit = int(scalars[2])              # the ONE host sync
+            cap2 = min(round_capacity(max(n_emit + 1, 1)), cap)
+            jit_b = cached_jit(
+                ("stream_agg_bh", self.node.id, hsig, cap2),
+                lambda: self._phase_b_hav_fn(cap, cap2, hav_run))
+            (out_keys, results, closed, cp, ck2, cl2) = jit_b(
+                kp, lanes_data, group_rows, gids, E, scalars,
+                self._carry_present, ck, cl)
+            num_rows = None    # carry slot liveness is device-known
+        elif self._use_scan:
             jit_a = cached_jit(
                 ("stream_agg_a", self.node.id, sig),
                 lambda: self._phase_a_fn(dense))
@@ -2630,13 +2935,26 @@ class StreamingAggregationOp(HashAggregationOp):
         for name, (vals, valid) in zip(self.agg_names, results):
             out[name] = Column(
                 self.output_type.find_child(name), vals, valid)
-        if num_rows is not None:
+        if self._use_scan and self._having_fused:
+            # emit is already sized to the passing groups (+carry slot);
+            # liveness is a device mask — no extra count sync
+            self._queue.append(Batch(out, closed))
+        elif num_rows is not None:
             # phase B already emitted at the rounded group capacity
-            self._queue.append(Batch(out, closed, num_rows))
+            b = Batch(out, closed, num_rows)
+            if self._having_eval is not None:    # non-fused fallback
+                b = b.with_sel(self._having_eval.filter_sel(b))
+            self._queue.append(b)
         else:
             # closed groups are few relative to the input capacity;
             # prefix-compact so downstream sorts never see full width
-            self._queue.append(Batch(out, closed).compact_prefix())
+            b = Batch(out, closed)
+            if self._having_eval is not None:    # non-fused fallback
+                # the mask punches holes -> full pack, not prefix slice
+                b = b.with_sel(self._having_eval.filter_sel(b)).compact()
+            else:
+                b = b.compact_prefix()
+            self._queue.append(b)
         self.stats.output_batches += 1
 
     def get_output(self) -> Optional[Batch]:
@@ -2665,7 +2983,11 @@ class StreamingAggregationOp(HashAggregationOp):
                 vals, valid = fn.extract(full, sel0)
                 cols[name] = Column(
                     self.output_type.find_child(name), vals, valid)
-            return Batch(cols, sel0)
+            b = Batch(cols, sel0)
+            if self._having_eval is not None:
+                # the flushed open group must pass HAVING too
+                b = b.with_sel(self._having_eval.filter_sel(b))
+            return b
         return None
 
     def is_finished(self) -> bool:

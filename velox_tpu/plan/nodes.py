@@ -143,7 +143,16 @@ class AggregationNode(SourceNode):
 class StreamingAggregationNode(AggregationNode):
     """Aggregation over key-clustered input
     (velox/core/PlanNode.h AggregationNode step + exec/
-    StreamingAggregation.h); closes groups on key change."""
+    StreamingAggregation.h); closes groups on key change.
+
+    ``having`` is a predicate over the aggregation's OWN output columns,
+    folded in by the optimizer from a following FilterNode (the SQL
+    HAVING shape): groups failing it never materialize — the emit stage
+    sizes its output to the passing-group count, so a selective HAVING
+    over millions of groups emits a tiny batch instead of a full-width
+    one + a separate filter pass (TPC-H Q18's big_orders subquery)."""
+
+    having: "Expr | None" = None
 
 
 @dataclass(frozen=True)

@@ -126,6 +126,17 @@ class _Optimizer:
 
     # ---------------------------------------------------------- rewrites
     def _rewrite(self, node: PlanNode) -> PlanNode:
+        if (type(node) is FilterNode
+                and type(node.source) is StreamingAggregationNode
+                and node.source.step == AggStep.SINGLE
+                and node.source.having is None
+                and _expr_fields(node.predicate)
+                <= set(node.source.output_type.names)):
+            # HAVING fold: groups failing the predicate never
+            # materialize (StreamingAggregationNode.having; the emit
+            # stage sizes to the passing-group count)
+            return dataclasses.replace(
+                node.source, having=node.predicate)
         if type(node) is HashJoinNode and node.right_keys:
             bp = self._p(node.right)
             k0 = node.right_keys[0]
