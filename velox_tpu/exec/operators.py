@@ -2587,18 +2587,18 @@ class StreamingAggregationOp(HashAggregationOp):
 
     @staticmethod
     def _seg_bcast_last(vals, is_last):
-        """Per row: ``vals`` at the nearest is_last row AT OR AFTER it
-        (reverse 'latest seen wins' associative scan)."""
-        seen0 = jnp.flip(is_last, 0)
-        v0 = jnp.flip(jnp.where(is_last, vals, jnp.zeros_like(vals)), 0)
+        """Per row: ``vals`` at the nearest is_last row AT OR AFTER it.
 
-        def comb(a, b):
-            sa, va = a
-            sb, vb = b
-            return (jnp.logical_or(sa, sb), jnp.where(sb, vb, va))
-
-        _, v = jax.lax.associative_scan(comb, (seen0, v0))
-        return jnp.flip(v, 0)
+        An i32 reverse cummin of the is_last row indices + one gather —
+        NOT a pair associative_scan over the value lanes: 64-bit scans
+        compile pathologically on the tunneled TPU backend (BASELINE.md
+        round-2 per-op physics), while i32 cumulative ops + gathers are
+        the cheap primitives the whole streaming design is built on."""
+        n = vals.shape[0]
+        idx = jnp.arange(n, dtype=jnp.int32)
+        cand = jnp.where(is_last, idx, jnp.int32(n - 1))
+        nxt = jnp.flip(jax.lax.cummin(jnp.flip(cand, 0)), 0)
+        return jnp.take(vals, nxt, mode="clip")
 
     def _having_ok(self) -> bool:
         """Fused having needs: scan path + every aggregate the predicate

@@ -1232,6 +1232,32 @@ def _make_dict_value_fns():
         "json_array_contains": (BOOLEAN, H.json_array_contains),
         "json_array_get": (VARCHAR, H.json_array_get),
         "murmur3_x64_128": (VARCHAR, H.murmur3_x64_128_hex),
+        # round-3 string breadth (StringFunctions.h)
+        "bit_length": (BIGINT, H.bit_length_int),
+        "strrpos": (BIGINT, H.strrpos),
+        "replace_first": (VARCHAR, H.replace_first3),
+        "longest_common_prefix": (VARCHAR, H.longest_common_prefix2),
+        "jarowinkler_similarity": (DOUBLE, H.jarowinkler_similarity2),
+        "trail": (VARCHAR, H.trail_n),
+        "key_sampling_percent": (DOUBLE, H.key_sampling_percent),
+        # round-3 datetime breadth (DateTimeFunctions.h; intervals
+        # are BIGINT millisecond lanes — velox IntervalDayTime rep)
+        "date_parse": (TIMESTAMP, H.date_parse_micros),
+        "parse_duration": (BIGINT, H.parse_duration_ms),
+        "to_milliseconds": (BIGINT, lambda v: v),
+        "parse_presto_data_size": (BIGINT, H.parse_presto_data_size_int),
+        # round-3 binary breadth (BinaryFunctions.h)
+        "fnv1_32": (BIGINT, H.fnv1_32),
+        "fnv1_64": (BIGINT, H.fnv1_64),
+        "fnv1a_32": (BIGINT, H.fnv1a_32),
+        "fnv1a_64": (BIGINT, H.fnv1a_64),
+        "from_big_endian_32": (BIGINT, H.from_big_endian_32),
+        "from_big_endian_64": (BIGINT, H.from_big_endian_64),
+        "from_ieee754_32": (DOUBLE, H.from_ieee754_32),
+        "from_ieee754_64": (DOUBLE, H.from_ieee754_64),
+        "xxhash128": (VARCHAR, H.xxhash128_hex),
+        "spooky_hash_v2_32": (VARCHAR, H.spooky_hash_v2_32),
+        "spooky_hash_v2_64": (VARCHAR, H.spooky_hash_v2_64),
     }
 
 
@@ -1347,10 +1373,18 @@ def _bind_range_format(name, args, ranges) -> Expr:
 #: integer -> string functions over stats-bounded int lanes: enumerate
 #: the (min, max) span once on host, one table gather on device (the
 #: kArray trick generalized from _bind_range_format)
-_INT_VALUE_FNS = {
-    "chr": lambda v: chr(v) if 0 <= v < 0x110000 else None,
-    "to_base": lambda v, radix: _to_base(v, radix),
-}
+def _make_int_value_fns():
+    from velox_tpu.functions import hostfns as H
+
+    return {
+        "chr": lambda v: chr(v) if 0 <= v < 0x110000 else None,
+        "to_base": lambda v, radix: _to_base(v, radix),
+        "to_big_endian_32": H.to_big_endian_32,
+        "to_big_endian_64": H.to_big_endian_64,
+    }
+
+
+_INT_VALUE_FNS = _make_int_value_fns()
 
 
 def _to_base(v: int, radix: int):
@@ -1720,6 +1754,33 @@ def _eval_node_inner(expr, arrays, memo) -> ValuePair:
         return _eval_node(expr.expr, arrays, memo)
 
     if isinstance(expr, Call):
+        if expr.name in ("rand", "random", "secure_rand",
+                         "secure_random"):
+            # per-row uniform randomness: threefry over row capacity,
+            # seeded at trace time (velox/functions/prestosql/
+            # Rand.h). The stream is fixed per COMPILED program — an
+            # XLA-honest contract (no stateful RNG inside jit); each
+            # retrace draws a fresh seed. Registered
+            # deterministic=False so CSE never merges two calls.
+            import os as _os
+
+            cap = 1
+            for v, _ in arrays.values():
+                if hasattr(v, "ndim") and v.ndim >= 1:
+                    cap = v.shape[0]
+                    break
+            key = jax.random.PRNGKey(
+                int.from_bytes(_os.urandom(4), "little"))
+            if expr.args:  # rand(n) / random(n): uniform int [0, n)
+                bound, bvalid = _eval_node(expr.args[0], arrays, memo)
+                u = jax.random.uniform(key, (cap,), dtype=jnp.float32)
+                vals = jnp.floor(
+                    u * jnp.maximum(bound, 1).astype(jnp.float32)
+                ).astype(jnp.int64)
+                return vals, bvalid
+            return (jax.random.uniform(
+                key, (cap,), dtype=jnp.float32).astype(jnp.float64),
+                None)
         if expr.name == "dict_lookup_bool":
             codes, valid = _eval_node(expr.args[0], arrays, memo)
             table = jnp.asarray(expr.args[1].value)

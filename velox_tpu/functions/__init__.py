@@ -32,7 +32,44 @@ from velox_tpu.functions.aggregates_wide import (  # noqa: E402
 register_wide_minmax()
 import velox_tpu.functions.aggregates_noisy  # noqa: F401  (registers)
 
+def all_scalar_function_names() -> "set[str]":
+    """Every scalar function name reachable from an expression — the
+    device registry plus the compiler's bind-time host tables
+    (dictionary-value, multi-string, int-value, string-host) and the
+    array/map/lambda special forms handled structurally by the
+    compiler and ProjectOp. This is the introspection surface the
+    parity count uses (reference scope:
+    velox/functions/prestosql/registration/)."""
+    from velox_tpu.expr import compiler as C
+
+    names = set(registry)
+    names |= set(C._DICT_VALUE_FNS)
+    names |= {n[:-1] if n.endswith("2") and n[:-1] in (
+        "trim", "ltrim", "rtrim") else n for n in C._STRING_MULTI_FNS}
+    names |= set(C._STRING_HOST_FNS)
+    names |= set(C._INT_VALUE_FNS)
+    names |= set(getattr(C, "_ARRAY_FUNCS", ()) or ())
+    names |= {
+        # structural special forms (expr/compiler.py + exec/operators
+        # ProjectOp array/map paths)
+        "length", "concat", "substr", "substring", "cardinality",
+        "element_at", "subscript", "date_format", "format_datetime",
+        "any_match", "all_match", "none_match", "transform", "filter",
+        "zip_with", "map_keys", "map_values", "map_entries",
+        "map_filter", "map_concat", "transform_keys",
+        "transform_values", "sequence", "slice", "repeat",
+        "array_sort", "array_distinct", "array_intersect",
+        "array_except", "array_union", "arrays_overlap", "split",
+        "regexp_split", "regexp_extract_all", "at_timezone",
+        "timezone_hour", "timezone_minute", "now", "current_date",
+        "current_timestamp", "localtimestamp", "date_add",
+        "date_diff", "date_trunc", "to_unixtime", "to_iso8601",
+    }
+    return names
+
+
 __all__ = [
     "ScalarFunction", "registry", "register_function", "lookup_function",
     "AggregateFunction", "aggregate_registry", "lookup_aggregate",
+    "all_scalar_function_names",
 ]

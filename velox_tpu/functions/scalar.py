@@ -1271,3 +1271,229 @@ register_function(ScalarFunction(
 
 def _cosine_similarity_unbound(*a):  # pragma: no cover
     raise RuntimeError("cosine_similarity requires MAP inputs")
+
+
+# ------------------------------- inverse probability functions
+# velox/functions/prestosql/Probability*.h inverse_*_cdf family
+# (registration/ProbabilityTrigonometricFunctionsRegistration.cpp).
+# Continuous inverses with no closed form run a fixed-iteration
+# bracketing bisection on the forward CDF — compiler-friendly
+# (lax.fori_loop, static trip counts, no data-dependent control flow):
+# 48 doublings bracket the quantile, 64 bisections pin it to f32
+# precision. Discrete inverses (binomial/poisson) bisect the integer
+# lattice for the smallest k with cdf(k) >= p.
+
+def _bisect_inv(cdf, p, lo, hi, iters=64):
+    def body(_, st):
+        lo_, hi_ = st
+        mid = 0.5 * (lo_ + hi_)
+        below = cdf(mid) < p
+        return (jnp.where(below, mid, lo_), jnp.where(below, hi_, mid))
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return 0.5 * (lo + hi)
+
+
+def _grow_hi(cdf, p, hi0, iters=48):
+    def body(_, hi):
+        return jnp.where(cdf(hi) < p, hi * 2.0, hi)
+
+    return jax.lax.fori_loop(0, iters, body, hi0)
+
+
+def _t_cdf_f32(df, x):
+    ib = _special.betainc(df * 0.5, jnp.float32(0.5),
+                          df / (df + x * x))
+    return jnp.where(x > 0, 1.0 - 0.5 * ib, 0.5 * ib)
+
+
+_register_prob("t_cdf", 2, _t_cdf_f32)
+
+
+def _inv_beta(a, b, p):
+    return _bisect_inv(lambda x: _special.betainc(a, b, x), p,
+                       jnp.zeros_like(p), jnp.ones_like(p))
+
+
+def _inv_chi2(df, p):
+    def cdf(x):
+        return _special.gammainc(df * 0.5, x * 0.5)
+
+    hi = _grow_hi(cdf, p, jnp.ones_like(p))
+    return _bisect_inv(cdf, p, jnp.zeros_like(p), hi)
+
+
+def _inv_f(d1, d2, p):
+    def cdf(x):
+        return _special.betainc(d1 * 0.5, d2 * 0.5,
+                                d1 * x / (d1 * x + d2))
+
+    hi = _grow_hi(cdf, p, jnp.ones_like(p))
+    return _bisect_inv(cdf, p, jnp.zeros_like(p), hi)
+
+
+def _inv_gamma(shape, scale, p):
+    def cdf(x):
+        return _special.gammainc(shape, x / scale)
+
+    hi = _grow_hi(cdf, p, jnp.ones_like(p))
+    return _bisect_inv(cdf, p, jnp.zeros_like(p), hi)
+
+
+def _inv_t(df, p):
+    def cdf(x):
+        return _t_cdf_f32(df, x)
+
+    def need_wider(hi):
+        return jnp.logical_or(cdf(hi) < p, cdf(-hi) > p)
+
+    def body(_, hi):
+        return jnp.where(need_wider(hi), hi * 2.0, hi)
+
+    hi = jax.lax.fori_loop(0, 48, body, jnp.ones_like(p))
+    return _bisect_inv(cdf, p, -hi, hi)
+
+
+_register_prob("inverse_beta_cdf", 3, _inv_beta)
+_register_prob("inverse_chi_squared_cdf", 2, _inv_chi2)
+_register_prob("inverse_f_cdf", 3, _inv_f)
+_register_prob("inverse_gamma_cdf", 3, _inv_gamma)
+_register_prob("inverse_t_cdf", 2, _inv_t)
+_register_prob("inverse_cauchy_cdf", 3,
+               lambda m, s, p: m + s * jnp.tan(
+                   jnp.pi * (p - 0.5)))
+_register_prob("inverse_laplace_cdf", 3,
+               lambda m, s, p: m - s * jnp.sign(p - 0.5)
+               * jnp.log1p(-2.0 * jnp.abs(p - 0.5)))
+_register_prob("inverse_weibull_cdf", 3,
+               lambda a, b, p: b * jnp.power(
+                   -jnp.log1p(-p), 1.0 / a))
+
+
+def _int_bisect(cdf, p, hi):
+    """Smallest integer k in [0, hi] with cdf(k) >= p (f32 lattice)."""
+    lo = jnp.full_like(hi, -1.0)
+
+    def body(_, st):
+        lo_, hi_ = st
+        mid = jnp.floor(0.5 * (lo_ + hi_))
+        # keep invariant cdf(lo) < p <= cdf(hi); mid==lo stalls -> +1
+        mid = jnp.minimum(jnp.where(mid <= lo_, lo_ + 1.0, mid), hi_)
+        below = cdf(mid) < p
+        return (jnp.where(below, mid, lo_),
+                jnp.where(below, hi_, mid))
+
+    _, hi = jax.lax.fori_loop(0, 48, body, (lo, hi))
+    return hi
+
+
+def _inv_binomial(n, ps, p):
+    def cdf(k):
+        return jnp.where(
+            k >= n, 1.0, jnp.where(k < 0, 0.0, _special.betainc(
+                jnp.maximum(n - jnp.floor(k), 1.0),
+                jnp.floor(k) + 1.0, 1.0 - ps)))
+
+    return _int_bisect(cdf, p, n)
+
+
+def _inv_poisson(lam, p):
+    def cdf(k):
+        return jnp.where(k < 0, 0.0,
+                         _special.gammaincc(jnp.floor(k) + 1.0, lam))
+
+    hi = _grow_hi(cdf, p, jnp.maximum(lam, 1.0), iters=40)
+    return _int_bisect(cdf, p, hi)
+
+
+register_function(ScalarFunction(
+    "inverse_binomial_cdf", lambda a: BIGINT,
+    lambda n, ps, p: _inv_binomial(
+        _f32(n), _f32(ps), _f32(p)).astype(jnp.int64)))
+register_function(ScalarFunction(
+    "inverse_poisson_cdf", lambda a: BIGINT,
+    lambda lam, p: _inv_poisson(
+        _f32(lam), _f32(p)).astype(jnp.int64)))
+
+
+# --------------------------------------- math breadth (round 3)
+# velox/functions/prestosql/Arithmetic.h clamp/pmod;
+# MathematicalOperatorsRegistration.cpp.
+
+register_function(ScalarFunction(
+    "clamp", lambda a: a[0],
+    lambda v, lo, hi: jnp.clip(
+        v, lo.astype(v.dtype), hi.astype(v.dtype))))
+# Presto pmod keeps the divisor's sign — exactly Python/jnp.mod
+register_function(ScalarFunction(
+    "pmod", _arith_type, lambda a, b: jnp.mod(a, b)))
+
+
+# ------------------------------------ device hash internals
+# velox/functions/prestosql/IntegerFunctions.h xxhash64_internal /
+# combine_hash_internal (checksum building blocks). True XXH64 of the
+# 8-byte little-endian value, computed as pure uint64 lane arithmetic
+# on device (x64 mode) — no host round-trip.
+
+_XXP1 = np.uint64(0x9E3779B185EBCA87)
+_XXP2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_XXP3 = np.uint64(0x165667B19E3779F9)
+_XXP4 = np.uint64(0x85EBCA77C2B2AE63)
+_XXP5 = np.uint64(0x27D4EB2F165667C5)
+
+
+def _rotl64(x, r):
+    return (x << np.uint64(r)) | (
+        jax.lax.shift_right_logical(x, np.uint64(64 - r)))
+
+
+def _xxhash64_u64(x):
+    """XXH64(little-endian 8 bytes of x, seed=0) on uint64 lanes."""
+    h = _XXP5 + np.uint64(8)
+    k1 = x * _XXP2
+    k1 = _rotl64(k1, 31) * _XXP1
+    h = h ^ k1
+    h = _rotl64(h, 27) * _XXP1 + _XXP4
+    h = h ^ jax.lax.shift_right_logical(h, np.uint64(33))
+    h = h * _XXP2
+    h = h ^ jax.lax.shift_right_logical(h, np.uint64(29))
+    h = h * _XXP3
+    h = h ^ jax.lax.shift_right_logical(h, np.uint64(32))
+    return h
+
+
+def _xxhash64_internal_impl(x):
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        # normalize -0.0 (velox double hashing canonicalizes)
+        x = jnp.where(x == 0, jnp.zeros_like(x), x)
+        bits = jax.lax.bitcast_convert_type(
+            x.astype(jnp.float64), jnp.int64)
+    else:
+        bits = x.astype(jnp.int64)
+    return _xxhash64_u64(
+        bits.astype(jnp.uint64)).astype(jnp.int64)
+
+
+register_function(ScalarFunction(
+    "xxhash64_internal", lambda a: BIGINT, _xxhash64_internal_impl))
+register_function(ScalarFunction(
+    "combine_hash_internal", lambda a: BIGINT,
+    lambda a, b: (a.astype(jnp.int64) * jnp.int64(31)
+                  + b.astype(jnp.int64))))
+
+
+# --------------------------------------------- random functions
+# velox/functions/prestosql/Rand.h: rand()/random() -> DOUBLE in
+# [0,1); rand(n)/random(n) -> uniform integer [0, n). Evaluated as a
+# special form in expr/compiler.py _eval_node_inner (needs the row
+# capacity); registered here for type resolution and so the fuzzer
+# sees them. deterministic=False: CSE must not merge two calls.
+
+def _rand_unbound(*a):  # pragma: no cover
+    raise RuntimeError("rand is evaluated as a special form")
+
+
+for _rn in ("rand", "random", "secure_rand", "secure_random"):
+    register_function(ScalarFunction(
+        _rn, lambda a: (a[0] if a else DOUBLE), _rand_unbound,
+        deterministic=False))
