@@ -1,25 +1,26 @@
-"""Global jit cache.
+"""Global jit cache keyed by (op id, signature).
 
-Every operator instance used to own fresh ``jax.jit`` closures; re-running
-a plan (new Task, same PlanNodes) re-traced everything (~0.4s per closure
-on the tunneled TPU). This cache keys compiled callables by the semantic
-configuration (plan-node id + anything baked into the trace as a
-constant), so repeated executions of a plan — the serving pattern — reuse
-compiled programs. Data-dependent device arrays must be ARGUMENTS of the
-cached functions, never closed-over constants; host constants that vary
-with the data (e.g. normalized-key mins) must appear in the key.
+Object-identity jit keys forced a remote recompile per run in round 1
+(BASELINE.md Q3 postmortem); every operator jit goes through here with
+a VALUE key instead.
 
-The analog of velox's plan/expression compilation caching
-(velox/exec/HashTableCache.h and ExprSet reuse across batches).
+Set ``VELOX_TPU_JIT_PROFILE=1`` to record per-key wall time (each call
+then blocks until ready — profiling changes the async overlap, use it
+to ATTRIBUTE time, not to total it). Read results via
+``jit_profile()``.
 """
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Tuple
+import os
+import time
+from typing import Callable, Dict
 
 import jax
 
 _CACHE: Dict[tuple, Callable] = {}
+_PROFILE: Dict[tuple, list] = {}
+_PROFILING = bool(os.environ.get("VELOX_TPU_JIT_PROFILE"))
 
 
 def cached_jit(key: tuple, make: Callable[[], Callable]) -> Callable:
@@ -27,12 +28,29 @@ def cached_jit(key: tuple, make: Callable[[], Callable]) -> Callable:
     fn = _CACHE.get(key)
     if fn is None:
         fn = jax.jit(make())
+        if _PROFILING:
+            inner = fn
+
+            def fn(*a, __inner=inner, __key=key, **kw):
+                t0 = time.time()
+                out = __inner(*a, **kw)
+                jax.block_until_ready(out)
+                _PROFILE.setdefault(__key, []).append(
+                    time.time() - t0)
+                return out
+
         _CACHE[key] = fn
     return fn
 
 
+def jit_profile() -> Dict[tuple, list]:
+    """Per-key call walls (seconds); empty unless profiling is on."""
+    return _PROFILE
+
+
 def cache_clear() -> None:
     _CACHE.clear()
+    _PROFILE.clear()
 
 
 def cache_size() -> int:

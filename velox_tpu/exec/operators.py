@@ -359,6 +359,12 @@ class ProjectOp(Operator):
             name: e for name, e in zip(node.names, node.exprs)
             if isinstance(e, _Call) and e.name == "zip"
             and all(isinstance(a, _FR) for a in e.args)}
+        # round-3 extended array/map projections (exec/complex_fns.py)
+        from velox_tpu.exec.complex_fns import EXT_APPLIERS as _EXT
+
+        self._ext = {
+            name: e for name, e in zip(node.names, node.exprs)
+            if isinstance(e, _Call) and e.name in _EXT}
         # complex-typed children of dotted ROW subfield refs that the
         # scalar lane env can't carry (e.g. "r.tags" where tags ARRAY)
         out_types = dict(zip(node.names, node.output_type.children))
@@ -377,7 +383,7 @@ class ProjectOp(Operator):
                 | set(self._array_combos)
                 | set(self._row_ctors) | set(self._row_pass)
                 | set(self._map_entries) | set(self._zips)
-                | set(self._row_sub))
+                | set(self._row_sub) | set(self._ext))
         scalar = [
             (name, e) for name, e in zip(node.names, node.exprs)
             if name not in skip]
@@ -1256,6 +1262,12 @@ class ProjectOp(Operator):
                 cols[name] = self._apply_map_entries(batch, name)
             elif name in self._zips:
                 cols[name] = self._apply_zip(batch, name)
+            elif name in self._ext:
+                from velox_tpu.exec.complex_fns import EXT_APPLIERS
+
+                e = self._ext[name]
+                cols[name] = EXT_APPLIERS[e.name](
+                    self, batch, e, types[name])
             else:
                 (vals, valid), d = by_name[name]
                 cols[name] = Column(types[name], vals, valid, d)
@@ -2683,13 +2695,15 @@ class StreamingAggregationOp(HashAggregationOp):
             ng = offset + jnp.sum(head.astype(jnp.int32)) \
                 + jnp.logical_and(carry_present, ~has_rows).astype(
                     jnp.int32)
-            group_rows = (jnp.full((cap,), cap, jnp.int32)
-                          .at[jnp.where(head, gids, cap)]
-                          .min(r, mode="drop"))
             # last packed row of each group
             nxt_head = jnp.roll(head, -1).at[cap - 1].set(False)
             is_last = jnp.logical_and(
                 packed, jnp.logical_or(nxt_head, r == n - 1))
+            # per-row index of the owning group's head — MONOTONE
+            # (cummax); gathers through it run at one-pass bandwidth,
+            # unlike a reverse flip-scan (~100ms+ at 6M on this
+            # backend, BASELINE.md per-op physics)
+            head_idx = jax.lax.cummax(jnp.where(head, r, jnp.int32(0)))
 
             inputs = self._agg_inputs(pcols, packed)
             lanes_out = []
@@ -2703,13 +2717,19 @@ class StreamingAggregationOp(HashAggregationOp):
                     ident = jnp.asarray(lane.init_of(at), dt)
                     if _lane_kind(lane, dt) == "cum":
                         incl = jnp.cumsum(c)
-                        excl = incl - c
-                        # per-row group total, valid AT HEAD rows:
-                        # incl at the group's last row minus excl here
-                        tot = self._seg_bcast_last(incl, is_last) - excl
-                        tot = tot.at[0].add(jnp.where(
-                            merge_carry, cl_l[0].astype(dt), ident))
-                        ld.append((tot, incl, excl))
+                        base = jnp.where(
+                            head_idx > 0,
+                            jnp.take(incl,
+                                     jnp.maximum(head_idx - 1, 0),
+                                     mode="clip"), ident)
+                        # group PREFIX at each row: the full group
+                        # total exactly AT the group's last row —
+                        # where the predicate evaluates
+                        tot = incl - base
+                        tot = tot + jnp.where(
+                            jnp.logical_and(merge_carry, head_idx == 0),
+                            cl_l[0].astype(dt), ident)
+                        ld.append((tot,))
                     elif lane.scan_op == "add":
                         ld.append((jnp.zeros((cap,), dt)
                                    .at[gids].add(c, mode="drop"),))
@@ -2722,7 +2742,8 @@ class StreamingAggregationOp(HashAggregationOp):
                 lanes_out.append(tuple(ld))
 
             # per-row predicate arrays: keys read directly, referenced
-            # aggregates extract from the per-row totals
+            # aggregates extract from the per-row prefixes (exact group
+            # totals at is_last rows, where E is masked)
             arrays = {}
             for k, (v, vd) in zip(keys, kp):
                 arrays[k] = (v, vd)
@@ -2732,14 +2753,16 @@ class StreamingAggregationOp(HashAggregationOp):
                        for l in fn.lanes):
                     arrays[name] = fn.extract(
                         tuple(item[0] for item in ld), packed)
-            closed_row = gids < ng - 1
-            E = having_run(arrays, jnp.logical_and(head, closed_row))
+            # evaluate at each CLOSED group's last row (the open
+            # group's last seen row is r == n-1)
+            E = having_run(arrays, jnp.logical_and(
+                is_last, r != n - 1))
             n_emit = jnp.sum(E.astype(jnp.int32))
 
             scalars = (n, ng, n_emit, has_rows, merge_carry,
                        carry_alone,
                        jnp.logical_or(carry_present, has_rows))
-            return kp, lanes_out, group_rows, gids, E, scalars
+            return kp, lanes_out, gids, E, scalars
 
         return step
 
@@ -2747,7 +2770,7 @@ class StreamingAggregationOp(HashAggregationOp):
         fns = self.fns
         keys = self.keys
 
-        def emit(kp, lanes_data, group_rows, gids, E, scalars,
+        def emit(kp, lanes_data, gids, E, scalars,
                  carry_present, carry_keys, carry_lanes):
             (n, ng, n_emit, has_rows, merge_carry, carry_alone,
              carry_present_out) = scalars
@@ -2763,9 +2786,6 @@ class StreamingAggregationOp(HashAggregationOp):
             last = jnp.maximum(ng - 1, 0)
             lastrow = jnp.maximum(n - 1, 0)
             lastrow_c = jnp.clip(lastrow, 0, cap - 1)
-            gr_last = jnp.clip(
-                jnp.take(group_rows, jnp.clip(last, 0, cap - 1),
-                         mode="clip"), 0, cap - 1)
             rows0 = jnp.logical_and(has_rows, ~carry_alone)
             slot2 = jnp.take(gids, src, mode="clip")
 
@@ -2781,12 +2801,15 @@ class StreamingAggregationOp(HashAggregationOp):
                     comb = {"add": jnp.add, "min": jnp.minimum,
                             "max": jnp.maximum}[lane.scan_op]
                     if _lane_kind(lane, dt) == "cum":
-                        tot, incl, excl = item
-                        # tot already includes the merged carry at row 0
+                        (tot,) = item
+                        # tot is the group PREFIX per row: the full
+                        # total at src (= group last rows), and at the
+                        # final packed row it is the open group's
+                        # partial — exactly the carry-out (includes the
+                        # merged carry when the batch is one group)
                         acc2 = jnp.take(tot, src, mode="clip")
-                        t0 = tot[0]
-                        raw_last = (jnp.take(incl, lastrow_c, mode="clip")
-                                    - jnp.take(excl, gr_last, mode="clip"))
+                        t0 = jnp.take(tot, lastrow_c, mode="clip")
+                        raw_last = t0
                     else:
                         (acc,) = item
                         a2 = jnp.take(acc, slot2, mode="clip")
@@ -2891,7 +2914,7 @@ class StreamingAggregationOp(HashAggregationOp):
             jit_a = cached_jit(
                 ("stream_agg_ah", self.node.id, hsig),
                 lambda: self._phase_a_hav_fn(dense, hav_run))
-            kp, lanes_data, group_rows, gids, E, scalars = jit_a(
+            kp, lanes_data, gids, E, scalars = jit_a(
                 key_pairs, cols, batch.sel, self._carry_present, ck, cl)
             n_emit = int(scalars[2])              # the ONE host sync
             cap2 = min(round_capacity(max(n_emit + 1, 1)), cap)
@@ -2899,7 +2922,7 @@ class StreamingAggregationOp(HashAggregationOp):
                 ("stream_agg_bh", self.node.id, hsig, cap2),
                 lambda: self._phase_b_hav_fn(cap, cap2, hav_run))
             (out_keys, results, closed, cp, ck2, cl2) = jit_b(
-                kp, lanes_data, group_rows, gids, E, scalars,
+                kp, lanes_data, gids, E, scalars,
                 self._carry_present, ck, cl)
             num_rows = None    # carry slot liveness is device-known
         elif self._use_scan:

@@ -314,6 +314,106 @@ def resolve_types(expr: Expr, schema: RowType) -> Expr:
             if not isinstance(args[0].dtype, ArrayType):
                 raise TypeError("slice expects an ARRAY")
             return Call(args[0].dtype, "slice", args)
+        if name in ("array_sort_desc", "array_duplicates", "shuffle",
+                    "remove_nulls", "trim_array", "array_top_n"):
+            from velox_tpu.types.types import ArrayType
+            if not isinstance(args[0].dtype, ArrayType):
+                raise TypeError(f"{name} expects an ARRAY")
+            return Call(args[0].dtype, name, args)
+        if name == "array_has_duplicates":
+            from velox_tpu.types.types import ArrayType
+            if not isinstance(args[0].dtype, ArrayType):
+                raise TypeError(f"{name} expects an ARRAY")
+            return Call(BOOLEAN, name, args)
+        if name == "array_cum_sum":
+            from velox_tpu.types.types import ArrayType
+            et = args[0].dtype.element
+            out_e = DOUBLE if et.is_floating else BIGINT
+            return Call(ArrayType(TypeKind.ARRAY, out_e), name, args)
+        if name == "array_normalize":
+            from velox_tpu.types.types import ArrayType
+            return Call(ArrayType(TypeKind.ARRAY, DOUBLE), name, args)
+        if name in ("map_subset", "map_intersect", "map_except",
+                    "map_remove_null_values", "map_top_n",
+                    "map_values_in_range", "remap_keys"):
+            from velox_tpu.types.types import MapType
+            if not isinstance(args[0].dtype, MapType):
+                raise TypeError(f"{name} expects a MAP")
+            return Call(args[0].dtype, name, args)
+        if name == "map_normalize":
+            from velox_tpu.types.types import MapType, map_ as _map
+            return Call(_map(args[0].dtype.key, DOUBLE), name, args)
+        if name in ("map_top_n_keys", "map_keys_by_top_n_values"):
+            from velox_tpu.types.types import ArrayType
+            return Call(ArrayType(TypeKind.ARRAY, args[0].dtype.key),
+                        name, args)
+        if name == "map_top_n_values":
+            from velox_tpu.types.types import ArrayType
+            return Call(ArrayType(TypeKind.ARRAY, args[0].dtype.value),
+                        name, args)
+        if name == "map_key_exists":
+            return Call(BOOLEAN, name, args)
+        if name == "map_keys_overlap":
+            return Call(BOOLEAN, name, args)
+        if name == "map":
+            from velox_tpu.types.types import ArrayType, map_ as _map
+            for a in args[:2]:
+                if not isinstance(a.dtype, ArrayType):
+                    raise TypeError("map() expects two ARRAYs")
+            return Call(_map(args[0].dtype.element,
+                             args[1].dtype.element), name, args)
+        if name == "map_from_entries":
+            from velox_tpu.types.types import (
+                ArrayType, RowType as _RT, map_ as _map,
+            )
+            et = args[0].dtype.element
+            if not isinstance(et, _RT) or len(et.children) != 2:
+                raise TypeError(
+                    "map_from_entries expects ARRAY(ROW(k, v))")
+            return Call(_map(et.children[0], et.children[1]),
+                        name, args)
+        if name in ("split_to_map", "split_to_multimap"):
+            from velox_tpu.types.types import map_ as _map
+            # split_to_multimap: duplicate keys REPEAT as entries
+            # (documented deviation from Presto's map(k, array(v)))
+            return Call(_map(VARCHAR, VARCHAR), name, args)
+        if name == "typeof":
+            # compile-time type name as a constant string
+            return Call(VARCHAR, "typeof", args)
+        if (name == "element_at" and len(args) == 2
+                and isinstance(args[0], Call)
+                and args[0].name == "array_constructor"
+                and isinstance(args[1], Literal)):
+            # constant-fold ARRAY[e1..en][k] to the k-th entry (1-based,
+            # negative from the end; out-of-bounds -> NULL, the
+            # element_at rule the parser lowers SUBSCRIPT to)
+            entries = args[0].args
+            et = args[0].dtype.element
+            k = int(args[1].value)
+            if k < 0:
+                k = len(entries) + 1 + k
+            if not (1 <= k <= len(entries)):
+                return Literal(et, None)
+            picked = entries[k - 1]
+            if picked.dtype is not None and picked.dtype.kind != et.kind:
+                return Cast(et, picked, False)
+            return picked
+        if name == "array_constructor":
+            # ARRAY[e1, e2, ...] (ArrayConstructor.h); element type is
+            # the common type of the entries
+            from velox_tpu.types.types import ArrayType
+            et = None
+            for a in args:
+                if a.dtype is None:
+                    continue
+                et = a.dtype if et is None else (
+                    a.dtype if a.dtype.kind == et.kind
+                    else common_numeric_type(et, a.dtype))
+            if et is None:
+                et = BIGINT
+            return Call(ArrayType(TypeKind.ARRAY, et), name, args)
+        if name == "array_join":
+            return Call(VARCHAR, name, args)
         if name == "repeat":
             from velox_tpu.types.types import ArrayType
             return Call(ArrayType(TypeKind.ARRAY, args[0].dtype),
@@ -578,7 +678,15 @@ _ARRAY_FUNCS = {
 #: ArrayFunctions transform/anyMatch/allMatch/noneMatch)
 _HIGHER_ORDER_FUNCS = {"transform", "any_match", "all_match",
                        "none_match", "transform_values", "map_filter",
-                       "filter", "transform_keys", "zip_with"}
+                       "filter", "transform_keys", "zip_with",
+                       "find_first", "find_first_index",
+                       "array_max_by", "array_min_by",
+                       "any_keys_match", "all_keys_match",
+                       "no_keys_match", "any_values_match",
+                       "no_values_match", "map_values_any_match",
+                       "map_values_all_match",
+                       "map_values_none_match",
+                       "transform_with_index"}
 
 
 def _lambda_schema(params, param_types, outer: RowType) -> RowType:
@@ -652,9 +760,34 @@ def _resolve_higher_order(expr: Call, schema: RowType) -> Expr:
                         "transform_keys", (arr, lam2))
         return Call(_map(arr.dtype.key, body.dtype),
                     "transform_values", (arr, lam2))
+    if expr.name in _MAP_MATCH_FNS:
+        # (map, k -> bool) / (map, v -> bool) single-param lambdas
+        if not isinstance(arr.dtype, MapType):
+            raise TypeError(f"{expr.name} expects a MAP")
+        lam = expr.args[1]
+        if len(lam.params) != 1:
+            raise TypeError(f"{expr.name} lambda takes one parameter")
+        mode, lane_t_of = _MAP_MATCH_FNS[expr.name]
+        body = resolve_types(lam.body, _lambda_schema(
+            lam.params, (lane_t_of(arr.dtype),), schema))
+        if body.dtype.kind != TK.BOOLEAN:
+            raise TypeError(f"{expr.name} lambda must return BOOLEAN")
+        return Call(BOOLEAN, expr.name,
+                    (arr, Lambda(body.dtype, lam.params, body)))
     if not isinstance(arr.dtype, ArrayType):
         raise TypeError(f"{expr.name} expects an ARRAY, got {arr.dtype}")
     lam = expr.args[1]
+    if expr.name == "transform_with_index":
+        # transform_with_index(a, (x, i) -> body): i is the 1-based
+        # element ordinal (ArrayFunctions.h TransformWithIndex)
+        if len(lam.params) != 2:
+            raise TypeError(
+                "transform_with_index lambda takes (element, index)")
+        body = resolve_types(lam.body, _lambda_schema(
+            lam.params, (arr.dtype.element, BIGINT), schema))
+        return Call(ArrayType(TK.ARRAY, body.dtype),
+                    "transform_with_index",
+                    (arr, Lambda(body.dtype, lam.params, body)))
     if len(lam.params) != 1:
         raise TypeError(f"{expr.name} lambda takes one parameter")
     et = arr.dtype.element
@@ -668,6 +801,17 @@ def _resolve_higher_order(expr: Call, schema: RowType) -> Expr:
         if body.dtype.kind != TK.BOOLEAN:
             raise TypeError("filter lambda must return BOOLEAN")
         return Call(arr.dtype, "filter", (arr, lam2))
+    if expr.name == "find_first":
+        if body.dtype.kind != TK.BOOLEAN:
+            raise TypeError("find_first lambda must return BOOLEAN")
+        return Call(et, "find_first", (arr, lam2))
+    if expr.name == "find_first_index":
+        if body.dtype.kind != TK.BOOLEAN:
+            raise TypeError(
+                "find_first_index lambda must return BOOLEAN")
+        return Call(BIGINT, "find_first_index", (arr, lam2))
+    if expr.name in ("array_max_by", "array_min_by"):
+        return Call(et, expr.name, (arr, lam2))
     if body.dtype.kind != TK.BOOLEAN:
         raise TypeError(f"{expr.name} lambda must return BOOLEAN")
     return Call(BOOLEAN, expr.name, (arr, lam2))
@@ -862,6 +1006,50 @@ def bind_array_funcs(expr: Expr,
         # owning row (velox/expression/LambdaExpr.cpp capture semantics)
         body = _wrap_captures(body, lam.params, (st, ln, ev))
         return Call(BOOLEAN, f"__array_{expr.name}", (st, ln, body))
+    if isinstance(expr, Call) and expr.name in _MAP_MATCH_FNS:
+        m = expr.args[0]
+        if not isinstance(m, FieldRef):
+            raise TypeError(f"{expr.name} requires a MAP column")
+        mode, lane_t_of = _MAP_MATCH_FNS[expr.name]
+        x = m.name
+        lane_dt = lane_t_of(m.dtype)
+        lane = f"{x}#kv" if mode[0] == "k" else f"{x}#vv"
+        lam = expr.args[1]
+        body = _substitute_param(
+            lam.body, lam.params[0], FieldRef(lane_dt, lane))
+        st = FieldRef(INTEGER, f"{x}#start")
+        ln = FieldRef(INTEGER, f"{x}#len")
+        ev = FieldRef(lane_dt, lane)
+        body = _wrap_captures(body, lam.params, (st, ln, ev))
+        return Call(BOOLEAN, f"__array_{mode[1]}_match", (st, ln, body))
+    if (isinstance(expr, Call) and expr.name in (
+            "find_first", "find_first_index", "array_max_by",
+            "array_min_by")):
+        arr = expr.args[0]
+        if not isinstance(arr, FieldRef):
+            raise TypeError(f"{expr.name} requires an ARRAY column")
+        x, et = arr.name, arr.dtype.element
+        lam = expr.args[1]
+        body = _substitute_param(
+            lam.body, lam.params[0], FieldRef(et, f"{x}#elemv"))
+        st = FieldRef(INTEGER, f"{x}#start")
+        ln = FieldRef(INTEGER, f"{x}#len")
+        ev = FieldRef(et, f"{x}#elemv")
+        body = _wrap_captures(body, lam.params, (st, ln, ev))
+        if expr.name == "find_first_index":
+            return Call(BIGINT, "__array_find_first_index",
+                        (st, ln, body))
+        op = {"find_first": "__array_find_first",
+              "array_max_by": "__array_max_by",
+              "array_min_by": "__array_min_by"}[expr.name]
+        out = Call(et, op, (st, ln, body, ev))
+        if et.is_string:
+            d = dictionaries.get(f"{x}#elemv")
+            n = len(d) if d is not None else 0
+            table = np.concatenate(
+                [[-1], np.arange(n)]).astype(np.int32)
+            return DictTransform(et, out, table, d)
+        return out
     if isinstance(expr, Call) and expr.name in (
             "transform", "transform_values", "map_filter", "map_concat",
             "filter", "transform_keys", "zip_with", "array_concat",
@@ -879,6 +1067,51 @@ def bind_array_funcs(expr: Expr,
 
     from velox_tpu.types.types import MapType as _MapT
 
+    if (isinstance(expr, Call) and expr.args
+            and isinstance(expr.args[0].dtype, _MapT)
+            and expr.name in ("map_key_exists", "map_keys_overlap")):
+        m = expr.args[0]
+        if not isinstance(m, FieldRef):
+            raise TypeError(f"{expr.name} requires a MAP column")
+        x, mt = m.name, m.dtype
+        st = FieldRef(INTEGER, f"{x}#start")
+        ln = FieldRef(INTEGER, f"{x}#len")
+        kv = FieldRef(mt.key, f"{x}#kv")
+        if expr.name == "map_key_exists":
+            lit = bind_array_funcs(expr.args[1], dictionaries)
+            if mt.key.is_string:
+                if not isinstance(lit, Literal):
+                    raise TypeError(
+                        "map_key_exists on string keys needs a literal")
+                d = dictionaries.get(f"{x}#kv")
+                lit = Literal(
+                    INTEGER, d.code_of(lit.value) if d else -2)
+            return Call(BOOLEAN, "__array_contains", (st, ln, kv, lit))
+        # map_keys_overlap(m, ARRAY[...literals...])
+        arr = expr.args[1]
+        if not (isinstance(arr, Call)
+                and arr.name == "array_constructor"
+                and all(isinstance(a, Literal) for a in arr.args)):
+            raise TypeError(
+                "map_keys_overlap needs a literal ARRAY[...] argument")
+        vals = [a.value for a in arr.args]
+        if mt.key.is_string:
+            # membership as a code lookup table (the LIKE pattern) so
+            # the later bind_strings pass has nothing to re-bind
+            d = dictionaries.get(f"{x}#kv")
+            nvals = len(d) if d is not None else 0
+            table = np.zeros(nvals + 1, np.bool_)
+            if d is not None:
+                for v in vals:
+                    c = d.code_of(v)
+                    if c >= 0:
+                        table[c + 1] = True
+            in_call = Call(BOOLEAN, "dict_lookup_bool", (
+                kv, Literal(BOOLEAN, table)))
+        else:
+            in_call = Call(BOOLEAN, "in", (
+                kv, *[Literal(mt.key, v) for v in vals]))
+        return Call(BOOLEAN, "__array_any_match", (st, ln, in_call))
     if (isinstance(expr, Call) and expr.args
             and isinstance(expr.args[0].dtype, _MapT)
             and expr.name in ("cardinality", "element_at")):
@@ -971,6 +1204,21 @@ def bind_array_funcs(expr: Expr,
         return TryExpr(expr.dtype,
                        bind_array_funcs(expr.expr, dictionaries))
     return expr
+
+
+#: map lambda-match family (velox/functions/prestosql/MapFunctions.h
+#: all/any/no_keys_match, map_values_*_match): each is the array match
+#: machinery pointed at the map's key or value lane.
+_MAP_MATCH_FNS = {
+    "any_keys_match": (("k", "any"), lambda mt: mt.key),
+    "all_keys_match": (("k", "all"), lambda mt: mt.key),
+    "no_keys_match": (("k", "none"), lambda mt: mt.key),
+    "any_values_match": (("v", "any"), lambda mt: mt.value),
+    "no_values_match": (("v", "none"), lambda mt: mt.value),
+    "map_values_any_match": (("v", "any"), lambda mt: mt.value),
+    "map_values_all_match": (("v", "all"), lambda mt: mt.value),
+    "map_values_none_match": (("v", "none"), lambda mt: mt.value),
+}
 
 
 def _bind_string_cast(cast: Cast, child: Expr,

@@ -30,7 +30,7 @@ _TOKEN_RE = re.compile(r"""
     | (?P<num>\d+\.\d+(?:[eE][+-]?\d+)?|\.\d+|\d+(?:[eE][+-]?\d+)?)
     | (?P<str>'(?:[^']|'')*')
     | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<op><=|>=|<>|!=|->|=|<|>|\+|-|\*|/|%|\(|\)|,|\.)
+    | (?P<op><=|>=|<>|!=|->|=|<|>|\+|-|\*|/|%|\(|\)|\[|\]|,|\.)
     )""", re.VERBOSE | re.IGNORECASE)
 
 _KEYWORDS = {
@@ -214,7 +214,14 @@ def _parse_unary(t: _Tokens) -> Expr:
         return call("negate", _parse_unary(t))
     if t.accept("OP", "+"):
         return _parse_unary(t)
-    return _parse_primary(t)
+    e = _parse_primary(t)
+    # postfix subscript: a[i] -> element_at (Presto SUBSCRIPT; array
+    # access is 1-based, map access by key)
+    while t.accept("OP", "["):
+        idx = _parse_or(t)
+        t.expect("OP", "]")
+        e = call("element_at", e, idx)
+    return e
 
 
 _INTERVAL_MARK = "__interval_days__"
@@ -305,6 +312,15 @@ def _parse_primary(t: _Tokens) -> Expr:
         t.expect("END")
         return switch(*conds)
     if k == "NAME":
+        if v.upper() == "ARRAY" and t.accept("OP", "["):
+            # ARRAY[e1, e2, ...] literal/constructor
+            args = []
+            if not t.accept("OP", "]"):
+                args.append(_parse_or(t))
+                while t.accept("OP", ","):
+                    args.append(_parse_or(t))
+                t.expect("OP", "]")
+            return call("array_constructor", *args)
         if t.accept("OP", "("):
             args = []
             if not t.accept("OP", ")"):

@@ -1497,3 +1497,91 @@ for _rn in ("rand", "random", "secure_rand", "secure_random"):
     register_function(ScalarFunction(
         _rn, lambda a: (a[0] if a else DOUBLE), _rand_unbound,
         deterministic=False))
+
+
+# ------------------------------- array search functions (round 3)
+# velox/functions/prestosql/FindFirst.cpp, ArrayMinMaxBy.
+# First-hit positions come from a min range-reduce over the flat
+# position lane (the segment-tree tables above) — no per-row loops.
+
+def _first_hit_pos(st, ln, hit):
+    ecap = hit.shape[0]
+    p = jnp.arange(ecap, dtype=jnp.int32)
+    cand = jnp.where(hit, p, jnp.int32(ecap))
+    tables = _range_tables(cand, jnp.minimum, jnp.int32(ecap))
+    return _range_reduce(tables, st, ln, jnp.minimum, jnp.int32(ecap))
+
+
+def _find_first_impl(stp, lnp, predp, evp):
+    (st, _), (ln, lv), (pv, pvalid), (ev, evalid) = (
+        stp, lnp, predp, evp)
+    hit = pv if pvalid is None else jnp.logical_and(pv, pvalid)
+    fpos = _first_hit_pos(st, ln, hit)
+    found = fpos < hit.shape[0]
+    vals = jnp.take(ev, fpos, mode="clip")
+    valid = found
+    if evalid is not None:
+        valid = jnp.logical_and(
+            valid, jnp.take(evalid, fpos, mode="clip"))
+    if lv is not None:
+        valid = jnp.logical_and(valid, lv)
+    return vals, valid
+
+
+def _find_first_index_impl(stp, lnp, predp):
+    (st, _), (ln, lv), (pv, pvalid) = stp, lnp, predp
+    hit = pv if pvalid is None else jnp.logical_and(pv, pvalid)
+    fpos = _first_hit_pos(st, ln, hit)
+    found = fpos < hit.shape[0]
+    vals = (fpos - st + 1).astype(jnp.int64)
+    valid = found if lv is None else jnp.logical_and(found, lv)
+    return vals, valid
+
+
+register_function(ScalarFunction(
+    "__array_find_first", lambda a: a[3], _find_first_impl,
+    default_nulls=False))
+register_function(ScalarFunction(
+    "__array_find_first_index", lambda a: BIGINT,
+    _find_first_index_impl, default_nulls=False))
+
+
+def _make_extremal_by(is_min):
+    def impl(stp, lnp, keyp, evp):
+        (st, _), (ln, lv), (kv, kvalid), (ev, evalid) = (
+            stp, lnp, keyp, evp)
+        k = kv.astype(jnp.float64)
+        ident = jnp.inf if is_min else -jnp.inf
+        op = jnp.minimum if is_min else jnp.maximum
+        kk = k if kvalid is None else jnp.where(kvalid, k, ident)
+        tables = _range_tables(kk, op, jnp.float64(ident))
+        rowext = _range_reduce(tables, st, ln, op, jnp.float64(ident))
+        # first element whose key equals the row extremum
+        ecap = kk.shape[0]
+        from velox_tpu.exec.collect_agg import element_owners
+
+        owner, within = element_owners(st, ln, ecap)
+        eq_ext = jnp.logical_and(
+            within, kk == jnp.take(rowext, owner, mode="clip"))
+        if kvalid is not None:
+            eq_ext = jnp.logical_and(eq_ext, kvalid)
+        fpos = _first_hit_pos(st, ln, eq_ext)
+        found = fpos < ecap
+        vals = jnp.take(ev, fpos, mode="clip")
+        valid = found
+        if evalid is not None:
+            valid = jnp.logical_and(
+                valid, jnp.take(evalid, fpos, mode="clip"))
+        if lv is not None:
+            valid = jnp.logical_and(valid, lv)
+        return vals, valid
+
+    return impl
+
+
+register_function(ScalarFunction(
+    "__array_min_by", lambda a: a[3], _make_extremal_by(True),
+    default_nulls=False))
+register_function(ScalarFunction(
+    "__array_max_by", lambda a: a[3], _make_extremal_by(False),
+    default_nulls=False))

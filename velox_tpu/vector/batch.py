@@ -263,9 +263,12 @@ class Batch:
                 if isinstance(col, MapColumn):
                     ks = col.keys.to_pylist()
                     vs = col.values.to_pylist()
+                    # entry-tuple lists, not dicts: duplicate keys are
+                    # legal mid-pipeline (split_to_multimap) and arrow
+                    # map arrays accept (k, v) tuple lists
                     out[name] = [
                         None if valid is not None and not valid[i]
-                        else dict(zip(
+                        else list(zip(
                             ks[starts[i]: starts[i] + lengths[i]],
                             vs[starts[i]: starts[i] + lengths[i]]))
                         for i in range(len(starts))

@@ -241,7 +241,10 @@ class MapColumn:
                 out.append(None)
             else:
                 s, ln = starts[i], lengths[i]
-                out.append(dict(zip(ks[s: s + ln], vs[s: s + ln])))
+                # entry list, not dict: MAP entries may legitimately
+                # repeat keys (split_to_multimap) and arrow accepts
+                # (k, v) tuple lists for map arrays
+                out.append(list(zip(ks[s: s + ln], vs[s: s + ln])))
         return out
 
 
