@@ -48,8 +48,10 @@ class _Expanded:
 def expand(starts, lengths, sel, cap: int) -> _Expanded:
     """Canonicalize arbitrary (possibly shared/gathered) offsets into a
     compact layout. ONE host sync (the element total)."""
+    from velox_tpu.utils.replay import fetch_int as _fetch_int
+
     lens = jnp.where(sel, lengths, 0)
-    total = int(jnp.sum(lens))                     # host sync
+    total = _fetch_int("cfn_total", jnp.sum(lens))  # host sync
     ecap = _round_capacity(max(total, 1))
     nst = (jnp.cumsum(lens) - lens).astype(jnp.int32)
     rows = jnp.arange(cap, dtype=jnp.int32)

@@ -27,6 +27,10 @@ from velox_tpu.vector.batch import Batch, concat_batches, round_capacity
 from velox_tpu.vector.column import Column, Dictionary
 from velox_tpu.exec.operator import AdaptiveOutput, ExprEvaluator, Operator
 from velox_tpu.exec.jitcache import cached_jit
+from velox_tpu.utils.replay import (
+    fetch_bool as _fetch_bool, fetch_int as _fetch_int,
+    fetch_np as _fetch_np, fetch_tree as _fetch_tree,
+)
 from velox_tpu.exec.spill import SpillableBuffer
 from velox_tpu.functions.aggregates import lookup_aggregate
 from velox_tpu.ops.groupby import group_ids_array, group_ids_sorted
@@ -454,7 +458,7 @@ class ProjectOp(Operator):
             lens = jnp.clip(
                 hi - lo + 1, 0, self._MAX_SEQ).astype(jnp.int32)
         lens = jnp.where(valid, lens, 0)
-        total = int(jnp.sum(lens))                 # one host sync
+        total = _fetch_int("lens_total", jnp.sum(lens))  # one host sync
         ecap = round_capacity(max(total, 1))
         starts = (jnp.cumsum(lens) - lens).astype(jnp.int32)
         rows = jnp.arange(batch.capacity, dtype=jnp.int32)
@@ -515,7 +519,7 @@ class ProjectOp(Operator):
         src = batch.column(e.args[0].name)
         assert isinstance(src, ArrayColumn)
         lens = jnp.where(batch.sel, src.lengths, 0)
-        total = int(jnp.sum(lens))                 # one host sync
+        total = _fetch_int("lens_total", jnp.sum(lens))  # one host sync
         ecap = round_capacity(max(total, 1))
         nst = (jnp.cumsum(lens) - lens).astype(jnp.int32)
         rows = jnp.arange(batch.capacity, dtype=jnp.int32)
@@ -684,7 +688,7 @@ class ProjectOp(Operator):
         lb = jnp.where(row_live, cb.lengths, 0)
         lens = ((la + lb) if e.name == "array_concat"
                 else jnp.maximum(la, lb)).astype(jnp.int32)
-        total = int(jnp.sum(lens))                 # one host sync
+        total = _fetch_int("lens_total", jnp.sum(lens))  # one host sync
         ecap = round_capacity(max(total, 1))
         nst = (jnp.cumsum(lens) - lens).astype(jnp.int32)
         rows = jnp.arange(cap, dtype=jnp.int32)
@@ -850,7 +854,7 @@ class ProjectOp(Operator):
             row_live = jnp.logical_and(row_live, null_valid)
         la = jnp.where(row_live, ca.lengths, 0)
         lb = jnp.where(row_live, cb.lengths, 0)
-        totals = np.asarray(jnp.stack([jnp.sum(la), jnp.sum(lb)]))
+        totals = _fetch_np("ab_totals", jnp.stack([jnp.sum(la), jnp.sum(lb)]))
         eca = round_capacity(max(int(totals[0]), 1))
         ecb = round_capacity(max(int(totals[1]), 1))
         ecap = eca + ecb
@@ -973,7 +977,7 @@ class ProjectOp(Operator):
         if src.valid is not None:
             valid = jnp.logical_and(valid, src.valid)
         lens = jnp.where(valid, lens, 0)
-        total = int(jnp.sum(lens))                 # one host sync
+        total = _fetch_int("lens_total", jnp.sum(lens))  # one host sync
         ecap = round_capacity(max(total, 1))
         starts = (jnp.cumsum(lens) - lens).astype(jnp.int32)
         rows = jnp.arange(batch.capacity, dtype=jnp.int32)
@@ -1027,7 +1031,7 @@ class ProjectOp(Operator):
             row_live = jnp.logical_and(row_live, null_valid)
         la = jnp.where(row_live, ca.lengths, 0)
         lb = jnp.where(row_live, cb.lengths, 0)
-        totals = np.asarray(jnp.stack(
+        totals = _fetch_np("ab_totals2", jnp.stack(
             [jnp.sum(la), jnp.sum(lb)]))           # one host sync
         eca = round_capacity(max(int(totals[0]), 1))
         ecb = round_capacity(max(int(totals[1]), 1))
@@ -1186,7 +1190,7 @@ class ProjectOp(Operator):
         for l in lens_in[1:]:
             lens = jnp.maximum(lens, l)
         lens = lens.astype(jnp.int32)
-        total = int(jnp.sum(lens))                 # one host sync
+        total = _fetch_int("lens_total", jnp.sum(lens))  # one host sync
         ecap = round_capacity(max(total, 1))
         nst = (jnp.cumsum(lens) - lens).astype(jnp.int32)
         rows = jnp.arange(cap, dtype=jnp.int32)
@@ -1743,8 +1747,8 @@ class HashAggregationOp(Operator):
         from velox_tpu.utils.testvalue import TestValue
 
         TestValue.adjust("velox_tpu.agg.abandon_check", self)
-        rows = int(jnp.sum(sel.astype(jnp.int32)))
-        groups = int(jnp.sum(group_sel.astype(jnp.int32)))
+        rows = _fetch_int("adapt_rows", jnp.sum(sel.astype(jnp.int32)))
+        groups = _fetch_int("adapt_groups", jnp.sum(group_sel.astype(jnp.int32)))
         if rows > 0 and groups / rows >= config.abandon_partial_agg_min_pct:
             self.abandoned = True
             self.stats.runtime["abandoned_partial_agg"] = 1.0
@@ -2916,7 +2920,8 @@ class StreamingAggregationOp(HashAggregationOp):
                 lambda: self._phase_a_hav_fn(dense, hav_run))
             kp, lanes_data, gids, E, scalars = jit_a(
                 key_pairs, cols, batch.sel, self._carry_present, ck, cl)
-            n_emit = int(scalars[2])              # the ONE host sync
+            # the ONE host sync (count-replay elides it on repeat runs)
+            n_emit = _fetch_int(f"sagg_h:{self.node.id}", scalars[2])
             cap2 = min(round_capacity(max(n_emit + 1, 1)), cap)
             jit_b = cached_jit(
                 ("stream_agg_bh", self.node.id, hsig, cap2),
@@ -2931,7 +2936,9 @@ class StreamingAggregationOp(HashAggregationOp):
                 lambda: self._phase_a_fn(dense))
             kp, lanes_data, group_rows, scalars = jit_a(
                 key_pairs, cols, batch.sel, self._carry_present, ck)
-            n_closed = max(int(scalars[1]) - 1, 0)  # the ONE host sync
+            # the ONE host sync (count-replay elides it on repeat runs)
+            n_closed = max(
+                _fetch_int(f"sagg:{self.node.id}", scalars[1]) - 1, 0)
             cap2 = min(round_capacity(max(n_closed, 1)), cap)
             jit_b = cached_jit(
                 ("stream_agg_b", self.node.id, sig, cap2),
@@ -3169,9 +3176,10 @@ class JoinKeyCodec:
                 if c.valid is not None:
                     act = jnp.logical_and(act, c.valid)
                 big = jnp.iinfo(v.dtype).max
-                # ONE fused fetch (each int() is a tunnel round trip)
-                lo, hi = (int(x) for x in np.asarray(_minmax_jit(
-                    v, act, big)))
+                # ONE fused fetch (each int() is a tunnel round trip);
+                # count-replay elides it on repeat runs
+                lo, hi = (int(x) for x in _fetch_np(
+                    "jk_minmax", _minmax_jit(v, act, big)))
                 if lo <= hi:
                     self.lohi = (lo, hi)
                     if (v.dtype == jnp.int64
@@ -3187,8 +3195,8 @@ class JoinKeyCodec:
                     act = jnp.logical_and(act, c.valid)
                 big = jnp.iinfo(jnp.int64).max
                 lohis.append(_minmax_jit(v.astype(jnp.int64), act, big))
-            # one fetch for every key's (lo, hi)
-            fetched = np.asarray(jnp.concatenate(lohis))
+            # one fetch for every key's (lo, hi); replayed on repeat
+            fetched = _fetch_np("jk_minmax_multi", jnp.concatenate(lohis))
             for ki in range(len(self.cols)):
                 lo, hi = int(fetched[2 * ki]), int(fetched[2 * ki + 1])
                 if hi < lo:  # empty build side
@@ -3356,7 +3364,8 @@ class JoinBridge:
     @property
     def build_has_null_key(self) -> bool:
         if self._has_null is None:
-            self._has_null = bool(self._has_null_dev)  # lazy host sync
+            # lazy host sync; count-replay elides it on repeat runs
+            self._has_null = _fetch_bool("has_null", self._has_null_dev)
         return self._has_null
 
     @build_has_null_key.setter
@@ -3594,7 +3603,7 @@ class HashProbeOp(AdaptiveOutput, Operator):
             fetch[f"v.{rk}"] = col.values
             if col.valid is not None:
                 fetch[f"m.{rk}"] = col.valid
-        host = jax.device_get(fetch)
+        host = _fetch_tree(f"dynfilter:{self.node.id}", fetch)
         sel_host = host["__sel__"]
         if not sel_host.any():
             scan.dynamic_filters.append(ExprEvaluator(
@@ -3877,7 +3886,8 @@ class HashProbeOp(AdaptiveOutput, Operator):
 
         first, count, pvalid, total = pf(
             key_cols, batch.sel, br.sorted_keys, br.n_active, br.tables)
-        total = int(total)  # single host sync per batch
+        # single host sync per batch (count-replay elides it on repeat)
+        total = _fetch_int(f"probe:{self.node.id}", total)
         if total == 0:
             if self._filter_exprs is not None and jt in (
                     JoinType.ANTI, JoinType.ANTI_SIMPLE):
@@ -4072,7 +4082,7 @@ class HashProbeOp(AdaptiveOutput, Operator):
             return self._project_out(big.with_sel(sel))
         # RIGHT/FULL: unmatched build rows with null probe columns
         sel = jnp.logical_and(big.sel, jnp.logical_not(br.matched))
-        if int(jnp.sum(sel)) == 0:
+        if _fetch_int("rsemi_count", jnp.sum(sel)) == 0:
             return None
         cols = {}
         for n, t in zip(self.node.left.output_type.names,
@@ -4151,7 +4161,7 @@ class CrossBuildOp(Operator):
         perm = compact_indices(big.sel)
         sel_sorted = jnp.take(big.sel, perm, mode="clip")
         self.bridge.build_batch = big.gather(perm, sel_sorted)
-        self.bridge.n_active = int(jnp.sum(big.sel))
+        self.bridge.n_active = _fetch_int("cross_active", jnp.sum(big.sel))
         self.bridge.mark_ready()
 
     def get_output(self) -> Optional[Batch]:
@@ -4185,7 +4195,7 @@ class CrossProbeOp(Operator):
         perm = compact_indices(batch.sel)
         sel_sorted = jnp.take(batch.sel, perm, mode="clip")
         compacted = batch.gather(perm, sel_sorted)
-        np_active = int(jnp.sum(batch.sel))
+        np_active = _fetch_int("cross_probe_active", jnp.sum(batch.sel))
         if np_active == 0:
             return
         total = np_active * nb
@@ -4277,7 +4287,7 @@ class AssignUniqueIdOp(Operator):
         base = (jnp.cumsum(batch.sel.astype(jnp.int64)) - 1) + self._next
         ids = jnp.where(batch.sel, base, 0) | (
             jnp.int64(self.node.task_unique_id) << 40)
-        self._next += int(jnp.sum(batch.sel))
+        self._next += _fetch_int("rownum_count", jnp.sum(batch.sel))
         self._queue.append(batch.with_column(
             self.node.id_name, Column(BIGINT, ids.astype(jnp.int64))))
 

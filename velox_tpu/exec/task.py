@@ -330,7 +330,10 @@ def run_plan(plan) -> "pa.Table":
 
     if isinstance(plan, PlanBuilder):
         plan = plan.build()
-    tables = [to_arrow(b) for b in Task(plan).run()]
+    from velox_tpu.utils.replay import replay_run
+
+    batches = replay_run(plan, lambda: list(Task(plan).run()))
+    tables = [to_arrow(b) for b in batches]
     tables = [t for t in tables if t.num_rows >= 0]
     if not tables:
         schema = pa.schema([

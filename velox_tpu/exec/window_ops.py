@@ -443,7 +443,9 @@ class StreamingWindowOp(WindowOp):
                 ("swindow_split", self.node.id), self._split_fn)
         pk, last_start, n = self._split_jit(cols, big.sel)
         # one host sync: (complete row count, total) — the task barrier
-        meta = np.asarray(jnp.stack([last_start, n]))
+        from velox_tpu.utils.replay import fetch_np as _fetch_np
+
+        meta = _fetch_np("swindow_meta", jnp.stack([last_start, n]))
         complete, total = int(meta[0]), int(meta[1])
         from velox_tpu.vector.batch import round_capacity as _rc
 

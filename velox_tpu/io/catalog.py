@@ -21,6 +21,7 @@ import pyarrow as pa
 
 from velox_tpu.types.types import RowType, row_type
 from velox_tpu.vector.batch import Batch, round_capacity
+from velox_tpu.utils import replay as _replay
 from velox_tpu.vector.column import Column, Dictionary
 from velox_tpu.vector.arrow_bridge import _ingest_array, type_from_arrow
 
@@ -69,6 +70,7 @@ def register_table(name: str, batches: Sequence[Batch]) -> Table:
     assert batches, "empty table needs register_arrow with schema"
     t = Table(name, batches[0].schema, batches)
     _TABLES[name] = t
+    _replay.catalog_epoch_bump()
     return t
 
 
@@ -92,6 +94,7 @@ def register_arrow(
               sorted_cols=sorted_cols, unique_cols=unique_cols,
               struct_groups=struct_groups, wide_groups=wide_groups)
     _TABLES[name] = t
+    _replay.catalog_epoch_bump()
     return t
 
 
@@ -311,6 +314,7 @@ def register_parquet(name: str, path: str, batch_rows: int = 1 << 20,
     t = ParquetTable(name, schema, [], path=path, batch_rows=batch_rows,
                      decimal_overrides=decimal_overrides or {})
     _TABLES[name] = t
+    _replay.catalog_epoch_bump()
     return t
 
 
@@ -631,6 +635,7 @@ def get_table(name: str) -> Table:
 
 def drop_table(name: str) -> None:
     _TABLES.pop(name, None)
+    _replay.catalog_epoch_bump()
 
 
 def list_tables() -> List[str]:

@@ -82,6 +82,14 @@ class SessionConfig:
     #: an op's compute to whichever downstream op syncs first)
     profile_sync_per_op: bool = False
 
+    #: count-replay execution (utils/replay.py): repeat runs of the same
+    #: plan over the same data elide every mid-run control-value sync
+    #: (output-capacity counts, dynamic-filter min/max, join flags) and
+    #: validate the whole run with ONE deferred device fetch, falling
+    #: back to a blocking re-run on any divergence. On the tunneled TPU
+    #: backend each elided sync saves a ~30-110ms RPC round trip.
+    replay_counts: bool = True
+
     #: decoded parquet splits kept per table (AsyncDataCache analog;
     #: 0 disables). Entries key on (columns, subfilter) — parquet files
     #: are immutable.

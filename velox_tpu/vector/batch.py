@@ -172,8 +172,11 @@ class Batch:
 
     # ------------------------------------------------------------- queries
     def selected_count(self) -> int:
-        """Host sync: number of active rows."""
-        return int(jnp.sum(self.sel))
+        """Host sync: number of active rows (count-replay elides the
+        round trip on repeat runs, utils/replay.py)."""
+        from velox_tpu.utils.replay import fetch_int
+
+        return fetch_int("selcount", jnp.sum(self.sel))
 
     def is_prefix_dense(self) -> bool:
         """Are the selected rows exactly [0, num_rows)? One host sync,
@@ -182,8 +185,11 @@ class Batch:
         if self.num_rows is None:
             return False
         if self._prefix_dense is None:
+            from velox_tpu.utils.replay import fetch_bool
+
             want = jnp.arange(self.capacity, dtype=jnp.int32) < self.num_rows
-            self._prefix_dense = not bool(jnp.any(self.sel != want))
+            self._prefix_dense = not fetch_bool(
+                "prefix_dense", jnp.any(self.sel != want))
         return self._prefix_dense
 
     def compact_prefix(self, count: Optional[int] = None) -> "Batch":
