@@ -176,6 +176,54 @@ def probe_join_index_presorted(
     return first, count
 
 
+def probe_join_index_merge(
+    sorted_keys: jax.Array,
+    n_active: jax.Array,
+    probe_key: jax.Array,
+    probe_valid: Optional[jax.Array],
+    probe_sel: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Flipped merge probe: requires the probe KEY LANE itself ascending
+    (the merge-join plan contract; callers verify on device and fall
+    back to :func:`probe_join_index_presorted` otherwise).
+
+    Instead of binary-searching every probe row into the build table
+    (log2(build) rounds of probe-width gathers — the measured Q18/Q3
+    probe hotspot at ~150-180ms per 6M-row batch), search each BUILD key
+    into the probe array (build-width — tiny), then reconstruct per-probe
+    (first, count) with a difference array + prefix sums at probe width:
+    two small scatters whose cost scales with the BUILD width, one i32
+    cumsum, one i32 cummax. The classic sort-merge interval inversion."""
+    nb = sorted_keys.shape[0]
+    npr = probe_key.shape[0]
+    pk = probe_key.astype(sorted_keys.dtype)
+    bi = jnp.arange(nb, dtype=jnp.int32)
+    act = bi < n_active
+    # each build key's matching probe run [pl, pr)
+    pl = jnp.searchsorted(pk, sorted_keys, side="left").astype(jnp.int32)
+    pr = jnp.searchsorted(pk, sorted_keys, side="right").astype(jnp.int32)
+    pl = jnp.where(act, pl, npr)
+    pr = jnp.where(act, pr, npr)
+    one = act.astype(jnp.int32)
+    delta = (jnp.zeros((npr + 1,), jnp.int32)
+             .at[pl].add(one, mode="drop")
+             .at[pr].add(-one, mode="drop"))
+    count = jnp.cumsum(delta)[:npr]
+    # first build position of the run serving each probe row: duplicate
+    # build keys share pl, scatter-min keeps the run head; build indices
+    # increase with probe position, so a forward cummax fills the runs
+    fm = (jnp.full((npr + 1,), -1, jnp.int32)
+          .at[pl].max(jnp.where(act, bi, -1), mode="drop"))
+    # max of run == last duplicate; recover the head by count: the run
+    # [first, first+count) ends at the scattered max + 1
+    ff = jax.lax.cummax(fm[:npr])
+    first = jnp.maximum(ff + 1 - count, 0)
+    ok = probe_sel if probe_valid is None else jnp.logical_and(
+        probe_sel, probe_valid)
+    count = jnp.where(ok, count, 0)
+    return first, count
+
+
 def build_join_table(
     sorted_keys: jax.Array, n_active: jax.Array, lo: int, span: int
 ) -> Tuple[jax.Array, jax.Array]:
@@ -258,18 +306,30 @@ def expand_matches(
     offsets = jnp.cumsum(emit) - emit            # exclusive prefix sum
     total = offsets[-1] + emit[-1]
 
-    # out row j -> probe row: scatter each emitting probe row's index at
-    # its first output slot, then forward-propagate with a max-scan —
-    # scans, not binary search (row indices are increasing along heads)
     j = jnp.arange(out_cap, dtype=jnp.int32)
     n_probe = first.shape[0]
-    heads = jnp.where(emit > 0, offsets, jnp.int32(out_cap))
-    row_at_head = (
-        jnp.full((out_cap,), -1, jnp.int32)
-        .at[heads].max(jnp.arange(n_probe, dtype=jnp.int32),
-                       mode="drop"))
-    probe_rows = jnp.maximum(
-        jax.lax.associative_scan(jnp.maximum, row_at_head), 0)
+    if out_cap * 8 <= n_probe:
+        # selective join (few output rows from a wide probe): the
+        # scatter below costs by its PROBE-width updates (~0.5s at 6M on
+        # the tunneled v5e) — binary-search the small output ordinal
+        # space into the monotone run-end array instead: log2(probe)
+        # rounds of out_cap-wide gathers
+        ends = offsets + emit
+        probe_rows = jnp.searchsorted(ends, j, side="right").astype(
+            jnp.int32)
+        probe_rows = jnp.minimum(probe_rows, n_probe - 1)
+    else:
+        # out row j -> probe row: scatter each emitting probe row's
+        # index at its first output slot, then forward-propagate with a
+        # max-scan — scans, not binary search (row indices are
+        # increasing along heads)
+        heads = jnp.where(emit > 0, offsets, jnp.int32(out_cap))
+        row_at_head = (
+            jnp.full((out_cap,), -1, jnp.int32)
+            .at[heads].max(jnp.arange(n_probe, dtype=jnp.int32),
+                           mode="drop"))
+        probe_rows = jnp.maximum(
+            jax.lax.associative_scan(jnp.maximum, row_at_head), 0)
     ordinal = j - jnp.take(offsets, probe_rows, mode="clip")
     cnt = jnp.take(count, probe_rows, mode="clip").astype(jnp.int32)
     matched = ordinal < cnt
