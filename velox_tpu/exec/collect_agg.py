@@ -483,6 +483,54 @@ def finish_collect(op, big: Batch) -> Batch:
                     counts, starts,
                     jnp.take(av, perm, mode="clip"),
                     jnp.logical_and(group_sel, counts > 0)))
+            elif kind == "hll":
+                # approx_set / make_set_digest: distinct-sketch blobs
+                # are built on host from the group runs (values sorted
+                # so the host pass dedupes with one diff)
+                av, avd = cols[spec.arg]
+                mm = m if avd is None else jnp.logical_and(m, avd)
+                perm, counts, starts = collect_runs(
+                    gids, mm, encode_sort_key(av, None))
+                results.append((
+                    counts, starts,
+                    jnp.take(av, perm, mode="clip"),
+                    jnp.logical_and(group_sel, counts > 0)))
+            elif kind == "khll":
+                xf, uf = spec.arg
+                xv, xvd = cols[xf]
+                uv, uvd = cols[uf]
+                mm = m
+                if xvd is not None:
+                    mm = jnp.logical_and(mm, xvd)
+                if uvd is not None:
+                    mm = jnp.logical_and(mm, uvd)
+                perm, counts, starts = collect_runs(gids, mm)
+                results.append((
+                    counts, starts,
+                    jnp.take(xv, perm, mode="clip"),
+                    jnp.take(uv, perm, mode="clip"),
+                    jnp.logical_and(group_sel, counts > 0)))
+            elif kind == "reservoir":
+                # bottom-k-by-hash priority sample: group runs ordered
+                # by a per-row hash, counts clamped to k — uniform
+                # without replacement, deterministic, mergeable
+                from velox_tpu.ops.hash import hash_i64
+
+                xf, kf = spec.arg
+                xv, xvd = cols[xf]
+                kv, _ = cols[kf]
+                mm = m if xvd is None else jnp.logical_and(m, xvd)
+                k = jnp.take(kv, jnp.argmax(mm), mode="clip").astype(
+                    jnp.int32)
+                pri = (hash_i64(jnp.arange(cap, dtype=jnp.int64))
+                       >> jnp.uint64(33)).astype(jnp.int32)
+                perm, counts, starts = collect_runs(gids, mm, [pri])
+                # mm already excludes invalid rows from the runs, so
+                # the element lane needs no validity of its own
+                results.append((
+                    jnp.minimum(counts, jnp.maximum(k, 0)), starts,
+                    jnp.take(xv, perm, mode="clip"), None,
+                    jnp.logical_and(group_sel, counts > 0)))
             elif kind == "percentile":
                 vf, qf = spec.arg
                 vv, vvd = cols[vf]
@@ -517,6 +565,14 @@ def finish_collect(op, big: Batch) -> Batch:
             out[name] = Column(t, vals, valid)
         elif kind in ("digest", "digest_merge"):
             out[name] = _digest_column(op, big, t, spec, fn, res)
+        elif kind in ("hll", "khll"):
+            out[name] = _sketch_column(op, big, t, spec, fn, res)
+        elif kind == "reservoir":
+            counts, starts, ev, evd, gvalid = res
+            src = big.column(spec.arg[0])
+            out[name] = ArrayColumn(
+                t, starts, counts,
+                Column(t.element, ev, evd, src.dictionary), gvalid)
         elif kind == "classification":
             out[name] = _classification_column(t, fn, res)
         elif kind == "multimap":
@@ -630,12 +686,61 @@ def _digest_column(op, big, t, spec, fn, res):
         tag = "QD1" if fn.name == "qdigest_agg" else "TD1"
         strs = build_group_digests(counts, starts, ev, k, tag)
     else:
+        from velox_tpu.functions.sketch import merge_blobs
+
         d = big.column(spec.arg).dictionary
         strs = [None] * len(counts)
         for g in np.nonzero(counts > 0)[0]:
             codes = ev[starts[g]:starts[g] + counts[g]]
-            strs[g] = merge_digests(
+            strs[g] = merge_blobs(
                 [d.values[c] for c in codes if c >= 0])
+    nd = Dictionary(sorted({s for s in strs if s is not None}))
+    codes = np.array(
+        [-1 if s is None else nd.code_of(s) for s in strs], np.int32)
+    valid = jnp.asarray(np.array([s is not None for s in strs]))
+    return Column(t, jnp.asarray(codes), valid, nd)
+
+
+def _sketch_column(op, big, t, spec, fn, res):
+    """Host half of approx_set / make_set_digest / khyperloglog_agg:
+    build each group's sketch blob from its (value-sorted) run.
+    Dictionary-coded inputs hash their decoded values so sketches
+    from different columns share one hash domain."""
+    import numpy as np
+
+    from velox_tpu.functions import sketch as SK
+    from velox_tpu.vector.column import Dictionary
+
+    def decode(field, arr):
+        d = big.column(field).dictionary
+        if d is None:
+            return arr
+        vals = np.asarray(d.values, dtype=object)
+        out = np.empty(len(arr), object)
+        okc = arr >= 0
+        out[okc] = vals[arr[okc]]
+        out[~okc] = None
+        return out
+
+    if fn.collect_kind == "hll":
+        counts, starts, ev, gvalid = (np.asarray(x) for x in res)
+        total = int(counts.sum())  # runs pack from offset 0
+        vals = decode(spec.arg, ev[:total])
+        build = (SK.hll_build if fn.name == "approx_set"
+                 else SK.setdigest_build)
+        strs = [None] * len(counts)
+        for g in np.nonzero(counts > 0)[0]:
+            strs[g] = build(vals[starts[g]:starts[g] + counts[g]])
+    else:  # khll
+        counts, starts, xv, uv, gvalid = (np.asarray(x) for x in res)
+        total = int(counts.sum())
+        xf, uf = spec.arg
+        xh = SK.hash64_array(decode(xf, xv[:total]))
+        uh = SK.hash64_array(decode(uf, uv[:total]))
+        strs = [None] * len(counts)
+        for g in np.nonzero(counts > 0)[0]:
+            sl = slice(starts[g], starts[g] + counts[g])
+            strs[g] = SK.khll_build(xh[sl], uh[sl])
     nd = Dictionary(sorted({s for s in strs if s is not None}))
     codes = np.array(
         [-1 if s is None else nd.code_of(s) for s in strs], np.int32)

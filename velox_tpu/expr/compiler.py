@@ -211,6 +211,14 @@ def resolve_types(expr: Expr, schema: RowType) -> Expr:
             return Call(BIGINT, "strpos", args)
         if name in ("starts_with", "ends_with"):
             return Call(BOOLEAN, name, args)
+        if name in _PAIR_HOST_FNS:
+            return Call(_PAIR_HOST_FNS[name][0], name, args)
+        if (name == "cardinality" and args
+                and args[0].dtype is not None
+                and args[0].dtype.is_string):
+            # cardinality over a sketch blob column (HLL / SetDigest /
+            # KHLL — functions/sketch.py), not an ARRAY/MAP
+            return Call(BIGINT, "sketch_cardinality", args)
         if name in _DICT_VALUE_FNS:
             return Call(_DICT_VALUE_FNS[name][0], name, args)
         if name in ("date_format", "format_datetime"):
@@ -1302,6 +1310,8 @@ def bind_strings(expr: Expr, dictionaries: Dict[str, "Dictionary"],
         return _bind_string_fn(name, args, dictionaries)
     if name in _STRING_MULTI_FNS:
         return _bind_string_multi(name, args, dictionaries)
+    if name in _PAIR_HOST_FNS:
+        return _bind_pair_host(name, args, dictionaries)
     if name in _DICT_VALUE_FNS:
         return _bind_dict_value(name, args, dictionaries)
     if name in ("date_format", "format_datetime"):
@@ -1410,6 +1420,7 @@ def _make_dict_value_fns():
     Each runs once per distinct dictionary value; device sees a gather."""
     from velox_tpu.types import DATE, TIMESTAMP
     from velox_tpu.functions import hostfns as H
+    from velox_tpu.functions import sketch as _SK
 
     return {
         "regexp_like": (BOOLEAN, H.regexp_like),
@@ -1506,10 +1517,88 @@ def _make_dict_value_fns():
         "xxhash128": (VARCHAR, H.xxhash128_hex),
         "spooky_hash_v2_32": (VARCHAR, H.spooky_hash_v2_32),
         "spooky_hash_v2_64": (VARCHAR, H.spooky_hash_v2_64),
+        # sketch blob readers (functions/sketch.py — HyperLogLog /
+        # SetDigest / KHyperLogLog analogs of velox prestosql
+        # HyperLogLogFunctions.h, SetDigestFunctions, KHyperLogLog)
+        "sketch_cardinality": (BIGINT, _SK.sketch_cardinality),
+        "hash_counts": (VARCHAR, _SK.hash_counts),
+        "uniqueness_distribution": (VARCHAR,
+                                    _SK.uniqueness_distribution),
+        "reidentification_potential": (
+            DOUBLE, _SK.reidentification_potential),
     }
 
 
 _DICT_VALUE_FNS = _make_dict_value_fns()
+
+
+def _make_pair_host_fns():
+    """name -> (result type, host fn) for TWO-dictionary-column host
+    functions (sketch set operations — functions/sketch.py). Evaluated
+    once per distinct (value_a, value_b) PAIR; device sees one fused
+    int32 code combine + one table gather."""
+    from velox_tpu.functions import sketch as SK
+
+    return {
+        "intersection_cardinality": (BIGINT,
+                                     SK.intersection_cardinality),
+        "jaccard_index": (DOUBLE, SK.jaccard_index),
+    }
+
+
+_PAIR_HOST_FNS = _make_pair_host_fns()
+
+#: pair tables enumerate |da| x |db| — cap the bind-time work (sketch
+#: dictionaries hold one blob per group, far below this)
+_MAX_PAIR_TABLE = 1 << 22
+
+
+def _bind_pair_host(name, args, dictionaries) -> Expr:
+    """Bind a two-dictionary host function: enumerate the (code_a,
+    code_b) cross product once on host, emit a combined-code gather.
+    combined+1 = (ca+1)*(nb+1) + (cb+1) indexes a table of size
+    (na+1)*(nb+1) whose row 0 / col 0 hold the NULL cases."""
+    from velox_tpu.vector.column import Dictionary
+
+    dst, fn = _PAIR_HOST_FNS[name]
+
+    def source(a):
+        if isinstance(a, Literal):
+            if a.value is None:
+                return Literal(INTEGER, -1), []
+            return Literal(INTEGER, 0), [str(a.value)]
+        s = _dict_source((a,), dictionaries)
+        assert s is not None, (
+            f"{name} requires dictionary-encoded (or literal) inputs")
+        return s[0], list(s[1].values)
+
+    ca, va = source(args[0])
+    cb, vb = source(args[1])
+    na, nb = len(va), len(vb)
+    assert (na + 1) * (nb + 1) <= _MAX_PAIR_TABLE, (
+        f"{name}: pair table {na}x{nb} exceeds the bind-time cap")
+    lane = (np.dtype(np.int32) if dst.is_string else np.dtype(dst.dtype))
+    table = np.zeros((na + 1) * (nb + 1), dtype=lane)
+    ok = np.zeros((na + 1) * (nb + 1), dtype=np.bool_)
+    out_vals = {}
+    for i in range(na):
+        for j in range(nb):
+            v = fn(str(va[i]), str(vb[j]))
+            if v is not None:
+                out_vals[(i, j)] = v
+    nd = None
+    if dst.is_string:
+        nd = Dictionary(sorted({str(v) for v in out_vals.values()}))
+    for (i, j), v in out_vals.items():
+        slot = (i + 1) * (nb + 1) + (j + 1)
+        table[slot] = nd.code_of(str(v)) if nd is not None else v
+        ok[slot] = True
+    combined = Call(INTEGER, "plus", (
+        Call(INTEGER, "multiply", (
+            Call(INTEGER, "plus", (ca, Literal(INTEGER, 1))),
+            Literal(INTEGER, nb + 1))),
+        cb))
+    return DictTransform(dst, combined, table, nd, ok)
 
 
 def _bind_dict_value(name, args, dictionaries) -> Expr:

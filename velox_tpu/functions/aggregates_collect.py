@@ -121,8 +121,24 @@ _register_collect("numeric_histogram", "numeric_histogram",
 from velox_tpu.types import VARBINARY as _VARBINARY
 _register_collect("tdigest_agg", "digest", lambda t: _VARBINARY)
 _register_collect("qdigest_agg", "digest", lambda t: _VARBINARY)
-# merge(digest): re-compress the union of group digests' centroids
+# merge(sketch): union of group sketches — dispatches on the blob tag
+# (t-digest / qdigest / HLL / SetDigest / KHLL; functions/sketch.py
+# merge_blobs). Presto exposes one merge() name across all of them.
 _register_collect("merge", "digest_merge", lambda t: t)
+_register_collect("merge_set_digest", "digest_merge", lambda t: t)
+_register_collect("merge_khll", "digest_merge", lambda t: t)
+# approx_set / make_set_digest: distinct-set sketches as blobs
+# (HyperLogLogAggregate.cpp, SetDigestFunctions — functions/sketch.py)
+_register_collect("approx_set", "hll", lambda t: _VARBINARY)
+_register_collect("make_set_digest", "hll", lambda t: _VARBINARY)
+# khyperloglog_agg(x, uii): join-key uniqueness sketch
+# (KHyperLogLogAggregate.cpp)
+_register_collect("khyperloglog_agg", "khll", lambda t: _VARBINARY)
+# reservoir_sample(x, k): uniform k-sample without replacement via
+# bottom-k-by-hash priorities (deterministic + mergeable; deviation:
+# Presto's signature also threads an initial sample state through)
+_register_collect("reservoir_sample", "reservoir",
+                  lambda t: array(t[0]))
 
 
 # ---------------------------------------------------------------- kernels
