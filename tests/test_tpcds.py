@@ -141,10 +141,11 @@ def test_q96(dfs):
 
 def test_supported_list():
     assert SUPPORTED_QUERIES == [
-        1, 3, 6, 7, 12, 13, 15, 19, 20, 26, 27, 30, 33, 36, 37, 40,
-        42, 43, 48, 50, 52, 53, 55, 56, 60, 62, 63, 65, 68, 73, 79,
-        81, 82, 86, 88, 90, 93, 96, 97, 98, 99]
-    assert len(SUPPORTED_QUERIES) >= 40
+        1, 3, 6, 7, 12, 13, 15, 19, 20, 21, 22, 26, 27, 28, 30, 33,
+        34, 36, 37, 40, 42, 43, 46, 48, 50, 52, 53, 55, 56, 60, 61,
+        62, 63, 65, 68, 71, 73, 76, 79, 81, 82, 84, 86, 88, 90, 91,
+        93, 96, 97, 98, 99]
+    assert len(SUPPORTED_QUERIES) >= 50
 
 
 def _semi(ss, dim, lk, rk):

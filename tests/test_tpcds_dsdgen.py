@@ -29,7 +29,7 @@ _TABLES = [
     "customer_address", "customer_demographics",
     "household_demographics", "store", "promotion", "warehouse",
     "ship_mode", "web_site", "web_page", "time_dim", "reason",
-    "inventory", "call_center",
+    "inventory", "call_center", "income_band",
 ]
 
 
@@ -779,3 +779,338 @@ def test_q68(dfs):
     assert sorted(got["ss_ticket_number"]) == sorted(
         exp.sort_values(["c_last_name", "ss_ticket_number"])
         .head(100).ss_ticket_number)
+
+
+# ------------------------------------------------- round-4 batch 1
+
+def test_q21(dfs):
+    got = run_plan_pydict(tpcds_plan(21).build())
+    inv, dd, it, wh = (dfs["inventory"], dfs["date_dim"],
+                       dfs["item"], dfs["warehouse"])
+    d0 = pd.Timestamp("2000-03-11")
+    lo, hi = d0 - pd.Timedelta(days=30), d0 + pd.Timedelta(days=30)
+    d0 = d0.date()
+    j = (inv.merge(wh, left_on="inv_warehouse_sk",
+                   right_on="w_warehouse_sk")
+         .merge(it[(it.i_current_price >= 0.99)
+                   & (it.i_current_price <= 1.49)],
+                left_on="inv_item_sk", right_on="i_item_sk")
+         .merge(dd, left_on="inv_date_sk", right_on="d_date_sk"))
+    j = j[(pd.to_datetime(j.d_date).dt.date >= lo.date())
+          & (pd.to_datetime(j.d_date).dt.date <= hi.date())]
+    before = pd.to_datetime(j.d_date).dt.date < d0
+    j = j.assign(qb=j.inv_quantity_on_hand.where(before, 0),
+                 qa=j.inv_quantity_on_hand.where(~before, 0))
+    agg = (j.groupby(["w_warehouse_name", "i_item_id"], dropna=False)
+           .agg(inv_before=("qb", "sum"), inv_after=("qa", "sum"))
+           .reset_index())
+    agg = agg[(agg.inv_before > 0)
+              & (agg.inv_after >= agg.inv_before * 2 / 3)
+              & (agg.inv_after <= agg.inv_before * 3 / 2)]
+    exp = agg.sort_values(["w_warehouse_name", "i_item_id"]).head(100)
+    assert len(exp) > 0
+    _approx_rows(got, exp, {"i_item_id": "i_item_id",
+                            "inv_before": "inv_before",
+                            "inv_after": "inv_after"})
+
+
+def test_q22(dfs):
+    got = run_plan_pydict(tpcds_plan(22, month_seq_lo=1200).build())
+    inv, dd, it = dfs["inventory"], dfs["date_dim"], dfs["item"]
+    f = _semi(inv, dd[(dd.d_month_seq >= 1200)
+                      & (dd.d_month_seq <= 1211)],
+              "inv_date_sk", "d_date_sk")
+    j = f.merge(it, left_on="inv_item_sk", right_on="i_item_sk")
+    frames = []
+    cols = ["i_product_name", "i_brand", "i_class", "i_category"]
+    for k in (4, 3, 2, 1, 0):
+        keep = cols[:k]
+        g = (j.groupby(keep, dropna=False).inv_quantity_on_hand
+             .mean().reset_index(name="qoh")
+             if keep else pd.DataFrame(
+                 {"qoh": [j.inv_quantity_on_hand.mean()]}))
+        for c in cols[k:]:
+            g[c] = None
+        frames.append(g)
+    exp = (pd.concat(frames, ignore_index=True)
+           .sort_values(["qoh"] + cols,
+                        key=lambda s: s.astype(str) if s.name != "qoh"
+                        else s)
+           .head(100))
+    assert len(exp) == 100
+    # rollup levels and averages must match (order among exact ties
+    # on the float key is engine-defined; compare as multisets per qoh)
+    assert sorted(got["qoh"]) == pytest.approx(
+        sorted(exp.qoh.tolist()), rel=1e-9)
+
+
+def test_q28(dfs):
+    got = run_plan_pydict(tpcds_plan(28).build())
+    ss = dfs["store_sales"]
+    params = [(0, 5, 8.0, 459.0, 57.0), (6, 10, 90.0, 2323.0, 31.0),
+              (11, 15, 142.0, 12214.0, 79.0),
+              (16, 20, 135.0, 6071.0, 38.0),
+              (21, 25, 122.0, 836.0, 17.0),
+              (26, 30, 154.0, 7326.0, 7.0)]
+    for i, (qlo, qhi, lp, coup, whole) in enumerate(params, start=1):
+        b = ss[(ss.ss_quantity >= qlo) & (ss.ss_quantity <= qhi)]
+        b = b[((b.ss_list_price >= lp) & (b.ss_list_price <= lp + 10))
+              | ((b.ss_coupon_amt >= coup)
+                 & (b.ss_coupon_amt <= coup + 1000))
+              | ((b.ss_wholesale_cost >= whole)
+                 & (b.ss_wholesale_cost <= whole + 20))]
+        lpv = b.ss_list_price.dropna()
+        assert got[f"b{i}_cnt"][0] == len(lpv)
+        assert got[f"b{i}_cntd"][0] == lpv.nunique()
+        if len(lpv):
+            assert got[f"b{i}_lp"][0] == pytest.approx(
+                lpv.mean(), rel=1e-9)
+
+
+def _ticket_counts(dfs, d_mask, county, dep, vehicle):
+    dd, st, hd = (dfs["date_dim"], dfs["store"],
+                  dfs["household_demographics"])
+    f = _semi(dfs["store_sales"], dd[d_mask(dd)], "ss_sold_date_sk",
+              "d_date_sk")
+    f = _semi(f, st[st.s_county == county], "ss_store_sk",
+              "s_store_sk")
+    # Presto semantics: INT / INT is integer division
+    hdm = hd[((hd.hd_buy_potential == ">10000")
+              | (hd.hd_buy_potential == "Unknown"))
+             & (hd.hd_vehicle_count > 0)
+             & (hd.hd_dep_count // hd.hd_vehicle_count > 1.2)]
+    f = _semi(f, hdm, "ss_hdemo_sk", "hd_demo_sk")
+    return (f.groupby(["ss_ticket_number", "ss_customer_sk"],
+                      dropna=False).size().reset_index(name="cnt"))
+
+
+def test_q34(dfs):
+    got = run_plan_pydict(
+        tpcds_plan(34, year=1999, cnt_lo=2, cnt_hi=10).build())
+    cnts = _ticket_counts(
+        dfs,
+        lambda d: (((d.d_dom >= 1) & (d.d_dom <= 3)
+                    | (d.d_dom >= 25) & (d.d_dom <= 28))
+                   & d.d_year.isin([1999, 2000, 2001])),
+        "Williamson County", 4, 3)
+    sel = cnts[(cnts.cnt >= 2) & (cnts.cnt <= 10)]
+    exp = sel.merge(dfs["customer"], left_on="ss_customer_sk",
+                    right_on="c_customer_sk")
+    assert len(exp) > 0
+    assert sorted(got["ss_ticket_number"]) == sorted(
+        exp.ss_ticket_number.tolist())
+
+
+def test_q46(dfs):
+    cities = tuple(dfs["store"].s_city.dropna().unique().tolist())
+    got = run_plan_pydict(
+        tpcds_plan(46, year=1999, cities=cities).build())
+    dd, st, hd, ca, cu = (dfs["date_dim"], dfs["store"],
+                          dfs["household_demographics"],
+                          dfs["customer_address"], dfs["customer"])
+    f = _semi(dfs["store_sales"],
+              dd[((dd.d_dow == 6) | (dd.d_dow == 0))
+                 & dd.d_year.isin([1999, 2000, 2001])],
+              "ss_sold_date_sk", "d_date_sk")
+    f = _semi(f, st[st.s_city.isin(cities)], "ss_store_sk",
+              "s_store_sk")
+    f = _semi(f, hd[(hd.hd_dep_count == 4)
+                    | (hd.hd_vehicle_count == 3)],
+              "ss_hdemo_sk", "hd_demo_sk")
+    j = f.merge(ca, left_on="ss_addr_sk", right_on="ca_address_sk")
+    agg = (j.groupby(["ss_ticket_number", "ss_customer_sk",
+                      "ca_city"], dropna=False)
+           .agg(amt=("ss_coupon_amt", "sum"),
+                profit=("ss_net_profit", "sum")).reset_index())
+    m = agg.merge(cu, left_on="ss_customer_sk",
+                  right_on="c_customer_sk")
+    m = m.merge(ca[["ca_address_sk", "ca_city"]].rename(
+        columns={"ca_address_sk": "cur_sk",
+                 "ca_city": "current_city"}),
+        left_on="c_current_addr_sk", right_on="cur_sk")
+    exp = m[m.current_city.notna() & m.ca_city.notna()
+            & (m.current_city != m.ca_city)]
+    assert len(exp) > 0
+    assert sorted(got["ss_ticket_number"]) == sorted(
+        exp.sort_values(["c_last_name", "c_first_name", "ca_city",
+                         "ss_ticket_number"])
+        .head(100).ss_ticket_number)
+
+
+def test_q61(dfs):
+    # pick a (year, moy, category) with promoted store sales at -5 GMT
+    dd, it, st, pr, ca, cu = (dfs["date_dim"], dfs["item"],
+                              dfs["store"], dfs["promotion"],
+                              dfs["customer_address"],
+                              dfs["customer"])
+    ss = dfs["store_sales"].merge(
+        dd[["d_date_sk", "d_year", "d_moy"]],
+        left_on="ss_sold_date_sk", right_on="d_date_sk")
+    promo_sks = set(pr[(pr.p_channel_dmail == "Y")
+                       | (pr.p_channel_email == "Y")
+                       | (pr.p_channel_tv == "Y")].p_promo_sk)
+    cu_ok = set(_semi(cu, ca[ca.ca_gmt_offset == -5.0],
+                      "c_current_addr_sk",
+                      "ca_address_sk").c_customer_sk)
+    st_ok = set(st[st.s_gmt_offset == -5.0].s_store_sk)
+    base = ss[ss.ss_promo_sk.isin(promo_sks)
+              & ss.ss_customer_sk.isin(cu_ok)
+              & ss.ss_store_sk.isin(st_ok)]
+    base = base.merge(it[["i_item_sk", "i_category"]],
+                      left_on="ss_item_sk", right_on="i_item_sk")
+    pick = (base.groupby(["d_year", "d_moy", "i_category"])
+            .size().idxmax())
+    year, moy, category = int(pick[0]), int(pick[1]), pick[2]
+    got = run_plan_pydict(tpcds_plan(
+        61, year=year, moy=moy, gmt=-5.0, category=category).build())
+
+    def branch(promo):
+        f = ss[(ss.d_year == year) & (ss.d_moy == moy)
+               & ss.ss_customer_sk.isin(cu_ok)
+               & ss.ss_store_sk.isin(st_ok)]
+        f = _semi(f, it[it.i_category == category], "ss_item_sk",
+                  "i_item_sk")
+        if promo:
+            f = f[f.ss_promo_sk.isin(promo_sks)]
+        return f.ss_ext_sales_price.sum()
+
+    p, t = branch(True), branch(False)
+    assert p > 0
+    assert got["promotions"][0] == pytest.approx(p, rel=1e-9)
+    assert got["total"][0] == pytest.approx(t, rel=1e-9)
+    assert got["promo_pct"][0] == pytest.approx(p / t * 100,
+                                                rel=1e-9)
+
+
+def test_q71(dfs):
+    dd, it, td = dfs["date_dim"], dfs["item"], dfs["time_dim"]
+    ss = dfs["store_sales"].merge(
+        dd[["d_date_sk", "d_year", "d_moy"]],
+        left_on="ss_sold_date_sk", right_on="d_date_sk")
+    j = ss.merge(it[["i_item_sk", "i_manager_id"]],
+                 left_on="ss_item_sk", right_on="i_item_sk")
+    pick = (j.groupby(["d_year", "d_moy", "i_manager_id"])
+            .size().idxmax())
+    year, moy, mgr = int(pick[0]), int(pick[1]), int(pick[2])
+    got = run_plan_pydict(tpcds_plan(
+        71, year=year, moy=moy, manager_id=mgr).build())
+
+    frames = []
+    for fact, dc, ic, tc, pc in [
+            ("web_sales", "ws_sold_date_sk", "ws_item_sk",
+             "ws_sold_time_sk", "ws_ext_sales_price"),
+            ("catalog_sales", "cs_sold_date_sk", "cs_item_sk",
+             "cs_sold_time_sk", "cs_ext_sales_price"),
+            ("store_sales", "ss_sold_date_sk", "ss_item_sk",
+             "ss_sold_time_sk", "ss_ext_sales_price")]:
+        f = _semi(dfs[fact],
+                  dd[(dd.d_moy == moy) & (dd.d_year == year)],
+                  dc, "d_date_sk")
+        frames.append(f[[ic, tc, pc]].rename(columns={
+            ic: "item_sk", tc: "time_sk", pc: "ext_price"}))
+    u = pd.concat(frames, ignore_index=True)
+    u = u.merge(it[it.i_manager_id == mgr], left_on="item_sk",
+                right_on="i_item_sk")
+    u = u.merge(td[td.t_meal_time.isin(["breakfast", "dinner"])],
+                left_on="time_sk", right_on="t_time_sk")
+    exp = (u.groupby(["i_brand_id", "i_brand", "t_hour", "t_minute"],
+                     dropna=False).ext_price.sum(min_count=1)
+           .reset_index())
+    assert len(exp) > 0
+    assert sorted(got["ext_price"]) == pytest.approx(
+        sorted(exp.ext_price.tolist()), rel=1e-9)
+
+
+def test_q76(dfs):
+    got = run_plan_pydict(tpcds_plan(76).build())
+    dd, it = dfs["date_dim"], dfs["item"]
+    frames = []
+    for fact, nullc, dc, ic, pc, label in [
+            ("store_sales", "ss_store_sk", "ss_sold_date_sk",
+             "ss_item_sk", "ss_ext_sales_price", "store"),
+            ("web_sales", "ws_ship_customer_sk", "ws_sold_date_sk",
+             "ws_item_sk", "ws_ext_sales_price", "web"),
+            ("catalog_sales", "cs_ship_addr_sk", "cs_sold_date_sk",
+             "cs_item_sk", "cs_ext_sales_price", "catalog")]:
+        f = dfs[fact]
+        f = f[f[nullc].isna()]
+        g = f[[dc, ic, pc]].rename(columns={
+            dc: "date_sk", ic: "item_sk", pc: "ext_sales_price"})
+        g["channel"] = label
+        frames.append(g)
+    u = pd.concat(frames, ignore_index=True)
+    u = u.merge(it[["i_item_sk", "i_category"]], left_on="item_sk",
+                right_on="i_item_sk")
+    u = u.merge(dd[["d_date_sk", "d_year", "d_qoy"]],
+                left_on="date_sk", right_on="d_date_sk")
+    exp = (u.groupby(["channel", "d_year", "d_qoy", "i_category"],
+                     dropna=False)
+           .agg(sales_cnt=("ext_sales_price", "size"),
+                sales_amt=("ext_sales_price",
+                           lambda s: s.sum(min_count=1)))
+           .reset_index())
+    assert len(exp) > 0
+    assert sum(got["sales_cnt"]) == exp.head(100).sales_cnt.sum() or \
+        sorted(got["sales_cnt"]) == sorted(
+            exp.sort_values(["channel", "d_year", "d_qoy",
+                             "i_category"]).head(100)
+            .sales_cnt.tolist())
+
+
+def test_q84(dfs):
+    ca, ib, hd, cd, sr, cu = (dfs["customer_address"],
+                              dfs["income_band"],
+                              dfs["household_demographics"],
+                              dfs["customer_demographics"],
+                              dfs["store_returns"], dfs["customer"])
+    ibm = ib[(ib.ib_lower_bound >= 0) & (ib.ib_upper_bound <= 50000)]
+    hdm = _semi(hd, ibm, "hd_income_band_sk", "ib_income_band_sk")
+    f = _semi(cu, hdm, "c_current_hdemo_sk", "hd_demo_sk")
+    f = f[f.c_current_cdemo_sk.isin(set(cd.cd_demo_sk))]
+    f = f[f.c_current_cdemo_sk.isin(set(sr.sr_cdemo_sk.dropna()))]
+    # pick the city that keeps the result non-vacuous at tiny SF
+    j = f.merge(ca, left_on="c_current_addr_sk",
+                right_on="ca_address_sk")
+    city = j.ca_city.value_counts().idxmax()
+    got = run_plan_pydict(
+        tpcds_plan(84, city=city, income_lo=0).build())
+    exp = (j[j.ca_city == city].sort_values("c_customer_id")
+           .head(100))
+    assert len(exp) > 0
+    assert got["c_customer_id"] == exp.c_customer_id.tolist()
+
+
+def test_q91(dfs):
+    got = run_plan_pydict(
+        tpcds_plan(91, year=2001, moy=3, gmt=-6.0).build())
+    cc, dd, cd, hd, ca, cu, cr = (
+        dfs["call_center"], dfs["date_dim"],
+        dfs["customer_demographics"],
+        dfs["household_demographics"], dfs["customer_address"],
+        dfs["customer"], dfs["catalog_returns"])
+    f = _semi(cr, dd[(dd.d_year == 2001) & (dd.d_moy == 3)],
+              "cr_returned_date_sk", "d_date_sk")
+    cum = _semi(cu, hd[hd.hd_buy_potential.isin(
+        ["Unknown", ">10000"])], "c_current_hdemo_sk", "hd_demo_sk")
+    cum = _semi(cum, ca[ca.ca_gmt_offset == -6.0],
+                "c_current_addr_sk", "ca_address_sk")
+    j = f.merge(cum, left_on="cr_returning_customer_sk",
+                right_on="c_customer_sk")
+    cdm = cd[((cd.cd_marital_status == "M")
+              & (cd.cd_education_status == "Unknown"))
+             | ((cd.cd_marital_status == "W")
+                & (cd.cd_education_status == "Advanced Degree"))]
+    j = j.merge(cdm, left_on="c_current_cdemo_sk",
+                right_on="cd_demo_sk")
+    j = j.merge(cc, left_on="cr_call_center_sk",
+                right_on="cc_call_center_sk")
+    exp = (j.groupby(["cc_call_center_id", "cc_name", "cc_manager",
+                      "cd_marital_status", "cd_education_status"],
+                     dropna=False)
+           .cr_net_loss.sum(min_count=1)
+           .reset_index(name="returns_loss")
+           .sort_values(["returns_loss", "cc_call_center_id"],
+                        ascending=[False, True]).head(100))
+    assert len(exp) > 0
+    _approx_rows(got, exp, {"returns_loss": "returns_loss",
+                            "cc_call_center_id": "cc_call_center_id"})

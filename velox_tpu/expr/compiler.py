@@ -2235,6 +2235,9 @@ class ExprSet:
                     for e in resolved]
         bound = [bind_strings(e, self.dictionaries, self.ranges)
                  for e in resolved]
+        # top-level string literal ('web' AS channel): a CONSTANT
+        # vector in velox — here a one-value dictionary, codes all 0
+        bound = [self._const_string(e) for e in bound]
         self.exprs = [widen_decimal_arith(e, self.ranges) for e in bound]
         self.result_types = [e.dtype for e in self.exprs]
         #: dictionary of each result column (string passthroughs/transforms)
@@ -2246,6 +2249,18 @@ class ExprSet:
             for e in self.exprs]
         self._field_names = sorted({
             f.name for e in self.exprs for f in _collect_fields(e)})
+
+    @staticmethod
+    def _const_string(e: Expr) -> Expr:
+        if (isinstance(e, Literal) and e.dtype is not None
+                and e.dtype.is_string and isinstance(e.value, str)):
+            from velox_tpu.vector.column import Dictionary
+
+            nd = Dictionary([e.value])
+            table = np.asarray([-1, 0], np.int32)
+            return DictTransform(e.dtype, Literal(INTEGER, 0),
+                                 table, nd)
+        return e
 
     @property
     def field_names(self) -> List[str]:

@@ -1396,13 +1396,478 @@ def q68(year: int = 2000, dep: int = 4, vehicle: int = 3,
     )
 
 
+def q21(split_date: str = "2000-03-11") -> PlanBuilder:
+    """Warehouse inventory before/after a freshness date, kept when
+    the after/before ratio stays within [2/3, 3/2] (spec q21)."""
+    import datetime as _dt
+
+    d0 = _dt.date.fromisoformat(split_date)
+    lo = d0 - _dt.timedelta(days=30)
+    hi = d0 + _dt.timedelta(days=30)
+    wh = _dim("warehouse", ["w_warehouse_sk", "w_warehouse_name"])
+    it = _dim("item", ["i_item_sk", "i_item_id", "i_current_price"],
+              "i_current_price >= 0.99 AND i_current_price <= 1.49")
+    dt = _dim("date_dim", ["d_date_sk", "d_date"],
+              f"d_date BETWEEN DATE '{lo}' AND DATE '{hi}'")
+    return (
+        PlanBuilder()
+        .table_scan("inventory",
+                    columns=["inv_date_sk", "inv_item_sk",
+                             "inv_warehouse_sk",
+                             "inv_quantity_on_hand"])
+        .hash_join(wh, ["inv_warehouse_sk"], ["w_warehouse_sk"],
+                   "inner",
+                   output=["inv_date_sk", "inv_item_sk",
+                           "inv_quantity_on_hand",
+                           "w_warehouse_name"])
+        .hash_join(it, ["inv_item_sk"], ["i_item_sk"], "inner",
+                   output=["inv_date_sk", "inv_quantity_on_hand",
+                           "w_warehouse_name", "i_item_id"])
+        .hash_join(dt, ["inv_date_sk"], ["d_date_sk"], "inner",
+                   output=["inv_quantity_on_hand", "w_warehouse_name",
+                           "i_item_id", "d_date"])
+        .project(["w_warehouse_name", "i_item_id",
+                  f"if(d_date < DATE '{d0}', inv_quantity_on_hand, 0)"
+                  " AS qty_before",
+                  f"if(d_date >= DATE '{d0}', inv_quantity_on_hand, 0)"
+                  " AS qty_after"])
+        .aggregate(["w_warehouse_name", "i_item_id"],
+                   ["sum(qty_before) AS inv_before",
+                    "sum(qty_after) AS inv_after"])
+        .filter("inv_before > 0 "
+                "AND inv_after >= inv_before * 2 / 3 "
+                "AND inv_after <= inv_before * 3 / 2")
+        .order_by(["w_warehouse_name", "i_item_id"])
+        .limit(100)
+    )
+
+
+def q22(month_seq_lo: int = 1200) -> PlanBuilder:
+    """Average quantity on hand by the item ROLLUP hierarchy over a
+    year of inventory snapshots (spec q22)."""
+    dt = _dim("date_dim", ["d_date_sk", "d_month_seq"],
+              f"d_month_seq >= {month_seq_lo} AND "
+              f"d_month_seq <= {month_seq_lo + 11}")
+    it = _dim("item", ["i_item_sk", "i_product_name", "i_brand",
+                       "i_class", "i_category"])
+    return (
+        PlanBuilder()
+        .table_scan("inventory",
+                    columns=["inv_date_sk", "inv_item_sk",
+                             "inv_quantity_on_hand"])
+        .hash_join(dt, ["inv_date_sk"], ["d_date_sk"], "left_semi")
+        .hash_join(it, ["inv_item_sk"], ["i_item_sk"], "inner",
+                   output=["i_product_name", "i_brand", "i_class",
+                           "i_category", "inv_quantity_on_hand"])
+        .group_id([["i_product_name", "i_brand", "i_class",
+                    "i_category"],
+                   ["i_product_name", "i_brand", "i_class"],
+                   ["i_product_name", "i_brand"],
+                   ["i_product_name"], []])
+        .aggregate(["i_product_name", "i_brand", "i_class",
+                    "i_category", "group_id"],
+                   ["avg(inv_quantity_on_hand) AS qoh"])
+        .order_by(["qoh", "i_product_name", "i_brand", "i_class",
+                   "i_category"])
+        .limit(100)
+    )
+
+
+def _q28_bucket(qlo: int, qhi: int, lp: float, coup: float,
+                whole: float, i: int) -> PlanBuilder:
+    """One q28 quantity bucket: avg/count/count-distinct of list
+    price under a three-way price-band disjunction."""
+    return (
+        PlanBuilder()
+        .table_scan("store_sales",
+                    columns=["ss_quantity", "ss_list_price",
+                             "ss_coupon_amt",
+                             "ss_wholesale_cost"],
+                    subfilter=f"ss_quantity >= {qlo} AND "
+                              f"ss_quantity <= {qhi}")
+        .filter(f"(ss_list_price >= {lp} AND "
+                f"ss_list_price <= {lp + 10}) OR "
+                f"(ss_coupon_amt >= {coup} AND "
+                f"ss_coupon_amt <= {coup + 1000}) OR "
+                f"(ss_wholesale_cost >= {whole} AND "
+                f"ss_wholesale_cost <= {whole + 20})")
+        .aggregate([], [f"avg(ss_list_price) AS b{i}_lp",
+                        f"count(ss_list_price) AS b{i}_cnt",
+                        f"count(distinct ss_list_price) AS b{i}_cntd"])
+    )
+
+
+def q28() -> PlanBuilder:
+    """Six quantity-bucket list-price profiles as one pivot row
+    (spec q28: cross join of six single-row aggregations)."""
+    params = [(0, 5, 8.0, 459.0, 57.0), (6, 10, 90.0, 2323.0, 31.0),
+              (11, 15, 142.0, 12214.0, 79.0),
+              (16, 20, 135.0, 6071.0, 38.0),
+              (21, 25, 122.0, 836.0, 17.0),
+              (26, 30, 154.0, 7326.0, 7.0)]
+    pb = _q28_bucket(*params[0], 1)
+    for i, p in enumerate(params[1:], start=2):
+        pb = pb.cross_join(_q28_bucket(*p, i))
+    return pb.limit(100)
+
+
+def q34(year: int = 2000, dep: int = 4, vehicle: int = 3,
+        counties=("Williamson County",), cnt_lo: int = 15,
+        cnt_hi: int = 20) -> PlanBuilder:
+    """Bulk tickets (15-20 items) around month boundaries for
+    high-potential households (spec q34 — the q73 shape with a
+    county filter and a dom disjunction)."""
+    cs = ", ".join(f"'{c}'" for c in counties)
+    dt = _dim("date_dim", ["d_date_sk", "d_year", "d_dom"],
+              f"(d_dom >= 1 AND d_dom <= 3 OR "
+              f"d_dom >= 25 AND d_dom <= 28) AND "
+              f"(d_year = {year} OR d_year = {year + 1} OR "
+              f"d_year = {year + 2})")
+    st = _dim("store", ["s_store_sk", "s_county"],
+              f"s_county IN ({cs})")
+    hd = _dim("household_demographics",
+              ["hd_demo_sk", "hd_buy_potential", "hd_dep_count",
+               "hd_vehicle_count"],
+              f"(hd_buy_potential = '>10000' OR "
+              f"hd_buy_potential = 'Unknown') AND "
+              f"(hd_vehicle_count > 0) AND "
+              f"(hd_dep_count / hd_vehicle_count > 1.2)")
+    cu = _dim("customer", ["c_customer_sk", "c_last_name",
+                           "c_first_name", "c_salutation",
+                           "c_preferred_cust_flag"])
+    return (
+        PlanBuilder()
+        .table_scan("store_sales",
+                    columns=["ss_sold_date_sk", "ss_store_sk",
+                             "ss_hdemo_sk", "ss_ticket_number",
+                             "ss_customer_sk"])
+        .hash_join(dt, ["ss_sold_date_sk"], ["d_date_sk"], "left_semi")
+        .hash_join(st, ["ss_store_sk"], ["s_store_sk"], "left_semi")
+        .hash_join(hd, ["ss_hdemo_sk"], ["hd_demo_sk"], "left_semi")
+        .aggregate(["ss_ticket_number", "ss_customer_sk"],
+                   ["count(*) AS cnt"])
+        .filter(f"cnt >= {cnt_lo} AND cnt <= {cnt_hi}")
+        .hash_join(cu, ["ss_customer_sk"], ["c_customer_sk"], "inner",
+                   output=["c_last_name", "c_first_name",
+                           "c_salutation", "c_preferred_cust_flag",
+                           "ss_ticket_number", "cnt"])
+        .order_by(["c_last_name", "c_first_name", "c_salutation",
+                   "c_preferred_cust_flag DESC", "ss_ticket_number"])
+        .limit(1000)
+    )
+
+
+def q46(year: int = 2000, dep: int = 4, vehicle: int = 3,
+        cities=("Fairview", "Midway")) -> PlanBuilder:
+    """Weekend-ticket spend where the bought city differs from the
+    customer's current city (spec q46 — the q68 shape on weekend
+    days with profit/coupon amounts)."""
+    cs = ", ".join(f"'{c}'" for c in cities)
+    dt = _dim("date_dim", ["d_date_sk", "d_year", "d_dow"],
+              f"(d_dow = 6 OR d_dow = 0) AND "
+              f"(d_year = {year} OR d_year = {year + 1} OR "
+              f"d_year = {year + 2})")
+    st = _dim("store", ["s_store_sk", "s_city"],
+              f"s_city IN ({cs})")
+    hd = _dim("household_demographics",
+              ["hd_demo_sk", "hd_dep_count", "hd_vehicle_count"],
+              f"hd_dep_count = {dep} OR hd_vehicle_count = {vehicle}")
+    ca = _dim("customer_address", ["ca_address_sk", "ca_city"])
+    cu = _dim("customer", ["c_customer_sk", "c_last_name",
+                           "c_first_name", "c_current_addr_sk"])
+    cur = (PlanBuilder()
+           .table_scan("customer_address",
+                       columns=["ca_address_sk", "ca_city"])
+           .project(["ca_address_sk AS cur_addr_sk",
+                     "ca_city AS current_city"]))
+    return (
+        PlanBuilder()
+        .table_scan("store_sales",
+                    columns=["ss_sold_date_sk", "ss_store_sk",
+                             "ss_hdemo_sk", "ss_addr_sk",
+                             "ss_ticket_number", "ss_customer_sk",
+                             "ss_coupon_amt", "ss_net_profit"])
+        .hash_join(dt, ["ss_sold_date_sk"], ["d_date_sk"], "left_semi")
+        .hash_join(st, ["ss_store_sk"], ["s_store_sk"], "left_semi")
+        .hash_join(hd, ["ss_hdemo_sk"], ["hd_demo_sk"], "left_semi")
+        .hash_join(ca, ["ss_addr_sk"], ["ca_address_sk"], "inner",
+                   output=["ss_ticket_number", "ss_customer_sk",
+                           "ss_coupon_amt", "ss_net_profit",
+                           "ca_city"])
+        .aggregate(["ss_ticket_number", "ss_customer_sk", "ca_city"],
+                   ["sum(ss_coupon_amt) AS amt",
+                    "sum(ss_net_profit) AS profit"])
+        .hash_join(cu, ["ss_customer_sk"], ["c_customer_sk"], "inner",
+                   output=["c_last_name", "c_first_name",
+                           "c_current_addr_sk", "ca_city",
+                           "ss_ticket_number", "amt", "profit"])
+        .hash_join(cur, ["c_current_addr_sk"], ["cur_addr_sk"],
+                   "inner",
+                   output=["c_last_name", "c_first_name", "ca_city",
+                           "current_city", "ss_ticket_number", "amt",
+                           "profit"])
+        .filter("current_city <> ca_city")
+        .order_by(["c_last_name", "c_first_name", "ca_city",
+                   "ss_ticket_number"])
+        .limit(100)
+    )
+
+
+def q61(year: int = 1998, moy: int = 11, gmt: float = -5.0,
+        category: str = "Jewelry") -> PlanBuilder:
+    """Promotional vs total sales ratio for one category and month
+    (spec q61: two single-row sums cross-joined)."""
+
+    def branch(with_promo: bool, out: str) -> PlanBuilder:
+        dt = _dim("date_dim", ["d_date_sk", "d_year", "d_moy"],
+                  f"d_year = {year} AND d_moy = {moy}")
+        it = _dim("item", ["i_item_sk", "i_category"],
+                  f"i_category = '{category}'")
+        st = _dim("store", ["s_store_sk", "s_gmt_offset"],
+                  f"s_gmt_offset = {gmt}")
+        ca = _dim("customer_address",
+                  ["ca_address_sk", "ca_gmt_offset"],
+                  f"ca_gmt_offset = {gmt}")
+        cu = (PlanBuilder()
+              .table_scan("customer",
+                          columns=["c_customer_sk",
+                                   "c_current_addr_sk"])
+              .hash_join(ca, ["c_current_addr_sk"],
+                         ["ca_address_sk"], "left_semi"))
+        pb = (PlanBuilder()
+              .table_scan("store_sales",
+                          columns=["ss_sold_date_sk", "ss_item_sk",
+                                   "ss_store_sk", "ss_promo_sk",
+                                   "ss_customer_sk",
+                                   "ss_ext_sales_price"])
+              .hash_join(dt, ["ss_sold_date_sk"], ["d_date_sk"],
+                         "left_semi")
+              .hash_join(it, ["ss_item_sk"], ["i_item_sk"],
+                         "left_semi")
+              .hash_join(st, ["ss_store_sk"], ["s_store_sk"],
+                         "left_semi")
+              .hash_join(cu, ["ss_customer_sk"], ["c_customer_sk"],
+                         "left_semi"))
+        if with_promo:
+            pr = _dim("promotion",
+                      ["p_promo_sk", "p_channel_dmail",
+                       "p_channel_email", "p_channel_tv"],
+                      "p_channel_dmail = 'Y' OR "
+                      "p_channel_email = 'Y' OR p_channel_tv = 'Y'")
+            pb = pb.hash_join(pr, ["ss_promo_sk"], ["p_promo_sk"],
+                              "left_semi")
+        return pb.aggregate(
+            [], [f"sum(ss_ext_sales_price) AS {out}"])
+
+    return (
+        branch(True, "promotions")
+        .cross_join(branch(False, "total"))
+        .project(["promotions", "total",
+                  "promotions / total * 100.0 AS promo_pct"])
+        .limit(100)
+    )
+
+
+def q71(year: int = 1999, moy: int = 11,
+        manager_id: int = 1) -> PlanBuilder:
+    """Brand revenue by meal-time hour across the three channels
+    (spec q71: union of facts joined to time_dim breakfast/dinner
+    bands)."""
+    it = _dim("item", ["i_item_sk", "i_brand_id", "i_brand",
+                       "i_manager_id"],
+              f"i_manager_id = {manager_id}")
+    tt = _dim("time_dim", ["t_time_sk", "t_hour", "t_minute",
+                           "t_meal_time"],
+              "t_meal_time = 'breakfast' OR t_meal_time = 'dinner'")
+
+    def channel(fact, dcol, icol, tcol, pcol) -> PlanBuilder:
+        dt = _dim("date_dim", ["d_date_sk", "d_year", "d_moy"],
+                  f"d_moy = {moy} AND d_year = {year}")
+        return (
+            PlanBuilder()
+            .table_scan(fact, columns=[dcol, icol, tcol, pcol])
+            .hash_join(dt, [dcol], ["d_date_sk"], "left_semi")
+            .project([f"{icol} AS item_sk", f"{tcol} AS time_sk",
+                      f"{pcol} AS ext_price"])
+        )
+
+    ws = channel("web_sales", "ws_sold_date_sk", "ws_item_sk",
+                 "ws_sold_time_sk", "ws_ext_sales_price")
+    cs = channel("catalog_sales", "cs_sold_date_sk", "cs_item_sk",
+                 "cs_sold_time_sk", "cs_ext_sales_price")
+    ss = channel("store_sales", "ss_sold_date_sk", "ss_item_sk",
+                 "ss_sold_time_sk", "ss_ext_sales_price")
+    return (
+        ws.union_all([cs, ss])
+        .hash_join(it, ["item_sk"], ["i_item_sk"], "inner",
+                   output=["i_brand_id", "i_brand", "time_sk",
+                           "ext_price"])
+        .hash_join(tt, ["time_sk"], ["t_time_sk"], "inner",
+                   output=["i_brand_id", "i_brand", "t_hour",
+                           "t_minute", "ext_price"])
+        .aggregate(["i_brand_id", "i_brand", "t_hour", "t_minute"],
+                   ["sum(ext_price) AS ext_price"])
+        .order_by(["ext_price DESC", "i_brand_id", "t_hour",
+                   "t_minute"])
+        .limit(1000)
+    )
+
+
+def q76() -> PlanBuilder:
+    """Sales rows with a NULL surrogate key, counted per channel /
+    year / quarter / category (spec q76: UNION ALL of the three
+    facts)."""
+    it = _dim("item", ["i_item_sk", "i_category"])
+    dt = _dim("date_dim", ["d_date_sk", "d_year", "d_qoy"])
+
+    def channel(fact, null_col, dcol, icol, pcol, label
+                ) -> PlanBuilder:
+        return (
+            PlanBuilder()
+            .table_scan(fact, columns=[null_col, dcol, icol, pcol])
+            .filter(f"is_null({null_col})")
+            .project([f"'{label}' AS channel",
+                      f"'{null_col}' AS col_name",
+                      f"{dcol} AS date_sk", f"{icol} AS item_sk",
+                      f"{pcol} AS ext_sales_price"])
+        )
+
+    ss = channel("store_sales", "ss_store_sk", "ss_sold_date_sk",
+                 "ss_item_sk", "ss_ext_sales_price", "store")
+    ws = channel("web_sales", "ws_ship_customer_sk",
+                 "ws_sold_date_sk", "ws_item_sk",
+                 "ws_ext_sales_price", "web")
+    cs = channel("catalog_sales", "cs_ship_addr_sk",
+                 "cs_sold_date_sk", "cs_item_sk",
+                 "cs_ext_sales_price", "catalog")
+    return (
+        ss.union_all([ws, cs])
+        .hash_join(it, ["item_sk"], ["i_item_sk"], "inner",
+                   output=["channel", "col_name", "date_sk",
+                           "i_category", "ext_sales_price"])
+        .hash_join(dt, ["date_sk"], ["d_date_sk"], "inner",
+                   output=["channel", "col_name", "d_year", "d_qoy",
+                           "i_category", "ext_sales_price"])
+        .aggregate(["channel", "col_name", "d_year", "d_qoy",
+                    "i_category"],
+                   ["count(*) AS sales_cnt",
+                    "sum(ext_sales_price) AS sales_amt"])
+        .order_by(["channel", "col_name", "d_year", "d_qoy",
+                   "i_category"])
+        .limit(100)
+    )
+
+
+def q84(city: str = "Edgewood",
+        income_lo: int = 38128) -> PlanBuilder:
+    """Customers in one city within an income band, ordered by the
+    returns they appear in (spec q84; names output as separate
+    columns — documented deviation from the SQL || concat)."""
+    ca = _dim("customer_address", ["ca_address_sk", "ca_city"],
+              f"ca_city = '{city}'")
+    ib = _dim("income_band",
+              ["ib_income_band_sk", "ib_lower_bound",
+               "ib_upper_bound"],
+              f"ib_lower_bound >= {income_lo} AND "
+              f"ib_upper_bound <= {income_lo + 50000}")
+    hd = (PlanBuilder()
+          .table_scan("household_demographics",
+                      columns=["hd_demo_sk", "hd_income_band_sk"])
+          .hash_join(ib, ["hd_income_band_sk"],
+                     ["ib_income_band_sk"], "left_semi"))
+    cd = _dim("customer_demographics", ["cd_demo_sk"])
+    sr = _dim("store_returns", ["sr_cdemo_sk"])
+    return (
+        PlanBuilder()
+        .table_scan("customer",
+                    columns=["c_customer_sk", "c_customer_id",
+                             "c_current_addr_sk", "c_current_cdemo_sk",
+                             "c_current_hdemo_sk", "c_first_name",
+                             "c_last_name"])
+        .hash_join(ca, ["c_current_addr_sk"], ["ca_address_sk"],
+                   "left_semi")
+        .hash_join(hd, ["c_current_hdemo_sk"], ["hd_demo_sk"],
+                   "left_semi")
+        .hash_join(cd, ["c_current_cdemo_sk"], ["cd_demo_sk"],
+                   "inner",
+                   output=["c_customer_id", "c_first_name",
+                           "c_last_name", "cd_demo_sk"])
+        .hash_join(sr, ["cd_demo_sk"], ["sr_cdemo_sk"], "left_semi")
+        .order_by(["c_customer_id"])
+        .limit(100)
+    )
+
+
+def q91(year: int = 1998, moy: int = 11, gmt: float = -7.0
+        ) -> PlanBuilder:
+    """Catalog-return losses by call center for a month, for
+    educated/high-potential demographics (spec q91)."""
+    cc = _dim("call_center",
+              ["cc_call_center_sk", "cc_call_center_id", "cc_name",
+               "cc_manager"])
+    dt = _dim("date_dim", ["d_date_sk", "d_year", "d_moy"],
+              f"d_year = {year} AND d_moy = {moy}")
+    cd = _dim("customer_demographics",
+              ["cd_demo_sk", "cd_marital_status",
+               "cd_education_status"],
+              "(cd_marital_status = 'M' AND "
+              "cd_education_status = 'Unknown') OR "
+              "(cd_marital_status = 'W' AND "
+              "cd_education_status = 'Advanced Degree')")
+    hd = _dim("household_demographics",
+              ["hd_demo_sk", "hd_buy_potential"],
+              "hd_buy_potential = 'Unknown' OR "
+              "hd_buy_potential = '>10000'")
+    ca = _dim("customer_address", ["ca_address_sk", "ca_gmt_offset"],
+              f"ca_gmt_offset = {gmt}")
+    cu = (PlanBuilder()
+          .table_scan("customer",
+                      columns=["c_customer_sk", "c_current_cdemo_sk",
+                               "c_current_hdemo_sk",
+                               "c_current_addr_sk"])
+          .hash_join(hd, ["c_current_hdemo_sk"], ["hd_demo_sk"],
+                     "left_semi")
+          .hash_join(ca, ["c_current_addr_sk"], ["ca_address_sk"],
+                     "left_semi"))
+    return (
+        PlanBuilder()
+        .table_scan("catalog_returns",
+                    columns=["cr_call_center_sk", "cr_returned_date_sk",
+                             "cr_returning_customer_sk",
+                             "cr_net_loss"])
+        .hash_join(dt, ["cr_returned_date_sk"], ["d_date_sk"],
+                   "left_semi")
+        .hash_join(cu, ["cr_returning_customer_sk"],
+                   ["c_customer_sk"], "inner",
+                   output=["cr_call_center_sk", "cr_net_loss",
+                           "c_current_cdemo_sk"])
+        .hash_join(cd, ["c_current_cdemo_sk"], ["cd_demo_sk"],
+                   "inner",
+                   output=["cr_call_center_sk", "cr_net_loss",
+                           "cd_marital_status",
+                           "cd_education_status"])
+        .hash_join(cc, ["cr_call_center_sk"], ["cc_call_center_sk"],
+                   "inner",
+                   output=["cc_call_center_id", "cc_name",
+                           "cc_manager", "cd_marital_status",
+                           "cd_education_status", "cr_net_loss"])
+        .aggregate(["cc_call_center_id", "cc_name", "cc_manager",
+                    "cd_marital_status", "cd_education_status"],
+                   ["sum(cr_net_loss) AS returns_loss"])
+        .order_by(["returns_loss DESC", "cc_call_center_id"])
+        .limit(100)
+    )
+
+
 _QUERIES = {1: q1, 3: q3, 6: q6, 7: q7, 12: q12, 13: q13, 15: q15,
-            19: q19, 20: q20, 26: q26, 27: q27, 30: q30, 33: q33,
-            36: q36, 37: q37, 40: q40, 42: q42, 43: q43, 48: q48,
-            50: q50, 52: q52, 53: q53, 55: q55, 56: q56, 60: q60,
-            62: q62, 63: q63, 65: q65, 68: q68, 73: q73, 79: q79,
-            81: q81, 82: q82, 86: q86, 88: q88, 90: q90, 93: q93,
-            96: q96, 97: q97, 98: q98, 99: q99}
+            19: q19, 20: q20, 21: q21, 22: q22, 26: q26, 27: q27,
+            28: q28, 30: q30, 33: q33, 34: q34, 36: q36, 37: q37,
+            40: q40, 42: q42, 43: q43, 46: q46, 48: q48, 50: q50,
+            52: q52, 53: q53, 55: q55, 56: q56, 60: q60, 61: q61,
+            62: q62, 63: q63, 65: q65, 68: q68, 71: q71, 73: q73,
+            76: q76, 79: q79, 81: q81, 82: q82, 84: q84, 86: q86,
+            88: q88, 90: q90, 91: q91, 93: q93, 96: q96, 97: q97,
+            98: q98, 99: q99}
 SUPPORTED_QUERIES = sorted(_QUERIES)
 
 
@@ -1411,6 +1876,7 @@ def tpcds_plan(n: int, **params) -> PlanBuilder:
     substitution constants (useful at tiny scale factors where the
     defaults select empty slices)."""
     try:
-        return _QUERIES[n](**params)
+        fn = _QUERIES[n]
     except KeyError:
         raise NotImplementedError(f"TPC-DS q{n} not implemented yet")
+    return fn(**params)
