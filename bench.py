@@ -192,7 +192,11 @@ def main() -> None:
 
     platform = ("cpu_fallback" if cpu_fallback
                 else jax.devices()[0].platform)
-    with open("BENCH_DETAIL.json", "w") as f:
+    # the default SF1 run owns BENCH_DETAIL.json; scale runs write
+    # per-SF side files so they never clobber the headline artifact
+    detail_path = ("BENCH_DETAIL.json" if sf == 1.0
+                   else f"BENCH_DETAIL_sf{sf:g}.json")
+    with open(detail_path, "w") as f:
         json.dump({"sf": sf, "platform": platform,
                    "lineitem_rows": n_li, "ingest_s": round(ingest_s, 1),
                    "queries": detail}, f, indent=1)

@@ -141,11 +141,12 @@ def test_q96(dfs):
 
 def test_supported_list():
     assert SUPPORTED_QUERIES == [
-        1, 3, 6, 7, 12, 13, 15, 19, 20, 21, 22, 26, 27, 28, 30, 33,
-        34, 36, 37, 40, 42, 43, 46, 48, 50, 52, 53, 55, 56, 60, 61,
-        62, 63, 65, 68, 71, 73, 76, 79, 81, 82, 84, 86, 88, 90, 91,
-        93, 96, 97, 98, 99]
-    assert len(SUPPORTED_QUERIES) >= 50
+        1, 3, 6, 7, 9, 12, 13, 15, 19, 20, 21, 22, 26, 27, 28, 30,
+        31, 32, 33, 34, 36, 37, 38, 39, 40, 41, 42, 43, 45, 46, 48,
+        50, 52, 53, 55, 56, 60, 61, 62, 63, 65, 68, 71, 73, 74, 76,
+        79, 81, 82, 83, 84, 86, 87, 88, 90, 91, 92, 93, 96, 97, 98,
+        99]
+    assert len(SUPPORTED_QUERIES) >= 60
 
 
 def _semi(ss, dim, lk, rk):

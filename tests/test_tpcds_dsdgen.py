@@ -1114,3 +1114,278 @@ def test_q91(dfs):
     assert len(exp) > 0
     _approx_rows(got, exp, {"returns_loss": "returns_loss",
                             "cc_call_center_id": "cc_call_center_id"})
+
+
+# ------------------------------------------------- round-4 batch 2
+
+def _pick_excess(dfs, fact, dcol, icol, amtcol):
+    """(manufact_id, start) with a non-empty excess-discount result."""
+    dd, it = dfs["date_dim"], dfs["item"]
+    f = dfs[fact].merge(dd[["d_date_sk", "d_date"]],
+                        left_on=dcol, right_on="d_date_sk")
+    f = f[f[amtcol].notna()]
+    f["d"] = pd.to_datetime(f.d_date)
+    start = f.d.min()
+    w = f[(f.d >= start) & (f.d <= start + pd.Timedelta(days=90))]
+    bar = w.groupby(icol)[amtcol].transform("mean") * 1.3
+    ex = w[w[amtcol] > bar]
+    m = ex.merge(it[["i_item_sk", "i_manufact_id"]],
+                 left_on=icol, right_on="i_item_sk")
+    mid = int(m.i_manufact_id.value_counts().idxmax())
+    exp = m[m.i_manufact_id == mid][amtcol].sum()
+    return mid, str(start.date()), exp
+
+
+@pytest.mark.parametrize("qn,fact,dcol,icol,amtcol", [
+    (32, "catalog_sales", "cs_sold_date_sk", "cs_item_sk",
+     "cs_ext_discount_amt"),
+    (92, "web_sales", "ws_sold_date_sk", "ws_item_sk",
+     "ws_ext_discount_amt")])
+def test_excess_discount(dfs, qn, fact, dcol, icol, amtcol):
+    mid, start, exp = _pick_excess(dfs, fact, dcol, icol, amtcol)
+    got = run_plan_pydict(
+        tpcds_plan(qn, manufact_id=mid, start=start).build())
+    assert exp > 0
+    assert got["excess_discount"][0] == pytest.approx(exp, rel=1e-9)
+
+
+def test_q41(dfs):
+    it = dfs["item"]
+    # synthesize an attribute disjunction that matches: use the most
+    # common (category, color) pairs actually present
+    lo = int(it.i_manufact_id.dropna().median())
+    got = run_plan_pydict(tpcds_plan(41, manufact_lo=lo).build())
+    attr = (((it.i_category == "Women")
+             & it.i_color.isin(["powder", "khaki"])
+             & it.i_units.isin(["Ounce", "Oz"])
+             & it.i_size.isin(["medium", "extra large"]))
+            | ((it.i_category == "Men")
+               & it.i_color.isin(["brown", "honeydew"])
+               & it.i_units.isin(["Bunch", "Ton"])
+               & it.i_size.isin(["N/A", "small"])))
+    making = set(it[attr].i_manufact.dropna())
+    band = it[(it.i_manufact_id >= lo) & (it.i_manufact_id <= lo + 40)]
+    exp = sorted(set(
+        band[band.i_manufact.isin(making)].i_product_name.dropna()
+    ))[:100]
+    assert got["i_product_name"] == exp
+
+
+def test_q45(dfs):
+    dd, it, ca, cu = (dfs["date_dim"], dfs["item"],
+                      dfs["customer_address"], dfs["customer"])
+    ws = dfs["web_sales"].merge(
+        dd[["d_date_sk", "d_year", "d_qoy"]],
+        left_on="ws_sold_date_sk", right_on="d_date_sk")
+    pick = ws.groupby(["d_year", "d_qoy"]).size().idxmax()
+    year, qoy = int(pick[0]), int(pick[1])
+    zips = tuple(ca.ca_zip.dropna().astype(str).str[:5]
+                 .value_counts().head(5).index.tolist())
+    sks = tuple(int(s) for s in
+                ws.ws_item_sk.value_counts().head(10).index)
+    got = run_plan_pydict(tpcds_plan(
+        45, year=year, qoy=qoy, zips=zips, item_sks=sks).build())
+    f = ws[(ws.d_year == year) & (ws.d_qoy == qoy)]
+    j = (f.merge(cu, left_on="ws_bill_customer_sk",
+                 right_on="c_customer_sk")
+         .merge(ca, left_on="c_current_addr_sk",
+                right_on="ca_address_sk")
+         .merge(it[["i_item_sk", "i_item_id"]],
+                left_on="ws_item_sk", right_on="i_item_sk"))
+    hot_ids = set(it[it.i_item_sk.isin(sks)].i_item_id)
+    sel = j[j.ca_zip.astype(str).str[:5].isin(zips)
+            | j.i_item_id.isin(hot_ids)]
+    exp = (sel.groupby(["ca_zip", "ca_city"], dropna=False)
+           .ws_sales_price.sum(min_count=1)
+           .reset_index(name="total"))
+    assert len(exp) > 0
+    assert sorted(x for x in got["total"] if x is not None) == \
+        pytest.approx(sorted(exp.total.dropna().tolist()), rel=1e-9)
+
+
+def test_q83(dfs):
+    dd = dfs["date_dim"]
+    # pick three dates whose weeks contain returns in ALL channels
+    def weeks_of(fact, dcol):
+        f = dfs[fact].merge(dd[["d_date_sk", "d_week_seq"]],
+                            left_on=dcol, right_on="d_date_sk")
+        return set(f.d_week_seq.dropna())
+
+    common = (weeks_of("store_returns", "sr_returned_date_sk")
+              & weeks_of("catalog_returns", "cr_returned_date_sk")
+              & weeks_of("web_returns", "wr_returned_date_sk"))
+    assert common, "no common return weeks at this SF"
+    wk = sorted(common)[:3]
+    dates = tuple(str(pd.to_datetime(d).date()) for d in
+                  dd[dd.d_week_seq.isin(wk)]
+                  .groupby("d_week_seq").d_date.first())
+    got = run_plan_pydict(tpcds_plan(83, dates=dates).build())
+    seed_weeks = set(dd[dd.d_date.isin(
+        [pd.Timestamp(x) for x in dates])].d_week_seq)
+    dsk = set(dd[dd.d_week_seq.isin(seed_weeks)].d_date_sk)
+    it = dfs["item"]
+
+    def qty(fact, dcol, icol, qcol):
+        f = dfs[fact]
+        f = f[f[dcol].isin(dsk)]
+        f = f.merge(it[["i_item_sk", "i_item_id"]], left_on=icol,
+                    right_on="i_item_sk")
+        return (f.groupby("i_item_id")[qcol].sum(min_count=1)
+                .dropna())
+
+    sr = qty("store_returns", "sr_returned_date_sk", "sr_item_sk",
+             "sr_return_quantity")
+    cr = qty("catalog_returns", "cr_returned_date_sk", "cr_item_sk",
+             "cr_return_quantity")
+    wr = qty("web_returns", "wr_returned_date_sk", "wr_item_sk",
+             "wr_return_quantity")
+    ids = sorted(set(sr.index) & set(cr.index) & set(wr.index))
+    assert len(ids) > 0
+    assert sorted(got["i_item_id"]) == ids[:100]
+    m = {i: (sr[i], cr[i], wr[i]) for i in ids}
+    for iid, a, b, c in zip(got["i_item_id"], got["sr_qty"],
+                            got["cr_qty"], got["wr_qty"]):
+        assert (a, b, c) == m[iid]
+
+
+def _triples(dfs, fact, dcol, ccol, lo):
+    dd, cu = dfs["date_dim"], dfs["customer"]
+    f = dfs[fact].merge(
+        dd[(dd.d_month_seq >= lo) & (dd.d_month_seq <= lo + 11)]
+        [["d_date_sk", "d_date"]], left_on=dcol,
+        right_on="d_date_sk")
+    f = f.merge(cu[["c_customer_sk", "c_last_name",
+                    "c_first_name"]], left_on=ccol,
+                right_on="c_customer_sk")
+    f = f[f.c_last_name.notna() & f.c_first_name.notna()]
+    return set(zip(f.c_last_name, f.c_first_name, f.d_date))
+
+
+def test_q38_q87(dfs):
+    dd = dfs["date_dim"]
+    ss = dfs["store_sales"].merge(dd[["d_date_sk", "d_month_seq"]],
+                                  left_on="ss_sold_date_sk",
+                                  right_on="d_date_sk")
+    lo = int(ss.d_month_seq.value_counts().idxmax())
+    s = _triples(dfs, "store_sales", "ss_sold_date_sk",
+                 "ss_customer_sk", lo)
+    c = _triples(dfs, "catalog_sales", "cs_sold_date_sk",
+                 "cs_bill_customer_sk", lo)
+    w = _triples(dfs, "web_sales", "ws_sold_date_sk",
+                 "ws_bill_customer_sk", lo)
+    got38 = run_plan_pydict(tpcds_plan(38, month_seq_lo=lo).build())
+    got87 = run_plan_pydict(tpcds_plan(87, month_seq_lo=lo).build())
+    assert got38["cnt"][0] == len(s & c & w)
+    assert got87["cnt"][0] == len(s - c - w)
+    assert len(s) > 0
+
+
+def test_q9(dfs):
+    ss = dfs["store_sales"]
+    # thresholds straddle the actual counts so both CASE arms fire
+    counts = [((ss.ss_quantity >= 20 * i + 1)
+               & (ss.ss_quantity <= 20 * (i + 1))).sum()
+              for i in range(5)]
+    th = tuple(int(c) + (1 if i % 2 else -1)
+               for i, c in enumerate(counts))
+    got = run_plan_pydict(tpcds_plan(9, thresholds=th).build())
+    for i in range(1, 6):
+        qlo, qhi = 20 * (i - 1) + 1, 20 * (i - 1) + 20
+        b = ss[(ss.ss_quantity >= qlo) & (ss.ss_quantity <= qhi)]
+        exp = (b.ss_ext_discount_amt.mean() if len(b) > th[i - 1]
+               else b.ss_net_paid.mean())
+        assert got[f"bucket{i}"][0] == pytest.approx(exp, rel=1e-9)
+
+
+def test_q31(dfs):
+    dd, ca = dfs["date_dim"], dfs["customer_address"]
+    # find a year where every quarter has sales in both channels
+    ssj = dfs["store_sales"].merge(
+        dd[["d_date_sk", "d_year", "d_qoy"]],
+        left_on="ss_sold_date_sk", right_on="d_date_sk")
+    year = int(ssj[ssj.d_qoy <= 3].d_year.value_counts().idxmax())
+    got = run_plan_pydict(tpcds_plan(31, year=year).build())
+
+    def qsum(fact, dcol, acol, price, qoy):
+        f = dfs[fact].merge(
+            dd[(dd.d_year == year) & (dd.d_qoy == qoy)]
+            [["d_date_sk"]], left_on=dcol, right_on="d_date_sk")
+        f = f.merge(ca[["ca_address_sk", "ca_county"]],
+                    left_on=acol, right_on="ca_address_sk")
+        f = f[f.ca_county.notna()]
+        return f.groupby("ca_county")[price].sum()
+
+    s = [qsum("store_sales", "ss_sold_date_sk", "ss_addr_sk",
+              "ss_ext_sales_price", q) for q in (1, 2, 3)]
+    w = [qsum("web_sales", "ws_sold_date_sk", "ws_bill_addr_sk",
+              "ws_ext_sales_price", q) for q in (1, 2, 3)]
+    df = pd.concat(
+        [x.rename(n) for x, n in zip(
+            s + w, ["ss1", "ss2", "ss3", "ws1", "ws2", "ws3"])],
+        axis=1, join="inner").dropna()
+    df = df[(df.ss1 > 0) & (df.ss2 > 0) & (df.ws1 > 0)
+            & (df.ws2 > 0)]
+    sel = df[(df.ws2 / df.ws1 > df.ss2 / df.ss1)
+             & (df.ws3 / df.ws2 > df.ss3 / df.ss2)]
+    assert sorted(got["county"]) == sorted(sel.index.tolist())
+
+
+def test_q74(dfs):
+    dd, cu = dfs["date_dim"], dfs["customer"]
+    ssj = dfs["store_sales"].merge(dd[["d_date_sk", "d_year"]],
+                                   left_on="ss_sold_date_sk",
+                                   right_on="d_date_sk")
+    year = int(ssj.d_year.value_counts().index[1])
+    if year >= ssj.d_year.max():
+        year = int(ssj.d_year.value_counts().idxmax())
+    got = run_plan_pydict(tpcds_plan(74, year=year).build())
+
+    def tot(fact, dcol, ccol, price, y):
+        f = dfs[fact].merge(dd[dd.d_year == y][["d_date_sk"]],
+                            left_on=dcol, right_on="d_date_sk")
+        f = f[f[ccol].notna()]
+        return f.groupby(ccol)[price].sum()
+
+    s1 = tot("store_sales", "ss_sold_date_sk", "ss_customer_sk",
+             "ss_net_paid", year)
+    s2 = tot("store_sales", "ss_sold_date_sk", "ss_customer_sk",
+             "ss_net_paid", year + 1)
+    w1 = tot("web_sales", "ws_sold_date_sk", "ws_bill_customer_sk",
+             "ws_net_paid", year)
+    w2 = tot("web_sales", "ws_sold_date_sk", "ws_bill_customer_sk",
+             "ws_net_paid", year + 1)
+    df = pd.concat([s1.rename("s1"), s2.rename("s2"),
+                    w1.rename("w1"), w2.rename("w2")],
+                   axis=1, join="inner").dropna()
+    df = df[(df.s1 > 0) & (df.w1 > 0)]
+    sel = df[df.w2 / df.w1 > df.s2 / df.s1]
+    ids = cu.set_index("c_customer_sk").loc[
+        sel.index, "c_customer_id"]
+    assert sorted(got["c_customer_id"]) == sorted(ids)[:100]
+
+
+def test_q39(dfs):
+    dd = dfs["date_dim"]
+    inv = dfs["inventory"].merge(
+        dd[["d_date_sk", "d_year", "d_moy"]],
+        left_on="inv_date_sk", right_on="d_date_sk")
+    pick = inv.groupby(["d_year"]).size().idxmax()
+    year = int(pick)
+    got = run_plan_pydict(
+        tpcds_plan(39, year=year, moy=1, cov_bar=0.5).build())
+
+    def month(m):
+        f = inv[(inv.d_year == year) & (inv.d_moy == m)]
+        g = (f.groupby(["inv_item_sk", "inv_warehouse_sk"])
+             .inv_quantity_on_hand.agg(["mean", "std"])
+             .dropna().reset_index())
+        g = g[g["mean"] > 0]
+        g["cov"] = g["std"] / g["mean"]
+        return g[g["cov"] > 0.5]
+
+    m1, m2 = month(1), month(2)
+    exp = m1.merge(m2, on=["inv_item_sk", "inv_warehouse_sk"])
+    assert len(exp) > 0
+    assert len(got["item1"]) == min(len(exp), 100)
+    assert sorted(zip(got["item1"], got["mean1"]))[:5] == sorted(
+        zip(exp.inv_item_sk, exp.mean_x))[:5]

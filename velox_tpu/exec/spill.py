@@ -166,7 +166,10 @@ class SpillableBuffer:
     """
 
     def __init__(self, label: str = "",
-                 mm: Optional[MemoryManager] = None):
+                 mm: Optional[MemoryManager] = None,
+                 pool=None):
+        from velox_tpu.exec import memory as _mem
+
         self.label = label
         self.mm = mm or memory_manager
         self._device: List[Batch] = []
@@ -174,10 +177,25 @@ class SpillableBuffer:
         self._files: List[_FileBatch] = []
         self.spilled_bytes = 0
         self.mm.register(self)
+        # attach to the ambient query pool as an operator leaf
+        # (exec/memory.py hierarchy; velox operator pool analog)
+        parent = pool or _mem.current_pool()
+        self.pool = (_mem.MemoryPool(label or "buffer", parent)
+                     if parent is not None else None)
+        if self.pool is not None:
+            self.pool.attach_buffer(self)
 
     def append(self, b: Batch) -> None:
         self._device.append(b)
         self.mm.maybe_reclaim()
+        if self.pool is not None:
+            self.pool.maybe_arbitrate()
+
+    def _detach_pool(self) -> None:
+        if self.pool is not None:
+            self.pool.detach_buffer(self)
+            self.pool.close()
+            self.pool = None
 
     def device_bytes(self) -> int:
         return sum(batch_device_bytes(b) for b in self._device)
@@ -221,6 +239,7 @@ class SpillableBuffer:
         self._host = []
         self._device = []
         self.mm.unregister(self)
+        self._detach_pool()
         return out
 
     def drain_host(self):
@@ -237,6 +256,7 @@ class SpillableBuffer:
         self._host = []
         self._device = []
         self.mm.unregister(self)
+        self._detach_pool()
         return host, device
 
     def close(self) -> None:
@@ -246,6 +266,7 @@ class SpillableBuffer:
         self._device = []
         self._host = []
         self.mm.unregister(self)
+        self._detach_pool()
 
 
 # ------------------------------------------------- partitioned agg spill

@@ -246,6 +246,7 @@ class Task:
     """Owns one plan's execution (velox/exec/Task.h:44, serial mode)."""
 
     def __init__(self, plan: PlanNode, tracer=None):
+        from velox_tpu.exec import memory as _mem
         from velox_tpu.utils.config import config
 
         if config.optimize_plans:
@@ -253,13 +254,23 @@ class Task:
 
             plan = optimize_plan(plan)
         self.plan = plan
-        self.planner = LocalPlanner(plan)
+        # per-query memory pool: operators constructed under this scope
+        # hang their buffers off it (exec/memory.py hierarchy —
+        # velox Task::pool() under the query pool)
+        self.pool = _mem.MemoryPool(
+            f"query.{plan.id}", _mem.root_pool, kind="query")
+        with _mem.scoped_pool(self.pool):
+            self.planner = LocalPlanner(plan)
         self.tracer = tracer
 
     def run(self) -> Iterator[Batch]:
+        from velox_tpu.exec import memory as _mem
         from velox_tpu.utils.metrics import METRIC_TASK_EXECUTIONS, reporter
 
         reporter.add_counter(METRIC_TASK_EXECUTIONS)
+        # keep the query pool ambient for buffers created lazily
+        # mid-run (e.g. the hash-probe spill buffer)
+        _tok = _mem._current.set(self.pool)
         try:
             # run non-output (join build) pipelines to completion, in
             # creation order: a pipeline's bridges are always created
@@ -281,9 +292,11 @@ class Task:
             yield from _stream(out.operators, len(out.operators) - 1,
                                self.tracer)
         finally:
+            _mem._current.reset(_tok)
             for p in self.planner.pipelines:
                 for op in p.operators:
                     op.close()
+            self.pool.close()
 
     def stats(self):
         return [

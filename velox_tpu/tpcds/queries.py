@@ -1859,15 +1859,443 @@ def q91(year: int = 1998, moy: int = 11, gmt: float = -7.0
     )
 
 
-_QUERIES = {1: q1, 3: q3, 6: q6, 7: q7, 12: q12, 13: q13, 15: q15,
-            19: q19, 20: q20, 21: q21, 22: q22, 26: q26, 27: q27,
-            28: q28, 30: q30, 33: q33, 34: q34, 36: q36, 37: q37,
-            40: q40, 42: q42, 43: q43, 46: q46, 48: q48, 50: q50,
-            52: q52, 53: q53, 55: q55, 56: q56, 60: q60, 61: q61,
-            62: q62, 63: q63, 65: q65, 68: q68, 71: q71, 73: q73,
-            76: q76, 79: q79, 81: q81, 82: q82, 84: q84, 86: q86,
-            88: q88, 90: q90, 91: q91, 93: q93, 96: q96, 97: q97,
-            98: q98, 99: q99}
+def _excess_discount(fact: str, dcol: str, icol: str, amtcol: str,
+                     manufact_id: int, start: str,
+                     out: str) -> PlanBuilder:
+    """q32/q92 shape: discount amounts above 1.3x the per-item average
+    over a 90-day window (the correlated subquery becomes a broadcast
+    join against a per-item aggregate of the same dated slice)."""
+    import datetime as _dt
+
+    d0 = _dt.date.fromisoformat(start)
+    d1 = d0 + _dt.timedelta(days=90)
+
+    def dated() -> PlanBuilder:
+        dt_ = _dim("date_dim", ["d_date_sk", "d_date"],
+                   f"d_date BETWEEN DATE '{d0}' AND DATE '{d1}'")
+        return (PlanBuilder()
+                .table_scan(fact, columns=[dcol, icol, amtcol])
+                .hash_join(dt_, [dcol], ["d_date_sk"], "left_semi"))
+
+    it = _dim("item", ["i_item_sk", "i_manufact_id"],
+              f"i_manufact_id = {manufact_id}")
+    thresh = (dated()
+              .aggregate([icol], [f"avg({amtcol}) AS avg_amt"])
+              .project([f"{icol} AS t_item_sk",
+                        "avg_amt * 1.3 AS bar"]))
+    return (
+        dated()
+        .hash_join(it, [icol], ["i_item_sk"], "left_semi")
+        .hash_join(thresh, [icol], ["t_item_sk"], "inner",
+                   output=[amtcol, "bar"])
+        .filter(f"{amtcol} > bar")
+        .aggregate([], [f"sum({amtcol}) AS {out}"])
+        .limit(100)
+    )
+
+
+def q32(manufact_id: int = 977,
+        start: str = "2000-01-27") -> PlanBuilder:
+    return _excess_discount("catalog_sales", "cs_sold_date_sk",
+                            "cs_item_sk", "cs_ext_discount_amt",
+                            manufact_id, start, "excess_discount")
+
+
+def q92(manufact_id: int = 350,
+        start: str = "2000-01-27") -> PlanBuilder:
+    return _excess_discount("web_sales", "ws_sold_date_sk",
+                            "ws_item_sk", "ws_ext_discount_amt",
+                            manufact_id, start, "excess_discount")
+
+
+def q41(manufact_lo: int = 738) -> PlanBuilder:
+    """Distinct product names of manufacturers that make at least one
+    item matching the attribute disjunction (spec q41: the EXISTS
+    subquery becomes a semi join on i_manufact)."""
+    attr = ("(i_category = 'Women' AND "
+            "(i_color = 'powder' OR i_color = 'khaki') AND "
+            "(i_units = 'Ounce' OR i_units = 'Oz') AND "
+            "(i_size = 'medium' OR i_size = 'extra large')) OR "
+            "(i_category = 'Men' AND "
+            "(i_color = 'brown' OR i_color = 'honeydew') AND "
+            "(i_units = 'Bunch' OR i_units = 'Ton') AND "
+            "(i_size = 'N/A' OR i_size = 'small'))")
+    making = (PlanBuilder()
+              .table_scan("item",
+                          columns=["i_manufact", "i_category",
+                                   "i_color", "i_units", "i_size"])
+              .filter(attr)
+              .project(["i_manufact AS m_manufact"])
+              .distinct())
+    return (
+        PlanBuilder()
+        .table_scan("item",
+                    columns=["i_manufact_id", "i_manufact",
+                             "i_product_name"],
+                    subfilter=f"i_manufact_id >= {manufact_lo} AND "
+                              f"i_manufact_id <= {manufact_lo + 40}")
+        .hash_join(making, ["i_manufact"], ["m_manufact"],
+                   "left_semi")
+        .project(["i_product_name"])
+        .distinct()
+        .order_by(["i_product_name"])
+        .limit(100)
+    )
+
+
+def q45(year: int = 2001, qoy: int = 2,
+        zips=("85669", "86197", "88274", "83405", "86475",
+              "85392", "85460", "80348", "81792"),
+        item_sks=(2, 3, 5, 7, 11, 13, 17, 19, 23, 29)
+        ) -> PlanBuilder:
+    """Web sales by customer zip/city where the zip prefix is in a
+    list OR the item matches a sk-derived id set (spec q45; the IN
+    subquery becomes a marker left join on i_item_id)."""
+    zs = ", ".join(f"'{z}'" for z in zips)
+    sks = ", ".join(str(s) for s in item_sks)
+    dt = _dim("date_dim", ["d_date_sk", "d_year", "d_qoy"],
+              f"d_qoy = {qoy} AND d_year = {year}")
+    it = _dim("item", ["i_item_sk", "i_item_id"])
+    sub = (PlanBuilder()
+           .table_scan("item", columns=["i_item_sk", "i_item_id"],
+                       subfilter=f"i_item_sk IN ({sks})")
+           .project(["i_item_id AS sub_item_id", "1 AS hot"])
+           .distinct())
+    ca = _dim("customer_address",
+              ["ca_address_sk", "ca_city", "ca_zip"])
+    cu = _dim("customer", ["c_customer_sk", "c_current_addr_sk"])
+    return (
+        PlanBuilder()
+        .table_scan("web_sales",
+                    columns=["ws_sold_date_sk", "ws_item_sk",
+                             "ws_bill_customer_sk",
+                             "ws_sales_price"])
+        .hash_join(dt, ["ws_sold_date_sk"], ["d_date_sk"],
+                   "left_semi")
+        .hash_join(cu, ["ws_bill_customer_sk"], ["c_customer_sk"],
+                   "inner",
+                   output=["ws_item_sk", "ws_sales_price",
+                           "c_current_addr_sk"])
+        .hash_join(ca, ["c_current_addr_sk"], ["ca_address_sk"],
+                   "inner",
+                   output=["ws_item_sk", "ws_sales_price", "ca_city",
+                           "ca_zip"])
+        .hash_join(it, ["ws_item_sk"], ["i_item_sk"], "inner",
+                   output=["ws_sales_price", "ca_city", "ca_zip",
+                           "i_item_id"])
+        .hash_join(sub, ["i_item_id"], ["sub_item_id"], "left",
+                   output=["ws_sales_price", "ca_city", "ca_zip",
+                           "hot"])
+        .filter(f"substr(ca_zip, 1, 5) IN ({zs}) "
+                "OR coalesce(hot, 0) = 1")
+        .aggregate(["ca_zip", "ca_city"],
+                   ["sum(ws_sales_price) AS total"])
+        .order_by(["ca_zip", "ca_city"])
+        .limit(100)
+    )
+
+
+def q83(dates=("2000-06-30", "2000-09-27", "2000-11-17")
+        ) -> PlanBuilder:
+    """Returned quantities per item across all three return channels
+    in the weeks of three seed dates (spec q83: the nested date
+    subqueries become week-seq semi joins)."""
+    ds = ", ".join(f"DATE '{d}'" for d in dates)
+    seed = _dim("date_dim", ["d_date", "d_week_seq"],
+                f"d_date IN ({ds})")
+    weeks = (PlanBuilder()
+             .table_scan("date_dim",
+                         columns=["d_date_sk", "d_week_seq"])
+             .hash_join(seed.project(["d_week_seq AS w_seq"]),
+                        ["d_week_seq"], ["w_seq"], "left_semi"))
+
+    def channel(fact, dcol, icol, qcol, out) -> PlanBuilder:
+        it = _dim("item", ["i_item_sk", "i_item_id"])
+        return (
+            PlanBuilder()
+            .table_scan(fact, columns=[dcol, icol, qcol])
+            .hash_join(weeks, [dcol], ["d_date_sk"], "left_semi")
+            .hash_join(it, [icol], ["i_item_sk"], "inner",
+                       output=["i_item_id", qcol])
+            .aggregate(["i_item_id"], [f"sum({qcol}) AS {out}"])
+        )
+
+    sr = channel("store_returns", "sr_returned_date_sk",
+                 "sr_item_sk", "sr_return_quantity", "sr_qty")
+    cr = (channel("catalog_returns", "cr_returned_date_sk",
+                  "cr_item_sk", "cr_return_quantity", "cr_qty")
+          .project(["i_item_id AS cr_item_id", "cr_qty"]))
+    wr = (channel("web_returns", "wr_returned_date_sk",
+                  "wr_item_sk", "wr_return_quantity", "wr_qty")
+          .project(["i_item_id AS wr_item_id", "wr_qty"]))
+    return (
+        sr
+        .hash_join(cr, ["i_item_id"], ["cr_item_id"], "inner",
+                   output=["i_item_id", "sr_qty", "cr_qty"])
+        .hash_join(wr, ["i_item_id"], ["wr_item_id"], "inner",
+                   output=["i_item_id", "sr_qty", "cr_qty",
+                           "wr_qty"])
+        .project(["i_item_id", "sr_qty", "cr_qty", "wr_qty",
+                  "(sr_qty + cr_qty + wr_qty) / 3.0 AS average"])
+        .order_by(["i_item_id", "sr_qty"])
+        .limit(100)
+    )
+
+
+def _channel_customers(fact: str, dcol: str, ccol: str,
+                       seq_lo: int) -> PlanBuilder:
+    """Distinct (last, first, date) shopper triples in one channel
+    within a month-seq window (q38/q87 building block; NULL names are
+    excluded — documented deviation from INTERSECT's null-equal
+    semantics)."""
+    dt = _dim("date_dim", ["d_date_sk", "d_date", "d_month_seq"],
+              f"d_month_seq >= {seq_lo} AND "
+              f"d_month_seq <= {seq_lo + 11}")
+    cu = _dim("customer", ["c_customer_sk", "c_last_name",
+                           "c_first_name"])
+    return (
+        PlanBuilder()
+        .table_scan(fact, columns=[dcol, ccol])
+        .hash_join(dt, [dcol], ["d_date_sk"], "inner",
+                   output=[ccol, "d_date"])
+        .hash_join(cu, [ccol], ["c_customer_sk"], "inner",
+                   output=["c_last_name", "c_first_name", "d_date"])
+        .filter("is_not_null(c_last_name) AND "
+                "is_not_null(c_first_name)")
+        .distinct()
+    )
+
+
+def q38(month_seq_lo: int = 1200) -> PlanBuilder:
+    """Customers who shopped all three channels in one year
+    (spec q38: INTERSECT of distinct shopper triples -> semi joins)."""
+    ss = _channel_customers("store_sales", "ss_sold_date_sk",
+                            "ss_customer_sk", month_seq_lo)
+    cs = (_channel_customers("catalog_sales", "cs_sold_date_sk",
+                             "cs_bill_customer_sk", month_seq_lo)
+          .project(["c_last_name AS cs_last", "c_first_name AS cs_first",
+                    "d_date AS cs_date"]))
+    ws = (_channel_customers("web_sales", "ws_sold_date_sk",
+                             "ws_bill_customer_sk", month_seq_lo)
+          .project(["c_last_name AS ws_last", "c_first_name AS ws_first",
+                    "d_date AS ws_date"]))
+    return (
+        ss
+        .hash_join(cs, ["c_last_name", "c_first_name", "d_date"],
+                   ["cs_last", "cs_first", "cs_date"], "left_semi")
+        .hash_join(ws, ["c_last_name", "c_first_name", "d_date"],
+                   ["ws_last", "ws_first", "ws_date"], "left_semi")
+        .aggregate([], ["count(*) AS cnt"])
+        .limit(100)
+    )
+
+
+def q87(month_seq_lo: int = 1200) -> PlanBuilder:
+    """Store shoppers who used neither other channel (spec q87:
+    EXCEPT -> anti joins over the same distinct triples)."""
+    ss = _channel_customers("store_sales", "ss_sold_date_sk",
+                            "ss_customer_sk", month_seq_lo)
+    cs = (_channel_customers("catalog_sales", "cs_sold_date_sk",
+                             "cs_bill_customer_sk", month_seq_lo)
+          .project(["c_last_name AS cs_last", "c_first_name AS cs_first",
+                    "d_date AS cs_date"]))
+    ws = (_channel_customers("web_sales", "ws_sold_date_sk",
+                             "ws_bill_customer_sk", month_seq_lo)
+          .project(["c_last_name AS ws_last", "c_first_name AS ws_first",
+                    "d_date AS ws_date"]))
+    return (
+        ss
+        .hash_join(cs, ["c_last_name", "c_first_name", "d_date"],
+                   ["cs_last", "cs_first", "cs_date"], "anti_simple")
+        .hash_join(ws, ["c_last_name", "c_first_name", "d_date"],
+                   ["ws_last", "ws_first", "ws_date"], "anti_simple")
+        .aggregate([], ["count(*) AS cnt"])
+        .limit(100)
+    )
+
+
+def q9(thresholds=(3672, 3392, 32784, 26032, 23982)) -> PlanBuilder:
+    """Five quantity-bucket averages picked by row-count thresholds
+    (spec q9: the CASE WHEN count subqueries become cross-joined
+    single-row aggregates over one scan per bucket)."""
+    pb = PlanBuilder().table_scan("reason", columns=["r_reason_sk"],
+                                  subfilter="r_reason_sk = 1")
+    projections = []
+    for i, th in enumerate(thresholds, start=1):
+        qlo, qhi = 20 * (i - 1) + 1, 20 * i
+        bucket = (
+            PlanBuilder()
+            .table_scan("store_sales",
+                        columns=["ss_quantity",
+                                 "ss_ext_discount_amt",
+                                 "ss_net_paid"],
+                        subfilter=f"ss_quantity >= {qlo} AND "
+                                  f"ss_quantity <= {qhi}")
+            .aggregate([], [f"count(*) AS cnt{i}",
+                            f"avg(ss_ext_discount_amt) AS disc{i}",
+                            f"avg(ss_net_paid) AS paid{i}"]))
+        pb = pb.cross_join(bucket)
+        projections.append(
+            f"if(cnt{i} > {th}, disc{i}, paid{i}) AS bucket{i}")
+    return pb.project(projections).limit(100)
+
+
+def q31(year: int = 2000) -> PlanBuilder:
+    """County web-vs-store quarterly growth (spec q31: six quarterly
+    sums joined on county, web growth must beat store growth)."""
+
+    def quarter(fact, dcol, acol, price, qoy, out) -> PlanBuilder:
+        dt = _dim("date_dim", ["d_date_sk", "d_year", "d_qoy"],
+                  f"d_qoy = {qoy} AND d_year = {year}")
+        ca = _dim("customer_address",
+                  ["ca_address_sk", "ca_county"])
+        return (
+            PlanBuilder()
+            .table_scan(fact, columns=[dcol, acol, price])
+            .hash_join(dt, [dcol], ["d_date_sk"], "left_semi")
+            .hash_join(ca, [acol], ["ca_address_sk"], "inner",
+                       output=["ca_county", price])
+            .filter("is_not_null(ca_county)")
+            .aggregate(["ca_county"], [f"sum({price}) AS {out}"])
+            .project([f"ca_county AS {out}_county", out])
+        )
+
+    ss1 = quarter("store_sales", "ss_sold_date_sk", "ss_addr_sk",
+                  "ss_ext_sales_price", 1, "ss1")
+    ss2 = quarter("store_sales", "ss_sold_date_sk", "ss_addr_sk",
+                  "ss_ext_sales_price", 2, "ss2")
+    ss3 = quarter("store_sales", "ss_sold_date_sk", "ss_addr_sk",
+                  "ss_ext_sales_price", 3, "ss3")
+    ws1 = quarter("web_sales", "ws_sold_date_sk",
+                  "ws_bill_addr_sk", "ws_ext_sales_price", 1, "ws1")
+    ws2 = quarter("web_sales", "ws_sold_date_sk",
+                  "ws_bill_addr_sk", "ws_ext_sales_price", 2, "ws2")
+    ws3 = quarter("web_sales", "ws_sold_date_sk",
+                  "ws_bill_addr_sk", "ws_ext_sales_price", 3, "ws3")
+    return (
+        ss1
+        .hash_join(ss2, ["ss1_county"], ["ss2_county"], "inner",
+                   output=["ss1_county", "ss1", "ss2"])
+        .hash_join(ss3, ["ss1_county"], ["ss3_county"], "inner",
+                   output=["ss1_county", "ss1", "ss2", "ss3"])
+        .hash_join(ws1, ["ss1_county"], ["ws1_county"], "inner",
+                   output=["ss1_county", "ss1", "ss2", "ss3", "ws1"])
+        .hash_join(ws2, ["ss1_county"], ["ws2_county"], "inner",
+                   output=["ss1_county", "ss1", "ss2", "ss3", "ws1",
+                           "ws2"])
+        .hash_join(ws3, ["ss1_county"], ["ws3_county"], "inner",
+                   output=["ss1_county", "ss1", "ss2", "ss3", "ws1",
+                           "ws2", "ws3"])
+        .filter("ss1 > 0 AND ss2 > 0 AND ws1 > 0 AND ws2 > 0")
+        .filter("ws2 / ws1 > ss2 / ss1 AND "
+                "ws3 / ws2 > ss3 / ss2")
+        .project(["ss1_county AS county",
+                  "ws2 / ws1 AS web_q1_q2_increase",
+                  "ss2 / ss1 AS store_q1_q2_increase",
+                  "ws3 / ws2 AS web_q2_q3_increase",
+                  "ss3 / ss2 AS store_q2_q3_increase"])
+        .order_by(["county"])
+        .limit(100)
+    )
+
+
+def q74(year: int = 1999) -> PlanBuilder:
+    """Customers whose web spend grew faster than store spend across
+    two years (spec q74 / q11-lite: four yearly totals joined on
+    customer)."""
+
+    def totals(fact, dcol, ccol, price, y, out) -> PlanBuilder:
+        dt = _dim("date_dim", ["d_date_sk", "d_year"],
+                  f"d_year = {y}")
+        return (
+            PlanBuilder()
+            .table_scan(fact, columns=[dcol, ccol, price])
+            .hash_join(dt, [dcol], ["d_date_sk"], "left_semi")
+            .filter(f"is_not_null({ccol})")
+            .aggregate([ccol], [f"sum({price}) AS {out}"])
+            .project([f"{ccol} AS {out}_c", out])
+        )
+
+    s1 = totals("store_sales", "ss_sold_date_sk", "ss_customer_sk",
+                "ss_net_paid", year, "s1")
+    s2 = totals("store_sales", "ss_sold_date_sk", "ss_customer_sk",
+                "ss_net_paid", year + 1, "s2")
+    w1 = totals("web_sales", "ws_sold_date_sk",
+                "ws_bill_customer_sk", "ws_net_paid", year, "w1")
+    w2 = totals("web_sales", "ws_sold_date_sk",
+                "ws_bill_customer_sk", "ws_net_paid", year + 1, "w2")
+    cu = _dim("customer", ["c_customer_sk", "c_customer_id",
+                           "c_first_name", "c_last_name"])
+    return (
+        s1
+        .hash_join(s2, ["s1_c"], ["s2_c"], "inner",
+                   output=["s1_c", "s1", "s2"])
+        .hash_join(w1, ["s1_c"], ["w1_c"], "inner",
+                   output=["s1_c", "s1", "s2", "w1"])
+        .hash_join(w2, ["s1_c"], ["w2_c"], "inner",
+                   output=["s1_c", "s1", "s2", "w1", "w2"])
+        .filter("s1 > 0 AND w1 > 0")
+        .filter("w2 / w1 > s2 / s1")
+        .hash_join(cu, ["s1_c"], ["c_customer_sk"], "inner",
+                   output=["c_customer_id", "c_first_name",
+                           "c_last_name"])
+        .order_by(["c_customer_id"])
+        .limit(100)
+    )
+
+
+def q39(year: int = 2000, moy: int = 1,
+        cov_bar: float = 1.0) -> PlanBuilder:
+    """Inventory demand variability: item/warehouse months whose
+    coefficient of variation exceeds the bar in two consecutive
+    months (spec q39 part 1)."""
+
+    def month(m, sfx) -> PlanBuilder:
+        dt = _dim("date_dim", ["d_date_sk", "d_year", "d_moy"],
+                  f"d_year = {year} AND d_moy = {m}")
+        return (
+            PlanBuilder()
+            .table_scan("inventory",
+                        columns=["inv_date_sk", "inv_item_sk",
+                                 "inv_warehouse_sk",
+                                 "inv_quantity_on_hand"])
+            .hash_join(dt, ["inv_date_sk"], ["d_date_sk"],
+                       "left_semi")
+            .aggregate(["inv_item_sk", "inv_warehouse_sk"],
+                       ["avg(inv_quantity_on_hand) AS mean",
+                        "stddev_samp(inv_quantity_on_hand)"
+                        " AS sdev"])
+            .filter("is_not_null(sdev) AND mean > 0")
+            .project([f"inv_item_sk AS item{sfx}",
+                      f"inv_warehouse_sk AS wh{sfx}",
+                      f"mean AS mean{sfx}",
+                      f"sdev / mean AS cov{sfx}"])
+            .filter(f"cov{sfx} > {cov_bar}")
+        )
+
+    m1 = month(moy, "1")
+    m2 = month(moy + 1, "2")
+    return (
+        m1
+        .hash_join(m2, ["item1", "wh1"], ["item2", "wh2"], "inner",
+                   output=["wh1", "item1", "mean1", "cov1",
+                           "mean2", "cov2"])
+        .order_by(["wh1", "item1", "mean1", "cov1"])
+        .limit(100)
+    )
+
+
+_QUERIES = {1: q1, 3: q3, 6: q6, 7: q7, 9: q9, 12: q12, 13: q13,
+            15: q15, 19: q19, 20: q20, 21: q21, 22: q22, 26: q26,
+            27: q27, 28: q28, 30: q30, 31: q31, 32: q32, 33: q33,
+            34: q34, 36: q36, 37: q37, 38: q38, 39: q39, 40: q40,
+            41: q41, 42: q42, 43: q43, 45: q45, 46: q46, 48: q48,
+            50: q50, 52: q52, 53: q53, 55: q55, 56: q56, 60: q60,
+            61: q61, 62: q62, 63: q63, 65: q65, 68: q68, 71: q71,
+            73: q73, 74: q74, 76: q76, 79: q79, 81: q81, 82: q82,
+            83: q83, 84: q84, 86: q86, 87: q87, 88: q88, 90: q90,
+            91: q91, 92: q92, 93: q93, 96: q96, 97: q97, 98: q98,
+            99: q99}
 SUPPORTED_QUERIES = sorted(_QUERIES)
 
 

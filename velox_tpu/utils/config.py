@@ -67,6 +67,10 @@ class SessionConfig:
     #: spills buffers to host RAM (velox memory arbitration analog).
     #: None = unlimited.
     spill_memory_budget_bytes: "int | None" = None
+    #: per-query HBM cap for buffered batches (velox
+    #: query_memory_per_node / QueryCtx pool capacity analog);
+    #: exceeding it spills the query's own buffers. None = unlimited.
+    query_memory_cap_bytes: "int | None" = None
     #: a partition acquires another writer once it has written this many
     #: bytes since its last scale-up (velox writer_min_size analog)
     writer_min_partition_bytes: int = 128 << 20
