@@ -1211,17 +1211,22 @@ def test_q83(dfs):
                             left_on=dcol, right_on="d_date_sk")
         return set(f.d_week_seq.dropna())
 
+    # tiny SF: returns are so sparse that only ~1 item is ever
+    # returned via all three channels — seed one date per week that
+    # has ANY return so nothing is filtered away (the plan accepts
+    # any number of seed dates; the 3-way join is what's under test)
     common = (weeks_of("store_returns", "sr_returned_date_sk")
-              & weeks_of("catalog_returns", "cr_returned_date_sk")
-              & weeks_of("web_returns", "wr_returned_date_sk"))
-    assert common, "no common return weeks at this SF"
-    wk = sorted(common)[:3]
+              | weeks_of("catalog_returns", "cr_returned_date_sk")
+              | weeks_of("web_returns", "wr_returned_date_sk"))
+    assert common, "no return weeks at this SF"
+    wk = sorted(common)
     dates = tuple(str(pd.to_datetime(d).date()) for d in
                   dd[dd.d_week_seq.isin(wk)]
                   .groupby("d_week_seq").d_date.first())
     got = run_plan_pydict(tpcds_plan(83, dates=dates).build())
-    seed_weeks = set(dd[dd.d_date.isin(
-        [pd.Timestamp(x) for x in dates])].d_week_seq)
+    date_set = set(dates)
+    seed_weeks = set(dd[dd.d_date.astype(str).str[:10]
+                        .isin(date_set)].d_week_seq)
     dsk = set(dd[dd.d_week_seq.isin(seed_weeks)].d_date_sk)
     it = dfs["item"]
 
