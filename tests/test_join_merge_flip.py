@@ -120,3 +120,90 @@ def test_expand_small_output_binary_search(outer):
     got = [(int(pr[j]), int(br[j]) if matched[j] else None,
             bool(matched[j])) for j in range(total)]
     assert got == ref
+
+
+def test_merge_flip_repair_padded_tail():
+    """probe_join_index_merge_repair: a probe lane ascending only on
+    its VALID prefix (batch tail padded with zeros — the SF2 Q18
+    shape) must match the binary-search probe exactly."""
+    from velox_tpu.ops.join import (
+        probe_join_index_merge_repair, valid_ascending_code,
+    )
+
+    rng = np.random.default_rng(7)
+    bk = np.sort(rng.integers(0, 60, 40))
+    pk_valid = np.sort(rng.integers(-5, 70, 300))
+    cap = 512
+    pk = np.zeros(cap, np.int64)            # zero padding breaks raw
+    pk[:300] = pk_valid
+    psel = np.zeros(cap, bool)
+    psel[:300] = True
+    nb_cap = 64
+    sel = np.zeros(nb_cap, bool)
+    sel[: len(bk)] = True
+    keys = np.zeros(nb_cap, np.int64)
+    keys[: len(bk)] = bk
+    sorted_keys, perm, n_active = build_join_index_presorted(
+        jnp.asarray(keys), None, jnp.asarray(sel))
+    code = valid_ascending_code(jnp.asarray(pk), jnp.asarray(psel))
+    assert int(code) == 1                    # repair path
+    f1, c1 = probe_join_index_presorted(
+        sorted_keys, n_active, jnp.asarray(pk), None,
+        jnp.asarray(psel))
+    f2, c2 = probe_join_index_merge_repair(
+        sorted_keys, n_active, jnp.asarray(pk), None,
+        jnp.asarray(psel))
+    assert np.array_equal(np.asarray(c1), np.asarray(c2))
+    m = np.asarray(c1) > 0
+    assert np.array_equal(np.asarray(f1)[m], np.asarray(f2)[m])
+    # raw-ascending lane classifies as 2; interleaved garbage as 0
+    full = np.sort(rng.integers(0, 99, cap))
+    assert int(valid_ascending_code(
+        jnp.asarray(full), jnp.ones(cap, bool))) == 2
+    bad = pk.copy()
+    bad[10] = 99999                          # valid slot out of order
+    assert int(valid_ascending_code(
+        jnp.asarray(bad), jnp.asarray(psel))) == 0
+
+
+def test_merge_join_multi_batch_tail_equals_hash_join():
+    """End-to-end: a merge join whose probe arrives as a full batch
+    plus a padded tail batch must equal the hash join on the same
+    data (the flip engages per batch: raw on the full one, repair on
+    the tail)."""
+    from velox_tpu.plan import PlanBuilder
+    from velox_tpu.exec import run_plan_pydict
+    from velox_tpu.types import BIGINT
+    from velox_tpu.vector.batch import Batch
+
+    rng = np.random.default_rng(11)
+    n1, n2 = 256, 77                         # tail pads to capacity
+    k1 = np.sort(rng.integers(0, 200, n1))
+    k2 = np.sort(rng.integers(200, 400, n2))
+    v1 = rng.integers(0, 10, n1)
+    v2 = rng.integers(0, 10, n2)
+    b1 = Batch.from_pydict(
+        {"k": [int(x) for x in k1], "v": [int(x) for x in v1]},
+        {"k": BIGINT, "v": BIGINT})
+    b2 = Batch.from_pydict(
+        {"k": [int(x) for x in k2], "v": [int(x) for x in v2]},
+        {"k": BIGINT, "v": BIGINT})
+    bk = np.unique(rng.integers(0, 400, 50))
+    build = Batch.from_pydict(
+        {"bk": [int(x) for x in bk],
+         "bv": [int(x) for x in rng.integers(0, 5, len(bk))]},
+        {"bk": BIGINT, "bv": BIGINT})
+
+    def plan(method):
+        right = PlanBuilder().values([build])
+        pb = PlanBuilder().values([b1, b2])
+        join = getattr(pb, method)
+        return (join(right, ["k"], ["bk"], "inner",
+                     output=["k", "v", "bv"])
+                .aggregate([], ["count(*) as n", "sum(v) as sv",
+                                "sum(bv) as sb"]).build())
+
+    got = run_plan_pydict(plan("merge_join"))
+    want = run_plan_pydict(plan("hash_join"))
+    assert got == want
+    assert got["n"][0] > 0

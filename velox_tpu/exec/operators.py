@@ -37,7 +37,9 @@ from velox_tpu.ops.groupby import group_ids_array, group_ids_sorted
 from velox_tpu.ops.join import (
     build_join_index, build_join_index_presorted, build_join_table,
     build_matched_flags, expand_matches, match_total, probe_join_index,
-    probe_join_index_merge, probe_join_index_presorted, probe_join_table,
+    probe_join_index_merge, probe_join_index_merge_repair,
+    probe_join_index_presorted, probe_join_table,
+    valid_ascending_code,
 )
 from velox_tpu.ops.sort import compact_indices, sort_indices, top_n_indices
 from velox_tpu.plan.nodes import (
@@ -3722,8 +3724,11 @@ class HashProbeOp(AdaptiveOutput, Operator):
         no_filter_semi = self._semi_like and self._filter_exprs is None
         build_has_null = null_flag
         left_like = self._left_like
-        index_probe = (probe_join_index_merge if merge_flip
-                       else type(self)._index_probe)
+        index_probe = {
+            False: type(self)._index_probe,
+            "raw": probe_join_index_merge,
+            "repair": probe_join_index_merge_repair,
+        }[merge_flip]
         # the flipped merge probe (build-width searches + probe-width
         # prefix sums) beats both the kArray double-gather and the
         # probe-width binary search whenever the probe lane is sorted
@@ -4169,7 +4174,7 @@ class MergeJoinProbeOp(HashProbeOp):
 
     _index_probe = staticmethod(probe_join_index_presorted)
 
-    def _probe_sorted(self, batch: Batch) -> bool:
+    def _probe_sorted(self, batch: Batch):
         node = self.node
         if len(node.left_keys) != 1:
             return False
@@ -4179,13 +4184,21 @@ class MergeJoinProbeOp(HashProbeOp):
         if col.values.dtype not in (jnp.int32, jnp.int64):
             return False
         # plan contract says ascending, but invalid-row slots may hold
-        # arbitrary lane values: verify on device (elementwise, ~4ms at
-        # 6M; the sync is count-replay-elided on repeat runs)
+        # arbitrary lane values (batch tails padded to capacity):
+        # classify on device (elementwise + one cummax, ~10ms at 8M;
+        # the sync is count-replay-elided on repeat runs).
+        # 2 = raw lane ascending (flip directly), 1 = only the valid
+        # subsequence ascends (flip with cummax repair —
+        # ops/join.py probe_join_index_merge_repair), 0 = fall back
+        has_valid = col.valid is not None
         chk = cached_jit(
-            ("mj_probe_sorted", col.values.dtype.name),
-            lambda: (lambda v: jnp.all(v[1:] >= v[:-1])))
-        return _fetch_bool(
-            f"mj_sorted:{self.node.id}", chk(col.values))
+            ("mj_probe_sorted3", col.values.dtype.name, has_valid),
+            lambda: (lambda v, sel, va: valid_ascending_code(
+                v, sel if va is None else jnp.logical_and(sel, va))))
+        code = _fetch_int(
+            f"mj_sorted:{self.node.id}",
+            chk(col.values, batch.sel, col.valid))
+        return {0: False, 1: "repair", 2: "raw"}[code]
 
 
 class CrossBuildOp(Operator):

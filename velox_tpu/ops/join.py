@@ -224,6 +224,58 @@ def probe_join_index_merge(
     return first, count
 
 
+def probe_join_index_merge_repair(
+    sorted_keys: jax.Array,
+    n_active: jax.Array,
+    probe_key: jax.Array,
+    probe_valid: Optional[jax.Array],
+    probe_sel: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Flipped merge probe for lanes whose VALID subsequence is
+    ascending but whose inactive slots hold arbitrary values (batch
+    tails padded to capacity, null rows): forward-fill inactive slots
+    with the running max (one cummax) so the lane becomes globally
+    monotone, then run the ordinary flipped probe — repaired slots can
+    shift run boundaries only onto rows the final sel/valid mask drops.
+    This is the partial-batch case the raw ascending check rejects
+    (the SF2 Q18 regression: a 3.6M-row tail batch in an 8.4M lane).
+
+    The repair requires active rows to be a PREFIX of the lane (the
+    classifier only returns the repair code for that shape): the
+    suffix fills with the dtype max, keeping the lane monotone with
+    purely elementwise ops — the axon remote compiler SIGSEGVs on
+    64-bit lax.cummax at multi-M widths, so no scan appears here."""
+    ok = probe_sel if probe_valid is None else jnp.logical_and(
+        probe_sel, probe_valid)
+    cnt = jnp.sum(ok.astype(jnp.int32))
+    idx = jnp.arange(probe_key.shape[0], dtype=jnp.int32)
+    hi = jnp.iinfo(probe_key.dtype).max
+    repaired = jnp.where(idx < cnt, probe_key, hi)
+    return probe_join_index_merge(
+        sorted_keys, n_active, repaired, probe_valid, probe_sel)
+
+
+def valid_ascending_code(values: jax.Array, ok: Optional[jax.Array]
+                         ) -> jax.Array:
+    """0 = unsorted, 1 = active rows are a PREFIX whose values ascend
+    (suffix-fill repair applies), 2 = raw lane ascending. One scalar
+    for a single replayable fetch. Elementwise only — see
+    probe_join_index_merge_repair for why no cummax."""
+    asc_pairs = values[1:] >= values[:-1]
+    raw = jnp.all(asc_pairs)
+    if ok is None:
+        return jnp.where(raw, jnp.int32(2), jnp.int32(0))
+    n = values.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    cnt = jnp.sum(ok.astype(jnp.int32))
+    is_prefix = jnp.all(ok == (idx < cnt))
+    asc_prefix = jnp.all(
+        jnp.where(idx[:-1] < cnt - 1, asc_pairs, True))
+    fixable = jnp.logical_and(is_prefix, asc_prefix)
+    return jnp.where(raw, jnp.int32(2),
+                     jnp.where(fixable, jnp.int32(1), jnp.int32(0)))
+
+
 def build_join_table(
     sorted_keys: jax.Array, n_active: jax.Array, lo: int, span: int
 ) -> Tuple[jax.Array, jax.Array]:
