@@ -499,3 +499,57 @@ def test_distributed_partial_final_agg_matches_serial(mesh):
         assert serial["hi"] == dist["hi"]
     finally:
         drop_table("dp_probe")
+
+
+def test_distributed_window_matches_serial(mesh):
+    """Window over PARTITION BY distributes: hash shuffle co-locates
+    partitions, the serial window kernel runs per shard
+    (parallel/pipeline.py _window_flush)."""
+    from velox_tpu.exec import run_plan
+    from velox_tpu.io import drop_table
+    from velox_tpu.parallel.runner import run_plan_distributed
+    from velox_tpu.parallel import pipeline as pl
+    from velox_tpu.plan import PlanBuilder
+    from velox_tpu.types import BIGINT, DOUBLE
+    from velox_tpu.vector.batch import Batch
+
+    _mk_tables(21)
+    build = Batch.from_pydict(
+        {"bk": list(range(0, 50)),
+         "w": [float(i) * 0.5 for i in range(50)]},
+        {"bk": BIGINT, "w": DOUBLE})
+
+    def plan():
+        return (PlanBuilder()
+                .table_scan("dp_probe", columns=["k", "k2", "v"])
+                .hash_join(PlanBuilder().values([build]), ["k2"],
+                           ["bk"], "inner",
+                           output=["k", "k2", "v", "w"])
+                .window(["k2"], ["v", "k"],
+                        ["row_number() AS rn", "rank() AS r",
+                         "sum(v) AS sv", "lag(v) AS pv"])
+                .order_by(["k2", "v", "k"]))
+
+    flushed = []
+    orig = pl._window_flush
+
+    def spy(*a, **kw):
+        out = orig(*a, **kw)
+        flushed.append(out is not None)
+        return out
+
+    pl._window_flush = spy
+    try:
+        serial = run_plan(plan().build()).to_pydict()
+        dist = run_plan_distributed(plan().build(),
+                                    mesh=mesh).to_pydict()
+        assert flushed == [True], "distributed window did not engage"
+        assert dist["rn"] == serial["rn"]
+        assert dist["r"] == serial["r"]
+        for a, b in zip(dist["sv"], serial["sv"]):
+            assert a == pytest.approx(b, rel=1e-9)
+        assert [(x is None) for x in dist["pv"]] == \
+            [(x is None) for x in serial["pv"]]
+    finally:
+        pl._window_flush = orig
+        drop_table("dp_probe")

@@ -123,13 +123,30 @@ class WindowOp(Operator):
         big = concat_batches(batches)
         return self._evaluate(big)
 
-    def _evaluate(self, big: Batch) -> Batch:
+    def needed_columns(self) -> list:
         node = self.node
-        needed = list(dict.fromkeys(
+        return list(dict.fromkeys(
             list(node.partition_keys)
             + [k.name for k in node.sort_keys]
             + [f.arg for f in node.functions if f.arg is not None]))
-        cols = _cols_of(big, needed)
+
+    def _evaluate(self, big: Batch) -> Batch:
+        node = self.node
+        cols = _cols_of(big, self.needed_columns())
+        run = cached_jit(("window", node.id), self.make_run_fn)
+        results = run(cols, big.sel)
+        out = Batch(dict(big.columns), big.sel, big.num_rows)
+        for spec, (vals, valid) in zip(node.functions, results):
+            dt = self.output_type.find_child(spec.name)
+            out = out.with_column(spec.name, Column(dt, vals, valid))
+        return out
+
+    def make_run_fn(self):
+        """The pure window kernel (cols, sel) -> [(vals, valid)] in
+        arrival order — also the per-device body of the distributed
+        window (parallel/pipeline.py: partition-key shuffle makes every
+        partition device-local, then this runs unchanged per shard)."""
+        node = self.node
 
         def run_fn(cols, sel):
             cap = sel.shape[0]
@@ -171,13 +188,7 @@ class WindowOp(Operator):
                 out.append((ov, ova))
             return out
 
-        run = cached_jit(("window", node.id), lambda: run_fn)
-        results = run(cols, big.sel)
-        out = Batch(dict(big.columns), big.sel, big.num_rows)
-        for spec, (vals, valid) in zip(node.functions, results):
-            dt = self.output_type.find_child(spec.name)
-            out = out.with_column(spec.name, Column(dt, vals, valid))
-        return out
+        return run_fn
 
     def _eval_fn(self, spec, cols, perm, idx, part_change, peer_change,
                  part_start, part_end, peer_end, n_valid):

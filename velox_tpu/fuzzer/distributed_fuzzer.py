@@ -75,7 +75,7 @@ def run_distributed_fuzz(iterations: int = 20, seed: int = 0,
         # TopN, or an outer-join finish (r3: distributed sorts + outer
         # joins + multi-step aggregation)
         tail = str(rng.choice(
-            ["agg", "agg2", "orderby", "topn", "outer"]))
+            ["agg", "agg2", "orderby", "topn", "outer", "window"]))
         join_type = ("inner" if tail != "outer"
                      else str(rng.choice(["right", "full", "left"])))
         agg_fns = ["sum(x) AS s", "count(*) AS c"]
@@ -104,6 +104,13 @@ def run_distributed_fuzz(iterations: int = 20, seed: int = 0,
                 pb = pb.project(["k", "v + w AS x"])
             else:
                 pb = pb.project(["k", "v AS x"])
+            if tail == "window":
+                # distributed window: partition-key shuffle +
+                # per-device kernel (parallel/pipeline.py)
+                return (pb.window(["k"], ["x"],
+                                  ["row_number() AS rn",
+                                   "sum(x) AS sx"])
+                        .order_by(["k", "x", "rn"]))
             if tail == "orderby":
                 return pb.order_by(["x DESC", "k"])
             if tail == "topn":

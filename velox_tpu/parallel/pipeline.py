@@ -268,6 +268,26 @@ def try_distributed_pipeline(pipelines, out_ops, mesh, n_dev, axis):
             {n: meta[n] for n in lt if n in meta}, br.build_batch,
             names=probe.node.output_type.names)
 
+    # distributed window: hash-shuffle by PARTITION BY so every
+    # partition is device-local, then the serial window kernel runs
+    # unchanged per shard (velox's hash-exchange-under-Window analog)
+    win = _detect_window(rest, agg, tails)
+    if win is not None:
+        if stages:
+            env, sel = _flush_plain(
+                env, sel, stages, extra_args, extra_specs, mesh, n_dev,
+                axis, scan, seg)
+            stages, extra_args, extra_specs = [], [], []
+            seg += 1
+        wout = _window_flush(env, sel, win, mesh, n_dev, axis, seg)
+        if wout is not None:
+            env, sel = wout
+            seg += 1
+            for spec in win.node.functions:
+                meta[spec.name] = (
+                    win.output_type.find_child(spec.name), None, None)
+            rest = rest[1:]
+
     # distributed sort reductions: a trailing TopN (or OrderBy+Limit)
     # prunes per device before the gather; a plain OrderBy range-
     # partitions + per-device-sorts so the gathered stream is globally
@@ -357,6 +377,90 @@ def _attach_sort_reduction(rest, stages, agg, env, meta, n_dev, axis):
         return rest  # the serial op finalizes over n_dev*K candidates
 
     return rest
+
+
+def _detect_window(rest, agg, tails):
+    """rest[0] as a distributable WindowOp, or None. Requires hash
+    partition keys (a global window without PARTITION BY has no
+    parallelism to exploit) and every needed column in the stream."""
+    from velox_tpu.exec.window_ops import WindowOp
+
+    if agg is not None or tails or not rest:
+        return None
+    op0 = rest[0]
+    if type(op0) is not WindowOp:
+        return None
+    if not op0.node.partition_keys:
+        return None
+    return op0
+
+
+def _window_flush(env, sel, win_op, mesh, n_dev, axis, seg):
+    """Distributed Window: all_to_all rows by hash(partition keys),
+    then the op's own pure kernel per device (make_run_fn). Output
+    stays sharded; function result columns join the env."""
+    from velox_tpu.ops.hash import hash_columns
+    from velox_tpu.parallel.shuffle import bucket_by_destination
+
+    node = win_op.node
+    needed = win_op.needed_columns()
+    if any(nm not in env for nm in needed):
+        return None
+    run_fn = win_op.make_run_fn()
+    names = sorted(env)
+    valid_tag = [env[nm][1] is not None for nm in names]
+
+    def step(env, sel):
+        h = hash_columns([env[k] for k in node.partition_keys])
+        dest = (h % jnp.uint64(n_dev)).astype(jnp.int32)
+        arrays = []
+        for nm, hv in zip(names, valid_tag):
+            vv, vva = env[nm]
+            arrays.append(vv)
+            if hv:
+                arrays.append(vva)
+        bufs, bvalid, _ovf = bucket_by_destination(
+            arrays, dest, sel, n_dev, sel.shape[0])
+        out_arrays = [
+            jax.lax.all_to_all(
+                buf, axis, split_axis=0, concat_axis=0,
+                tiled=False).reshape(-1)
+            for buf in bufs]
+        rsel = jax.lax.all_to_all(
+            bvalid, axis, split_axis=0, concat_axis=0,
+            tiled=False).reshape(-1)
+        env2 = {}
+        i = 0
+        for nm, hv in zip(names, valid_tag):
+            vv = out_arrays[i]
+            i += 1
+            vva = None
+            if hv:
+                vva = out_arrays[i]
+                i += 1
+            env2[nm] = (vv, vva)
+        cols = {n: env2[n] for n in needed}
+        results = run_fn(cols, rsel)
+        for spec, (vals, valid) in zip(node.functions, results):
+            # concrete validity lane: out_specs are declared up front
+            env2[spec.name] = (
+                vals, rsel if valid is None
+                else jnp.logical_and(valid, rsel))
+        return env2, rsel
+
+    in_env_spec = jax.tree_util.tree_map(lambda _: P(axis), env)
+    out_env_spec = {}
+    for nm, hv in zip(names, valid_tag):
+        out_env_spec[nm] = (P(axis), P(axis) if hv else None)
+    for spec in node.functions:
+        out_env_spec[spec.name] = (P(axis), P(axis))
+    key = ("dpipe_window", node.id, seg, n_dev, axis,
+           tuple(sorted(env)),
+           tuple(d.id for d in mesh.devices.flatten()))
+    f = cached_jit(key, lambda: shard_map(
+        step, mesh=mesh, in_specs=(in_env_spec, P(axis)),
+        out_specs=(out_env_spec, P(axis)), check_vma=False))
+    return f(env, sel)
 
 
 def _detect_plain_orderby(rest, agg):

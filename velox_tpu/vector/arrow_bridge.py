@@ -185,6 +185,13 @@ def _ingest_array(arr: pa.ChunkedArray, cap: int) -> Column:
         np_vals = np.where(null_mask, 0, np_vals)
     vals = np.zeros(cap, dtype=t.dtype)
     vals[:n] = np_vals.astype(t.dtype, copy=False)
+    if 0 < n < cap:
+        # pad the tail by REPLICATING the last value, not zeros:
+        # padding is sel-masked everywhere, and this keeps ascending
+        # lanes ascending through the tail so the merge-join flipped
+        # probe's raw lane check holds on partial final batches (the
+        # SF2 Q18 regression — exec/operators.py _probe_sorted)
+        vals[n:] = vals[n - 1]
     valid = None
     if null_mask.any():
         v = np.zeros(cap, dtype=bool)
