@@ -43,16 +43,23 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(skip)
 
 
-_test_counter = {"n": 0}
+def _map_count() -> int:
+    try:
+        with open(f"/proc/{os.getpid()}/maps") as f:
+            return sum(1 for _ in f)
+    except OSError:
+        return 0
 
 
 def pytest_runtest_teardown(item, nextitem):
-    """Drop XLA executables periodically: a long single-process run
-    accumulates compiled programs until LLVM hits the process mmap
-    budget and segfaults (observed at ~400 tests). Caches rebuild on
-    demand; only wall time is traded."""
-    _test_counter["n"] += 1
-    if _test_counter["n"] % 60 == 0:
+    """Drop XLA executables when the process nears the kernel memory-
+    map cap: each CPU-JIT executable holds ~3 mmaps, and crossing
+    vm.max_map_count (default 65530) SIGSEGVs the process inside the
+    compiler (measured: maps climbed to ~65k right before the crash;
+    clear_caches() releases them). Count-based cadence was too coarse
+    — compile-heavy tests (TPC-DS suite) burn >1k maps per test.
+    Caches rebuild on demand; only wall time is traded."""
+    if _map_count() > 40_000:
         import jax
 
         jax.clear_caches()

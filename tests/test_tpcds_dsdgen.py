@@ -1394,3 +1394,312 @@ def test_q39(dfs):
     assert len(got["item1"]) == min(len(exp), 100)
     assert sorted(zip(got["item1"], got["mean1"]))[:5] == sorted(
         zip(exp.inv_item_sk, exp.mean_x))[:5]
+
+
+# ------------------------------------------------- round-4 batch 3
+
+def _active_set(dfs, fact, dcol, ccol, dmask):
+    dd = dfs["date_dim"]
+    f = _semi(dfs[fact], dd[dmask(dd)], dcol, "d_date_sk")
+    return set(f[ccol].dropna())
+
+
+def _exists_oracle(dfs, mode, year, moy_lo, span, cols):
+    dmask = lambda d: ((d.d_year == year) & (d.d_moy >= moy_lo)
+                       & (d.d_moy <= moy_lo + span))
+    s = _active_set(dfs, "store_sales", "ss_sold_date_sk",
+                    "ss_customer_sk", dmask)
+    w = _active_set(dfs, "web_sales", "ws_sold_date_sk",
+                    "ws_bill_customer_sk", dmask)
+    c = _active_set(dfs, "catalog_sales", "cs_sold_date_sk",
+                    "cs_bill_customer_sk", dmask)
+    cu = dfs["customer"]
+    f = cu[cu.c_customer_sk.isin(s)]
+    if mode == "or":
+        f = f[f.c_customer_sk.isin(w | c)]
+    elif mode == "and":
+        f = f[f.c_customer_sk.isin(w) & f.c_customer_sk.isin(c)]
+    else:
+        f = f[~f.c_customer_sk.isin(w) & ~f.c_customer_sk.isin(c)]
+    j = f.merge(dfs["customer_demographics"],
+                left_on="c_current_cdemo_sk", right_on="cd_demo_sk")
+    return (j.groupby(cols, dropna=False).size()
+            .reset_index(name="cnt"))
+
+
+def _pick_year_moy(dfs):
+    dd = dfs["date_dim"]
+    ss = dfs["store_sales"].merge(
+        dd[["d_date_sk", "d_year", "d_moy"]],
+        left_on="ss_sold_date_sk", right_on="d_date_sk")
+    y = int(ss.d_year.value_counts().idxmax())
+    m = int(ss[ss.d_year == y].d_moy.min())
+    return y, m
+
+
+@pytest.mark.parametrize("qn,mode,cols", [
+    (10, "or", ["cd_gender", "cd_marital_status",
+                "cd_education_status", "cd_purchase_estimate",
+                "cd_credit_rating"]),
+    (35, "or", ["cd_gender", "cd_marital_status", "cd_dep_count"]),
+    (69, "neither", ["cd_gender", "cd_marital_status",
+                     "cd_education_status", "cd_purchase_estimate",
+                     "cd_credit_rating"])])
+def test_exists_family(dfs, qn, mode, cols):
+    year, moy = _pick_year_moy(dfs)
+    span = 3 if qn in (10, 35) else 2
+    kw = ({"moy_lo": moy} if qn != 35 else {})
+    if qn == 35:
+        # q35 hardcodes moy 1..4; widen via year only
+        got = run_plan_pydict(tpcds_plan(qn, year=year).build())
+        span, moy = 3, 1
+    else:
+        got = run_plan_pydict(
+            tpcds_plan(qn, year=year, **kw).build())
+    exp = _exists_oracle(dfs, mode, year, moy, span, cols)
+    # the plan orders by the demo columns and LIMITs to 100
+    exp = exp.sort_values(cols, key=lambda s: s.astype(str)
+                          ).head(100)
+    assert len(got["cnt"]) == len(exp)
+    assert sorted(got["cnt"]) == sorted(exp.cnt.tolist())
+
+
+def _orders_oracle(dfs, fact, dcol, addr, ship, order, price, profit,
+                   rfact, rorder, start, days, state):
+    dd, ca = dfs["date_dim"], dfs["customer_address"]
+    f = dfs[fact]
+    d0 = pd.Timestamp(start)
+    dsk = set(dd[(pd.to_datetime(dd.d_date) >= d0)
+                 & (pd.to_datetime(dd.d_date)
+                    <= d0 + pd.Timedelta(days=days))].d_date_sk)
+    base = f[f[dcol].isin(dsk)]
+    base = base[base[addr].isin(
+        set(ca[ca.ca_state == state].ca_address_sk))]
+    legs = (f[f[ship].notna()].groupby(order)[ship].nunique())
+    multi = set(legs[legs >= 2].index)
+    ret = set(dfs[rfact][rorder].dropna())
+    sel = base[base[order].isin(multi) & ~base[order].isin(ret)]
+    return (sel[order].nunique(), sel[price].sum(),
+            sel[profit].sum())
+
+
+def _pick_ship_state(dfs, fact, dcol, addr):
+    dd, ca = dfs["date_dim"], dfs["customer_address"]
+    f = dfs[fact].merge(dd[["d_date_sk", "d_date"]], left_on=dcol,
+                        right_on="d_date_sk")
+    j = f.merge(ca[["ca_address_sk", "ca_state"]], left_on=addr,
+                right_on="ca_address_sk")
+    st = j.ca_state.value_counts().idxmax()
+    start = str(pd.to_datetime(
+        j[j.ca_state == st].d_date).min().date())
+    return st, start
+
+
+def test_q16(dfs):
+    st, start = _pick_ship_state(dfs, "catalog_sales",
+                                 "cs_ship_date_sk", "cs_ship_addr_sk")
+    got = run_plan_pydict(tpcds_plan(16, start=start,
+                                     state=st).build())
+    n, ship, prof = _orders_oracle(
+        dfs, "catalog_sales", "cs_ship_date_sk", "cs_ship_addr_sk",
+        "cs_warehouse_sk", "cs_order_number", "cs_ext_ship_cost",
+        "cs_net_profit", "catalog_returns", "cr_order_number",
+        start, 60, st)
+    assert got["order_count"][0] == n
+    if n:
+        assert got["total_shipping_cost"][0] == pytest.approx(
+            ship, rel=1e-9)
+
+
+@pytest.mark.parametrize("qn,want_return", [(94, False), (95, True)])
+def test_q94_q95(dfs, qn, want_return):
+    st, start = _pick_ship_state(dfs, "web_sales", "ws_ship_date_sk",
+                                 "ws_ship_addr_sk")
+    got = run_plan_pydict(tpcds_plan(qn, start=start,
+                                     state=st).build())
+    dd, ca = dfs["date_dim"], dfs["customer_address"]
+    f = dfs["web_sales"]
+    d0 = pd.Timestamp(start)
+    dsk = set(dd[(pd.to_datetime(dd.d_date) >= d0)
+                 & (pd.to_datetime(dd.d_date)
+                    <= d0 + pd.Timedelta(days=60))].d_date_sk)
+    base = f[f.ws_ship_date_sk.isin(dsk)
+             & f.ws_ship_addr_sk.isin(
+                 set(ca[ca.ca_state == st].ca_address_sk))]
+    legs = (f[f.ws_web_site_sk.notna()]
+            .groupby("ws_order_number").ws_web_site_sk.nunique())
+    multi = set(legs[legs >= 2].index)
+    ret = set(dfs["web_returns"].wr_order_number.dropna())
+    sel = base[base.ws_order_number.isin(multi)]
+    sel = (sel[sel.ws_order_number.isin(ret)] if want_return
+           else sel[~sel.ws_order_number.isin(ret)])
+    assert got["order_count"][0] == sel.ws_order_number.nunique()
+
+
+def _srr_oracle(dfs, year, mss, msr, mcs):
+    dd = dfs["date_dim"]
+    d1 = set(dd[(dd.d_qoy == 1) & (dd.d_year == year)].d_date_sk)
+    d2 = set(dd[(dd.d_qoy <= 3) & (dd.d_year == year)].d_date_sk)
+    d3 = set(dd[(dd.d_year >= year)
+                & (dd.d_year <= year + 2)].d_date_sk)
+    ss = dfs["store_sales"]
+    ss = ss[ss.ss_sold_date_sk.isin(d1)]
+    sr = dfs["store_returns"]
+    sr = sr[sr.sr_returned_date_sk.isin(d2)]
+    cs = dfs["catalog_sales"]
+    cs = cs[cs.cs_sold_date_sk.isin(d3)]
+    # SQL join semantics: NULL keys match nothing (pandas merges
+    # NaN == NaN by default — drop them first)
+    ss = ss.dropna(subset=["ss_customer_sk", "ss_item_sk",
+                           "ss_ticket_number"])
+    sr = sr.dropna(subset=["sr_customer_sk", "sr_item_sk",
+                           "sr_ticket_number"])
+    cs = cs.dropna(subset=["cs_bill_customer_sk", "cs_item_sk"])
+    j = ss.merge(sr, left_on=["ss_customer_sk", "ss_item_sk",
+                              "ss_ticket_number"],
+                 right_on=["sr_customer_sk", "sr_item_sk",
+                           "sr_ticket_number"])
+    j = j.merge(cs, left_on=["ss_customer_sk", "ss_item_sk"],
+                right_on=["cs_bill_customer_sk", "cs_item_sk"])
+    j = j.merge(dfs["store"], left_on="ss_store_sk",
+                right_on="s_store_sk")
+    j = j.merge(dfs["item"], left_on="ss_item_sk",
+                right_on="i_item_sk")
+    return j
+
+
+def _pick_srr_year(dfs):
+    # a year whose q1 store sales have returns AND catalog rebuys
+    for year in sorted(dfs["date_dim"].d_year.unique()):
+        j = _srr_oracle(dfs, int(year), None, None, None)
+        if len(j):
+            return int(year), j
+    pytest.skip("no sold-returned-rebought rows at this SF")
+
+
+def test_q17_q25_q29(dfs):
+    year, j = _pick_srr_year(dfs)
+    g = j.groupby(["i_item_id", "i_item_desc", "s_state"],
+                  dropna=False)
+    got17 = run_plan_pydict(tpcds_plan(17, year=year).build())
+    exp_cnt = g.ss_quantity.count()
+    assert sorted(got17["store_sales_quantitycount"]) == sorted(
+        exp_cnt.tolist())
+    got25 = run_plan_pydict(tpcds_plan(25, year=year).build())
+    exp_p = g.ss_net_profit.sum()
+    assert sorted(round(x, 6) for x in got25["store_sales_profit"]
+                  if x is not None) == pytest.approx(
+        sorted(round(float(x), 6) for x in exp_p.dropna()), rel=1e-9)
+    got29 = run_plan_pydict(tpcds_plan(29, year=year).build())
+    exp_q = g.ss_quantity.sum(min_count=1)
+    assert sorted(x for x in got29["store_sales_quantity"]
+                  if x is not None) == sorted(
+        int(x) for x in exp_q.dropna())
+
+
+def test_q85(dfs):
+    dd = dfs["date_dim"]
+    wr = dfs["web_returns"].merge(dd[["d_date_sk", "d_year"]],
+                                  left_on="wr_returned_date_sk",
+                                  right_on="d_date_sk")
+    year = int(wr.d_year.value_counts().idxmax())
+    got = run_plan_pydict(tpcds_plan(85, year=year).build())
+    f = wr[wr.d_year == year]
+    f = f[f.wr_web_page_sk.isin(set(dfs["web_page"].wp_web_page_sk))]
+    j = f.merge(dfs["customer_demographics"],
+                left_on="wr_refunded_cdemo_sk", right_on="cd_demo_sk")
+    j = j.merge(dfs["reason"], left_on="wr_reason_sk",
+                right_on="r_reason_sk")
+    exp = (j.groupby("r_reason_desc", dropna=False)
+           .agg(avg_fee=("wr_fee", "mean"),
+                avg_refund=("wr_refunded_cash", "mean"))
+           .reset_index().sort_values("r_reason_desc"))
+    assert len(exp) > 0
+    _approx_rows(got, exp.head(100),
+                 {"avg_fee": "avg_fee", "avg_refund": "avg_refund"})
+
+
+def test_q89(dfs):
+    dd = dfs["date_dim"]
+    ss = dfs["store_sales"].merge(
+        dd[["d_date_sk", "d_year", "d_moy"]],
+        left_on="ss_sold_date_sk", right_on="d_date_sk")
+    year = int(ss.d_year.value_counts().idxmax())
+    got = run_plan_pydict(tpcds_plan(89, year=year).build())
+    f = ss[ss.d_year == year]
+    j = (f.merge(dfs["item"], left_on="ss_item_sk",
+                 right_on="i_item_sk")
+         .merge(dfs["store"], left_on="ss_store_sk",
+                right_on="s_store_sk"))
+    m = (j.groupby(["i_category", "i_class", "i_brand",
+                    "s_store_name", "s_company_name", "d_moy"],
+                   dropna=False)
+         .ss_sales_price.sum(min_count=1)
+         .reset_index(name="sum_sales"))
+    m["avg_monthly_sales"] = m.groupby(
+        ["i_category", "i_brand", "s_store_name", "s_company_name"],
+        dropna=False).sum_sales.transform("mean")
+    sel = m[(m.avg_monthly_sales != 0)
+            & ((m.sum_sales - m.avg_monthly_sales).abs()
+               / m.avg_monthly_sales > 0.1)]
+    assert len(sel) > 0
+    assert sorted(round(x, 6) for x in got["sum_sales"]) == \
+        pytest.approx(sorted(
+            round(float(x), 6)
+            for x in sel.sort_values(
+                ["sum_sales"]).sum_sales.tolist())[:len(got["sum_sales"])],
+            rel=1e-9) or len(got["sum_sales"]) == min(100, len(sel))
+    # strict: deviations and count
+    exp_dev = sorted((sel.sum_sales - sel.avg_monthly_sales).tolist())
+    got_dev = sorted(got["deviation"])
+    assert len(got_dev) == min(100, len(exp_dev))
+    for a, b in zip(got_dev, exp_dev[:len(got_dev)]):
+        assert a == pytest.approx(b, rel=1e-6)
+
+
+def test_q47(dfs):
+    dd = dfs["date_dim"]
+    ss = dfs["store_sales"].merge(
+        dd[["d_date_sk", "d_year", "d_moy"]],
+        left_on="ss_sold_date_sk", right_on="d_date_sk")
+    year = int(ss.d_year.value_counts().idxmax())
+    got = run_plan_pydict(tpcds_plan(47, year=year).build())
+    f = ss[ss.d_year == year]
+    j = (f.merge(dfs["item"], left_on="ss_item_sk",
+                 right_on="i_item_sk")
+         .merge(dfs["store"], left_on="ss_store_sk",
+                right_on="s_store_sk"))
+    keys = ["i_category", "i_brand", "s_store_name",
+            "s_company_name"]
+    m = (j.groupby(keys + ["d_year", "d_moy"], dropna=False)
+         .ss_sales_price.sum(min_count=1)
+         .reset_index(name="sum_sales"))
+    m["avg"] = m.groupby(keys + ["d_year"],
+                         dropna=False).sum_sales.transform("mean")
+    m = m.sort_values(keys + ["d_year", "d_moy"])
+    m["psum"] = m.groupby(keys, dropna=False).sum_sales.shift(1)
+    sel = m[(m["avg"] > 0)
+            & ((m.sum_sales - m["avg"]).abs() / m["avg"] > 0.1)]
+    assert len(sel) > 0
+    assert len(got["sum_sales"]) == min(100, len(sel))
+    got_dev = sorted(got["deviation"])
+    exp_dev = sorted((sel.sum_sales - sel["avg"]).tolist())
+    for a, b in zip(got_dev, exp_dev[:len(got_dev)]):
+        assert a == pytest.approx(b, rel=1e-6)
+
+
+def test_q44(dfs):
+    ss = dfs["store_sales"]
+    store = int(ss.ss_store_sk.value_counts().idxmax())
+    got = run_plan_pydict(tpcds_plan(44, store_sk=store).build())
+    f = ss[ss.ss_store_sk == store]
+    avg = (f.groupby("ss_item_sk").ss_net_profit.mean().dropna()
+           .reset_index(name="rank_col"))
+    avg["rb"] = avg.rank_col.rank(ascending=False, method="min")
+    avg["rw"] = avg.rank_col.rank(ascending=True, method="min")
+    sel = avg[(avg.rb <= 10) | (avg.rw <= 10)]
+    exp = sel.merge(dfs["item"], left_on="ss_item_sk",
+                    right_on="i_item_sk")
+    assert len(got["rnk_best"]) == min(100, len(exp))
+    assert sorted(got["rnk_best"]) == sorted(
+        int(x) for x in exp.rb.tolist())

@@ -2285,17 +2285,491 @@ def q39(year: int = 2000, moy: int = 1,
     )
 
 
-_QUERIES = {1: q1, 3: q3, 6: q6, 7: q7, 9: q9, 12: q12, 13: q13,
-            15: q15, 19: q19, 20: q20, 21: q21, 22: q22, 26: q26,
-            27: q27, 28: q28, 30: q30, 31: q31, 32: q32, 33: q33,
-            34: q34, 36: q36, 37: q37, 38: q38, 39: q39, 40: q40,
-            41: q41, 42: q42, 43: q43, 45: q45, 46: q46, 48: q48,
-            50: q50, 52: q52, 53: q53, 55: q55, 56: q56, 60: q60,
-            61: q61, 62: q62, 63: q63, 65: q65, 68: q68, 71: q71,
-            73: q73, 74: q74, 76: q76, 79: q79, 81: q81, 82: q82,
-            83: q83, 84: q84, 86: q86, 87: q87, 88: q88, 90: q90,
-            91: q91, 92: q92, 93: q93, 96: q96, 97: q97, 98: q98,
-            99: q99}
+def _exists_family(require_web_or_catalog: str,
+                   demo_cols, demo_group, year: int,
+                   moy_lo: int, moy_span: int) -> PlanBuilder:
+    """q10/q35/q69 skeleton: customers with store activity in a window
+    AND web/catalog activity per ``require_web_or_catalog`` ("or" |
+    "and" | "neither"), profiled by customer demographics. EXISTS
+    subqueries become semi joins; the OR of two EXISTS becomes two
+    marker left joins on deduped activity sets."""
+    dt = _dim("date_dim", ["d_date_sk", "d_year", "d_moy"],
+              f"d_year = {year} AND d_moy >= {moy_lo} AND "
+              f"d_moy <= {moy_lo + moy_span}")
+
+    def active(fact, dcol, ccol, out):
+        return (PlanBuilder()
+                .table_scan(fact, columns=[dcol, ccol])
+                .hash_join(dt, [dcol], ["d_date_sk"], "left_semi")
+                .filter(f"is_not_null({ccol})")
+                .project([f"{ccol} AS {out}"])
+                .distinct())
+
+    ss = active("store_sales", "ss_sold_date_sk", "ss_customer_sk",
+                "ss_c")
+    ws = active("web_sales", "ws_sold_date_sk",
+                "ws_bill_customer_sk", "ws_c")
+    cs = active("catalog_sales", "cs_sold_date_sk",
+                "cs_bill_customer_sk", "cs_c")
+    cd = _dim("customer_demographics", ["cd_demo_sk"] + demo_cols)
+    pb = (PlanBuilder()
+          .table_scan("customer",
+                      columns=["c_customer_sk", "c_current_cdemo_sk"])
+          .hash_join(ss, ["c_customer_sk"], ["ss_c"], "left_semi"))
+    if require_web_or_catalog == "or":
+        pb = (pb.hash_join(ws.project(["ws_c", "1 AS wmark"]),
+                           ["c_customer_sk"], ["ws_c"], "left",
+                           output=["c_customer_sk",
+                                   "c_current_cdemo_sk", "wmark"])
+              .hash_join(cs.project(["cs_c", "1 AS cmark"]),
+                         ["c_customer_sk"], ["cs_c"], "left",
+                         output=["c_customer_sk",
+                                 "c_current_cdemo_sk", "wmark",
+                                 "cmark"])
+              .filter("coalesce(wmark, 0) = 1 OR "
+                      "coalesce(cmark, 0) = 1"))
+    elif require_web_or_catalog == "and":
+        pb = (pb.hash_join(ws, ["c_customer_sk"], ["ws_c"],
+                           "left_semi")
+              .hash_join(cs, ["c_customer_sk"], ["cs_c"],
+                         "left_semi"))
+    else:  # neither
+        pb = (pb.hash_join(ws, ["c_customer_sk"], ["ws_c"],
+                           "anti_simple")
+              .hash_join(cs, ["c_customer_sk"], ["cs_c"],
+                         "anti_simple"))
+    return (
+        pb.hash_join(cd, ["c_current_cdemo_sk"], ["cd_demo_sk"],
+                     "inner", output=demo_cols)
+        .aggregate(demo_group, ["count(*) AS cnt"])
+        .order_by(demo_group)
+        .limit(100)
+    )
+
+
+def q10(year: int = 2002, moy_lo: int = 1) -> PlanBuilder:
+    """Demographic counts of store shoppers also active on web OR
+    catalog (spec q10)."""
+    cols = ["cd_gender", "cd_marital_status", "cd_education_status",
+            "cd_purchase_estimate", "cd_credit_rating"]
+    return _exists_family("or", cols, cols, year, moy_lo, 3)
+
+
+def q35(year: int = 2002) -> PlanBuilder:
+    """Demographic counts of store shoppers also active on web OR
+    catalog, by gender/marital/dependents (spec q35 behavioral
+    subset: the address join is dropped — documented deviation)."""
+    cols = ["cd_gender", "cd_marital_status", "cd_dep_count"]
+    return _exists_family("or", cols, cols, year, 1, 3)
+
+
+def q69(year: int = 2001, moy_lo: int = 4) -> PlanBuilder:
+    """Demographics of store shoppers with NO web or catalog activity
+    (spec q69)."""
+    cols = ["cd_gender", "cd_marital_status", "cd_education_status",
+            "cd_purchase_estimate", "cd_credit_rating"]
+    return _exists_family("neither", cols, cols, year, moy_lo, 2)
+
+
+def _order_counts(fact: str, dcol: str, addr_col: str, ship_col: str,
+                  order_col: str, price_col: str, profit_col: str,
+                  returns_fact: str, returns_order: str,
+                  start: str, days: int, state: str) -> PlanBuilder:
+    """q16/q94 skeleton: orders shipped from one state in a window
+    with at least one other shipment leg (multi-warehouse EXISTS via a
+    per-order leg-count subquery) and NO return; count distinct orders
+    + money sums."""
+    import datetime as _dt
+
+    d0 = _dt.date.fromisoformat(start)
+    d1 = d0 + _dt.timedelta(days=days)
+    dt = _dim("date_dim", ["d_date_sk", "d_date"],
+              f"d_date BETWEEN DATE '{d0}' AND DATE '{d1}'")
+    ca = _dim("customer_address", ["ca_address_sk", "ca_state"],
+              f"ca_state = '{state}'")
+    # orders with >= 2 distinct ship legs (the EXISTS-other-warehouse
+    # subquery: wh1 <> wh2 over the same order)
+    multi = (PlanBuilder()
+             .table_scan(fact, columns=[order_col, ship_col])
+             .filter(f"is_not_null({ship_col})")
+             .aggregate([order_col],
+                        [f"count(distinct {ship_col}) AS legs"])
+             .filter("legs >= 2")
+             .project([f"{order_col} AS m_order"]))
+    ret = (PlanBuilder()
+           .table_scan(returns_fact, columns=[returns_order])
+           .project([f"{returns_order} AS r_order"])
+           .distinct())
+    return (
+        PlanBuilder()
+        .table_scan(fact, columns=[dcol, addr_col, order_col,
+                                   price_col, profit_col])
+        .hash_join(dt, [dcol], ["d_date_sk"], "left_semi")
+        .hash_join(ca, [addr_col], ["ca_address_sk"], "left_semi")
+        .hash_join(multi, [order_col], ["m_order"], "left_semi")
+        .hash_join(ret, [order_col], ["r_order"], "anti_simple")
+        .aggregate([], [f"count(distinct {order_col}) AS order_count",
+                        f"sum({price_col}) AS total_shipping_cost",
+                        f"sum({profit_col}) AS total_net_profit"])
+        .limit(100)
+    )
+
+
+def q16(start: str = "2002-02-01", state: str = "GA") -> PlanBuilder:
+    """Catalog orders from one state, multi-warehouse, never returned
+    (spec q16; the call-center county filter is dropped at small SF —
+    documented deviation)."""
+    return _order_counts(
+        "catalog_sales", "cs_ship_date_sk", "cs_ship_addr_sk",
+        "cs_warehouse_sk", "cs_order_number", "cs_ext_ship_cost",
+        "cs_net_profit", "catalog_returns", "cr_order_number",
+        start, 60, state)
+
+
+def q94(start: str = "1999-02-01", state: str = "IL") -> PlanBuilder:
+    """Web orders from one state, multi-site, never returned
+    (spec q94)."""
+    return _order_counts(
+        "web_sales", "ws_ship_date_sk", "ws_ship_addr_sk",
+        "ws_web_site_sk", "ws_order_number", "ws_ext_ship_cost",
+        "ws_net_profit", "web_returns", "wr_order_number",
+        start, 60, state)
+
+
+def q95(start: str = "1999-02-01", state: str = "IL") -> PlanBuilder:
+    """Web orders from one state, multi-site, WITH a return
+    (spec q95: q94's anti join flipped to semi)."""
+    import datetime as _dt
+
+    d0 = _dt.date.fromisoformat(start)
+    d1 = d0 + _dt.timedelta(days=60)
+    dt = _dim("date_dim", ["d_date_sk", "d_date"],
+              f"d_date BETWEEN DATE '{d0}' AND DATE '{d1}'")
+    ca = _dim("customer_address", ["ca_address_sk", "ca_state"],
+              f"ca_state = '{state}'")
+    multi = (PlanBuilder()
+             .table_scan("web_sales",
+                         columns=["ws_order_number", "ws_web_site_sk"])
+             .filter("is_not_null(ws_web_site_sk)")
+             .aggregate(["ws_order_number"],
+                        ["count(distinct ws_web_site_sk) AS legs"])
+             .filter("legs >= 2")
+             .project(["ws_order_number AS m_order"]))
+    ret = (PlanBuilder()
+           .table_scan("web_returns", columns=["wr_order_number"])
+           .project(["wr_order_number AS r_order"])
+           .distinct())
+    return (
+        PlanBuilder()
+        .table_scan("web_sales",
+                    columns=["ws_ship_date_sk", "ws_ship_addr_sk",
+                             "ws_order_number", "ws_ext_ship_cost",
+                             "ws_net_profit"])
+        .hash_join(dt, ["ws_ship_date_sk"], ["d_date_sk"],
+                   "left_semi")
+        .hash_join(ca, ["ws_ship_addr_sk"], ["ca_address_sk"],
+                   "left_semi")
+        .hash_join(multi, ["ws_order_number"], ["m_order"],
+                   "left_semi")
+        .hash_join(ret, ["ws_order_number"], ["r_order"],
+                   "left_semi")
+        .aggregate([], ["count(distinct ws_order_number)"
+                        " AS order_count",
+                        "sum(ws_ext_ship_cost)"
+                        " AS total_shipping_cost",
+                        "sum(ws_net_profit) AS total_net_profit"])
+        .limit(100)
+    )
+
+
+def _sold_returned_rebought(measure_ss: str, measure_sr: str,
+                            measure_cs: str, q1y: int,
+                            aggs) -> PlanBuilder:
+    """q17/q25/q29 skeleton: items sold in quarter 1, returned by the
+    customer in quarters 1-3, re-bought via catalog — a 3-fact chain
+    joined on (customer, item) with per-channel date windows."""
+    d1 = _dim("date_dim", ["d_date_sk", "d_year", "d_qoy"],
+              f"d_qoy = 1 AND d_year = {q1y}")
+    d2 = (PlanBuilder().table_scan(
+        "date_dim", columns=["d_date_sk", "d_year", "d_qoy"],
+        subfilter=f"d_qoy >= 1 AND d_qoy <= 3 AND d_year = {q1y}")
+        .project(["d_date_sk AS d2_sk"]))
+    d3 = (PlanBuilder().table_scan(
+        "date_dim", columns=["d_date_sk", "d_year"],
+        subfilter=f"d_year >= {q1y} AND d_year <= {q1y + 2}")
+        .project(["d_date_sk AS d3_sk"]))
+    st = _dim("store", ["s_store_sk", "s_state"])
+    it = _dim("item", ["i_item_sk", "i_item_id", "i_item_desc"])
+    sr = (PlanBuilder()
+          .table_scan("store_returns",
+                      columns=["sr_returned_date_sk", "sr_customer_sk",
+                               "sr_item_sk", "sr_ticket_number",
+                               measure_sr])
+          .hash_join(d2, ["sr_returned_date_sk"], ["d2_sk"],
+                     "left_semi"))
+    cs = (PlanBuilder()
+          .table_scan("catalog_sales",
+                      columns=["cs_sold_date_sk",
+                               "cs_bill_customer_sk", "cs_item_sk",
+                               measure_cs])
+          .hash_join(d3, ["cs_sold_date_sk"], ["d3_sk"],
+                     "left_semi"))
+    return (
+        PlanBuilder()
+        .table_scan("store_sales",
+                    columns=["ss_sold_date_sk", "ss_customer_sk",
+                             "ss_item_sk", "ss_ticket_number",
+                             "ss_store_sk", measure_ss])
+        .hash_join(d1, ["ss_sold_date_sk"], ["d_date_sk"],
+                   "left_semi")
+        .hash_join(sr, ["ss_customer_sk", "ss_item_sk",
+                        "ss_ticket_number"],
+                   ["sr_customer_sk", "sr_item_sk",
+                    "sr_ticket_number"], "inner",
+                   output=["ss_item_sk", "ss_store_sk",
+                           "ss_customer_sk", measure_ss, measure_sr])
+        .hash_join(cs, ["ss_customer_sk", "ss_item_sk"],
+                   ["cs_bill_customer_sk", "cs_item_sk"], "inner",
+                   output=["ss_item_sk", "ss_store_sk", measure_ss,
+                           measure_sr, measure_cs])
+        .hash_join(st, ["ss_store_sk"], ["s_store_sk"], "inner",
+                   output=["ss_item_sk", "s_state", measure_ss,
+                           measure_sr, measure_cs])
+        .hash_join(it, ["ss_item_sk"], ["i_item_sk"], "inner",
+                   output=["i_item_id", "i_item_desc", "s_state",
+                           measure_ss, measure_sr, measure_cs])
+        .aggregate(["i_item_id", "i_item_desc", "s_state"], aggs)
+        .order_by(["i_item_id", "i_item_desc", "s_state"])
+        .limit(100)
+    )
+
+
+def q17(year: int = 2001) -> PlanBuilder:
+    """Quantity statistics of sold/returned/re-bought items
+    (spec q17)."""
+    return _sold_returned_rebought(
+        "ss_quantity", "sr_return_quantity", "cs_quantity", year,
+        ["count(ss_quantity) AS store_sales_quantitycount",
+         "avg(ss_quantity) AS store_sales_quantityave",
+         "stddev_samp(ss_quantity) AS store_sales_quantitystdev",
+         "count(sr_return_quantity) AS store_returns_quantitycount",
+         "avg(sr_return_quantity) AS store_returns_quantityave",
+         "count(cs_quantity) AS catalog_sales_quantitycount",
+         "avg(cs_quantity) AS catalog_sales_quantityave"])
+
+
+def q25(year: int = 2000) -> PlanBuilder:
+    """Net-profit sums of sold/returned/re-bought items (spec q25)."""
+    return _sold_returned_rebought(
+        "ss_net_profit", "sr_net_loss", "cs_net_profit", year,
+        ["sum(ss_net_profit) AS store_sales_profit",
+         "sum(sr_net_loss) AS store_returns_loss",
+         "sum(cs_net_profit) AS catalog_sales_profit"])
+
+
+def q29(year: int = 1999) -> PlanBuilder:
+    """Quantity sums of sold/returned/re-bought items (spec q29)."""
+    return _sold_returned_rebought(
+        "ss_quantity", "sr_return_quantity", "cs_quantity", year,
+        ["sum(ss_quantity) AS store_sales_quantity",
+         "sum(sr_return_quantity) AS store_returns_quantity",
+         "sum(cs_quantity) AS catalog_sales_quantity"])
+
+
+def q85(year: int = 2000) -> PlanBuilder:
+    """Web returns profiled by reason with demographic band matching
+    (spec q85 behavioral subset: one cd join on the returning
+    customer demographics + reason rollup; the paired-demographics
+    sanity bands are kept as value filters)."""
+    dt = _dim("date_dim", ["d_date_sk", "d_year"],
+              f"d_year = {year}")
+    cd = _dim("customer_demographics",
+              ["cd_demo_sk", "cd_marital_status",
+               "cd_education_status"])
+    r = _dim("reason", ["r_reason_sk", "r_reason_desc"])
+    wp = _dim("web_page", ["wp_web_page_sk"])
+    return (
+        PlanBuilder()
+        .table_scan("web_returns",
+                    columns=["wr_returned_date_sk", "wr_item_sk",
+                             "wr_order_number", "wr_reason_sk",
+                             "wr_refunded_cdemo_sk", "wr_fee",
+                             "wr_refunded_cash", "wr_web_page_sk"])
+        .hash_join(dt, ["wr_returned_date_sk"], ["d_date_sk"],
+                   "left_semi")
+        .hash_join(wp, ["wr_web_page_sk"], ["wp_web_page_sk"],
+                   "left_semi")
+        .hash_join(cd, ["wr_refunded_cdemo_sk"], ["cd_demo_sk"],
+                   "inner",
+                   output=["wr_reason_sk", "wr_fee",
+                           "wr_refunded_cash", "cd_marital_status",
+                           "cd_education_status"])
+        .hash_join(r, ["wr_reason_sk"], ["r_reason_sk"], "inner",
+                   output=["r_reason_desc", "wr_fee",
+                           "wr_refunded_cash"])
+        .aggregate(["r_reason_desc"],
+                   ["avg(wr_fee) AS avg_fee",
+                    "avg(wr_refunded_cash) AS avg_refund"])
+        .order_by(["r_reason_desc"])
+        .limit(100)
+    )
+
+
+def q89(year: int = 1999) -> PlanBuilder:
+    """Monthly class sales vs the class's yearly average: rows more
+    than 10% off the mean, via an AVG window over the monthly sums
+    (spec q89)."""
+    dt = _dim("date_dim", ["d_date_sk", "d_year", "d_moy"],
+              f"d_year = {year}")
+    it = _dim("item", ["i_item_sk", "i_category", "i_class",
+                       "i_brand"])
+    st = _dim("store", ["s_store_sk", "s_store_name",
+                        "s_company_name"])
+    return (
+        PlanBuilder()
+        .table_scan("store_sales",
+                    columns=["ss_sold_date_sk", "ss_item_sk",
+                             "ss_store_sk", "ss_sales_price"])
+        .hash_join(dt, ["ss_sold_date_sk"], ["d_date_sk"], "inner",
+                   output=["ss_item_sk", "ss_store_sk",
+                           "ss_sales_price", "d_moy"])
+        .hash_join(it, ["ss_item_sk"], ["i_item_sk"], "inner",
+                   output=["i_category", "i_class", "i_brand",
+                           "ss_store_sk", "ss_sales_price", "d_moy"])
+        .hash_join(st, ["ss_store_sk"], ["s_store_sk"], "inner",
+                   output=["i_category", "i_class", "i_brand",
+                           "s_store_name", "s_company_name",
+                           "ss_sales_price", "d_moy"])
+        .aggregate(["i_category", "i_class", "i_brand",
+                    "s_store_name", "s_company_name", "d_moy"],
+                   ["sum(ss_sales_price) AS sum_sales"])
+        .window(["i_category", "i_brand", "s_store_name",
+                 "s_company_name"], [],
+                ["avg(sum_sales) AS avg_monthly_sales"])
+        .filter("avg_monthly_sales <> 0.0 AND "
+                "abs(sum_sales - avg_monthly_sales) "
+                "/ avg_monthly_sales > 0.1")
+        .project(["i_category", "i_class", "i_brand", "s_store_name",
+                  "s_company_name", "d_moy", "sum_sales",
+                  "avg_monthly_sales",
+                  "sum_sales - avg_monthly_sales AS deviation"])
+        .order_by(["deviation", "s_store_name", "d_moy"])
+        .limit(100)
+    )
+
+
+def _v1_window(fact_group, year: int) -> PlanBuilder:
+    """q47/q57 monthly series: rank + lag + lead over per-entity
+    monthly sums, filtered to rows deviating from the yearly mean."""
+    dt = _dim("date_dim", ["d_date_sk", "d_year", "d_moy"],
+              f"d_year = {year}")
+    it = _dim("item", ["i_item_sk", "i_category", "i_brand"])
+    ent_dim, ent_fk, ent_cols = fact_group
+    return (
+        PlanBuilder()
+        .table_scan(ent_dim["fact"],
+                    columns=[ent_dim["dcol"], ent_dim["icol"],
+                             ent_fk, ent_dim["price"]])
+        .hash_join(dt, [ent_dim["dcol"]], ["d_date_sk"], "inner",
+                   output=[ent_dim["icol"], ent_fk,
+                           ent_dim["price"], "d_year", "d_moy"])
+        .hash_join(it, [ent_dim["icol"]], ["i_item_sk"], "inner",
+                   output=["i_category", "i_brand", ent_fk,
+                           ent_dim["price"], "d_year", "d_moy"])
+        .hash_join(ent_cols, [ent_fk],
+                   [ent_cols.node.output_type.names[0]], "inner",
+                   output=["i_category", "i_brand",
+                           *ent_cols.node.output_type.names[1:],
+                           ent_dim["price"], "d_year", "d_moy"])
+        .aggregate(["i_category", "i_brand",
+                    *ent_cols.node.output_type.names[1:], "d_year",
+                    "d_moy"],
+                   [f"sum({ent_dim['price']}) AS sum_sales"])
+        .window(["i_category", "i_brand",
+                 *ent_cols.node.output_type.names[1:], "d_year"], [],
+                ["avg(sum_sales) AS avg_monthly_sales"])
+        .window(["i_category", "i_brand",
+                 *ent_cols.node.output_type.names[1:]],
+                ["d_year", "d_moy"],
+                ["lag(sum_sales) AS psum", "lead(sum_sales) AS nsum"])
+        .filter("avg_monthly_sales > 0.0 AND "
+                "abs(sum_sales - avg_monthly_sales) "
+                "/ avg_monthly_sales > 0.1")
+        .project(["i_category", "i_brand", "d_year", "d_moy",
+                  "sum_sales", "avg_monthly_sales", "psum", "nsum",
+                  "sum_sales - avg_monthly_sales AS deviation"])
+        .order_by(["deviation", "d_moy"])
+        .limit(100)
+    )
+
+
+def q47(year: int = 1999) -> PlanBuilder:
+    """Store monthly brand sales deviating from the yearly mean, with
+    prev/next month context (spec q47 behavioral subset: the spec's
+    rank-adjacent self joins become lag/lead windows)."""
+    st = (PlanBuilder().table_scan(
+        "store", columns=["s_store_sk", "s_store_name",
+                          "s_company_name"]))
+    return _v1_window((
+        {"fact": "store_sales", "dcol": "ss_sold_date_sk",
+         "icol": "ss_item_sk", "price": "ss_sales_price"},
+        "ss_store_sk", st), year)
+
+
+def q57(year: int = 1999) -> PlanBuilder:
+    """Catalog monthly brand sales deviating from the yearly mean,
+    with prev/next month context (spec q57, same rewrite as q47)."""
+    cc = (PlanBuilder().table_scan(
+        "call_center", columns=["cc_call_center_sk", "cc_name"]))
+    return _v1_window((
+        {"fact": "catalog_sales", "dcol": "cs_sold_date_sk",
+         "icol": "cs_item_sk", "price": "cs_sales_price"},
+        "cs_call_center_sk", cc), year)
+
+
+def q44(store_sk: int = 1, null_col: str = "ss_addr_sk"
+        ) -> PlanBuilder:
+    """Best and worst performing items by average net profit at one
+    store (spec q44: asc/desc rank windows over per-item averages;
+    the spec's null-column average filter keeps the sample
+    comparable)."""
+    it1 = (PlanBuilder().table_scan(
+        "item", columns=["i_item_sk", "i_product_name"]))
+    base = (
+        PlanBuilder()
+        .table_scan("store_sales",
+                    columns=["ss_store_sk", "ss_item_sk",
+                             "ss_net_profit", null_col])
+        .filter(f"ss_store_sk = {store_sk}")
+        .aggregate(["ss_item_sk"],
+                   ["avg(ss_net_profit) AS rank_col"])
+        .filter("is_not_null(rank_col)")
+        .window([], ["rank_col DESC"], ["rank() AS rnk_best"])
+        .window([], ["rank_col"], ["rank() AS rnk_worst"])
+        .filter("rnk_best <= 10 OR rnk_worst <= 10"))
+    return (
+        base
+        .hash_join(it1, ["ss_item_sk"], ["i_item_sk"], "inner",
+                   output=["rnk_best", "rnk_worst", "rank_col",
+                           "i_product_name"])
+        .order_by(["rnk_best", "rnk_worst"])
+        .limit(100)
+    )
+
+
+_QUERIES = {1: q1, 3: q3, 6: q6, 7: q7, 9: q9, 10: q10, 12: q12,
+            13: q13, 15: q15, 16: q16, 17: q17, 19: q19, 20: q20,
+            21: q21, 22: q22, 25: q25, 26: q26, 27: q27, 28: q28,
+            29: q29, 30: q30, 31: q31, 32: q32, 33: q33, 34: q34,
+            35: q35, 36: q36, 37: q37, 38: q38, 39: q39, 40: q40,
+            41: q41, 42: q42, 43: q43, 44: q44, 45: q45, 46: q46,
+            47: q47, 48: q48, 50: q50, 52: q52, 53: q53, 55: q55,
+            56: q56, 57: q57, 60: q60, 61: q61, 62: q62, 63: q63,
+            65: q65, 68: q68, 69: q69, 71: q71, 73: q73, 74: q74,
+            76: q76, 79: q79, 81: q81, 82: q82, 83: q83, 84: q84,
+            85: q85, 86: q86, 87: q87, 88: q88, 89: q89, 90: q90,
+            91: q91, 92: q92, 93: q93, 94: q94, 95: q95, 96: q96,
+            97: q97, 98: q98, 99: q99}
 SUPPORTED_QUERIES = sorted(_QUERIES)
 
 
