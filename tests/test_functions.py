@@ -191,3 +191,31 @@ def test_timestamp_trunc_add():
         assert norm(out["td"][i]) == dt_of(v - v % 86_400_000_000)
         assert norm(out["ah"][i]) == dt_of(v + 3 * 3_600_000_000)
         assert out["dm"][i] == 90
+
+
+def test_round4_scalar_additions():
+    """typeof / current_timezone (static resolve), day_name /
+    month_name / human_readable_seconds (int-value table gathers)."""
+    import datetime as dt
+
+    from velox_tpu.plan import PlanBuilder
+    from velox_tpu.exec import run_plan_pydict
+    from velox_tpu.types import BIGINT, DATE
+    from velox_tpu.vector.batch import Batch
+
+    days = [(dt.date(2024, 1, 1) - dt.date(1970, 1, 1)).days + i * 40
+            for i in range(4)]
+    b = Batch.from_pydict({"d": days, "s": [3725, 59, 0, 90061]},
+                          {"d": DATE, "s": BIGINT})
+    out = run_plan_pydict(PlanBuilder().values([b]).project([
+        "day_name(d) AS dn", "month_name(d) AS mn",
+        "human_readable_seconds(s) AS hrs",
+        "typeof(d) AS td", "typeof(s) AS ts",
+        "current_timezone() AS tz"]).build())
+    assert out["dn"] == ["Monday", "Saturday", "Thursday", "Tuesday"]
+    assert out["mn"] == ["January", "February", "March", "April"]
+    assert out["hrs"] == [
+        "1 hour, 2 minutes, 5 seconds", "59 seconds", "0 seconds",
+        "1 day, 1 hour, 1 minute, 1 second"]
+    assert out["td"][0] == "date" and out["ts"][0] == "bigint"
+    assert out["tz"][0] == "UTC"

@@ -243,3 +243,46 @@ def test_disk_spill_tier(tmp_path):
         config.spill_memory_budget_bytes = old_dev
         config.spill_host_budget_bytes = old_host
         config.spill_dir = old_dir
+
+
+def test_async_spill_io_roundtrip():
+    """Async host->disk spill (config.spill_io_threads > 0): writes
+    overlap compute; restore joins the pending write. Sync (0) and
+    async results must be identical."""
+    import numpy as np
+
+    from velox_tpu.exec.spill import SpillableBuffer
+    from velox_tpu.types import BIGINT
+    from velox_tpu.vector.batch import Batch
+
+    rng = np.random.default_rng(5)
+
+    def roundtrip(threads):
+        old = config.spill_io_threads
+        config.spill_io_threads = threads
+        try:
+            buf = SpillableBuffer("async_io_test")
+            for s in range(3):
+                buf.append(Batch.from_pydict(
+                    {"x": [int(v) for v in rng.integers(0, 99, 500)],
+                     "g": [s] * 500}, {"x": BIGINT, "g": BIGINT}))
+            # rng must not diverge between runs
+            buf.spill_all()
+            buf.spill_to_disk()
+            assert buf.has_spilled()
+            out = buf.drain()
+            return sorted(
+                (int(g), int(x))
+                for b in out
+                for g, x in zip(*[np.asarray(b.columns[c].values)
+                                  [np.asarray(b.sel)]
+                                  for c in ("g", "x")]))
+        finally:
+            config.spill_io_threads = old
+
+    rng = np.random.default_rng(5)
+    sync = roundtrip(0)
+    rng = np.random.default_rng(5)
+    asy = roundtrip(2)
+    assert sync == asy
+    assert len(sync) == 1500

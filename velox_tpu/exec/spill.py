@@ -79,6 +79,45 @@ class _FileBatch:
             pass
 
 
+class _PendingFileBatch:
+    """A spill file still being written by the async executor:
+    restore()/close() join the write first (futures resolve to the
+    real _FileBatch). The _FileBatch duck type, one indirection."""
+
+    __slots__ = ("_future",)
+
+    def __init__(self, future):
+        self._future = future
+
+    @property
+    def nbytes(self) -> int:
+        return self._future.result().nbytes
+
+    def restore(self) -> Batch:
+        return self._future.result().restore()
+
+    def close(self) -> None:
+        self._future.result().close()
+
+
+_SPILL_POOL = None
+
+
+def _spill_executor():
+    """Lazy process-wide spill I/O pool (velox spill executor analog;
+    config.spill_io_threads = 0 disables -> synchronous writes)."""
+    global _SPILL_POOL
+    n = getattr(config, "spill_io_threads", 0)
+    if not n:
+        return None
+    if _SPILL_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _SPILL_POOL = ThreadPoolExecutor(
+            max_workers=n, thread_name_prefix="velox-spill-io")
+    return _SPILL_POOL
+
+
 class _HostBatch:
     """Host-RAM copy of a Batch (the SpillFile analog)."""
 
@@ -225,9 +264,19 @@ class SpillableBuffer:
 
     def spill_to_disk(self) -> None:
         """Second spill rung: host RAM -> SerializedPage files
-        (velox/exec/SpillFile.h)."""
+        (velox/exec/SpillFile.h). Serialization + write run on a
+        background executor (velox's async spill I/O,
+        SpillerBase::runSpill executor model): the host batch's RAM
+        is held until the write completes, but the caller returns
+        immediately and the file slots resolve lazily at first read —
+        compute overlaps spill I/O."""
+        pool = _spill_executor()
         for hb in self._host:
-            self._files.append(hb.to_file(config.spill_dir))
+            if pool is None:
+                self._files.append(hb.to_file(config.spill_dir))
+            else:
+                self._files.append(_PendingFileBatch(
+                    pool.submit(hb.to_file, config.spill_dir)))
         self._host = []
 
     def drain(self) -> List[Batch]:

@@ -211,6 +211,18 @@ def resolve_types(expr: Expr, schema: RowType) -> Expr:
             return Call(BIGINT, "strpos", args)
         if name in ("starts_with", "ends_with"):
             return Call(BOOLEAN, name, args)
+        if name == "typeof" and args:
+            # resolved statically (HyperLogLog/typeof.cpp analog)
+            t = args[0].dtype
+            return Literal(VARCHAR,
+                           str(t).lower() if t is not None
+                           else "unknown")
+        if name == "current_timezone":
+            from velox_tpu.utils.config import config as _cfg
+
+            return Literal(
+                VARCHAR, getattr(_cfg, "session_timezone", None)
+                or "UTC")
         if name in _PAIR_HOST_FNS:
             return Call(_PAIR_HOST_FNS[name][0], name, args)
         if (name == "cardinality" and args
@@ -1713,11 +1725,40 @@ def _bind_range_format(name, args, ranges) -> Expr:
 def _make_int_value_fns():
     from velox_tpu.functions import hostfns as H
 
+    import datetime as _dt
+
+    def _dayname(days):
+        return (_dt.date(1970, 1, 1)
+                + _dt.timedelta(days=int(days))).strftime("%A")
+
+    def _monthname(days):
+        return (_dt.date(1970, 1, 1)
+                + _dt.timedelta(days=int(days))).strftime("%B")
+
+    def _hrs(secs):
+        # Presto human_readable_seconds (DateTimeFunctions.h)
+        secs = int(round(secs))
+        units = [("week", 604800), ("day", 86400), ("hour", 3600),
+                 ("minute", 60), ("second", 1)]
+        parts = []
+        for name, span in units:
+            q, secs = divmod(secs, span)
+            if q:
+                parts.append(f"{q} {name}{'s' if q != 1 else ''}")
+        if not parts:
+            return "0 seconds"
+        if len(parts) == 1:
+            return parts[0]
+        return ", ".join(parts[:-1]) + ", " + parts[-1]
+
     return {
         "chr": lambda v: chr(v) if 0 <= v < 0x110000 else None,
         "to_base": lambda v, radix: _to_base(v, radix),
         "to_big_endian_32": H.to_big_endian_32,
         "to_big_endian_64": H.to_big_endian_64,
+        "day_name": _dayname,
+        "month_name": _monthname,
+        "human_readable_seconds": _hrs,
     }
 
 

@@ -64,6 +64,7 @@ def all_scalar_function_names() -> "set[str]":
         "timezone_hour", "timezone_minute", "now", "current_date",
         "current_timestamp", "localtimestamp", "date_add",
         "date_diff", "date_trunc", "to_unixtime", "to_iso8601",
+        "typeof", "current_timezone",
     }
     return names
 

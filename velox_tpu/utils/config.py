@@ -103,6 +103,9 @@ class SessionConfig:
     #: which batches move to SerializedPage FILES (velox SpillFile);
     #: None = host RAM is the final tier
     spill_host_budget_bytes: "int | None" = None
+    #: background threads for the host->disk spill rung (0 = write
+    #: synchronously; velox spill executor analog)
+    spill_io_threads: int = 2
     spill_dir: "str | None" = None  # default: system tempdir
 
 
