@@ -2757,19 +2757,400 @@ def q44(store_sk: int = 1, null_col: str = "ss_addr_sk"
     )
 
 
-_QUERIES = {1: q1, 3: q3, 6: q6, 7: q7, 9: q9, 10: q10, 12: q12,
-            13: q13, 15: q15, 16: q16, 17: q17, 19: q19, 20: q20,
-            21: q21, 22: q22, 25: q25, 26: q26, 27: q27, 28: q28,
-            29: q29, 30: q30, 31: q31, 32: q32, 33: q33, 34: q34,
-            35: q35, 36: q36, 37: q37, 38: q38, 39: q39, 40: q40,
-            41: q41, 42: q42, 43: q43, 44: q44, 45: q45, 46: q46,
-            47: q47, 48: q48, 50: q50, 52: q52, 53: q53, 55: q55,
-            56: q56, 57: q57, 60: q60, 61: q61, 62: q62, 63: q63,
-            65: q65, 68: q68, 69: q69, 71: q71, 73: q73, 74: q74,
-            76: q76, 79: q79, 81: q81, 82: q82, 83: q83, 84: q84,
-            85: q85, 86: q86, 87: q87, 88: q88, 89: q89, 90: q90,
-            91: q91, 92: q92, 93: q93, 94: q94, 95: q95, 96: q96,
-            97: q97, 98: q98, 99: q99}
+def _weekly_pivot(facts, year: int, id_dim=None) -> PlanBuilder:
+    """q2/q59 building block: weekly sums pivoted by day name."""
+    dt = _dim("date_dim",
+              ["d_date_sk", "d_week_seq", "d_day_name", "d_year"])
+    srcs = []
+    for fact, dcol, pcol in facts:
+        srcs.append(PlanBuilder()
+                    .table_scan(fact, columns=[dcol, pcol]
+                                + ([id_dim[1]] if id_dim else []))
+                    .project([f"{dcol} AS date_sk",
+                              f"{pcol} AS price"]
+                             + ([f"{id_dim[1]} AS ent_sk"]
+                                if id_dim else [])))
+    pb = srcs[0]
+    if len(srcs) > 1:
+        pb = pb.union_all(srcs[1:])
+    pb = pb.hash_join(dt, ["date_sk"], ["d_date_sk"], "inner",
+                      output=(["ent_sk"] if id_dim else [])
+                      + ["price", "d_week_seq", "d_day_name",
+                         "d_year"])
+    days = ["Sunday", "Monday", "Tuesday", "Wednesday", "Thursday",
+            "Friday", "Saturday"]
+    pb = pb.project(
+        (["ent_sk"] if id_dim else [])
+        + ["d_week_seq", "d_year"]
+        + [f"if(d_day_name = '{d}', price, 0.0) AS p{i}"
+           for i, d in enumerate(days)])
+    keys = ((["ent_sk"] if id_dim else [])
+            + ["d_week_seq", "d_year"])
+    return pb.aggregate(
+        keys, [f"sum(p{i}) AS {d.lower()[:3]}_sales"
+               for i, d in enumerate(days)])
+
+
+def q2(year: int = 2001) -> PlanBuilder:
+    """Web+catalog weekly day-of-week sales, this year vs next year
+    same week (spec q2: week_seq self join at +53 weeks)."""
+    days = ["sun", "mon", "tue", "wed", "thu", "fri", "sat"]
+    y1 = (_weekly_pivot(
+        [("web_sales", "ws_sold_date_sk", "ws_ext_sales_price"),
+         ("catalog_sales", "cs_sold_date_sk", "cs_ext_sales_price")],
+        year)
+        .filter(f"d_year = {year}"))
+    y2 = (_weekly_pivot(
+        [("web_sales", "ws_sold_date_sk", "ws_ext_sales_price"),
+         ("catalog_sales", "cs_sold_date_sk", "cs_ext_sales_price")],
+        year)
+        .filter(f"d_year = {year + 1}")
+        .project(["d_week_seq AS wk2"]
+                 + [f"{d}_sales AS {d}2" for d in days]))
+    return (
+        y1.project(["d_week_seq"]
+                   + [f"{d}_sales" for d in days])
+        .hash_join(y2, ["d_week_seq"], ["wk2"], "inner",
+                   output=["d_week_seq"]
+                   + [f"{d}_sales" for d in days]
+                   + [f"{d}2" for d in days])
+        .order_by(["d_week_seq"])
+        .limit(1000)
+    )
+
+
+def q59(year_seq_lo: int = 1195) -> PlanBuilder:
+    """Store weekly day-of-week sales, weeks n vs n+52, per store
+    (spec q59)."""
+    days = ["sun", "mon", "tue", "wed", "thu", "fri", "sat"]
+    st = _dim("store", ["s_store_sk", "s_store_id", "s_store_name"])
+    base = _weekly_pivot(
+        [("store_sales", "ss_sold_date_sk", "ss_sales_price")],
+        0, id_dim=("store", "ss_store_sk"))
+    w1 = (base
+          .filter(f"d_week_seq >= {year_seq_lo} AND "
+                  f"d_week_seq <= {year_seq_lo + 51}")
+          .hash_join(st, ["ent_sk"], ["s_store_sk"], "inner",
+                     output=["s_store_id", "s_store_name",
+                             "d_week_seq"]
+                     + [f"{d}_sales" for d in days]))
+    base2 = _weekly_pivot(
+        [("store_sales", "ss_sold_date_sk", "ss_sales_price")],
+        0, id_dim=("store", "ss_store_sk"))
+    w2 = (base2
+          .filter(f"d_week_seq >= {year_seq_lo + 52} AND "
+                  f"d_week_seq <= {year_seq_lo + 103}")
+          .hash_join(st, ["ent_sk"], ["s_store_sk"], "inner",
+                     output=["s_store_id", "d_week_seq"]
+                     + [f"{d}_sales" for d in days])
+          .project(["s_store_id AS sid2",
+                    "d_week_seq - 52 AS wk2"]
+                   + [f"{d}_sales AS {d}2" for d in days]))
+    return (
+        w1.hash_join(w2, ["s_store_id", "d_week_seq"],
+                     ["sid2", "wk2"], "inner",
+                     output=["s_store_name", "s_store_id",
+                             "d_week_seq"]
+                     + [f"{d}_sales" for d in days]
+                     + [f"{d}2" for d in days])
+        .order_by(["s_store_name", "s_store_id", "d_week_seq"])
+        .limit(100)
+    )
+
+
+def q8(zip_prefixes=None, min_pref: int = 10) -> PlanBuilder:
+    """Store net profit for stores whose 2-digit zip prefix matches a
+    zip with enough preferred customers (spec q8 behavioral subset:
+    the literal 400-zip list becomes the preferred-customer zip set
+    itself — the INTERSECT arm that carries the semantics)."""
+    ca = _dim("customer_address", ["ca_address_sk", "ca_zip"])
+    cu = _dim("customer", ["c_customer_sk", "c_current_addr_sk",
+                           "c_preferred_cust_flag"],
+              "c_preferred_cust_flag = 'Y'")
+    pref_zips = (
+        PlanBuilder()
+        .table_scan("customer_address",
+                    columns=["ca_address_sk", "ca_zip"])
+        .hash_join(cu, ["ca_address_sk"], ["c_current_addr_sk"],
+                   "left_semi")
+        .filter("is_not_null(ca_zip)")
+        .project(["substr(ca_zip, 1, 5) AS zip5"])
+        .aggregate(["zip5"], ["count(*) AS cnt"])
+        .filter(f"cnt > {min_pref}")
+        .project(["substr(zip5, 1, 2) AS zip2"])
+        .distinct())
+    st = (PlanBuilder()
+          .table_scan("store", columns=["s_store_sk", "s_store_name",
+                                        "s_zip"])
+          .filter("is_not_null(s_zip)")
+          .project(["s_store_sk", "s_store_name",
+                    "substr(s_zip, 1, 2) AS s_zip2"])
+          .hash_join(pref_zips, ["s_zip2"], ["zip2"], "left_semi"))
+    dt = _dim("date_dim", ["d_date_sk", "d_qoy", "d_year"],
+              "d_qoy = 2")
+    return (
+        PlanBuilder()
+        .table_scan("store_sales",
+                    columns=["ss_sold_date_sk", "ss_store_sk",
+                             "ss_net_profit"])
+        .hash_join(dt, ["ss_sold_date_sk"], ["d_date_sk"],
+                   "left_semi")
+        .hash_join(st, ["ss_store_sk"], ["s_store_sk"], "inner",
+                   output=["s_store_name", "ss_net_profit"])
+        .aggregate(["s_store_name"],
+                   ["sum(ss_net_profit) AS net_profit"])
+        .order_by(["s_store_name"])
+        .limit(100)
+    )
+
+
+def q18(year: int = 1998, gender: str = "F",
+        education: str = "Unknown",
+        birth_months=(1, 6, 8, 9, 12, 2)) -> PlanBuilder:
+    """Catalog purchase averages by item across a geography ROLLUP
+    for a demographic slice (spec q18; the numeric casts stay in the
+    engine's decimal lanes)."""
+    ms = ", ".join(str(m) for m in birth_months)
+    dt = _dim("date_dim", ["d_date_sk", "d_year"],
+              f"d_year = {year}")
+    cd = _dim("customer_demographics",
+              ["cd_demo_sk", "cd_gender", "cd_education_status",
+               "cd_dep_count"],
+              f"cd_gender = '{gender}' AND "
+              f"cd_education_status = '{education}'")
+    cu = _dim("customer",
+              ["c_customer_sk", "c_current_addr_sk",
+               "c_birth_month", "c_birth_year"],
+              f"c_birth_month IN ({ms})")
+    ca = _dim("customer_address",
+              ["ca_address_sk", "ca_country", "ca_state",
+               "ca_county"])
+    it = _dim("item", ["i_item_sk", "i_item_id"])
+    return (
+        PlanBuilder()
+        .table_scan("catalog_sales",
+                    columns=["cs_sold_date_sk", "cs_item_sk",
+                             "cs_bill_customer_sk",
+                             "cs_bill_cdemo_sk", "cs_quantity",
+                             "cs_list_price", "cs_coupon_amt",
+                             "cs_sales_price", "cs_net_profit"])
+        .hash_join(dt, ["cs_sold_date_sk"], ["d_date_sk"],
+                   "left_semi")
+        .hash_join(cd, ["cs_bill_cdemo_sk"], ["cd_demo_sk"],
+                   "left_semi")
+        .hash_join(cu, ["cs_bill_customer_sk"], ["c_customer_sk"],
+                   "inner",
+                   output=["cs_item_sk", "cs_quantity",
+                           "cs_list_price", "cs_coupon_amt",
+                           "cs_sales_price", "cs_net_profit",
+                           "c_current_addr_sk", "c_birth_year"])
+        .hash_join(ca, ["c_current_addr_sk"], ["ca_address_sk"],
+                   "inner",
+                   output=["cs_item_sk", "cs_quantity",
+                           "cs_list_price", "cs_coupon_amt",
+                           "cs_sales_price", "cs_net_profit",
+                           "c_birth_year", "ca_country", "ca_state",
+                           "ca_county"])
+        .hash_join(it, ["cs_item_sk"], ["i_item_sk"], "inner",
+                   output=["i_item_id", "ca_country", "ca_state",
+                           "ca_county", "cs_quantity",
+                           "cs_list_price", "cs_coupon_amt",
+                           "cs_sales_price", "cs_net_profit",
+                           "c_birth_year"])
+        .group_id([["i_item_id", "ca_country", "ca_state",
+                    "ca_county"],
+                   ["i_item_id", "ca_country", "ca_state"],
+                   ["i_item_id", "ca_country"], ["i_item_id"], []])
+        .aggregate(["i_item_id", "ca_country", "ca_state",
+                    "ca_county", "group_id"],
+                   ["avg(cs_quantity) AS agg1",
+                    "avg(cs_list_price) AS agg2",
+                    "avg(cs_coupon_amt) AS agg3",
+                    "avg(cs_sales_price) AS agg4",
+                    "avg(cs_net_profit) AS agg5",
+                    "avg(c_birth_year) AS agg6"])
+        .order_by(["ca_country", "ca_state", "ca_county",
+                   "i_item_id"])
+        .limit(100)
+    )
+
+
+def q49(year: int = 2001, moy: int = 12) -> PlanBuilder:
+    """Worst return ratios per channel: quantity and currency return
+    ratios ranked, rows in either top-10 kept (spec q49)."""
+    dt = _dim("date_dim", ["d_date_sk", "d_year", "d_moy"],
+              f"d_year = {year} AND d_moy = {moy}")
+
+    def channel(label, fact, dcol, icol, ocol, qcol, pcol,
+                rfact, ricol, rocol, rqcol, ramtcol) -> PlanBuilder:
+        r = (PlanBuilder()
+             .table_scan(rfact, columns=[ricol, rocol, rqcol,
+                                         ramtcol])
+             .filter(f"coalesce({ramtcol}, 0.0) > 0.0")
+             .project([f"{ricol} AS r_item", f"{rocol} AS r_order",
+                       f"{rqcol} AS r_qty", f"{ramtcol} AS r_amt"]))
+        return (
+            PlanBuilder()
+            .table_scan(fact, columns=[dcol, icol, ocol, qcol, pcol])
+            .hash_join(dt, [dcol], ["d_date_sk"], "left_semi")
+            .filter(f"coalesce({pcol}, 0.0) > 0.0")
+            .hash_join(r, [icol, ocol], ["r_item", "r_order"],
+                       "left",
+                       output=[icol, qcol, pcol, "r_qty", "r_amt"])
+            .aggregate([icol],
+                       [f"sum({qcol}) AS sold_qty",
+                        "sum(coalesce(r_qty, 0)) AS ret_qty",
+                        f"sum({pcol}) AS sold_amt",
+                        "sum(coalesce(r_amt, 0.0)) AS ret_amt"])
+            .filter("sold_qty > 0 AND sold_amt > 0.0")
+            .project([f"'{label}' AS channel", f"{icol} AS item",
+                      "ret_qty * 1.0 / sold_qty AS return_ratio",
+                      "ret_amt / sold_amt AS currency_ratio"])
+            .window([], ["return_ratio"],
+                    ["rank() AS return_rank"])
+            .window([], ["currency_ratio"],
+                    ["rank() AS currency_rank"])
+            .filter("return_rank <= 10 OR currency_rank <= 10"))
+
+    web = channel("web", "web_sales", "ws_sold_date_sk",
+                  "ws_item_sk", "ws_order_number", "ws_quantity",
+                  "ws_net_paid", "web_returns", "wr_item_sk",
+                  "wr_order_number", "wr_return_quantity",
+                  "wr_return_amt")
+    cat = channel("catalog", "catalog_sales", "cs_sold_date_sk",
+                  "cs_item_sk", "cs_order_number", "cs_quantity",
+                  "cs_net_paid", "catalog_returns", "cr_item_sk",
+                  "cr_order_number", "cr_return_quantity",
+                  "cr_return_amount")
+    sto = channel("store", "store_sales", "ss_sold_date_sk",
+                  "ss_item_sk", "ss_ticket_number", "ss_quantity",
+                  "ss_net_paid", "store_returns", "sr_item_sk",
+                  "sr_ticket_number", "sr_return_quantity",
+                  "sr_return_amt")
+    return (web.union_all([cat, sto])
+            .order_by(["channel", "return_rank", "currency_rank",
+                       "item"])
+            .limit(100))
+
+
+def q66(year: int = 2001,
+        ship_modes=("DHL", "BARIAN"),
+        time_lo: int = 30838) -> PlanBuilder:
+    """Warehouse monthly sales/net by ship mode and time band
+    (spec q66: 12 pivoted month sums per measure, web + catalog)."""
+    sm = ", ".join(f"'{m}'" for m in ship_modes)
+    dt = _dim("date_dim", ["d_date_sk", "d_year", "d_moy"],
+              f"d_year = {year}")
+    smd = _dim("ship_mode", ["sm_ship_mode_sk", "sm_carrier"],
+               f"sm_carrier IN ({sm})")
+    td = _dim("time_dim", ["t_time_sk", "t_time"],
+              f"t_time >= {time_lo} AND t_time <= {time_lo + 28800}")
+    wh = _dim("warehouse",
+              ["w_warehouse_sk", "w_warehouse_name",
+               "w_warehouse_sq_ft", "w_city", "w_county", "w_state",
+               "w_country"])
+
+    def channel(fact, dcol, tcol, mcol, wcol, price, net
+                ) -> PlanBuilder:
+        return (
+            PlanBuilder()
+            .table_scan(fact,
+                        columns=[dcol, tcol, mcol, wcol, price, net])
+            .hash_join(smd, [mcol], ["sm_ship_mode_sk"], "left_semi")
+            .hash_join(td, [tcol], ["t_time_sk"], "left_semi")
+            .hash_join(dt, [dcol], ["d_date_sk"], "inner",
+                       output=[wcol, price, net, "d_moy"])
+            .project([f"{wcol} AS wh_sk", f"{price} AS price",
+                      f"{net} AS net", "d_moy"]))
+
+    ws = channel("web_sales", "ws_sold_date_sk", "ws_sold_time_sk",
+                 "ws_ship_mode_sk", "ws_warehouse_sk",
+                 "ws_ext_sales_price", "ws_net_paid")
+    cs = channel("catalog_sales", "cs_sold_date_sk",
+                 "cs_sold_time_sk", "cs_ship_mode_sk",
+                 "cs_warehouse_sk", "cs_sales_price",
+                 "cs_net_paid_inc_tax")
+    months = [f"if(d_moy = {m}, price, 0.0) AS s{m}"
+              for m in range(1, 13)]
+    nets = [f"if(d_moy = {m}, net, 0.0) AS n{m}"
+            for m in range(1, 13)]
+    return (
+        ws.union_all([cs])
+        .project(["wh_sk"] + months + nets)
+        .aggregate(["wh_sk"],
+                   [f"sum(s{m}) AS sales{m}" for m in range(1, 13)]
+                   + [f"sum(n{m}) AS net{m}" for m in range(1, 13)])
+        .hash_join(wh, ["wh_sk"], ["w_warehouse_sk"], "inner",
+                   output=["w_warehouse_name", "w_warehouse_sq_ft",
+                           "w_city", "w_county", "w_state",
+                           "w_country"]
+                   + [f"sales{m}" for m in range(1, 13)]
+                   + [f"net{m}" for m in range(1, 13)])
+        .order_by(["w_warehouse_name"])
+        .limit(100)
+    )
+
+
+def q70(year: int = 1999) -> PlanBuilder:
+    """State/county profit ROLLUP limited to the top-5 profit states,
+    with rank within each hierarchy level (spec q70)."""
+    dt = _dim("date_dim", ["d_date_sk", "d_year"],
+              f"d_year = {year}")
+    st = _dim("store", ["s_store_sk", "s_state", "s_county"])
+    top_states = (
+        PlanBuilder()
+        .table_scan("store_sales",
+                    columns=["ss_sold_date_sk", "ss_store_sk",
+                             "ss_net_profit"])
+        .hash_join(dt, ["ss_sold_date_sk"], ["d_date_sk"],
+                   "left_semi")
+        .hash_join(st, ["ss_store_sk"], ["s_store_sk"], "inner",
+                   output=["s_state", "ss_net_profit"])
+        .aggregate(["s_state"], ["sum(ss_net_profit) AS sp"])
+        .window([], ["sp DESC"], ["rank() AS srank"])
+        .filter("srank <= 5")
+        .project(["s_state AS top_state"]))
+    return (
+        PlanBuilder()
+        .table_scan("store_sales",
+                    columns=["ss_sold_date_sk", "ss_store_sk",
+                             "ss_net_profit"])
+        .hash_join(dt, ["ss_sold_date_sk"], ["d_date_sk"],
+                   "left_semi")
+        .hash_join(st, ["ss_store_sk"], ["s_store_sk"], "inner",
+                   output=["s_state", "s_county", "ss_net_profit"])
+        .hash_join(top_states, ["s_state"], ["top_state"],
+                   "left_semi")
+        .group_id([["s_state", "s_county"], ["s_state"], []])
+        .aggregate(["s_state", "s_county", "group_id"],
+                   ["sum(ss_net_profit) AS total_sum"])
+        .project(["total_sum", "s_state", "s_county",
+                  "group_id AS lochierarchy",
+                  "if(group_id = 0, s_state, '~all~')"
+                  " AS parent_state"])
+        .window(["lochierarchy", "parent_state"],
+                ["total_sum DESC"], ["rank() AS rank_within_parent"])
+        .order_by(["lochierarchy DESC", "parent_state",
+                   "rank_within_parent"])
+        .limit(100)
+    )
+
+
+_QUERIES = {1: q1, 2: q2, 3: q3, 5: None, 6: q6, 7: q7, 8: q8,
+            9: q9, 10: q10, 12: q12, 13: q13, 15: q15, 16: q16,
+            17: q17, 18: q18, 19: q19, 20: q20, 21: q21, 22: q22,
+            25: q25, 26: q26, 27: q27, 28: q28, 29: q29, 30: q30,
+            31: q31, 32: q32, 33: q33, 34: q34, 35: q35, 36: q36,
+            37: q37, 38: q38, 39: q39, 40: q40, 41: q41, 42: q42,
+            43: q43, 44: q44, 45: q45, 46: q46, 47: q47, 48: q48,
+            49: q49, 50: q50, 52: q52, 53: q53, 55: q55, 56: q56,
+            57: q57, 59: q59, 60: q60, 61: q61, 62: q62, 63: q63,
+            65: q65, 66: q66, 68: q68, 69: q69, 70: q70, 71: q71,
+            73: q73, 74: q74, 76: q76, 79: q79, 81: q81, 82: q82,
+            83: q83, 84: q84, 85: q85, 86: q86, 87: q87, 88: q88,
+            89: q89, 90: q90, 91: q91, 92: q92, 93: q93, 94: q94,
+            95: q95, 96: q96, 97: q97, 98: q98, 99: q99}
+_QUERIES = {k: v for k, v in _QUERIES.items() if v is not None}
 SUPPORTED_QUERIES = sorted(_QUERIES)
 
 

@@ -362,10 +362,29 @@ def concat_batches(
             continue
         dicts = [p.dictionary for p in parts if p.dictionary is not None]
         d = dicts[0] if dicts else None
-        for other in dicts[1:]:
-            assert other is d, (
-                f"column {n}: differing dictionaries across batches; "
-                "re-encode via catalog ingest")
+        if any(other is not d for other in dicts[1:]):
+            # cross-source string columns (e.g. per-branch constant
+            # channel labels under UNION ALL): merge the dictionaries
+            # on host and remap each part's codes with one gather —
+            # velox would wrap a new dictionary layer here
+            from velox_tpu.vector.column import Dictionary
+
+            assert len(dicts) == len(parts), (
+                f"column {n}: dictionary-coded and plain parts mixed")
+            merged = Dictionary(sorted(
+                {str(v) for dd in dicts for v in dd.values}))
+            remapped = []
+            for p in parts:
+                table = np.concatenate([[-1], [
+                    merged.code_of(str(v))
+                    for v in p.dictionary.values]]).astype(np.int32)
+                remapped.append(Column(
+                    p.dtype,
+                    jnp.take(jnp.asarray(table), p.values + 1,
+                             mode="clip"),
+                    p.valid, merged, p.stats))
+            parts = remapped
+            d = merged
         vals = jnp.concatenate(
             [p.values for p in parts]
             + ([jnp.zeros(pad, dtype=parts[0].values.dtype)] if pad else []))
