@@ -3724,10 +3724,12 @@ class HashProbeOp(AdaptiveOutput, Operator):
         no_filter_semi = self._semi_like and self._filter_exprs is None
         build_has_null = null_flag
         left_like = self._left_like
+        # "repair" pre-repairs the lane inside the closure (see
+        # repair_tail below), then uses the raw flipped probe
         index_probe = {
             False: type(self)._index_probe,
             "raw": probe_join_index_merge,
-            "repair": probe_join_index_merge_repair,
+            "repair": probe_join_index_merge,
         }[merge_flip]
         # the flipped merge probe (build-width searches + probe-width
         # prefix sums) beats both the kArray double-gather and the
@@ -3735,10 +3737,28 @@ class HashProbeOp(AdaptiveOutput, Operator):
         use_table = len(br.tables) == 2 and not merge_flip
         key_lo = br.key_lo
 
+        repair_tail = merge_flip == "repair"
+
         def make():
             def probe(cols, sel, sorted_keys, n_active, tables):
                 key, null_valid, match_valid = codec.encode(
                     cols, dicts, is_probe=True)
+                if repair_tail:
+                    # suffix-repair the lane BEFORE folding in
+                    # match_valid: the codec's range mask marks real,
+                    # sorted rows as unmatchable for OUTPUT purposes —
+                    # overwriting those would clobber live run
+                    # boundaries (the join-fuzzer iter-8 bug). Only
+                    # rows absent from the lane order (padding tails,
+                    # trailing null keys under NULLS LAST) fill with
+                    # the lane max.
+                    okf = (sel if null_valid is None
+                           else jnp.logical_and(sel, null_valid))
+                    cnt = jnp.sum(okf.astype(jnp.int32))
+                    idx = jnp.arange(key.shape[0], dtype=jnp.int32)
+                    pk = key.astype(sorted_keys.dtype)
+                    key = jnp.where(idx < cnt, pk,
+                                    jnp.iinfo(pk.dtype).max)
                 valid = null_valid
                 if match_valid is not None:
                     valid = (match_valid if valid is None

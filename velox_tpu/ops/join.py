@@ -249,8 +249,12 @@ def probe_join_index_merge_repair(
         probe_sel, probe_valid)
     cnt = jnp.sum(ok.astype(jnp.int32))
     idx = jnp.arange(probe_key.shape[0], dtype=jnp.int32)
-    hi = jnp.iinfo(probe_key.dtype).max
-    repaired = jnp.where(idx < cnt, probe_key, hi)
+    # cast to the BUILD key lane dtype BEFORE filling: int64-max would
+    # wrap to -1 under the core's astype(sorted_keys.dtype) and land
+    # the filler BELOW every real key, corrupting the run boundaries
+    pk = probe_key.astype(sorted_keys.dtype)
+    hi = jnp.iinfo(pk.dtype).max
+    repaired = jnp.where(idx < cnt, pk, hi)
     return probe_join_index_merge(
         sorted_keys, n_active, repaired, probe_valid, probe_sel)
 
