@@ -3151,6 +3151,10 @@ _QUERIES = {1: q1, 2: q2, 3: q3, 5: None, 6: q6, 7: q7, 8: q8,
             89: q89, 90: q90, 91: q91, 92: q92, 93: q93, 94: q94,
             95: q95, 96: q96, 97: q97, 98: q98, 99: q99}
 _QUERIES = {k: v for k, v in _QUERIES.items() if v is not None}
+
+from velox_tpu.tpcds.queries_hard import HARD_QUERIES as _HARD  # noqa: E402
+
+_QUERIES.update(_HARD)
 SUPPORTED_QUERIES = sorted(_QUERIES)
 
 
