@@ -267,3 +267,225 @@ def test_q75(dfs):
     }).sort_values(["sales_cnt_diff", "sales_amt_diff"]).head(100)
     assert len(exp) > 0
     _approx_rows(got, exp, {c: c for c in exp.columns})
+
+
+# ------------------------------------------------- q5 / q77 / q80
+
+def _date_window(dfs, day, days):
+    import datetime as dt
+
+    d0 = dt.date.fromisoformat(day)
+    d1 = d0 + dt.timedelta(days=days)
+    dd = dfs["date_dim"]
+    dates = pd.to_datetime(dd.d_date).dt.date
+    return set(dd[(dates >= d0) & (dates <= d1)].d_date_sk)
+
+
+def _check_rollup(got, detail, order_cols=("channel", "id")):
+    """Compare engine ROLLUP(channel, id) output rows to a pandas
+    per-(channel, id) detail frame with sales/returns/profit."""
+    lvl0 = detail.groupby(["channel", "id"], dropna=False)[
+        ["sales", "returns_", "profit"]].sum().reset_index()
+    lvl1 = (detail.groupby(["channel"])[
+        ["sales", "returns_", "profit"]].sum().reset_index()
+        .assign(id=None))
+    lvl2 = detail[["sales", "returns_", "profit"]].sum().to_frame().T
+    lvl2["channel"] = None
+    lvl2["id"] = None
+    exp = (pd.concat([lvl0, lvl1, lvl2], ignore_index=True)
+           .sort_values(list(order_cols), na_position="last",
+                        kind="mergesort")
+           .head(100))
+    assert len(exp) > 3
+    _approx_rows(got, exp, {
+        "channel": "channel", "id": "id", "sales": "sales",
+        "returns_": "returns_", "profit": "profit"})
+
+
+def test_q5(dfs):
+    day = "2000-08-23"
+    got = run_plan_pydict(tpcds_plan(5, day=day).build())
+    sks = _date_window(dfs, day, 14)
+
+    def leg(sales_tab, s_ent, s_date, s_price, s_profit, ret_tab,
+            r_ent, r_date, r_amt, r_loss, dim, dk, did, label):
+        s = dfs[sales_tab]
+        s = s[s[s_date].isin(sks)]
+        r = dfs[ret_tab]
+        r = r[r[r_date].isin(sks)]
+        dimdf = dfs[dim].set_index(dk)[did]
+        srows = pd.DataFrame({
+            "ent": s[s_ent], "sales": s[s_price],
+            "profit_raw": s[s_profit], "returns_": 0.0,
+            "loss": 0.0})
+        rrows = pd.DataFrame({
+            "ent": r[r_ent], "sales": 0.0, "profit_raw": 0.0,
+            "returns_": r[r_amt], "loss": r[r_loss]})
+        al = pd.concat([srows, rrows])
+        al["id_raw"] = al.ent.map(dimdf)
+        al = al[al.id_raw.notna()]
+        g = al.groupby("id_raw")[
+            ["sales", "returns_", "profit_raw", "loss"]].sum()
+        return pd.DataFrame({
+            "channel": f"{label} channel",
+            "id": [f"{label}{i}" for i in g.index],
+            "sales": g.sales.values, "returns_": g.returns_.values,
+            "profit": (g.profit_raw - g.loss).values})
+
+    ssr = leg("store_sales", "ss_store_sk", "ss_sold_date_sk",
+              "ss_ext_sales_price", "ss_net_profit",
+              "store_returns", "sr_store_sk", "sr_returned_date_sk",
+              "sr_return_amt", "sr_net_loss",
+              "store", "s_store_sk", "s_store_id", "store")
+    csr = leg("catalog_sales", "cs_catalog_page_sk",
+              "cs_sold_date_sk", "cs_ext_sales_price",
+              "cs_net_profit", "catalog_returns",
+              "cr_catalog_page_sk", "cr_returned_date_sk",
+              "cr_return_amount", "cr_net_loss",
+              "catalog_page", "cp_catalog_page_sk",
+              "cp_catalog_page_id", "catalog_page")
+    # web: returns route to the site of the originating sale
+    wsl = dfs["web_sales"][["ws_item_sk", "ws_order_number",
+                            "ws_web_site_sk"]]
+    wr = dfs["web_returns"].merge(
+        wsl, left_on=["wr_item_sk", "wr_order_number"],
+        right_on=["ws_item_sk", "ws_order_number"], how="inner")
+    ws = dfs["web_sales"]
+    ws = ws[ws.ws_sold_date_sk.isin(sks)]
+    wr = wr[wr.wr_returned_date_sk.isin(sks)]
+    site = dfs["web_site"].set_index("web_site_sk")["web_site_id"]
+    al = pd.concat([
+        pd.DataFrame({"ent": ws.ws_web_site_sk,
+                      "sales": ws.ws_ext_sales_price,
+                      "profit_raw": ws.ws_net_profit,
+                      "returns_": 0.0, "loss": 0.0}),
+        pd.DataFrame({"ent": wr.ws_web_site_sk, "sales": 0.0,
+                      "profit_raw": 0.0,
+                      "returns_": wr.wr_return_amt,
+                      "loss": wr.wr_net_loss})])
+    al["id_raw"] = al.ent.map(site)
+    al = al[al.id_raw.notna()]
+    g = al.groupby("id_raw")[
+        ["sales", "returns_", "profit_raw", "loss"]].sum()
+    wsr = pd.DataFrame({
+        "channel": "web channel",
+        "id": [f"web_site{i}" for i in g.index],
+        "sales": g.sales.values, "returns_": g.returns_.values,
+        "profit": (g.profit_raw - g.loss).values})
+    _check_rollup(got, pd.concat([ssr, csr, wsr], ignore_index=True))
+
+
+def test_q77(dfs):
+    day = "2000-08-23"
+    got = run_plan_pydict(tpcds_plan(77, day=day).build())
+    sks = _date_window(dfs, day, 30)
+
+    ss_t = dfs["store_sales"]
+    ss_t = ss_t[ss_t.ss_sold_date_sk.isin(sks)
+                & ss_t.ss_store_sk.isin(set(dfs["store"].s_store_sk))]
+    ss = ss_t.groupby("ss_store_sk").agg(
+        sales=("ss_ext_sales_price", "sum"),
+        profit=("ss_net_profit", "sum"))
+    sr_t = dfs["store_returns"]
+    sr_t = sr_t[sr_t.sr_returned_date_sk.isin(sks)
+                & sr_t.sr_store_sk.isin(set(dfs["store"].s_store_sk))]
+    sr = sr_t.groupby("sr_store_sk").agg(
+        returns_=("sr_return_amt", "sum"),
+        profit_loss=("sr_net_loss", "sum"))
+    store = ss.join(sr, how="left")
+    store_leg = pd.DataFrame({
+        "channel": "store channel", "id": store.index,
+        "sales": store.sales,
+        "returns_": store.returns_.fillna(0.0),
+        "profit": store.profit - store.profit_loss.fillna(0.0)})
+
+    cs_t = dfs["catalog_sales"]
+    cs_t = cs_t[cs_t.cs_sold_date_sk.isin(sks)
+                & cs_t.cs_call_center_sk.notna()]
+    cs = cs_t.groupby("cs_call_center_sk").agg(
+        sales=("cs_ext_sales_price", "sum"),
+        profit=("cs_net_profit", "sum"))
+    cr_t = dfs["catalog_returns"]
+    cr_t = cr_t[cr_t.cr_returned_date_sk.isin(sks)]
+    r_tot, l_tot = (cr_t.cr_return_amount.sum(),
+                    cr_t.cr_net_loss.sum())
+    catalog_leg = pd.DataFrame({
+        "channel": "catalog channel", "id": cs.index,
+        "sales": cs.sales, "returns_": r_tot,
+        "profit": cs.profit - l_tot})
+
+    wpages = set(dfs["web_page"].wp_web_page_sk)
+    ws_t = dfs["web_sales"]
+    ws_t = ws_t[ws_t.ws_sold_date_sk.isin(sks)
+                & ws_t.ws_web_page_sk.isin(wpages)]
+    ws = ws_t.groupby("ws_web_page_sk").agg(
+        sales=("ws_ext_sales_price", "sum"),
+        profit=("ws_net_profit", "sum"))
+    wr_t = dfs["web_returns"]
+    wr_t = wr_t[wr_t.wr_returned_date_sk.isin(sks)
+                & wr_t.wr_web_page_sk.isin(wpages)]
+    wr = wr_t.groupby("wr_web_page_sk").agg(
+        returns_=("wr_return_amt", "sum"),
+        profit_loss=("wr_net_loss", "sum"))
+    web = ws.join(wr, how="left")
+    web_leg = pd.DataFrame({
+        "channel": "web channel", "id": web.index,
+        "sales": web.sales, "returns_": web.returns_.fillna(0.0),
+        "profit": web.profit - web.profit_loss.fillna(0.0)})
+
+    _check_rollup(got, pd.concat(
+        [store_leg, catalog_leg, web_leg], ignore_index=True))
+
+
+def test_q80(dfs):
+    day, price = "2002-11-01", 5.0
+    got = run_plan_pydict(tpcds_plan(80, day=day, price=price).build())
+    sks = _date_window(dfs, day, 30)
+    oki = set(dfs["item"][
+        dfs["item"].i_current_price > price].i_item_sk)
+    okp = set(dfs["promotion"][
+        dfs["promotion"].p_channel_tv == "N"].p_promo_sk)
+
+    def leg(fact, pfx, okey, rfact, rpfx, rokey, ramt, dim, dk, did,
+            label, entcol):
+        f = dfs[fact]
+        f = f[f[f"{pfx}_sold_date_sk"].isin(sks)
+              & f[f"{pfx}_item_sk"].isin(oki)
+              & f[f"{pfx}_promo_sk"].isin(okp)]
+        r = dfs[rfact][[f"{rpfx}_item_sk", rokey, ramt,
+                        f"{rpfx}_net_loss"]]
+        f = f.merge(r, how="left",
+                    left_on=[f"{pfx}_item_sk", okey],
+                    right_on=[f"{rpfx}_item_sk", rokey])
+        dimdf = dfs[dim].set_index(dk)[did]
+        f["id_raw"] = f[entcol].map(dimdf)
+        f = f[f.id_raw.notna()]
+        g = f.groupby("id_raw").apply(
+            lambda x: pd.Series({
+                "sales": x[f"{pfx}_ext_sales_price"].sum(),
+                "returns_": x[ramt].fillna(0.0).sum(),
+                "profit": (x[f"{pfx}_net_profit"]
+                           - x[f"{rpfx}_net_loss"].fillna(0.0)
+                           ).sum()}),
+            include_groups=False)
+        return pd.DataFrame({
+            "channel": f"{label} channel",
+            "id": [f"{label}{i}" for i in g.index],
+            "sales": g.sales.values, "returns_": g.returns_.values,
+            "profit": g.profit.values})
+
+    ssr = leg("store_sales", "ss", "ss_ticket_number",
+              "store_returns", "sr", "sr_ticket_number",
+              "sr_return_amt", "store", "s_store_sk", "s_store_id",
+              "store", "ss_store_sk")
+    csr = leg("catalog_sales", "cs", "cs_order_number",
+              "catalog_returns", "cr", "cr_order_number",
+              "cr_return_amount", "catalog_page",
+              "cp_catalog_page_sk", "cp_catalog_page_id",
+              "catalog_page", "cs_catalog_page_sk")
+    wsr = leg("web_sales", "ws", "ws_order_number", "web_returns",
+              "wr", "wr_order_number", "wr_return_amt", "web_site",
+              "web_site_sk", "web_site_id", "web_site",
+              "ws_web_site_sk")
+    _check_rollup(got, pd.concat([ssr, csr, wsr],
+                                 ignore_index=True))

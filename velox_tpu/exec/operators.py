@@ -49,6 +49,19 @@ from velox_tpu.plan.nodes import (
 _F64_NAN = float("nan")
 
 
+#: shared empty dictionary for string group keys that never saw input
+#: (an empty stream must still emit dictionary-coded string columns so
+#: downstream bind-time string transforms keep working)
+_EMPTY_DICT = Dictionary([])
+
+
+def _key_dict_for(key_dicts, dtype, k):
+    d = key_dicts.get(k)
+    if d is None and dtype.is_string:
+        return _EMPTY_DICT
+    return d
+
+
 def _cols_of(batch: Batch, names) -> Dict[str, Tuple]:
     return {n: (batch.column(n).values, batch.column(n).valid)
             for n in names}
@@ -1865,9 +1878,9 @@ class HashAggregationOp(Operator):
     def _partial_batch(self, entry) -> Batch:
         cols = {}
         for k, (v, va) in zip(self.keys, entry["keys"]):
+            kt = self.output_type.find_child(k)
             cols[k] = Column(
-                self.output_type.find_child(k), v, va,
-                self._key_dicts.get(k))
+                kt, v, va, _key_dict_for(self._key_dicts, kt, k))
         for name, fn, at, lanes in zip(
                 self.agg_names, self.fns, self.arg_types, entry["lanes"]):
             for li, (lane_arr, lt) in enumerate(
@@ -1947,8 +1960,9 @@ class HashAggregationOp(Operator):
             stride *= radix
             v = padded(jnp.asarray(codes), -1)
             va = padded(jnp.asarray(valid_np), False)
+            kt = self.output_type.find_child(k)
             cols[k] = Column(
-                self.output_type.find_child(k), v, va, self._key_dicts[k])
+                kt, v, va, _key_dict_for(self._key_dicts, kt, k))
         for name, fn, at, accs in zip(
                 self.agg_names, self.fns, self.arg_types, st["accs"]):
             accs_p = tuple(padded(a) for a in accs)
@@ -2084,9 +2098,9 @@ class HashAggregationOp(Operator):
 
         cols = {}
         for k, (gv, gva) in zip(self.keys, out_keys):
+            kt = self.output_type.find_child(k)
             cols[k] = Column(
-                self.output_type.find_child(k), gv, gva,
-                self._key_dicts.get(k))
+                kt, gv, gva, _key_dict_for(self._key_dicts, kt, k))
         for name, (vals, valid) in zip(self.agg_names, results):
             cols[name] = Column(
                 self.output_type.find_child(name), vals, valid)
@@ -2985,8 +2999,9 @@ class StreamingAggregationOp(HashAggregationOp):
         self._carry_present = cp
         out = {}
         for k, (gv, gvd) in zip(self.keys, out_keys):
-            out[k] = Column(self.output_type.find_child(k), gv, gvd,
-                            self._key_dicts.get(k))
+            kt = self.output_type.find_child(k)
+            out[k] = Column(
+                kt, gv, gvd, _key_dict_for(self._key_dicts, kt, k))
         for name, (vals, valid) in zip(self.agg_names, results):
             out[name] = Column(
                 self.output_type.find_child(name), vals, valid)
@@ -3028,9 +3043,10 @@ class StreamingAggregationOp(HashAggregationOp):
             for k, (cv, cvd) in zip(self.keys, ck):
                 vals = jnp.zeros((cap,), cv.dtype).at[0].set(cv)
                 valid = jnp.zeros((cap,), jnp.bool_).at[0].set(cvd)
+                kt = self.output_type.find_child(k)
                 cols[k] = Column(
-                    self.output_type.find_child(k), vals, valid,
-                    self._key_dicts.get(k))
+                    kt, vals, valid,
+                    _key_dict_for(self._key_dicts, kt, k))
             for name, fn, lanes in zip(self.agg_names, self.fns, cl):
                 full = tuple(
                     jnp.zeros((cap,), l.dtype).at[0].set(l[0])

@@ -916,9 +916,14 @@ class UnionSinkOp(Operator):
 
 
 class UnionAllOp(Operator):
-    """velox MixedUnion: stream the first source through, then drain the
-    sibling pipelines' buffered batches (they ran to completion first —
-    pipeline creation order is topological)."""
+    """velox MixedUnion: buffer the first source, then at drain combine
+    with the sibling pipelines' bridged batches (they ran to completion
+    first — pipeline creation order is topological). Before emitting,
+    string columns whose branches carry DIFFERENT dictionaries (e.g.
+    per-branch constant channel labels) are re-encoded onto one merged
+    sorted dictionary, so streaming consumers downstream (aggregation
+    key capture, sort ranks) see a single dictionary — velox wraps a
+    dictionary layer per branch instead."""
 
     def __init__(self, node, bridge: UnionBridge):
         super().__init__(node)
@@ -931,14 +936,17 @@ class UnionAllOp(Operator):
         self._queue.append(batch.project(self._names))
 
     def get_output(self) -> Optional[Batch]:
-        if self._queue:
-            return self._queue.popleft()
         if self.no_more_input_seen and not self._drained:
             self._drained = True
-            for b in self.bridge.batches:
-                self._queue.append(b.project(self._names))
-            return self._queue.popleft() if self._queue else None
-        return None
+            from velox_tpu.vector.batch import harmonize_dictionaries
+
+            batches = list(self._queue) + [
+                b.project(self._names) for b in self.bridge.batches]
+            self._queue = collections.deque(
+                harmonize_dictionaries(batches))
+        if not self._drained:
+            return None
+        return self._queue.popleft() if self._queue else None
 
     def is_finished(self) -> bool:
         return (self.no_more_input_seen and self._drained

@@ -330,4 +330,347 @@ def q75(year: int = 2001, category: str = "Books") -> PlanBuilder:
     )
 
 
-HARD_QUERIES = {4: q4, 11: q11, 58: q58, 75: q75}
+# ------------------------------------------------------------------
+# q5 / q77 / q80: channel profit-and-loss reports with ROLLUP
+# ------------------------------------------------------------------
+
+def _days_after(day: str, n: int) -> str:
+    import datetime as _dt
+
+    d = _dt.date.fromisoformat(day) + _dt.timedelta(days=n)
+    return d.isoformat()
+
+
+def _rollup_report(legs) -> PlanBuilder:
+    """UNION ALL the channel legs (channel, id, sales, returns,
+    profit), then GROUP BY ROLLUP(channel, id) (spec q5/q77/q80
+    final select)."""
+    return (
+        legs[0].union_all(legs[1:])
+        .group_id([["channel", "id"], ["channel"], []])
+        .aggregate(["channel", "id", "group_id"],
+                   ["sum(sales) AS sales", "sum(returns_) AS returns_",
+                    "sum(profit) AS profit"])
+        .project(["channel", "id", "sales", "returns_", "profit"])
+        .order_by(["channel", "id"])
+        .limit(100)
+    )
+
+
+def q5(day: str = "2000-08-23") -> PlanBuilder:
+    """Channel P&L over 14 days: per-store / per-catalog-page /
+    per-web-site sales, returns and profit with a channel ROLLUP
+    (spec q5)."""
+    d0, d1 = day, _days_after(day, 14)
+    dt = _dim("date_dim", ["d_date_sk", "d_date"],
+              f"d_date BETWEEN DATE '{d0}' AND DATE '{d1}'")
+
+    def sales_returns(sales_tab, s_cols, s_proj, ret_tab, r_cols,
+                      r_proj, dim, dim_keys, dim_id, label):
+        sales = (PlanBuilder().table_scan(sales_tab, columns=s_cols)
+                 .project(s_proj))
+        rets = (PlanBuilder().table_scan(ret_tab, columns=r_cols)
+                .project(r_proj))
+        return (
+            sales.union_all([rets])
+            .hash_join(dt, ["date_sk"], ["d_date_sk"], "left_semi")
+            .hash_join(dim, ["ent_sk"], [dim_keys], "inner",
+                       output=[dim_id, "sales_price", "profit",
+                               "return_amt", "net_loss"])
+            .aggregate([dim_id],
+                       ["sum(sales_price) AS sales",
+                        "sum(return_amt) AS returns_",
+                        "sum(profit) AS profit_raw",
+                        "sum(net_loss) AS profit_loss"])
+            .project([f"'{label} channel' AS channel",
+                      f"concat('{label}', {dim_id}) AS id",
+                      "sales", "returns_",
+                      "profit_raw - profit_loss AS profit"])
+        )
+
+    st = _dim("store", ["s_store_sk", "s_store_id"])
+    ssr = sales_returns(
+        "store_sales",
+        ["ss_store_sk", "ss_sold_date_sk", "ss_ext_sales_price",
+         "ss_net_profit"],
+        ["ss_store_sk AS ent_sk", "ss_sold_date_sk AS date_sk",
+         "ss_ext_sales_price AS sales_price",
+         "ss_net_profit AS profit", "0.0 AS return_amt",
+         "0.0 AS net_loss"],
+        "store_returns",
+        ["sr_store_sk", "sr_returned_date_sk", "sr_return_amt",
+         "sr_net_loss"],
+        ["sr_store_sk AS ent_sk", "sr_returned_date_sk AS date_sk",
+         "0.0 AS sales_price", "0.0 AS profit",
+         "sr_return_amt AS return_amt", "sr_net_loss AS net_loss"],
+        st, "s_store_sk", "s_store_id", "store")
+
+    cp = _dim("catalog_page", ["cp_catalog_page_sk",
+                               "cp_catalog_page_id"])
+    csr = sales_returns(
+        "catalog_sales",
+        ["cs_catalog_page_sk", "cs_sold_date_sk",
+         "cs_ext_sales_price", "cs_net_profit"],
+        ["cs_catalog_page_sk AS ent_sk", "cs_sold_date_sk AS date_sk",
+         "cs_ext_sales_price AS sales_price",
+         "cs_net_profit AS profit", "0.0 AS return_amt",
+         "0.0 AS net_loss"],
+        "catalog_returns",
+        ["cr_catalog_page_sk", "cr_returned_date_sk",
+         "cr_return_amount", "cr_net_loss"],
+        ["cr_catalog_page_sk AS ent_sk",
+         "cr_returned_date_sk AS date_sk", "0.0 AS sales_price",
+         "0.0 AS profit", "cr_return_amount AS return_amt",
+         "cr_net_loss AS net_loss"],
+        cp, "cp_catalog_page_sk", "cp_catalog_page_id",
+        "catalog_page")
+
+    # web returns find their site through the originating sale
+    # (spec q5 wsr: web_returns LEFT OUTER JOIN web_sales on
+    # item+order; an inner join here — null sites drop at the dim
+    # join either way)
+    ws_site = (PlanBuilder()
+               .table_scan("web_sales",
+                           columns=["ws_item_sk", "ws_order_number",
+                                    "ws_web_site_sk"])
+               .project(["ws_item_sk AS wsl_item",
+                         "ws_order_number AS wsl_ord",
+                         "ws_web_site_sk AS wsl_site"]))
+    web_sales = (PlanBuilder()
+                 .table_scan("web_sales",
+                             columns=["ws_web_site_sk",
+                                      "ws_sold_date_sk",
+                                      "ws_ext_sales_price",
+                                      "ws_net_profit"])
+                 .project(["ws_web_site_sk AS ent_sk",
+                           "ws_sold_date_sk AS date_sk",
+                           "ws_ext_sales_price AS sales_price",
+                           "ws_net_profit AS profit",
+                           "0.0 AS return_amt", "0.0 AS net_loss"]))
+    web_rets = (PlanBuilder()
+                .table_scan("web_returns",
+                            columns=["wr_item_sk", "wr_order_number",
+                                     "wr_returned_date_sk",
+                                     "wr_return_amt", "wr_net_loss"])
+                .hash_join(ws_site,
+                           ["wr_item_sk", "wr_order_number"],
+                           ["wsl_item", "wsl_ord"], "inner",
+                           output=["wsl_site", "wr_returned_date_sk",
+                                   "wr_return_amt", "wr_net_loss"])
+                .project(["wsl_site AS ent_sk",
+                          "wr_returned_date_sk AS date_sk",
+                          "0.0 AS sales_price", "0.0 AS profit",
+                          "wr_return_amt AS return_amt",
+                          "wr_net_loss AS net_loss"]))
+    wsite = _dim("web_site", ["web_site_sk", "web_site_id"])
+    wsr = (
+        web_sales.union_all([web_rets])
+        .hash_join(dt, ["date_sk"], ["d_date_sk"], "left_semi")
+        .hash_join(wsite, ["ent_sk"], ["web_site_sk"], "inner",
+                   output=["web_site_id", "sales_price", "profit",
+                           "return_amt", "net_loss"])
+        .aggregate(["web_site_id"],
+                   ["sum(sales_price) AS sales",
+                    "sum(return_amt) AS returns_",
+                    "sum(profit) AS profit_raw",
+                    "sum(net_loss) AS profit_loss"])
+        .project(["'web channel' AS channel",
+                  "concat('web_site', web_site_id) AS id",
+                  "sales", "returns_",
+                  "profit_raw - profit_loss AS profit"])
+    )
+    return _rollup_report([ssr, csr, wsr])
+
+
+def q77(day: str = "2000-08-23") -> PlanBuilder:
+    """Channel P&L over 30 days: store / call-center / web-page level
+    sales vs returns, ROLLUP by channel (spec q77)."""
+    d0, d1 = day, _days_after(day, 30)
+    dt = _dim("date_dim", ["d_date_sk", "d_date"],
+              f"d_date BETWEEN DATE '{d0}' AND DATE '{d1}'")
+
+    def agg(fact, cols, dcol, key, sums, outs):
+        return (
+            PlanBuilder().table_scan(fact, columns=cols)
+            .hash_join(dt, [dcol], ["d_date_sk"], "left_semi")
+            .filter(f"is_not_null({key})")
+            .aggregate([key],
+                       [f"sum({c}) AS {o}" for c, o in
+                        zip(sums, outs)])
+        )
+
+    st = _dim("store", ["s_store_sk"])
+    ss = (PlanBuilder()
+          .table_scan("store_sales",
+                      columns=["ss_store_sk", "ss_sold_date_sk",
+                               "ss_ext_sales_price",
+                               "ss_net_profit"])
+          .hash_join(dt, ["ss_sold_date_sk"], ["d_date_sk"],
+                     "left_semi")
+          .hash_join(st, ["ss_store_sk"], ["s_store_sk"], "inner",
+                     output=["s_store_sk", "ss_ext_sales_price",
+                             "ss_net_profit"])
+          .aggregate(["s_store_sk"],
+                     ["sum(ss_ext_sales_price) AS sales",
+                      "sum(ss_net_profit) AS profit"]))
+    sr = (PlanBuilder()
+          .table_scan("store_returns",
+                      columns=["sr_store_sk", "sr_returned_date_sk",
+                               "sr_return_amt", "sr_net_loss"])
+          .hash_join(dt, ["sr_returned_date_sk"], ["d_date_sk"],
+                     "left_semi")
+          .hash_join(st, ["sr_store_sk"], ["s_store_sk"], "inner",
+                     output=["s_store_sk", "sr_return_amt",
+                             "sr_net_loss"])
+          .aggregate(["s_store_sk"],
+                     ["sum(sr_return_amt) AS returns_",
+                      "sum(sr_net_loss) AS profit_loss"])
+          .project(["s_store_sk AS sr_store_sk", "returns_",
+                    "profit_loss"]))
+    store_leg = (
+        ss.hash_join(sr, ["s_store_sk"], ["sr_store_sk"], "left",
+                     output=["s_store_sk", "sales", "profit",
+                             "returns_", "profit_loss"])
+        .project(["'store channel' AS channel", "s_store_sk AS id",
+                  "sales", "coalesce(returns_, 0.0) AS returns_",
+                  "profit - coalesce(profit_loss, 0.0) AS profit"]))
+
+    cs = agg("catalog_sales",
+             ["cs_call_center_sk", "cs_sold_date_sk",
+              "cs_ext_sales_price", "cs_net_profit"],
+             "cs_sold_date_sk", "cs_call_center_sk",
+             ["cs_ext_sales_price", "cs_net_profit"],
+             ["sales", "profit"])
+    cr = (PlanBuilder()
+          .table_scan("catalog_returns",
+                      columns=["cr_returned_date_sk",
+                               "cr_return_amount", "cr_net_loss"])
+          .hash_join(dt, ["cr_returned_date_sk"], ["d_date_sk"],
+                     "left_semi")
+          .aggregate([], ["sum(cr_return_amount) AS returns_",
+                          "sum(cr_net_loss) AS profit_loss"]))
+    # spec q77: catalog sales and returns meet in a CROSS join (cr is
+    # a one-row total, not keyed by call center)
+    catalog_leg = (
+        cs.cross_join(cr)
+        .project(["'catalog channel' AS channel",
+                  "cs_call_center_sk AS id", "sales", "returns_",
+                  "profit - profit_loss AS profit"]))
+
+    wp = _dim("web_page", ["wp_web_page_sk"])
+    ws = (PlanBuilder()
+          .table_scan("web_sales",
+                      columns=["ws_web_page_sk", "ws_sold_date_sk",
+                               "ws_ext_sales_price",
+                               "ws_net_profit"])
+          .hash_join(dt, ["ws_sold_date_sk"], ["d_date_sk"],
+                     "left_semi")
+          .hash_join(wp, ["ws_web_page_sk"], ["wp_web_page_sk"],
+                     "inner",
+                     output=["wp_web_page_sk", "ws_ext_sales_price",
+                             "ws_net_profit"])
+          .aggregate(["wp_web_page_sk"],
+                     ["sum(ws_ext_sales_price) AS sales",
+                      "sum(ws_net_profit) AS profit"]))
+    wr = (PlanBuilder()
+          .table_scan("web_returns",
+                      columns=["wr_web_page_sk",
+                               "wr_returned_date_sk",
+                               "wr_return_amt", "wr_net_loss"])
+          .hash_join(dt, ["wr_returned_date_sk"], ["d_date_sk"],
+                     "left_semi")
+          .hash_join(wp, ["wr_web_page_sk"], ["wp_web_page_sk"],
+                     "inner",
+                     output=["wp_web_page_sk", "wr_return_amt",
+                             "wr_net_loss"])
+          .aggregate(["wp_web_page_sk"],
+                     ["sum(wr_return_amt) AS returns_",
+                      "sum(wr_net_loss) AS profit_loss"])
+          .project(["wp_web_page_sk AS wr_page_sk", "returns_",
+                    "profit_loss"]))
+    web_leg = (
+        ws.hash_join(wr, ["wp_web_page_sk"], ["wr_page_sk"], "left",
+                     output=["wp_web_page_sk", "sales", "profit",
+                             "returns_", "profit_loss"])
+        .project(["'web channel' AS channel",
+                  "wp_web_page_sk AS id", "sales",
+                  "coalesce(returns_, 0.0) AS returns_",
+                  "profit - coalesce(profit_loss, 0.0) AS profit"]))
+
+    return _rollup_report([store_leg, catalog_leg, web_leg])
+
+
+def q80(day: str = "2000-08-23", price: float = 50.0) -> PlanBuilder:
+    """Channel P&L over 30 days restricted to pricey non-TV-promoted
+    items, sales LEFT JOIN returns at line granularity, channel ROLLUP
+    (spec q80)."""
+    d0, d1 = day, _days_after(day, 30)
+    dt = _dim("date_dim", ["d_date_sk", "d_date"],
+              f"d_date BETWEEN DATE '{d0}' AND DATE '{d1}'")
+    it = _dim("item", ["i_item_sk", "i_current_price"],
+              f"i_current_price > {price}")
+    pr = _dim("promotion", ["p_promo_sk", "p_channel_tv"],
+              "p_channel_tv = 'N'")
+
+    def leg(fact, pfx, ikey, okey, pkey, rfact, rpfx, rokey, ramt,
+            dim, dim_key, dim_id, label, entcol):
+        rets = (PlanBuilder()
+                .table_scan(rfact,
+                            columns=[f"{rpfx}_item_sk", rokey, ramt,
+                                     f"{rpfx}_net_loss"])
+                .project([f"{rpfx}_item_sk AS r_item",
+                          f"{rokey} AS r_ord", f"{ramt} AS r_amt",
+                          f"{rpfx}_net_loss AS r_loss"]))
+        return (
+            PlanBuilder()
+            .table_scan(fact,
+                        columns=[f"{pfx}_sold_date_sk", ikey, okey,
+                                 pkey, entcol,
+                                 f"{pfx}_ext_sales_price",
+                                 f"{pfx}_net_profit"])
+            .hash_join(dt, [f"{pfx}_sold_date_sk"], ["d_date_sk"],
+                       "left_semi")
+            .hash_join(it, [ikey], ["i_item_sk"], "left_semi")
+            .hash_join(pr, [pkey], ["p_promo_sk"], "left_semi")
+            .hash_join(rets, [ikey, okey], ["r_item", "r_ord"],
+                       "left",
+                       output=[entcol, f"{pfx}_ext_sales_price",
+                               f"{pfx}_net_profit", "r_amt",
+                               "r_loss"])
+            .hash_join(dim, [entcol], [dim_key], "inner",
+                       output=[dim_id, f"{pfx}_ext_sales_price",
+                               f"{pfx}_net_profit", "r_amt",
+                               "r_loss"])
+            .aggregate([dim_id],
+                       [f"sum({pfx}_ext_sales_price) AS sales",
+                        "sum(coalesce(r_amt, 0.0)) AS returns_",
+                        f"sum({pfx}_net_profit -"
+                        " coalesce(r_loss, 0.0)) AS profit"])
+            .project([f"'{label} channel' AS channel",
+                      f"concat('{label}', {dim_id}) AS id", "sales",
+                      "returns_", "profit"])
+        )
+
+    ssr = leg("store_sales", "ss", "ss_item_sk", "ss_ticket_number",
+              "ss_promo_sk", "store_returns", "sr",
+              "sr_ticket_number", "sr_return_amt",
+              _dim("store", ["s_store_sk", "s_store_id"]),
+              "s_store_sk", "s_store_id", "store", "ss_store_sk")
+    csr = leg("catalog_sales", "cs", "cs_item_sk", "cs_order_number",
+              "cs_promo_sk", "catalog_returns", "cr",
+              "cr_order_number", "cr_return_amount",
+              _dim("catalog_page",
+                   ["cp_catalog_page_sk", "cp_catalog_page_id"]),
+              "cp_catalog_page_sk", "cp_catalog_page_id",
+              "catalog_page", "cs_catalog_page_sk")
+    wsr = leg("web_sales", "ws", "ws_item_sk", "ws_order_number",
+              "ws_promo_sk", "web_returns", "wr", "wr_order_number",
+              "wr_return_amt",
+              _dim("web_site", ["web_site_sk", "web_site_id"]),
+              "web_site_sk", "web_site_id", "web_site",
+              "ws_web_site_sk")
+    return _rollup_report([ssr, csr, wsr])
+
+
+HARD_QUERIES = {4: q4, 5: q5, 11: q11, 58: q58, 75: q75, 77: q77,
+                80: q80}

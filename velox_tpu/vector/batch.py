@@ -135,9 +135,15 @@ class Batch:
 
     @staticmethod
     def empty_like(schema: RowType, capacity: int) -> "Batch":
+        from velox_tpu.vector.column import Dictionary
+
         cols = {}
         for name, t in zip(schema.names, schema.children):
-            cols[name] = Column(t, jnp.zeros((capacity,), dtype=t.dtype))
+            # string columns stay dictionary-coded even when empty so
+            # bind-time string transforms downstream keep working
+            d = Dictionary([]) if t.is_string else None
+            cols[name] = Column(
+                t, jnp.zeros((capacity,), dtype=t.dtype), None, d)
         return Batch(cols, jnp.zeros((capacity,), dtype=jnp.bool_), num_rows=0)
 
     # ------------------------------------------------------ transformations
@@ -327,6 +333,56 @@ def _slice_column(c, cap2: int):
         c.dictionary, c.stats)
 
 
+def harmonize_dictionaries(batches: Sequence["Batch"]) -> list:
+    """Re-encode string columns so every batch shares ONE Dictionary per
+    column (the merged sorted union; codes stay rank-ordered so sort
+    keys remain valid). No-op when dictionaries are already shared —
+    the catalog's table-global dictionaries make that the common case.
+    Differing dictionaries arise from per-branch constants and
+    concat()-style bind-time transforms under UNION ALL
+    (velox wraps a new dictionary layer per branch instead)."""
+    from velox_tpu.vector.column import (
+        ArrayColumn, Column, Dictionary, MapColumn, RowColumn,
+    )
+
+    if len(batches) <= 1:
+        return list(batches)
+    names = batches[0].names
+    out_cols = [dict(b.columns) for b in batches]
+    changed = False
+    for n in names:
+        parts = [b.columns[n] for b in batches]
+        if isinstance(parts[0], (ArrayColumn, MapColumn, RowColumn)):
+            continue
+        dicts = [p.dictionary for p in parts
+                 if p.dictionary is not None]
+        if not dicts:
+            continue
+        d0 = dicts[0]
+        if len(dicts) == len(parts) and all(
+                d is d0 for d in dicts[1:]):
+            continue
+        assert len(dicts) == len(parts), (
+            f"column {n}: dictionary-coded and plain parts mixed")
+        merged = Dictionary(sorted(
+            {str(v) for dd in dicts for v in dd.values}))
+        for i, p in enumerate(parts):
+            table = np.concatenate([[-1], [
+                merged.code_of(str(v))
+                for v in p.dictionary.values]]).astype(np.int32)
+            # stats describe the OLD code space — drop them
+            out_cols[i][n] = Column(
+                p.dtype,
+                jnp.take(jnp.asarray(table), p.values + 1,
+                         mode="clip"),
+                p.valid, merged, None)
+        changed = True
+    if not changed:
+        return list(batches)
+    return [Batch(cols, b.sel, b.num_rows)
+            for cols, b in zip(out_cols, batches)]
+
+
 def concat_batches(
     batches: Sequence["Batch"], capacity: Optional[int] = None
 ) -> "Batch":
@@ -340,6 +396,7 @@ def concat_batches(
     assert batches, "concat of zero batches"
     if len(batches) == 1 and capacity is None:
         return batches[0]
+    batches = harmonize_dictionaries(batches)
     names = batches[0].names
     total = sum(b.capacity for b in batches)
     cap = capacity if capacity is not None else round_capacity(total)
@@ -360,31 +417,10 @@ def concat_batches(
         if isinstance(parts[0], _RC):
             cols[n] = _concat_row_columns(parts, pad)
             continue
+        # harmonize_dictionaries above guarantees a single shared
+        # dictionary per string column at this point
         dicts = [p.dictionary for p in parts if p.dictionary is not None]
         d = dicts[0] if dicts else None
-        if any(other is not d for other in dicts[1:]):
-            # cross-source string columns (e.g. per-branch constant
-            # channel labels under UNION ALL): merge the dictionaries
-            # on host and remap each part's codes with one gather —
-            # velox would wrap a new dictionary layer here
-            from velox_tpu.vector.column import Dictionary
-
-            assert len(dicts) == len(parts), (
-                f"column {n}: dictionary-coded and plain parts mixed")
-            merged = Dictionary(sorted(
-                {str(v) for dd in dicts for v in dd.values}))
-            remapped = []
-            for p in parts:
-                table = np.concatenate([[-1], [
-                    merged.code_of(str(v))
-                    for v in p.dictionary.values]]).astype(np.int32)
-                remapped.append(Column(
-                    p.dtype,
-                    jnp.take(jnp.asarray(table), p.values + 1,
-                             mode="clip"),
-                    p.valid, merged, p.stats))
-            parts = remapped
-            d = merged
         vals = jnp.concatenate(
             [p.values for p in parts]
             + ([jnp.zeros(pad, dtype=parts[0].values.dtype)] if pad else []))
