@@ -140,14 +140,8 @@ def test_q96(dfs):
 
 
 def test_supported_list():
-    assert SUPPORTED_QUERIES == [
-        1, 2, 3, 6, 7, 8, 9, 10, 12, 13, 15, 16, 17, 18, 19, 20, 21,
-        22, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35, 36, 37, 38,
-        39, 40, 41, 42, 43, 44, 45, 46, 47, 48, 49, 50, 52, 53, 55,
-        56, 57, 59, 60, 61, 62, 63, 65, 66, 68, 69, 70, 71, 73, 74,
-        76, 79, 81, 82, 83, 84, 85, 86, 87, 88, 89, 90, 91, 92, 93,
-        94, 95, 96, 97, 98, 99]
-    assert len(SUPPORTED_QUERIES) >= 83
+    assert SUPPORTED_QUERIES == list(range(1, 100))
+    assert len(SUPPORTED_QUERIES) == 99
 
 
 def _semi(ss, dim, lk, rk):

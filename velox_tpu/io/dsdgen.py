@@ -328,7 +328,9 @@ def _pa_type(code):
 
 def data_dir(sf: float) -> Path:
     root = Path(os.environ.get("VELOX_TPU_DATA", "/tmp/velox_tpu_data"))
-    return root / f"dsdgen_sf{sf:g}"
+    # v2: permute_fix.cpp corrects the reference port's dangling item
+    # permutations (native/shim/permute_fix.cpp) — v1 caches are garbage
+    return root / f"dsdgen_v2_sf{sf:g}"
 
 
 def available() -> bool:
