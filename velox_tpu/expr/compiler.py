@@ -1336,6 +1336,14 @@ def bind_strings(expr: Expr, dictionaries: Dict[str, "Dictionary"],
         if bound is not None:
             return bound
 
+    if (name in ("eq", "neq", "lt", "lte", "gt", "gte")
+            and len(args) == 2 and _other_literal(args) is None):
+        sa = _dict_source((args[0],), dictionaries)
+        sb = _dict_source((args[1],), dictionaries)
+        if (sa is not None and sb is not None
+                and sa[1] is not None and sb[1] is not None):
+            return _bind_string_cmp_pair(name, sa, sb)
+
     src = _dict_source(args, dictionaries)
     if src is not None:
         codes_expr, d = src
@@ -1374,6 +1382,34 @@ def bind_strings(expr: Expr, dictionaries: Dict[str, "Dictionary"],
                 codes_expr, Literal(BOOLEAN, table)))
 
     return Call(expr.dtype, name, args)
+
+
+def _bind_string_cmp_pair(name, sa, sb) -> Expr:
+    """Compare two dictionary-encoded string COLUMNS (no literal side).
+
+    Codes from different dictionaries are incomparable — rounds 1-4
+    compiled ``col_a = col_b`` to a raw code compare, silently matching
+    unrelated values (caught by TPC-DS q24's s_zip = ca_zip). Map both
+    code spaces onto ranks in the sorted union of their values (order-
+    preserving, so range compares work too), then compare ranks as
+    ints. NULL codes rank -1 on both sides; an explicit validity
+    conjunction gives SQL WHERE semantics (NULL compare -> filtered)."""
+    ca, da = sa
+    cb, db = sb
+    va = np.asarray(da.values).astype(str)
+    vb = np.asarray(db.values).astype(str)
+    union = np.unique(np.concatenate([va, vb]))
+    ta = np.concatenate(
+        [[-1], np.searchsorted(union, va)]).astype(np.int32)
+    tb = np.concatenate(
+        [[-1], np.searchsorted(union, vb)]).astype(np.int32)
+    ra = DictTransform(INTEGER, ca, ta, None)
+    rb = DictTransform(INTEGER, cb, tb, None)
+    valid = Call(BOOLEAN, "and", (
+        Call(BOOLEAN, "gte", (ra, Literal(INTEGER, 0))),
+        Call(BOOLEAN, "gte", (rb, Literal(INTEGER, 0)))))
+    return Call(BOOLEAN, "and",
+                (valid, Call(BOOLEAN, name, (ra, rb))))
 
 
 _STRING_HOST_FNS = {

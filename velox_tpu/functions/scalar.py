@@ -116,11 +116,19 @@ register_function(ScalarFunction(
     "mod", _arith_type, _mod_impl, default_nulls=False))
 register_function(ScalarFunction("negate", lambda a: a[0], lambda a: -a))
 register_function(ScalarFunction("abs", lambda a: a[0], lambda a: jnp.abs(a)))
+def _round_impl(a, d=None):
+    # Presto rounds half AWAY FROM ZERO (velox/functions/prestosql/
+    # Arithmetic.h RoundFunction), not numpy's half-to-even
+    if not jnp.issubdtype(a.dtype, jnp.floating):
+        return a
+    if d is None:
+        return jnp.sign(a) * jnp.floor(jnp.abs(a) + 0.5)
+    scale = jnp.power(10.0, d).astype(a.dtype)
+    return jnp.sign(a) * jnp.floor(jnp.abs(a) * scale + 0.5) / scale
+
+
 register_function(ScalarFunction(
-    "round",
-    lambda a: a[0],
-    lambda a: jnp.round(a) if jnp.issubdtype(a.dtype, jnp.floating) else a,
-))
+    "round", lambda a: a[0], _round_impl))
 register_function(ScalarFunction("sqrt", lambda a: DOUBLE, lambda a: jnp.sqrt(a)))
 register_function(ScalarFunction("exp", lambda a: DOUBLE, lambda a: jnp.exp(a)))
 register_function(ScalarFunction("ln", lambda a: DOUBLE, lambda a: jnp.log(a)))

@@ -56,8 +56,9 @@ def _parse_sort(text: str) -> SortField:
     name = m.group(1)
     desc = (m.group(2) or "asc").lower() == "desc"
     nulls = m.group(3)
-    nulls_first = (nulls or ("first" if desc else "last")).lower() == "first"
-    # SQL default: NULLS LAST for ASC, NULLS FIRST for DESC (Presto)
+    # NULLS LAST is the default regardless of direction (Presto;
+    # velox/duckdb/conversion/DuckParser.cpp:935)
+    nulls_first = (nulls or "last").lower() == "first"
     return SortField(name, desc, nulls_first)
 
 
@@ -116,6 +117,12 @@ class PlanBuilder:
 
     def __init__(self, node: Optional[PlanNode] = None):
         self.node = node
+
+    def fork(self) -> "PlanBuilder":
+        """New builder over the current node: chain a second consumer
+        off a shared sub-plan (CTE) without mutating this chain —
+        builder methods rebind ``self.node`` in place."""
+        return PlanBuilder(self.node)
 
     # ------------------------------------------------------------- leaves
     def values(self, batches: Sequence) -> "PlanBuilder":
