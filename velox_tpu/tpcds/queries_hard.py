@@ -672,5 +672,930 @@ def q80(day: str = "2000-08-23", price: float = 50.0) -> PlanBuilder:
     return _rollup_report([ssr, csr, wsr])
 
 
-HARD_QUERIES = {4: q4, 5: q5, 11: q11, 58: q58, 75: q75, 77: q77,
-                80: q80}
+# ------------------------------------------------------------------
+# q51: cumulative web-vs-store revenue cross
+# ------------------------------------------------------------------
+
+def q51(month_seq_lo: int = 1200) -> PlanBuilder:
+    """Item/date points where cumulative web sales overtake cumulative
+    store sales (spec q51: two windowed CTEs FULL OUTER joined on
+    (item, date), then running max of each side)."""
+    def v1(fact, dcol, icol, price, sfx):
+        dt = _dim("date_dim", ["d_date_sk", "d_date", "d_month_seq"],
+                  f"d_month_seq >= {month_seq_lo} AND "
+                  f"d_month_seq <= {month_seq_lo + 11}")
+        return (
+            PlanBuilder()
+            .table_scan(fact, columns=[dcol, icol, price])
+            .filter(f"is_not_null({icol})")
+            .hash_join(dt, [dcol], ["d_date_sk"], "inner",
+                       output=[icol, "d_date", price])
+            .aggregate([icol, "d_date"],
+                       [f"sum({price}) AS sales{sfx}"])
+            .window([icol], ["d_date"],
+                    [f"sum(sales{sfx}) AS cume{sfx} rows between"
+                     " unbounded preceding and current row"])
+            .project([f"{icol} AS item{sfx}", f"d_date AS date{sfx}",
+                      f"cume{sfx}"])
+        )
+
+    web = v1("web_sales", "ws_sold_date_sk", "ws_item_sk",
+             "ws_sales_price", "_w")
+    store = v1("store_sales", "ss_sold_date_sk", "ss_item_sk",
+               "ss_sales_price", "_s")
+    return (
+        web
+        .hash_join(store, ["item_w", "date_w"],
+                   ["item_s", "date_s"], "full",
+                   output=["item_w", "date_w", "cume_w", "item_s",
+                           "date_s", "cume_s"])
+        .project(["coalesce(item_w, item_s) AS item_sk",
+                  "coalesce(date_w, date_s) AS d_date",
+                  "cume_w AS web_sales", "cume_s AS store_sales"])
+        .window(["item_sk"], ["d_date"],
+                ["max(web_sales) AS web_cumulative rows between"
+                 " unbounded preceding and current row",
+                 "max(store_sales) AS store_cumulative rows between"
+                 " unbounded preceding and current row"])
+        .filter("web_cumulative > store_cumulative")
+        .project(["item_sk", "d_date", "web_sales", "store_sales",
+                  "web_cumulative", "store_cumulative"])
+        .order_by(["item_sk", "d_date"])
+        .limit(100)
+    )
+
+
+# ------------------------------------------------------------------
+# q67: 8-level rollup ranked within category
+# ------------------------------------------------------------------
+
+def q67(month_seq_lo: int = 1200) -> PlanBuilder:
+    """Top-100 sales cells per category over an 8-column ROLLUP
+    (spec q67)."""
+    dt = _dim("date_dim",
+              ["d_date_sk", "d_year", "d_qoy", "d_moy",
+               "d_month_seq"],
+              f"d_month_seq >= {month_seq_lo} AND "
+              f"d_month_seq <= {month_seq_lo + 11}")
+    st = _dim("store", ["s_store_sk", "s_store_id"])
+    it = _dim("item", ["i_item_sk", "i_category", "i_class",
+                       "i_brand", "i_product_name"])
+    cols = ["i_category", "i_class", "i_brand", "i_product_name",
+            "d_year", "d_qoy", "d_moy", "s_store_id"]
+    sets = [cols[:i] for i in range(len(cols), -1, -1)]
+    return (
+        PlanBuilder()
+        .table_scan("store_sales",
+                    columns=["ss_sold_date_sk", "ss_item_sk",
+                             "ss_store_sk", "ss_sales_price",
+                             "ss_quantity"])
+        .hash_join(dt, ["ss_sold_date_sk"], ["d_date_sk"], "inner",
+                   output=["ss_item_sk", "ss_store_sk",
+                           "ss_sales_price", "ss_quantity",
+                           "d_year", "d_qoy", "d_moy"])
+        .hash_join(st, ["ss_store_sk"], ["s_store_sk"], "inner",
+                   output=["ss_item_sk", "ss_sales_price",
+                           "ss_quantity", "d_year", "d_qoy",
+                           "d_moy", "s_store_id"])
+        .hash_join(it, ["ss_item_sk"], ["i_item_sk"], "inner",
+                   output=["ss_sales_price", "ss_quantity",
+                           "d_year", "d_qoy", "d_moy", "s_store_id",
+                           "i_category", "i_class", "i_brand",
+                           "i_product_name"])
+        .project([*cols,
+                  "coalesce(ss_sales_price * ss_quantity, 0.0)"
+                  " AS amt"])
+        .group_id(sets)
+        .aggregate([*cols, "group_id"], ["sum(amt) AS sumsales"])
+        .window(["i_category"], ["sumsales DESC"],
+                ["rank() AS rk"])
+        .filter("rk <= 100")
+        .project([*cols, "sumsales", "rk"])
+        .order_by(["i_category", "i_class", "i_brand",
+                   "i_product_name", "d_year", "d_qoy", "d_moy",
+                   "s_store_id", "sumsales", "rk"])
+        .limit(100)
+    )
+
+
+# ------------------------------------------------------------------
+# q54: revenue segments of cross-channel maternity shoppers
+# ------------------------------------------------------------------
+
+def q54(year: int = 1998, moy: int = 12,
+        category: str = "Women", iclass: str = "maternity",
+        geo_filter: bool = True) -> PlanBuilder:
+    """$50 revenue-segment histogram of store revenue from customers
+    who bought the target category via catalog/web in one month
+    (spec q54).
+
+    ``geo_filter=False`` drops the spec's store-county/state address
+    clause: at tiny SF both stores sit in one county with ~0 customer
+    addresses, so the spec-exact query is structurally empty — tests
+    run both forms (exact vs oracle, relaxed for non-vacuity)."""
+    it = _dim("item", ["i_item_sk", "i_category", "i_class"],
+              f"i_category = '{category}' AND i_class = '{iclass}'")
+    dt = _dim("date_dim", ["d_date_sk", "d_year", "d_moy"],
+              f"d_year = {year} AND d_moy = {moy}")
+    cs = (PlanBuilder()
+          .table_scan("catalog_sales",
+                      columns=["cs_sold_date_sk",
+                               "cs_bill_customer_sk", "cs_item_sk"])
+          .project(["cs_sold_date_sk AS sold_date_sk",
+                    "cs_bill_customer_sk AS customer_sk",
+                    "cs_item_sk AS item_sk"]))
+    ws = (PlanBuilder()
+          .table_scan("web_sales",
+                      columns=["ws_sold_date_sk",
+                               "ws_bill_customer_sk", "ws_item_sk"])
+          .project(["ws_sold_date_sk AS sold_date_sk",
+                    "ws_bill_customer_sk AS customer_sk",
+                    "ws_item_sk AS item_sk"]))
+    cu = _dim("customer", ["c_customer_sk", "c_current_addr_sk"])
+    my_customers = (
+        cs.union_all([ws])
+        .hash_join(dt, ["sold_date_sk"], ["d_date_sk"], "left_semi")
+        .hash_join(it, ["item_sk"], ["i_item_sk"], "left_semi")
+        .hash_join(cu, ["customer_sk"], ["c_customer_sk"], "inner",
+                   output=["c_customer_sk", "c_current_addr_sk"])
+        .distinct()
+    )
+    # month_seq window (seq+1 .. seq+3) via a one-row cross join —
+    # the spec's scalar subqueries
+    seq = (PlanBuilder()
+           .table_scan("date_dim", columns=["d_date_sk", "d_year",
+                                            "d_moy", "d_month_seq"])
+           .filter(f"d_year = {year} AND d_moy = {moy}")
+           .project(["d_month_seq"]).distinct()
+           .enforce_single_row()
+           .project(["d_month_seq AS seq0"]))
+    dt3 = (PlanBuilder()
+           .table_scan("date_dim", columns=["d_date_sk",
+                                            "d_month_seq"])
+           .cross_join(seq)
+           .filter("d_month_seq >= seq0 + 1 AND "
+                   "d_month_seq <= seq0 + 3")
+           .project(["d_date_sk AS w_date_sk"]))
+    ca = _dim("customer_address",
+              ["ca_address_sk", "ca_county", "ca_state"])
+    st = _dim("store", ["s_store_sk", "s_county", "s_state"])
+    county_state = (st.project(["s_county", "s_state"]).distinct()
+                    .project(["s_county AS okc", "s_state AS oks"]))
+    revenue = (
+        PlanBuilder()
+        .table_scan("store_sales",
+                    columns=["ss_sold_date_sk", "ss_customer_sk",
+                             "ss_ext_sales_price"])
+        .hash_join(dt3, ["ss_sold_date_sk"], ["w_date_sk"],
+                   "left_semi")
+        .hash_join(my_customers, ["ss_customer_sk"],
+                   ["c_customer_sk"], "inner",
+                   output=["ss_customer_sk", "ss_ext_sales_price",
+                           "c_current_addr_sk"])
+        .hash_join(ca, ["c_current_addr_sk"], ["ca_address_sk"],
+                   "inner",
+                   output=["ss_customer_sk", "ss_ext_sales_price",
+                           "ca_county", "ca_state"])
+    )
+    if geo_filter:
+        revenue = revenue.hash_join(
+            county_state, ["ca_county", "ca_state"], ["okc", "oks"],
+            "left_semi")
+    revenue = revenue.aggregate(
+        ["ss_customer_sk"], ["sum(ss_ext_sales_price) AS revenue"])
+    return (
+        revenue
+        .project(["cast(revenue / 50.0 AS INTEGER) AS segment"])
+        .aggregate(["segment"], ["count() AS num_customers"])
+        .project(["segment", "num_customers",
+                  "segment * 50 AS segment_base"])
+        .order_by(["segment", "num_customers"])
+        .limit(100)
+    )
+
+
+# ------------------------------------------------------------------
+# q72: inventory shortfall promo/no-promo counts
+# ------------------------------------------------------------------
+
+def q72(year: int = 1999, buy_potential: str = ">10000",
+        marital: str = "D") -> PlanBuilder:
+    """Catalog lines whose same-week inventory ran short, shipped >5
+    days late, bucketed by promotion presence (spec q72). The spec's
+    d1.d_week_seq = d2.d_week_seq cross-filter becomes a (item, week)
+    equi-join against week-keyed inventory."""
+    d1 = _dim("date_dim", ["d_date_sk", "d_date", "d_week_seq",
+                           "d_year"], f"d_year = {year}")
+    d2 = _dim("date_dim", ["d_date_sk", "d_week_seq"])
+    d3 = _dim("date_dim", ["d_date_sk", "d_date"])
+    hd = _dim("household_demographics",
+              ["hd_demo_sk", "hd_buy_potential"],
+              f"hd_buy_potential = '{buy_potential}'")
+    cd = _dim("customer_demographics",
+              ["cd_demo_sk", "cd_marital_status"],
+              f"cd_marital_status = '{marital}'")
+    it = _dim("item", ["i_item_sk", "i_item_desc"])
+    wh = _dim("warehouse", ["w_warehouse_sk", "w_warehouse_name"])
+    inv = (PlanBuilder()
+           .table_scan("inventory",
+                       columns=["inv_date_sk", "inv_item_sk",
+                                "inv_warehouse_sk",
+                                "inv_quantity_on_hand"])
+           .hash_join(d2, ["inv_date_sk"], ["d_date_sk"], "inner",
+                      output=["inv_item_sk", "inv_warehouse_sk",
+                              "inv_quantity_on_hand", "d_week_seq"])
+           .project(["inv_item_sk", "inv_warehouse_sk",
+                     "inv_quantity_on_hand",
+                     "d_week_seq AS inv_week"]))
+    pr = (PlanBuilder()
+          .table_scan("promotion", columns=["p_promo_sk"])
+          .project(["p_promo_sk AS pp_sk"]))
+    ret = (PlanBuilder()
+           .table_scan("catalog_returns",
+                       columns=["cr_item_sk", "cr_order_number"])
+           .project(["cr_item_sk AS r_item",
+                     "cr_order_number AS r_ord"]))
+    return (
+        PlanBuilder()
+        .table_scan("catalog_sales",
+                    columns=["cs_sold_date_sk", "cs_ship_date_sk",
+                             "cs_bill_cdemo_sk", "cs_bill_hdemo_sk",
+                             "cs_item_sk", "cs_promo_sk",
+                             "cs_order_number", "cs_quantity"])
+        .hash_join(hd, ["cs_bill_hdemo_sk"], ["hd_demo_sk"],
+                   "left_semi")
+        .hash_join(cd, ["cs_bill_cdemo_sk"], ["cd_demo_sk"],
+                   "left_semi")
+        .hash_join(d1, ["cs_sold_date_sk"], ["d_date_sk"], "inner",
+                   output=["cs_ship_date_sk", "cs_item_sk",
+                           "cs_promo_sk", "cs_order_number",
+                           "cs_quantity", "d_date", "d_week_seq"])
+        .hash_join(d3.project(["d_date_sk AS ship_sk",
+                               "d_date AS ship_date"]),
+                   ["cs_ship_date_sk"], ["ship_sk"], "inner",
+                   output=["cs_item_sk", "cs_promo_sk",
+                           "cs_order_number", "cs_quantity",
+                           "d_date", "d_week_seq", "ship_date"])
+        .filter("ship_date > d_date + 5")
+        .hash_join(inv, ["cs_item_sk", "d_week_seq"],
+                   ["inv_item_sk", "inv_week"], "inner",
+                   output=["cs_item_sk", "cs_promo_sk",
+                           "cs_order_number", "cs_quantity",
+                           "d_week_seq", "inv_warehouse_sk",
+                           "inv_quantity_on_hand"])
+        .filter("inv_quantity_on_hand < cs_quantity")
+        .hash_join(wh, ["inv_warehouse_sk"], ["w_warehouse_sk"],
+                   "inner",
+                   output=["cs_item_sk", "cs_promo_sk",
+                           "cs_order_number", "cs_quantity",
+                           "d_week_seq", "w_warehouse_name"])
+        .hash_join(it, ["cs_item_sk"], ["i_item_sk"], "inner",
+                   output=["cs_item_sk", "cs_promo_sk",
+                           "cs_order_number", "d_week_seq",
+                           "w_warehouse_name", "i_item_desc"])
+        .hash_join(pr, ["cs_promo_sk"], ["pp_sk"], "left",
+                   output=["cs_item_sk", "cs_order_number",
+                           "d_week_seq", "w_warehouse_name",
+                           "i_item_desc", "pp_sk"])
+        .hash_join(ret, ["cs_item_sk", "cs_order_number"],
+                   ["r_item", "r_ord"], "left",
+                   output=["d_week_seq", "w_warehouse_name",
+                           "i_item_desc", "pp_sk"])
+        .aggregate(["i_item_desc", "w_warehouse_name", "d_week_seq"],
+                   ["sum(if(is_null(pp_sk), 1, 0)) AS no_promo",
+                    "sum(if(is_not_null(pp_sk), 1, 0)) AS promo",
+                    "count() AS total_cnt"])
+        .order_by(["total_cnt DESC", "i_item_desc",
+                   "w_warehouse_name", "d_week_seq"])
+        .limit(100)
+    )
+
+
+# ------------------------------------------------------------------
+# q78: store sales vs other-channel sales per (year, item, customer)
+# ------------------------------------------------------------------
+
+def q78(year: int = 2000) -> PlanBuilder:
+    """Store-channel quantities/costs per (item, customer) vs the
+    combined web+catalog channels, unreturned lines only (spec q78:
+    three CTEs with returns ANTI-joined out, LEFT joined on
+    (year, item, customer))."""
+    dt = _dim("date_dim", ["d_date_sk", "d_year"], f"d_year = {year}")
+
+    def leg(fact, pfx, okey, ret, rpfx, rokey, ccol, sfx):
+        rt = (PlanBuilder()
+              .table_scan(ret, columns=[f"{rpfx}_item_sk", rokey])
+              .project([f"{rpfx}_item_sk AS r_item",
+                        f"{rokey} AS r_ord"]))
+        return (
+            PlanBuilder()
+            .table_scan(fact,
+                        columns=[f"{pfx}_sold_date_sk", f"{pfx}_item_sk",
+                                 ccol, okey, f"{pfx}_quantity",
+                                 f"{pfx}_wholesale_cost",
+                                 f"{pfx}_sales_price"])
+            .hash_join(rt, [okey, f"{pfx}_item_sk"],
+                       ["r_ord", "r_item"], "anti_simple")
+            .hash_join(dt, [f"{pfx}_sold_date_sk"], ["d_date_sk"],
+                       "left_semi")
+            .filter(f"is_not_null({ccol})")
+            .aggregate([f"{pfx}_item_sk", ccol],
+                       [f"sum({pfx}_quantity) AS qty{sfx}",
+                        f"sum({pfx}_wholesale_cost) AS wc{sfx}",
+                        f"sum({pfx}_sales_price) AS sp{sfx}"])
+            .project([f"{pfx}_item_sk AS item{sfx}",
+                      f"{ccol} AS cust{sfx}",
+                      f"qty{sfx}", f"wc{sfx}", f"sp{sfx}"])
+        )
+
+    ss = leg("store_sales", "ss", "ss_ticket_number",
+             "store_returns", "sr", "sr_ticket_number",
+             "ss_customer_sk", "_s")
+    ws = leg("web_sales", "ws", "ws_order_number",
+             "web_returns", "wr", "wr_order_number",
+             "ws_bill_customer_sk", "_w")
+    cs = leg("catalog_sales", "cs", "cs_order_number",
+             "catalog_returns", "cr", "cr_order_number",
+             "cs_bill_customer_sk", "_c")
+    return (
+        ss
+        .hash_join(ws, ["item_s", "cust_s"], ["item_w", "cust_w"],
+                   "left",
+                   output=["item_s", "cust_s", "qty_s", "wc_s",
+                           "sp_s", "qty_w", "wc_w", "sp_w"])
+        .hash_join(cs, ["item_s", "cust_s"], ["item_c", "cust_c"],
+                   "left",
+                   output=["item_s", "cust_s", "qty_s", "wc_s",
+                           "sp_s", "qty_w", "wc_w", "sp_w", "qty_c",
+                           "wc_c", "sp_c"])
+        .filter("coalesce(qty_w, 0.0) > 0.0 OR"
+                " coalesce(qty_c, 0.0) > 0.0")
+        .project([
+            f"{year} AS ss_sold_year", "item_s AS ss_item_sk",
+            "cust_s AS ss_customer_sk",
+            "round(qty_s / (coalesce(qty_w, 0.0)"
+            " + coalesce(qty_c, 0.0)), 2) AS ratio",
+            "qty_s AS store_qty", "wc_s AS store_wholesale_cost",
+            "sp_s AS store_sales_price",
+            "coalesce(qty_w, 0.0) + coalesce(qty_c, 0.0)"
+            " AS other_chan_qty",
+            "coalesce(wc_w, 0.0) + coalesce(wc_c, 0.0)"
+            " AS other_chan_wholesale_cost",
+            "coalesce(sp_w, 0.0) + coalesce(sp_c, 0.0)"
+            " AS other_chan_sales_price"])
+        .order_by(["ss_sold_year", "ss_item_sk", "ss_customer_sk",
+                   "store_qty DESC", "store_wholesale_cost DESC",
+                   "store_sales_price DESC", "other_chan_qty",
+                   "other_chan_wholesale_cost",
+                   "other_chan_sales_price", "ratio"])
+        .limit(100)
+    )
+
+
+# ------------------------------------------------------------------
+# q23: catalog+web sales of frequent store items by best store customers
+# ------------------------------------------------------------------
+
+def q23(year: int = 2000, moy: int = 2, freq: int = 4,
+        pct: float = 0.95) -> PlanBuilder:
+    """Total catalog+web sales in one month restricted to items bought
+    >``freq`` times a day in store over 4 years and to customers whose
+    store spend exceeds ``pct`` of the best store customer (spec q23
+    iteration 1: frequent_ss_items / max_store_sales /
+    best_ss_customer CTEs)."""
+    years = f"d_year >= {year} AND d_year <= {year + 3}"
+    dt4 = _dim("date_dim", ["d_date_sk", "d_date", "d_year"], years)
+    it = _dim("item", ["i_item_sk", "i_item_desc"])
+
+    frequent = (
+        PlanBuilder()
+        .table_scan("store_sales",
+                    columns=["ss_sold_date_sk", "ss_item_sk"])
+        .hash_join(dt4, ["ss_sold_date_sk"], ["d_date_sk"], "inner",
+                   output=["ss_item_sk", "d_date"])
+        .hash_join(it, ["ss_item_sk"], ["i_item_sk"], "inner",
+                   output=["ss_item_sk", "i_item_desc", "d_date"])
+        .project(["substr(i_item_desc, 1, 30) AS itemdesc",
+                  "ss_item_sk", "d_date"])
+        .aggregate(["itemdesc", "ss_item_sk", "d_date"],
+                   ["count() AS cnt"])
+        .filter(f"cnt > {freq}")
+        .project(["ss_item_sk AS freq_item"])
+        .distinct()
+    )
+
+    per_cust4 = (
+        PlanBuilder()
+        .table_scan("store_sales",
+                    columns=["ss_sold_date_sk", "ss_customer_sk",
+                             "ss_quantity", "ss_sales_price"])
+        .filter("is_not_null(ss_customer_sk)")
+        .hash_join(dt4, ["ss_sold_date_sk"], ["d_date_sk"],
+                   "left_semi")
+        .project(["ss_customer_sk",
+                  "ss_quantity * ss_sales_price AS csales"])
+        .aggregate(["ss_customer_sk"], ["sum(csales) AS csales"])
+    )
+    max_sales = (per_cust4
+                 .aggregate([], ["max(csales) AS tpcds_cmax"])
+                 .enforce_single_row())
+
+    best = (
+        PlanBuilder()
+        .table_scan("store_sales",
+                    columns=["ss_customer_sk", "ss_quantity",
+                             "ss_sales_price"])
+        .filter("is_not_null(ss_customer_sk)")
+        .project(["ss_customer_sk",
+                  "ss_quantity * ss_sales_price AS ssales"])
+        .aggregate(["ss_customer_sk"], ["sum(ssales) AS ssales"])
+        .cross_join(max_sales)
+        .filter(f"ssales > {pct} * tpcds_cmax")
+        .project(["ss_customer_sk AS best_cust"])
+    )
+
+    dt1 = _dim("date_dim", ["d_date_sk", "d_year", "d_moy"],
+               f"d_year = {year} AND d_moy = {moy}")
+
+    def sales_leg(fact, dcol, icol, ccol, qty, price):
+        return (
+            PlanBuilder()
+            .table_scan(fact, columns=[dcol, icol, ccol, qty, price])
+            .hash_join(dt1, [dcol], ["d_date_sk"], "left_semi")
+            .hash_join(frequent, [icol], ["freq_item"], "left_semi")
+            .hash_join(best, [ccol], ["best_cust"], "left_semi")
+            .project([f"{qty} * {price} AS sales"])
+        )
+
+    cs = sales_leg("catalog_sales", "cs_sold_date_sk", "cs_item_sk",
+                   "cs_bill_customer_sk", "cs_quantity",
+                   "cs_list_price")
+    ws = sales_leg("web_sales", "ws_sold_date_sk", "ws_item_sk",
+                   "ws_bill_customer_sk", "ws_quantity",
+                   "ws_list_price")
+    return (cs.union_all([ws])
+            .aggregate([], ["sum(sales) AS total_sales"])
+            .limit(100))
+
+
+# ------------------------------------------------------------------
+# q14: cross-channel item INTERSECT with above-average sales rollup
+# ------------------------------------------------------------------
+
+def q14(year: int = 1999, moy: int = 11) -> PlanBuilder:
+    """Channel/brand/class/category ROLLUP of sales in one month over
+    items sold in ALL three channels during [year, year+2], keeping only
+    cells above the cross-channel average unit sale (spec q14
+    iteration 1: cross_items INTERSECT + avg_sales scalar CTE)."""
+    years = f"d_year >= {year} AND d_year <= {year + 2}"
+    dt3 = _dim("date_dim", ["d_date_sk", "d_year"], years)
+    it_ids = _dim("item", ["i_item_sk", "i_brand_id", "i_class_id",
+                           "i_category_id"])
+
+    def triples(fact, dcol, icol, sfx):
+        return (
+            PlanBuilder()
+            .table_scan(fact, columns=[dcol, icol])
+            .hash_join(dt3, [dcol], ["d_date_sk"], "left_semi")
+            .hash_join(it_ids, [icol], ["i_item_sk"], "inner",
+                       output=["i_brand_id", "i_class_id",
+                               "i_category_id"])
+            .distinct()
+            .project([f"i_brand_id AS b{sfx}",
+                      f"i_class_id AS c{sfx}",
+                      f"i_category_id AS g{sfx}"])
+        )
+
+    ss_t = triples("store_sales", "ss_sold_date_sk", "ss_item_sk",
+                   "_s")
+    cs_t = triples("catalog_sales", "cs_sold_date_sk", "cs_item_sk",
+                   "_c")
+    ws_t = triples("web_sales", "ws_sold_date_sk", "ws_item_sk",
+                   "_w")
+    cross_triples = (
+        ss_t
+        .hash_join(cs_t, ["b_s", "c_s", "g_s"],
+                   ["b_c", "c_c", "g_c"], "left_semi")
+        .hash_join(ws_t, ["b_s", "c_s", "g_s"],
+                   ["b_w", "c_w", "g_w"], "left_semi")
+    )
+    cross_items = (
+        _dim("item", ["i_item_sk", "i_brand_id", "i_class_id",
+                      "i_category_id"])
+        .hash_join(cross_triples,
+                   ["i_brand_id", "i_class_id", "i_category_id"],
+                   ["b_s", "c_s", "g_s"], "left_semi")
+        .project(["i_item_sk AS x_item"])
+    )
+
+    def unit_sales(fact, dcol, qty, price):
+        return (
+            PlanBuilder()
+            .table_scan(fact, columns=[dcol, qty, price])
+            .hash_join(dt3, [dcol], ["d_date_sk"], "left_semi")
+            .project([f"{qty} * {price} AS unit"])
+        )
+
+    avg_sales = (
+        unit_sales("store_sales", "ss_sold_date_sk", "ss_quantity",
+                   "ss_list_price")
+        .union_all([
+            unit_sales("catalog_sales", "cs_sold_date_sk",
+                       "cs_quantity", "cs_list_price"),
+            unit_sales("web_sales", "ws_sold_date_sk", "ws_quantity",
+                       "ws_list_price")])
+        .aggregate([], ["avg(unit) AS average_sales"])
+        .enforce_single_row()
+    )
+
+    dt1 = _dim("date_dim", ["d_date_sk", "d_year", "d_moy"],
+               f"d_year = {year + 2} AND d_moy = {moy}")
+
+    def channel_leg(fact, dcol, icol, qty, price, label):
+        return (
+            PlanBuilder()
+            .table_scan(fact, columns=[dcol, icol, qty, price])
+            .hash_join(dt1, [dcol], ["d_date_sk"], "left_semi")
+            .hash_join(cross_items, [icol], ["x_item"], "left_semi")
+            .hash_join(it_ids, [icol], ["i_item_sk"], "inner",
+                       output=["i_brand_id", "i_class_id",
+                               "i_category_id", qty, price])
+            .project(["i_brand_id", "i_class_id", "i_category_id",
+                      f"{qty} * {price} AS amt"])
+            .aggregate(["i_brand_id", "i_class_id", "i_category_id"],
+                       ["sum(amt) AS sales",
+                        "count() AS number_sales"])
+            .cross_join(avg_sales)
+            .filter("sales > average_sales")
+            .project([f"'{label}' AS channel", "i_brand_id",
+                      "i_class_id", "i_category_id", "sales",
+                      "number_sales"])
+        )
+
+    store = channel_leg("store_sales", "ss_sold_date_sk",
+                        "ss_item_sk", "ss_quantity", "ss_list_price",
+                        "store")
+    catalog = channel_leg("catalog_sales", "cs_sold_date_sk",
+                          "cs_item_sk", "cs_quantity",
+                          "cs_list_price", "catalog")
+    web = channel_leg("web_sales", "ws_sold_date_sk", "ws_item_sk",
+                      "ws_quantity", "ws_list_price", "web")
+    cols = ["channel", "i_brand_id", "i_class_id", "i_category_id"]
+    sets = [cols[:i] for i in range(len(cols), -1, -1)]
+    return (
+        store.union_all([catalog, web])
+        .group_id(sets)
+        .aggregate([*cols, "group_id"],
+                   ["sum(sales) AS sum_sales",
+                    "sum(number_sales) AS sum_number_sales"])
+        .project([*cols, "sum_sales", "sum_number_sales"])
+        .order_by(cols)
+        .limit(100)
+    )
+
+
+# ------------------------------------------------------------------
+# q24: returned store purchases by customers born abroad, per color
+# ------------------------------------------------------------------
+
+def q24(color: str = "sky", market_id: int = 8, frac: float = 0.05,
+        zip_match: bool = True) -> PlanBuilder:
+    """Per-customer net paid on returned store purchases of one color,
+    kept when above ``frac`` of the mean across all colors (spec q24's
+    ssales CTE + scalar-avg HAVING).
+
+    ``zip_match=False`` drops the spec's s_zip = ca_zip clause: at tiny
+    SF no customer address shares the (single) store zip, so the
+    spec-exact query is structurally empty — tests run both forms."""
+    sr = (PlanBuilder()
+          .table_scan("store_returns",
+                      columns=["sr_ticket_number", "sr_item_sk"])
+          .project(["sr_ticket_number AS r_ticket",
+                    "sr_item_sk AS r_item"]))
+    st = _dim("store",
+              ["s_store_sk", "s_store_name", "s_state", "s_zip",
+               "s_market_id"], f"s_market_id = {market_id}")
+    it = _dim("item", ["i_item_sk", "i_color", "i_current_price",
+                       "i_manager_id", "i_units", "i_size"])
+    cu = _dim("customer",
+              ["c_customer_sk", "c_last_name", "c_first_name",
+               "c_birth_country", "c_current_addr_sk"])
+    ca = _dim("customer_address",
+              ["ca_address_sk", "ca_state", "ca_zip", "ca_country"])
+    ssales = (
+        PlanBuilder()
+        .table_scan("store_sales",
+                    columns=["ss_ticket_number", "ss_item_sk",
+                             "ss_customer_sk", "ss_store_sk",
+                             "ss_net_paid"])
+        .hash_join(sr, ["ss_ticket_number", "ss_item_sk"],
+                   ["r_ticket", "r_item"], "left_semi")
+        .hash_join(st, ["ss_store_sk"], ["s_store_sk"], "inner",
+                   output=["ss_item_sk", "ss_customer_sk",
+                           "ss_net_paid", "s_store_name", "s_state",
+                           "s_zip"])
+        .hash_join(it, ["ss_item_sk"], ["i_item_sk"], "inner",
+                   output=["ss_customer_sk", "ss_net_paid",
+                           "s_store_name", "s_state", "s_zip",
+                           "i_color", "i_current_price",
+                           "i_manager_id", "i_units", "i_size"])
+        .hash_join(cu, ["ss_customer_sk"], ["c_customer_sk"],
+                   "inner",
+                   output=["ss_net_paid", "s_store_name", "s_state",
+                           "s_zip", "i_color", "i_current_price",
+                           "i_manager_id", "i_units", "i_size",
+                           "c_last_name", "c_first_name",
+                           "c_birth_country", "c_current_addr_sk"])
+        .hash_join(ca, ["c_current_addr_sk"], ["ca_address_sk"],
+                   "inner",
+                   output=["ss_net_paid", "s_store_name", "s_state",
+                           "s_zip", "i_color", "i_current_price",
+                           "i_manager_id", "i_units", "i_size",
+                           "c_last_name", "c_first_name",
+                           "c_birth_country", "ca_state", "ca_zip",
+                           "ca_country"])
+        .filter("c_birth_country != upper(ca_country)")
+    )
+    if zip_match:
+        ssales = ssales.filter("s_zip = ca_zip")
+    ssales = ssales.aggregate(
+        ["c_last_name", "c_first_name", "s_store_name", "ca_state",
+         "s_state", "i_color", "i_current_price", "i_manager_id",
+         "i_units", "i_size"],
+        ["sum(ss_net_paid) AS netpaid"])
+
+    avg_paid = (ssales.fork()
+                .aggregate([], ["avg(netpaid) AS avg_netpaid"])
+                .enforce_single_row())
+    return (
+        ssales
+        .filter(f"i_color = '{color}'")
+        .aggregate(["c_last_name", "c_first_name", "s_store_name"],
+                   ["sum(netpaid) AS paid"])
+        .cross_join(avg_paid)
+        .filter(f"paid > {frac} * avg_netpaid")
+        .project(["c_last_name", "c_first_name", "s_store_name",
+                  "paid"])
+        .order_by(["c_last_name", "c_first_name", "s_store_name"])
+        .limit(100)
+    )
+
+
+# ------------------------------------------------------------------
+# q64: two-year store/catalog cross-sales monster
+# ------------------------------------------------------------------
+
+_Q64_GROUP = [
+    "product_name", "item_sk", "store_name", "store_zip",
+    "b_street_number", "b_street_name", "b_city", "b_zip",
+    "c_street_number", "c_street_name", "c_city", "c_zip",
+    "syear", "fsyear", "s2year",
+]
+
+
+def _q64_cross_sales(colors, price_lo, price_hi) -> PlanBuilder:
+    """The cross_sales CTE of spec q64: returned store purchases of
+    profitable catalog items, annotated with both customer addresses,
+    demographics-mismatch filter, income bands and promotions."""
+    cr_amt = ("cr_refunded_cash + cr_reversed_charge"
+              " + cr_store_credit")
+    cs_ui = (
+        PlanBuilder()
+        .table_scan("catalog_sales",
+                    columns=["cs_item_sk", "cs_order_number",
+                             "cs_ext_list_price"])
+        .hash_join(
+            PlanBuilder().table_scan(
+                "catalog_returns",
+                columns=["cr_item_sk", "cr_order_number",
+                         "cr_refunded_cash", "cr_reversed_charge",
+                         "cr_store_credit"]),
+            ["cs_item_sk", "cs_order_number"],
+            ["cr_item_sk", "cr_order_number"], "inner",
+            output=["cs_item_sk", "cs_ext_list_price",
+                    "cr_refunded_cash", "cr_reversed_charge",
+                    "cr_store_credit"])
+        .aggregate(["cs_item_sk"],
+                   ["sum(cs_ext_list_price) AS sale",
+                    f"sum({cr_amt}) AS refund"])
+        .filter("sale > 2.0 * refund")
+        .project(["cs_item_sk AS ui_item"])
+    )
+    color_list = ", ".join(f"'{c}'" for c in colors)
+    it = _dim("item",
+              ["i_item_sk", "i_product_name", "i_color",
+               "i_current_price"],
+              f"i_color IN ({color_list}) AND "
+              f"i_current_price >= {price_lo} AND "
+              f"i_current_price <= {price_hi}")
+    sr = (PlanBuilder()
+          .table_scan("store_returns",
+                      columns=["sr_ticket_number", "sr_item_sk"])
+          .project(["sr_ticket_number AS r_ticket",
+                    "sr_item_sk AS r_item"]))
+    d1 = _dim("date_dim", ["d_date_sk", "d_year"])
+    d2 = (_dim("date_dim", ["d_date_sk", "d_year"])
+          .project(["d_date_sk AS d2_sk", "d_year AS fsyear"]))
+    d3 = (_dim("date_dim", ["d_date_sk", "d_year"])
+          .project(["d_date_sk AS d3_sk", "d_year AS s2year"]))
+    stdim = _dim("store", ["s_store_sk", "s_store_name", "s_zip"])
+    cu = _dim("customer",
+              ["c_customer_sk", "c_current_cdemo_sk",
+               "c_current_hdemo_sk", "c_current_addr_sk",
+               "c_first_sales_date_sk", "c_first_shipto_date_sk"])
+    cd1 = (_dim("customer_demographics",
+                ["cd_demo_sk", "cd_marital_status"])
+           .project(["cd_demo_sk AS cd1_sk",
+                     "cd_marital_status AS ms1"]))
+    cd2 = (_dim("customer_demographics",
+                ["cd_demo_sk", "cd_marital_status"])
+           .project(["cd_demo_sk AS cd2_sk",
+                     "cd_marital_status AS ms2"]))
+    hd1 = (_dim("household_demographics",
+                ["hd_demo_sk", "hd_income_band_sk"])
+           .project(["hd_demo_sk AS hd1_sk",
+                     "hd_income_band_sk AS ib1_ref"]))
+    hd2 = (_dim("household_demographics",
+                ["hd_demo_sk", "hd_income_band_sk"])
+           .project(["hd_demo_sk AS hd2_sk",
+                     "hd_income_band_sk AS ib2_ref"]))
+    ib1 = (_dim("income_band", ["ib_income_band_sk"])
+           .project(["ib_income_band_sk AS ib1_sk"]))
+    ib2 = (_dim("income_band", ["ib_income_band_sk"])
+           .project(["ib_income_band_sk AS ib2_sk"]))
+    ad1 = (_dim("customer_address",
+                ["ca_address_sk", "ca_street_number",
+                 "ca_street_name", "ca_city", "ca_zip"])
+           .project(["ca_address_sk AS ad1_sk",
+                     "ca_street_number AS b_street_number",
+                     "ca_street_name AS b_street_name",
+                     "ca_city AS b_city", "ca_zip AS b_zip"]))
+    ad2 = (_dim("customer_address",
+                ["ca_address_sk", "ca_street_number",
+                 "ca_street_name", "ca_city", "ca_zip"])
+           .project(["ca_address_sk AS ad2_sk",
+                     "ca_street_number AS c_street_number",
+                     "ca_street_name AS c_street_name",
+                     "ca_city AS c_city", "ca_zip AS c_zip"]))
+    pr = (PlanBuilder().table_scan("promotion",
+                                   columns=["p_promo_sk"])
+          .project(["p_promo_sk AS pp_sk"]))
+
+    keep = ["ss_item_sk", "ss_wholesale_cost", "ss_list_price",
+            "ss_coupon_amt"]
+    return (
+        PlanBuilder()
+        .table_scan("store_sales",
+                    columns=["ss_item_sk", "ss_ticket_number",
+                             "ss_sold_date_sk", "ss_customer_sk",
+                             "ss_cdemo_sk", "ss_hdemo_sk",
+                             "ss_addr_sk", "ss_store_sk",
+                             "ss_promo_sk", "ss_wholesale_cost",
+                             "ss_list_price", "ss_coupon_amt"])
+        .hash_join(sr, ["ss_ticket_number", "ss_item_sk"],
+                   ["r_ticket", "r_item"], "left_semi")
+        .hash_join(cs_ui, ["ss_item_sk"], ["ui_item"], "left_semi")
+        .hash_join(pr, ["ss_promo_sk"], ["pp_sk"], "left_semi")
+        .hash_join(d1, ["ss_sold_date_sk"], ["d_date_sk"], "inner",
+                   output=[*keep, "ss_customer_sk", "ss_cdemo_sk",
+                           "ss_hdemo_sk", "ss_addr_sk",
+                           "ss_store_sk", "d_year"])
+        .project([*keep, "ss_customer_sk", "ss_cdemo_sk",
+                  "ss_hdemo_sk", "ss_addr_sk", "ss_store_sk",
+                  "d_year AS syear"])
+        .hash_join(stdim, ["ss_store_sk"], ["s_store_sk"], "inner",
+                   output=[*keep, "ss_customer_sk", "ss_cdemo_sk",
+                           "ss_hdemo_sk", "ss_addr_sk", "syear",
+                           "s_store_name", "s_zip"])
+        .hash_join(ad1, ["ss_addr_sk"], ["ad1_sk"], "inner",
+                   output=[*keep, "ss_customer_sk", "ss_cdemo_sk",
+                           "ss_hdemo_sk", "syear", "s_store_name",
+                           "s_zip", "b_street_number",
+                           "b_street_name", "b_city", "b_zip"])
+        .hash_join(hd1, ["ss_hdemo_sk"], ["hd1_sk"], "inner",
+                   output=[*keep, "ss_customer_sk", "ss_cdemo_sk",
+                           "syear", "s_store_name", "s_zip",
+                           "b_street_number", "b_street_name",
+                           "b_city", "b_zip", "ib1_ref"])
+        .hash_join(ib1, ["ib1_ref"], ["ib1_sk"], "left_semi")
+        .hash_join(cd1, ["ss_cdemo_sk"], ["cd1_sk"], "inner",
+                   output=[*keep, "ss_customer_sk", "syear",
+                           "s_store_name", "s_zip",
+                           "b_street_number", "b_street_name",
+                           "b_city", "b_zip", "ms1"])
+        .hash_join(cu, ["ss_customer_sk"], ["c_customer_sk"],
+                   "inner",
+                   output=[*keep, "syear", "s_store_name", "s_zip",
+                           "b_street_number", "b_street_name",
+                           "b_city", "b_zip", "ms1",
+                           "c_current_cdemo_sk",
+                           "c_current_hdemo_sk", "c_current_addr_sk",
+                           "c_first_sales_date_sk",
+                           "c_first_shipto_date_sk"])
+        .hash_join(cd2, ["c_current_cdemo_sk"], ["cd2_sk"], "inner",
+                   output=[*keep, "syear", "s_store_name", "s_zip",
+                           "b_street_number", "b_street_name",
+                           "b_city", "b_zip", "ms1",
+                           "c_current_hdemo_sk", "c_current_addr_sk",
+                           "c_first_sales_date_sk",
+                           "c_first_shipto_date_sk", "ms2"])
+        .filter("ms1 != ms2")
+        .hash_join(hd2, ["c_current_hdemo_sk"], ["hd2_sk"], "inner",
+                   output=[*keep, "syear", "s_store_name", "s_zip",
+                           "b_street_number", "b_street_name",
+                           "b_city", "b_zip", "c_current_addr_sk",
+                           "c_first_sales_date_sk",
+                           "c_first_shipto_date_sk", "ib2_ref"])
+        .hash_join(ib2, ["ib2_ref"], ["ib2_sk"], "left_semi")
+        .hash_join(ad2, ["c_current_addr_sk"], ["ad2_sk"], "inner",
+                   output=[*keep, "syear", "s_store_name", "s_zip",
+                           "b_street_number", "b_street_name",
+                           "b_city", "b_zip",
+                           "c_first_sales_date_sk",
+                           "c_first_shipto_date_sk",
+                           "c_street_number", "c_street_name",
+                           "c_city", "c_zip"])
+        .hash_join(d2, ["c_first_sales_date_sk"], ["d2_sk"], "inner",
+                   output=[*keep, "syear", "s_store_name", "s_zip",
+                           "b_street_number", "b_street_name",
+                           "b_city", "b_zip",
+                           "c_first_shipto_date_sk",
+                           "c_street_number", "c_street_name",
+                           "c_city", "c_zip", "fsyear"])
+        .hash_join(d3, ["c_first_shipto_date_sk"], ["d3_sk"],
+                   "inner",
+                   output=[*keep, "syear", "s_store_name", "s_zip",
+                           "b_street_number", "b_street_name",
+                           "b_city", "b_zip", "c_street_number",
+                           "c_street_name", "c_city", "c_zip",
+                           "fsyear", "s2year"])
+        .hash_join(it, ["ss_item_sk"], ["i_item_sk"], "inner",
+                   output=["ss_wholesale_cost", "ss_list_price",
+                           "ss_coupon_amt", "ss_item_sk", "syear",
+                           "s_store_name", "s_zip",
+                           "b_street_number", "b_street_name",
+                           "b_city", "b_zip", "c_street_number",
+                           "c_street_name", "c_city", "c_zip",
+                           "fsyear", "s2year", "i_product_name"])
+        .project(["i_product_name AS product_name",
+                  "ss_item_sk AS item_sk",
+                  "s_store_name AS store_name",
+                  "s_zip AS store_zip", "b_street_number",
+                  "b_street_name", "b_city", "b_zip",
+                  "c_street_number", "c_street_name", "c_city",
+                  "c_zip", "syear", "fsyear", "s2year",
+                  "ss_wholesale_cost", "ss_list_price",
+                  "ss_coupon_amt"])
+        .aggregate(_Q64_GROUP,
+                   ["count() AS cnt",
+                    "sum(ss_wholesale_cost) AS s1",
+                    "sum(ss_list_price) AS s2",
+                    "sum(ss_coupon_amt) AS s3"])
+    )
+
+
+def q64(year: int = 1999,
+        colors=("purple", "burlywood", "indian", "spring", "floral",
+                "medium"),
+        price_lo: float = 64.0, price_hi: float = 74.0
+        ) -> PlanBuilder:
+    """Items returned in-store and profitable on catalog, compared
+    across two consecutive first-sale years at the same store (spec
+    q64: the cross_sales CTE self-joined on item/store)."""
+    cs = _q64_cross_sales(colors, price_lo, price_hi)
+    cs2 = (cs.fork()
+           .filter(f"syear = {year + 1}")
+           .project(["item_sk AS item_sk2",
+                     "store_name AS store_name2",
+                     "store_zip AS store_zip2", "syear AS syear2",
+                     "cnt AS cnt2", "s1 AS s12", "s2 AS s22",
+                     "s3 AS s32"]))
+    cs1 = (cs.filter(f"syear = {year}")
+           .project([*_Q64_GROUP, "cnt", "s1", "s2", "s3"]))
+    return (
+        cs1
+        .hash_join(cs2, ["item_sk", "store_name", "store_zip"],
+                   ["item_sk2", "store_name2", "store_zip2"],
+                   "inner",
+                   output=["product_name", "store_name", "store_zip",
+                           "b_street_number", "b_street_name",
+                           "b_city", "b_zip", "c_street_number",
+                           "c_street_name", "c_city", "c_zip",
+                           "syear", "cnt", "s1", "s2", "s3",
+                           "syear2", "cnt2", "s12", "s22", "s32"])
+        .filter("cnt2 <= cnt")
+        .project(["product_name", "store_name", "store_zip",
+                  "b_street_number", "b_street_name", "b_city",
+                  "b_zip", "c_street_number", "c_street_name",
+                  "c_city", "c_zip", "syear", "cnt",
+                  "s1 AS s11", "s2 AS s21", "s3 AS s31",
+                  "s12", "s22", "s32", "syear2", "cnt2"])
+        .order_by(["product_name", "store_name", "cnt2", "s11",
+                   "s12"])
+        .limit(100)
+    )
+
+
+HARD_QUERIES = {4: q4, 5: q5, 11: q11, 14: q14, 23: q23, 24: q24,
+                51: q51, 54: q54, 58: q58, 64: q64, 67: q67, 72: q72,
+                75: q75, 77: q77, 78: q78, 80: q80}
