@@ -345,8 +345,13 @@ def run_plan(plan) -> "pa.Table":
         plan = plan.build()
     from velox_tpu.utils.replay import replay_run
 
-    batches = replay_run(plan, lambda: list(Task(plan).run()))
-    tables = [to_arrow(b) for b in batches]
+    # Arrow conversion runs INSIDE the replay session: its
+    # compact-count syncs (Batch.to_pydict) are control values too, so
+    # repeat runs elide them — at ~0.2-1s per blocking round trip on
+    # the tunneled backend those fetches, not device compute, dominate
+    # small-result steady-state walls (TPC-H Q18 SF2 measurement)
+    tables = replay_run(
+        plan, lambda: [to_arrow(b) for b in Task(plan).run()])
     tables = [t for t in tables if t.num_rows >= 0]
     if not tables:
         schema = pa.schema([

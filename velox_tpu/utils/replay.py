@@ -43,7 +43,8 @@ import numpy as np
 __all__ = [
     "ReplayDivergence", "fetch_int", "fetch_bool", "fetch_float",
     "fetch_np", "fetch_tree", "replay_run", "catalog_epoch_bump",
-    "replay_stats", "clear_recordings",
+    "replay_stats", "clear_recordings", "attach_checks",
+    "deliver_attached",
 ]
 
 
@@ -82,7 +83,8 @@ def clear_recordings() -> None:
 
 
 class _Session:
-    __slots__ = ("mode", "log", "cursor", "checks", "tid", "fp")
+    __slots__ = ("mode", "log", "cursor", "checks", "tid", "fp",
+                 "harvested", "delivered")
 
     def __init__(self, fp: str, mode: str,
                  log: Optional[List] = None) -> None:
@@ -91,6 +93,8 @@ class _Session:
         self.log = log if log is not None else []
         self.cursor = 0
         self.checks: List[Any] = []   # device bool scalars
+        self.harvested = 0            # checks[:harvested] rode along a
+        self.delivered: List[bool] = []   # result transfer already
         self.tid = threading.get_ident()
 
 
@@ -198,6 +202,39 @@ def fetch_tree(tag: str, tree: Dict[str, Any]) -> Dict[str, np.ndarray]:
     return host
 
 
+def attach_checks(tree: Dict[str, Any]) -> Dict[str, Any]:
+    """Piggyback pending replay-validation checks onto a host transfer
+    the caller is about to make anyway (Batch.to_pydict's one
+    coalesced device_get). On the tunneled backend every blocking
+    round trip costs ~0.2-1.5s of pure latency — riding the checks on
+    the result transfer makes a replayed run ONE round trip total
+    instead of two. Returns the tree to fetch (possibly augmented
+    with "__replay_checks__")."""
+    import jax.numpy as jnp
+
+    s = _session()
+    if s is None or s.mode != "replay":
+        return tree
+    pending = s.checks[s.harvested:]
+    if not pending:
+        return tree
+    out = dict(tree)
+    out["__replay_checks__"] = jnp.stack(
+        [jnp.asarray(c) for c in pending])
+    s.harvested = len(s.checks)
+    return out
+
+
+def deliver_attached(host_tree: Dict[str, Any]) -> Dict[str, Any]:
+    """Consume the piggybacked check results out of a fetched tree
+    (counterpart of attach_checks)."""
+    got = host_tree.pop("__replay_checks__", None)
+    s = _session()
+    if got is not None and s is not None:
+        s.delivered.append(bool(np.all(got)))
+    return host_tree
+
+
 # ------------------------------------------------------------------ driver
 
 def _fingerprint(plan) -> Optional[str]:
@@ -285,17 +322,17 @@ def replay_run(plan, run: Callable[[], Any]) -> Any:
             _POISONED[fp] = _POISONED.get(fp, 0) + 1
             return replay_run(plan, run)
         finally:
-            checks = sess.checks
+            checks = sess.checks[sess.harvested:]
+            delivered = sess.delivered
             _active = None
         if not diverged:
-            if not checks:
-                _STATS["replay_hits"] += 1
-                return result
-            import jax
-            import jax.numpy as jnp
+            ok = all(delivered)
+            if ok and checks:    # any checks that didn't ride along
+                import jax
+                import jax.numpy as jnp
 
-            ok = bool(jax.device_get(
-                jnp.all(jnp.stack([jnp.asarray(c) for c in checks]))))
+                ok = bool(jax.device_get(jnp.all(jnp.stack(
+                    [jnp.asarray(c) for c in checks]))))
             if ok:
                 _STATS["replay_hits"] += 1
                 return result

@@ -239,8 +239,9 @@ class Batch:
     def to_pydict(self, limit: Optional[int] = None) -> Dict[str, list]:
         """Materialize active rows on host (for tests/results)."""
         if self.capacity > LANE:
-            # shrink device-side before crossing the host boundary
-            self = self.compact()
+            # shrink device-side before crossing the host boundary; a
+            # known row count (limit/topn outputs) skips the count sync
+            self = self.compact(self.num_rows)
         # ONE device->host transfer for the whole batch (each np.asarray
         # would pay a full round trip on tunneled backends)
         from velox_tpu.vector.column import ArrayColumn, MapColumn, RowColumn
@@ -256,7 +257,9 @@ class Batch:
                 device[f"v.{name}"] = col.values
             if col.valid is not None:
                 device[f"m.{name}"] = col.valid
-        host = jax.device_get(device)
+        from velox_tpu.utils.replay import attach_checks, deliver_attached
+
+        host = deliver_attached(jax.device_get(attach_checks(device)))
         sel = host["__sel__"]
         idx = np.nonzero(sel)[0]
         if limit is not None:
