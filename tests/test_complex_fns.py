@@ -187,3 +187,77 @@ def test_split_to_map_last_wins():
     # documented deviation: duplicate keys repeat as entries instead
     # of collecting into MAP(K, ARRAY(V))
     assert out["mm"] == [[("a", "1"), ("a", "2")]]
+
+
+# --------------------------------------------- round-5 long tail
+
+NEST = {"aa": [[[1, 2], None, [3]], [[4]], None, []]}
+NTYPES = {"aa": array_type(array_type(BIGINT))}
+
+
+def test_flatten():
+    out = _run(NEST, NTYPES, ["flatten(aa) as f"])
+    # NULL inner arrays are skipped (ArrayFlatten.cpp:191)
+    assert out["f"] == [[1, 2, 3], [4], None, []]
+
+
+def test_ngrams():
+    data = {"xs": [["a", "b", "c"], ["a"], None]}
+    out = _run(data, {"xs": array_type(VARCHAR)},
+               ["ngrams(xs, 2) as g"])
+    assert out["g"] == [[["a", "b"], ["b", "c"]], [["a"]], None]
+
+
+def test_combinations():
+    data = {"xs": [[1, 2, 3], [7], None]}
+    out = _run(data, {"xs": array_type(BIGINT)},
+               ["combinations(xs, 2) as c"])
+    assert out["c"] == [[[1, 2], [1, 3], [2, 3]], [], None]
+
+
+def test_array_frequency():
+    data = {"xs": [[1, 2, 1, None], [], None]}
+    out = _run(data, {"xs": array_type(BIGINT)},
+               ["array_frequency(xs) as f"])
+    assert out["f"] == [[(1, 2), (2, 1)], [], None]
+
+
+def test_multimap_from_entries():
+    data = {"ks": [["a", "b", "a"], ["z"], None],
+            "vs": [[1, 2, 3], [9], [0]]}
+    types = {"ks": array_type(VARCHAR), "vs": array_type(BIGINT)}
+    out = _run(data, types,
+               ["multimap_from_entries(zip(ks, vs)) as mm"])
+    assert out["mm"] == [[("a", [1, 3]), ("b", [2])], [("z", [9])],
+                         None]
+
+
+def test_cosine_similarity():
+    m = {"m1": [{"a": 1.0, "b": 0.0}, {"x": 2.0}, None],
+         "m2": [{"a": 1.0, "b": 0.0}, {"y": 3.0}, {"a": 1.0}]}
+    t = {"m1": map_type(VARCHAR, DOUBLE), "m2": map_type(VARCHAR, DOUBLE)}
+    out = _run(m, t, ["cosine_similarity(m1, m2) as c"])
+    assert out["c"][0] == pytest.approx(1.0)
+    assert out["c"][1] == pytest.approx(0.0)
+    assert out["c"][2] is None
+
+
+def test_map_zip_with():
+    m = {"m1": [{"a": 1.0, "b": 2.0}, {"c": 3.0}, None],
+         "m2": [{"a": 10.0, "d": 5.0}, {"c": 30.0}, {"x": 1.0}]}
+    t = {"m1": map_type(VARCHAR, DOUBLE), "m2": map_type(VARCHAR, DOUBLE)}
+    out = _run(m, t, [
+        "map_zip_with(m1, m2, (k, v1, v2) ->"
+        " coalesce(v1, 0.0) + coalesce(v2, 0.0)) as z"])
+    assert out["z"] == [[("a", 11.0), ("b", 2.0), ("d", 5.0)],
+                        [("c", 33.0)], None]
+
+
+def test_nested_complex_calls_decompose():
+    # ngrams(split(...)) exercises the builder's nested-call peel
+    data = {"s": ["x y z", None]}
+    out = _run(data, {"s": VARCHAR},
+               ["ngrams(split(s, ' '), 2) as g",
+                "cardinality(flatten(ngrams(split(s, ' '), 2))) as n"])
+    assert out["g"] == [[["x", "y"], ["y", "z"]], None]
+    assert out["n"] == [4, None]

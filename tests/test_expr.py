@@ -279,3 +279,37 @@ def test_cast_varchar_date_and_filter():
         .filter("cast(s as date) >= DATE '1996-01-01'")
         .project(["s"]).build())
     assert out["s"] == ["1998-12-01"]
+
+
+def test_interval_typed_literals():
+    """INTERVAL literals beyond DAY: typed day-time (int64 ms) and
+    year-month (int32 months) lanes with Presto's DatePlusInterval /
+    TimestampPlusInterval semantics (velox/functions/prestosql/
+    DateTimeFunctions.h:447,488)."""
+    import datetime as dtm
+
+    from velox_tpu.types import TIMESTAMP
+
+    b = Batch.from_pydict(
+        {"d": [(dtm.date(2001, 1, 31) - dtm.date(1970, 1, 1)).days],
+         "ts": [int(dtm.datetime(2001, 1, 1, 12, 0).timestamp()
+                    * 1_000_000)]},
+        {"d": DATE, "ts": TIMESTAMP})
+    (a,) = eval_on(b, "d - INTERVAL '1' MONTH")
+    assert a == [
+        (dtm.date(2000, 12, 31) - dtm.date(1970, 1, 1)).days]
+    (c,) = eval_on(b, "d + INTERVAL '1' YEAR")
+    # month-end clamp: 2001-01-31 + 1 year = 2002-01-31
+    assert c == [
+        (dtm.date(2002, 1, 31) - dtm.date(1970, 1, 1)).days]
+    (e,) = eval_on(b, "ts + INTERVAL '90' MINUTE")
+    assert e == [int(
+        dtm.datetime(2001, 1, 1, 13, 30).timestamp() * 1_000_000)]
+    (g,) = eval_on(b, "INTERVAL '1' DAY + INTERVAL '12' HOUR")
+    assert g == [129_600_000]
+    (h,) = eval_on(b, "INTERVAL '2' HOUR * 3")
+    assert h == [21_600_000]
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError):
+        eval_on(b, "d + INTERVAL '3' HOUR")

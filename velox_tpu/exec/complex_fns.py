@@ -782,3 +782,324 @@ def _array_constructor(op, batch, e, out_t):
 
 
 EXT_APPLIERS["array_constructor"] = _array_constructor
+
+
+# ------------------------------------------- round-5 long-tail breadth
+
+def _flatten(op, batch, e, out_t):
+    """flatten(array(array(T))) -> array(T): concatenate inner arrays,
+    NULL inner arrays skipped (velox/functions/prestosql/
+    ArrayFlatten.cpp:191). Two chained expansions — outer rows to
+    inner-array slots, slots to elements — all device gathers."""
+    src = batch.column(e.args[0].name)
+    inner = src.elements
+    assert isinstance(inner, ArrayColumn), "flatten expects nested arrays"
+    sel = batch.sel
+    if src.valid is not None:
+        sel = jnp.logical_and(sel, src.valid)
+    ex1 = expand(src.starts, src.lengths, sel, batch.capacity)
+    in_starts = jnp.take(inner.starts, ex1.src_idx, mode="clip")
+    in_lens = jnp.take(inner.lengths, ex1.src_idx, mode="clip")
+    if inner.valid is not None:
+        in_lens = jnp.where(
+            jnp.take(inner.valid, ex1.src_idx, mode="clip"), in_lens, 0)
+    in_lens = jnp.where(ex1.in_run, in_lens, 0)
+    # output length per outer row = segment sum of kept inner lengths
+    out_lens = jnp.zeros((batch.capacity,), jnp.int32).at[
+        ex1.row_of].add(jnp.where(ex1.in_run, in_lens, 0), mode="drop")
+    ex2 = expand(in_starts, in_lens,
+                 jnp.ones_like(in_lens, dtype=jnp.bool_), ex1.ecap)
+    ev = jnp.take(inner.elements.values, ex2.src_idx, mode="clip")
+    evd = _valid_take(inner.elements.valid, ex2.src_idx)
+    nst = (jnp.cumsum(out_lens) - out_lens).astype(jnp.int32)
+    elem = Column(out_t.element, ev, evd, inner.elements.dictionary)
+    return ArrayColumn(out_t, nst, out_lens, elem, src.valid)
+
+
+def _map_zip_with(op, batch, e, out_t):
+    """map_zip_with(m1, m2, (k, v1, v2) -> body): merge the two maps on
+    the KEY UNION, evaluate the lambda over flat (k, v1, v2) lanes
+    (velox/functions/prestosql/MapZipWith.h). TPU shape: concatenate
+    both entry runs, sort (row, key) flat, collapse adjacent equal
+    keys — the same sort-is-the-hash-table move the joins use."""
+    from velox_tpu.exec.operator import ExprEvaluator
+    from velox_tpu.ops.sort import sort_indices
+    from velox_tpu.types.types import row_type as _rt
+    from velox_tpu.vector.batch import Batch as _B
+    from velox_tpu.vector.column import Dictionary
+
+    ca = batch.column(e.args[0].name)
+    cb = batch.column(e.args[1].name)
+    lam = e.args[2]
+    cap = batch.capacity
+    null_valid = None
+    for c in (ca, cb):
+        if c.valid is not None:
+            null_valid = (c.valid if null_valid is None
+                          else jnp.logical_and(null_valid, c.valid))
+    row_live = batch.sel
+    if null_valid is not None:
+        row_live = jnp.logical_and(row_live, null_valid)
+
+    # unify key code spaces (different columns carry different
+    # dictionaries; union-rank mapping as in _bind_string_cmp_pair)
+    ka, kb = ca.keys, cb.keys
+    kdic = None
+    kav, kbv = ka.values, kb.values
+    if ka.dictionary is not None or kb.dictionary is not None:
+        va = np.asarray(ka.dictionary.values).astype(str)
+        vb = np.asarray(kb.dictionary.values).astype(str)
+        union = np.unique(np.concatenate([va, vb]))
+        kdic = Dictionary(list(union))
+        ta = jnp.asarray(np.concatenate(
+            [[-1], np.searchsorted(union, va)]).astype(np.int32))
+        tb = jnp.asarray(np.concatenate(
+            [[-1], np.searchsorted(union, vb)]).astype(np.int32))
+        kav = jnp.take(ta, ka.values + 1, mode="clip")
+        kbv = jnp.take(tb, kb.values + 1, mode="clip")
+
+    la = jnp.where(row_live, ca.lengths, 0)
+    lb = jnp.where(row_live, cb.lengths, 0)
+    lens = (la + lb).astype(jnp.int32)
+    ex = expand((jnp.cumsum(lens) - lens).astype(jnp.int32), lens,
+                row_live, cap)
+    ra_len = jnp.take(la, ex.row_of, mode="clip")
+    from_a = ex.ordinal < ra_len
+
+    def side(col, kv, ord_):
+        idx = jnp.take(col.starts, ex.row_of, mode="clip") + ord_
+        return (jnp.take(kv, idx, mode="clip"),
+                jnp.take(col.values.values, idx, mode="clip"),
+                _valid_take(col.values.valid, idx))
+
+    ak, av, avd = side(ca, kav, ex.ordinal)
+    bk, bv, bvd = side(cb, kbv, ex.ordinal - ra_len)
+    key = jnp.where(from_a, ak, bk)
+    # sort flat entries by (row, key); equal keys adjacent, the a-side
+    # first (stable sort, a-run precedes b-run)
+    esel = ex.in_run
+    perm = sort_indices(
+        [(jnp.take(ex.row_of, jnp.arange(ex.ecap)), None, False, False),
+         (key, None, False, False)], esel)
+    srow = jnp.take(ex.row_of, perm)
+    skey = jnp.take(key, perm)
+    sfrom_a = jnp.take(from_a, perm)
+    sav = jnp.take(jnp.where(from_a, av, av), perm)
+    sbv = jnp.take(bv, perm)
+    savd = None if avd is None else jnp.take(avd, perm)
+    sbvd = None if bvd is None else jnp.take(bvd, perm)
+    ssel = jnp.take(esel, perm)
+    # adjacent duplicate (row,key): first is a-side, second b-side
+    prev_same = jnp.concatenate([
+        jnp.asarray([False]),
+        jnp.logical_and(srow[1:] == srow[:-1], skey[1:] == skey[:-1])])
+    next_same = jnp.concatenate([prev_same[1:], jnp.asarray([False])])
+    keep = jnp.logical_and(ssel, ~prev_same)
+    # v1 present iff this entry is a-side; v2 comes from the entry
+    # itself (b-side) or the duplicate right neighbour
+    nxt = jnp.minimum(jnp.arange(ex.ecap) + 1, ex.ecap - 1)
+    v1 = sav
+    v1d = jnp.logical_and(
+        sfrom_a, jnp.ones_like(sfrom_a) if savd is None else savd)
+    v2_self = jnp.where(sfrom_a, jnp.zeros_like(sbv), sbv)
+    v2_nbr = jnp.take(sbv, nxt)
+    v2 = jnp.where(sfrom_a & next_same, v2_nbr, v2_self)
+    v2d_self = jnp.logical_and(
+        ~sfrom_a, jnp.ones_like(sfrom_a) if sbvd is None else sbvd)
+    v2d_nbr = (jnp.take(sbvd, nxt) if sbvd is not None
+               else jnp.ones_like(sfrom_a))
+    v2d = jnp.where(sfrom_a & next_same, v2d_nbr, v2d_self)
+    # pack kept entries to the front preserving (row, key) order
+    kidx = jnp.cumsum(keep) - 1
+    ecap = ex.ecap
+    pos = jnp.where(keep, kidx, ecap)
+    scat = lambda x, fill: jnp.full((ecap,), fill, x.dtype).at[
+        pos].set(x, mode="drop")
+    out_lens = jnp.zeros((cap,), jnp.int32).at[srow].add(
+        jnp.where(keep, 1, 0), mode="drop")
+    out_lens = jnp.where(row_live, out_lens, 0)
+    nst = (jnp.cumsum(out_lens) - out_lens).astype(jnp.int32)
+    fk = scat(skey, -1)
+    frow = scat(srow, 0)
+    fv1, fv1d = scat(v1, 0), scat(v1d, False)
+    fv2, fv2d = scat(v2, 0), scat(v2d, False)
+    # lambda over flat (k, v1, v2) lanes
+    kp, p1, p2 = lam.params
+    kt = ca.dtype.key
+    fcols = {kp: Column(kt, fk, None, kdic),
+             p1: Column(ca.dtype.value, fv1, fv1d),
+             p2: Column(cb.dtype.value, fv2, fv2d)}
+    names, types = [kp, p1, p2], [kt, ca.dtype.value, cb.dtype.value]
+    from velox_tpu.exec.operators import _lambda_capture_names as _lcn
+    caps = _lcn(lam.body, lam.params, batch)
+    if caps:
+        from velox_tpu.exec.operators import _gather_captures as _gc
+        within = jnp.arange(ecap) < jnp.sum(out_lens)
+        ccols, ctypes = _gc(batch, caps, frow, within)
+        fcols.update(ccols)
+        names += caps
+        types += [ctypes[n] for n in caps]
+    ev = ExprEvaluator([lam.body], _rt(names, types))
+    pairs, dicts = ev.project_pairs(
+        _B(fcols, jnp.ones((ecap,), jnp.bool_)))
+    vals, valid = pairs[0]
+    kcol = Column(kt, fk, None, kdic)
+    vcol = Column(out_t.value, vals, valid, dicts[0])
+    return MapColumn(out_t, nst, out_lens, kcol, vcol, null_valid)
+
+
+# ---- host-materialized long tail: inherently per-row string/combina-
+# torial outputs (the same explicit host points as array_join)
+
+def _host_rebuild(pylist, pa_type, cap):
+    import pyarrow as pa
+
+    from velox_tpu.vector.arrow_bridge import _ingest_array
+
+    arr = pa.array(pylist, type=pa_type)
+    return _ingest_array(pa.chunked_array([arr]), cap)
+
+
+def _pa_of(dtype):
+    import pyarrow as pa
+
+    from velox_tpu.types.types import ArrayType, MapType
+
+    if isinstance(dtype, ArrayType):
+        return pa.list_(_pa_of(dtype.element))
+    if isinstance(dtype, MapType):
+        return pa.map_(_pa_of(dtype.key), _pa_of(dtype.value))
+    if dtype.is_string:
+        return pa.string()
+    kind = dtype.kind.name
+    return {
+        "BOOLEAN": pa.bool_(), "TINYINT": pa.int8(),
+        "SMALLINT": pa.int16(), "INTEGER": pa.int32(),
+        "BIGINT": pa.int64(), "REAL": pa.float32(),
+        "DOUBLE": pa.float64(), "DATE": pa.date32(),
+    }.get(kind, pa.float64())
+
+
+def _ngrams(op, batch, e, out_t):
+    """ngrams(array(T), n) -> array(array(T))
+    (velox/functions/prestosql/ArrayNgramsFunctions.h: fewer than n
+    elements yields one gram with the whole array)."""
+    src = batch.column(e.args[0].name)
+    n = int(e.args[1].value)
+    rows = src.to_pylist(batch.capacity)
+    out = []
+    for r in rows:
+        if r is None:
+            out.append(None)
+        elif len(r) <= n:
+            out.append([r])
+        else:
+            out.append([r[i:i + n] for i in range(len(r) - n + 1)])
+    return _host_rebuild(out, _pa_of(out_t), batch.capacity)
+
+
+def _combinations(op, batch, e, out_t):
+    """combinations(array(T), k) -> array(array(T)) in lexicographic
+    index order (velox/functions/prestosql/ArrayCombinationsFunction
+    caps k at 5)."""
+    import itertools
+
+    src = batch.column(e.args[0].name)
+    k = int(e.args[1].value)
+    assert 0 <= k <= 5, "combinations supports k in [0, 5]"
+    rows = src.to_pylist(batch.capacity)
+    out = []
+    for r in rows:
+        if r is None:
+            out.append(None)
+        else:
+            out.append([list(c) for c in
+                        itertools.combinations(r, k)])
+    return _host_rebuild(out, _pa_of(out_t), batch.capacity)
+
+
+def _array_frequency(op, batch, e, out_t):
+    """array_frequency(array(T)) -> map(T, int): per-element counts,
+    NULL elements skipped, keys in first-seen order
+    (velox/functions/prestosql/ArrayFunctions.h arrayFrequency)."""
+    src = batch.column(e.args[0].name)
+    rows = src.to_pylist(batch.capacity)
+    out = []
+    for r in rows:
+        if r is None:
+            out.append(None)
+        else:
+            cnt = {}
+            for v in r:
+                if v is None:
+                    continue
+                cnt[v] = cnt.get(v, 0) + 1
+            out.append(list(cnt.items()))
+    return _host_rebuild(out, _pa_of(out_t), batch.capacity)
+
+
+def _multimap_from_entries(op, batch, e, out_t):
+    """multimap_from_entries(array(row(K, V))) -> map(K, array(V)):
+    duplicate keys collect every value in order
+    (velox/functions/prestosql/MultimapFromEntriesFunction.h)."""
+    src = batch.column(e.args[0].name)
+    rows = src.to_pylist(batch.capacity)
+    out = []
+    for r in rows:
+        if r is None:
+            out.append(None)
+        else:
+            grouped = {}
+            for ent in r:
+                if ent is None:
+                    continue
+                if isinstance(ent, dict):       # ROW entries render as
+                    k, v = list(ent.values())   # field dicts in order
+                else:
+                    k, v = ent
+                if k is None:
+                    # Presto raises on NULL keys; padding entries from
+                    # zip() length mismatch drop instead (documented
+                    # deviation — filters can't raise mid-kernel)
+                    continue
+                grouped.setdefault(k, []).append(v)
+            out.append(list(grouped.items()))
+    return _host_rebuild(out, _pa_of(out_t), batch.capacity)
+
+
+def _cosine_similarity(op, batch, e, out_t):
+    """cosine_similarity(map(varchar,double), map(varchar,double))
+    (velox/functions/prestosql/Cosine...): dot over shared keys /
+    (||a|| * ||b||); empty or zero-norm inputs -> NULL."""
+    import math
+
+    ca = batch.column(e.args[0].name)
+    cb = batch.column(e.args[1].name)
+    ra = ca.to_pylist(batch.capacity)
+    rb = cb.to_pylist(batch.capacity)
+    vals = np.zeros((batch.capacity,), np.float64)
+    valid = np.zeros((batch.capacity,), bool)
+    for i, (ma, mb) in enumerate(zip(ra, rb)):
+        if ma is None or mb is None:
+            continue
+        da, db = dict(ma), dict(mb)
+        na = math.sqrt(sum(v * v for v in da.values()
+                           if v is not None))
+        nb = math.sqrt(sum(v * v for v in db.values()
+                           if v is not None))
+        if na == 0.0 or nb == 0.0:
+            continue
+        dot = sum(va * db[k] for k, va in da.items()
+                  if va is not None and db.get(k) is not None)
+        vals[i] = dot / (na * nb)
+        valid[i] = True
+    return Column(DOUBLE, jnp.asarray(vals), jnp.asarray(valid))
+
+
+EXT_APPLIERS["flatten"] = _flatten
+EXT_APPLIERS["map_zip_with"] = _map_zip_with
+EXT_APPLIERS["ngrams"] = _ngrams
+EXT_APPLIERS["combinations"] = _combinations
+EXT_APPLIERS["array_frequency"] = _array_frequency
+EXT_APPLIERS["multimap_from_entries"] = _multimap_from_entries
+EXT_APPLIERS["cosine_similarity"] = _cosine_similarity

@@ -159,13 +159,16 @@ def eval_pairs(batch: Batch) -> Dict[str, tuple]:
         if isinstance(c, ArrayColumn):
             out[f"{n}#start"] = (c.starts, None)
             out[f"{n}#len"] = (c.lengths, c.valid)
-            if not isinstance(c.elements, RowColumn):
+            if not isinstance(c.elements,
+                              (RowColumn, ArrayColumn, MapColumn)):
                 out[f"{n}#elemv"] = (c.elements.values, c.elements.valid)
         elif isinstance(c, MapColumn):
             out[f"{n}#start"] = (c.starts, None)
             out[f"{n}#len"] = (c.lengths, c.valid)
             out[f"{n}#kv"] = (c.keys.values, c.keys.valid)
-            out[f"{n}#vv"] = (c.values.values, c.values.valid)
+            if not isinstance(c.values,
+                              (RowColumn, ArrayColumn, MapColumn)):
+                out[f"{n}#vv"] = (c.values.values, c.values.valid)
         elif isinstance(c, RowColumn):
             add_row(n, c, None)
         else:
@@ -190,12 +193,16 @@ def eval_dicts(batch: Batch) -> Dict[str, object]:
 
     for n, c in batch.columns.items():
         if isinstance(c, ArrayColumn):
-            if c.elements.dictionary is not None:
+            if (not isinstance(c.elements,
+                               (RowColumn, ArrayColumn, MapColumn))
+                    and c.elements.dictionary is not None):
                 out[f"{n}#elemv"] = c.elements.dictionary
         elif isinstance(c, MapColumn):
             if c.keys.dictionary is not None:
                 out[f"{n}#kv"] = c.keys.dictionary
-            if c.values.dictionary is not None:
+            if (not isinstance(c.values,
+                               (RowColumn, ArrayColumn, MapColumn))
+                    and c.values.dictionary is not None):
                 out[f"{n}#vv"] = c.values.dictionary
         elif isinstance(c, RowColumn):
             add_row(n, c)

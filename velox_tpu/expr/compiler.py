@@ -397,6 +397,34 @@ def resolve_types(expr: Expr, schema: RowType) -> Expr:
             # split_to_multimap: duplicate keys REPEAT as entries
             # (documented deviation from Presto's map(k, array(v)))
             return Call(_map(VARCHAR, VARCHAR), name, args)
+        if name == "flatten":
+            from velox_tpu.types.types import ArrayType
+            et = args[0].dtype.element
+            if not isinstance(et, ArrayType):
+                raise TypeError("flatten expects ARRAY(ARRAY(T))")
+            return Call(et, name, args)
+        if name in ("ngrams", "combinations"):
+            from velox_tpu.types.types import ArrayType
+            return Call(ArrayType(TypeKind.ARRAY, args[0].dtype),
+                        name, args)
+        if name == "array_frequency":
+            from velox_tpu.types.types import map_ as _map
+            return Call(_map(args[0].dtype.element, INTEGER),
+                        name, args)
+        if name == "multimap_from_entries":
+            from velox_tpu.types.types import (
+                ArrayType, RowType as _RT, map_ as _map,
+            )
+            et = args[0].dtype.element
+            if not isinstance(et, _RT) or len(et.children) != 2:
+                raise TypeError(
+                    "multimap_from_entries expects ARRAY(ROW(k, v))")
+            return Call(
+                _map(et.children[0],
+                     ArrayType(TypeKind.ARRAY, et.children[1])),
+                name, args)
+        if name == "cosine_similarity":
+            return Call(DOUBLE, name, args)
         if name == "typeof":
             # compile-time type name as a constant string
             return Call(VARCHAR, "typeof", args)
@@ -461,6 +489,11 @@ def resolve_types(expr: Expr, schema: RowType) -> Expr:
             args = _cast_branches(name, args, dtype)
             return Call(dtype, name, args)
 
+        if name in ("plus", "minus", "multiply"):
+            iv = _resolve_interval_arith(name, args)
+            if iv is not None:
+                return iv
+
         fn = lookup_function(name)
         if name in _ARITH and isinstance(args[0].dtype, DecimalType):
             dtype = _decimal_result(name, args[0].dtype, args[1].dtype)
@@ -478,6 +511,75 @@ def resolve_types(expr: Expr, schema: RowType) -> Expr:
         return Call(dtype, name, args)
 
     raise TypeError(f"cannot resolve {expr!r}")
+
+
+_IDT = TypeKind.INTERVAL_DAY_TIME
+_IYM = TypeKind.INTERVAL_YEAR_MONTH
+
+
+def _resolve_interval_arith(name, args):
+    """Typed interval arithmetic (velox/functions/prestosql/
+    DateTimeFunctions.h DatePlusInterval:447 / TimestampPlusInterval:
+    488 / interval +/- interval / interval * n). Returns None when no
+    interval operand is involved."""
+    from velox_tpu.types.types import (
+        DATE as _D, INTERVAL_DAY_TIME as _IDT_T,
+        INTERVAL_YEAR_MONTH as _IYM_T, TIMESTAMP as _TS,
+    )
+
+    kinds = [a.dtype.kind if a.dtype is not None else None
+             for a in args]
+    if _IDT not in kinds and _IYM not in kinds:
+        return None
+    if len(args) != 2:
+        raise TypeError(f"{name} takes two arguments")
+    a, b = args
+    ka, kb = kinds
+
+    def neg(e):
+        return Call(e.dtype, "negate", (e,))
+
+    if name == "multiply":
+        it, other = ((a, b) if ka in (_IDT, _IYM) else (b, a))
+        if not other.dtype.is_integer:
+            raise TypeError("interval * n expects an integer n")
+        return Call(it.dtype, "multiply", (it, other))
+
+    # normalize: temporal-or-interval op interval
+    if kb in (TypeKind.DATE, TypeKind.TIMESTAMP):
+        if name == "minus":
+            raise TypeError("cannot subtract a date from an interval")
+        a, b = b, a
+        ka, kb = kb, ka
+    if ka == kb:                              # interval +/- interval
+        return Call(a.dtype, name, (a, b))
+    if ka == TypeKind.DATE:
+        if kb == _IDT:
+            # whole days only (DatePlusInterval VELOX_USER_CHECK);
+            # enforceable at bind time for literals
+            if isinstance(b, Literal) and b.value is not None \
+                    and b.value % 86_400_000 != 0:
+                raise TypeError(
+                    "Cannot add hours/minutes/seconds to a date")
+            days = (Literal(INTEGER, b.value // 86_400_000)
+                    if isinstance(b, Literal) and b.value is not None
+                    else Call(_IDT_T, "divide",
+                              (b, Literal(BIGINT, 86_400_000))))
+            return Call(_D, name, (a, Cast(INTEGER, days, False)))
+        months = b if name == "plus" else neg(b)
+        return Call(_D, "__date_add_month",
+                    (Cast(INTEGER, months, False), a))
+    if ka == TypeKind.TIMESTAMP:
+        amt = b if name == "plus" else neg(b)
+        if kb == _IDT:
+            return Call(_TS, "__date_add_millisecond",
+                        (Cast(BIGINT, amt, False), a))
+        return Call(_TS, "__date_add_month",
+                    (Cast(INTEGER, amt, False), a))
+    if ka in (_IDT, _IYM) and kb in (TypeKind.BIGINT, TypeKind.INTEGER):
+        return Call(a.dtype, name, (a, b))
+    raise TypeError(
+        f"no interval overload for {name}({ka}, {kb})")
 
 
 def _navigate_row_field(schema: RowType, dotted: str):
@@ -699,6 +801,7 @@ _ARRAY_FUNCS = {
 _HIGHER_ORDER_FUNCS = {"transform", "any_match", "all_match",
                        "none_match", "transform_values", "map_filter",
                        "filter", "transform_keys", "zip_with",
+                       "map_zip_with",
                        "find_first", "find_first_index",
                        "array_max_by", "array_min_by",
                        "any_keys_match", "all_keys_match",
@@ -755,6 +858,25 @@ def _resolve_higher_order(expr: Call, schema: RowType) -> Expr:
 
     if expr.name == "zip_with":
         return _resolve_zip_with(expr, schema)
+    if expr.name == "map_zip_with":
+        from velox_tpu.types.types import map_ as _map
+
+        if len(expr.args) != 3 or not isinstance(expr.args[2], Lambda):
+            raise TypeError("map_zip_with expects (map, map, lambda)")
+        a = resolve_types(expr.args[0], schema)
+        b = resolve_types(expr.args[1], schema)
+        for x in (a, b):
+            if not isinstance(x.dtype, MapType):
+                raise TypeError("map_zip_with expects two MAPs")
+        lam = expr.args[2]
+        if len(lam.params) != 3:
+            raise TypeError("map_zip_with lambda takes (k, v1, v2)")
+        body = resolve_types(lam.body, _lambda_schema(
+            lam.params,
+            (a.dtype.key, a.dtype.value, b.dtype.value), schema))
+        lam2 = Lambda(body.dtype, lam.params, body)
+        return Call(_map(a.dtype.key, body.dtype), "map_zip_with",
+                    (a, b, lam2))
     if len(expr.args) != 2 or not isinstance(expr.args[1], Lambda):
         raise TypeError(f"{expr.name} expects (array, lambda)")
     arr = resolve_types(expr.args[0], schema)

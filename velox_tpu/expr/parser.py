@@ -17,7 +17,9 @@ from typing import List, Optional, Tuple
 from velox_tpu.types import (
     BIGINT, BOOLEAN, DATE, DOUBLE, INTEGER, REAL, VARCHAR, DataType,
 )
-from velox_tpu.types.types import DECIMAL, TypeKind
+from velox_tpu.types.types import (
+    DECIMAL, INTERVAL_DAY_TIME, INTERVAL_YEAR_MONTH, TypeKind,
+)
 from velox_tpu.expr.ir import (
     Call, Cast, Expr, FieldRef, Literal, TryExpr,
     and_, call, eq, gt, gte, if_, lit, lt, lte, neq, not_, or_, switch,
@@ -26,7 +28,7 @@ from velox_tpu.expr.ir import (
 _TOKEN_RE = re.compile(r"""
     \s*(?:
       (?P<date>DATE\s*'(?P<datev>[^']*)')
-    | (?P<interval>INTERVAL\s*'(?P<intv>[^']*)'\s*(?P<intunit>DAY|MONTH|YEAR)S?)
+    | (?P<interval>INTERVAL\s*'(?P<intv>[^']*)'\s*(?P<intunit>DAY|HOUR|MINUTE|SECOND|MONTH|YEAR)S?)
     | (?P<num>\d+\.\d+(?:[eE][+-]?\d+)?|\.\d+|\d+(?:[eE][+-]?\d+)?)
     | (?P<str>'(?:[^']|'')*')
     | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
@@ -228,11 +230,20 @@ _INTERVAL_MARK = "__interval_days__"
 
 
 def _is_interval(e: Expr) -> bool:
-    return isinstance(e, Call) and e.name == _INTERVAL_MARK
+    return (isinstance(e, Literal) and e.dtype is not None
+            and e.dtype.kind in (TypeKind.INTERVAL_DAY_TIME,
+                                 TypeKind.INTERVAL_YEAR_MONTH))
 
 
 def _interval_days(e: Expr) -> Expr:
-    return e.args[0]
+    """Whole-day day-time literals lower to plain day counts at parse
+    time (keeps DATE +/- INTERVAL 'n' DAY a constant-foldable integer
+    shift the scan-pushdown range analysis can see); anything else
+    stays typed for the compiler's interval arithmetic."""
+    if (e.dtype.kind == TypeKind.INTERVAL_DAY_TIME
+            and e.value is not None and e.value % 86_400_000 == 0):
+        return lit(e.value // 86_400_000, INTEGER)
+    return e
 
 
 def _parse_arg(t: _Tokens) -> Expr:
@@ -246,20 +257,24 @@ def _parse_arg(t: _Tokens) -> Expr:
         t.next()
         t.next()
         return Lambda(None, (v,), _parse_or(t))
-    # two-parameter form: (a, b) -> expr (reduce_agg combine lambdas)
-    if (k == "OP" and v == "(" and t.i + 5 < len(t.toks)
-            and t.toks[t.i + 1][0] == "NAME"
-            and t.toks[t.i + 2] == ("OP", ",")
-            and t.toks[t.i + 3][0] == "NAME"
-            and t.toks[t.i + 4] == ("OP", ")")
-            and t.toks[t.i + 5] == ("OP", "->")):
-        t.next()
-        _, p1 = t.next()
-        t.next()
-        _, p2 = t.next()
-        t.next()
-        t.next()
-        return Lambda(None, (p1, p2), _parse_or(t))
+    # multi-parameter form: (a, b[, c...]) -> expr (zip_with /
+    # map_zip_with / reduce_agg combine lambdas)
+    if k == "OP" and v == "(":
+        j = t.i + 1
+        params = []
+        while (j + 1 < len(t.toks) and t.toks[j][0] == "NAME"
+               and t.toks[j + 1] in (("OP", ","), ("OP", ")"))):
+            params.append(t.toks[j][1])
+            if t.toks[j + 1] == ("OP", ")"):
+                j += 2
+                break
+            j += 2
+        else:
+            j = -1
+        if (params and j > 0 and j < len(t.toks)
+                and t.toks[j] == ("OP", "->")):
+            t.i = j + 1
+            return Lambda(None, tuple(params), _parse_or(t))
     return _parse_or(t)
 
 
@@ -282,11 +297,17 @@ def _parse_primary(t: _Tokens) -> Expr:
         days = (d - datetime.date(1970, 1, 1)).days
         return lit(days, DATE)
     if k == "INTERVAL_LIT":
+        # typed interval literals (velox/type/Type.h IntervalDayTime /
+        # IntervalYearMonth): day-time carries int64 milliseconds,
+        # year-month int32 months
         n, unit = v.split(":")
         n = int(n)
-        if unit == "DAY":
-            return Call(None, _INTERVAL_MARK, (lit(n, INTEGER),))
-        raise NotImplementedError(f"INTERVAL {unit}")
+        if unit in ("DAY", "HOUR", "MINUTE", "SECOND"):
+            ms = n * {"DAY": 86_400_000, "HOUR": 3_600_000,
+                      "MINUTE": 60_000, "SECOND": 1_000}[unit]
+            return lit(ms, INTERVAL_DAY_TIME)
+        return lit(n * (12 if unit == "YEAR" else 1),
+                   INTERVAL_YEAR_MONTH)
     if k == "TRY":
         t.expect("OP", "(")
         inner = _parse_or(t)

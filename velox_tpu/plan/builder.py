@@ -192,10 +192,59 @@ class PlanBuilder:
             e = resolve_types(e, self.node.output_type)
             names.append(name)
             exprs.append(e)
+        exprs = self._peel_complex_args(names, exprs)
         schema = row_type(names, [e.dtype for e in exprs])
         self.node = ProjectNode(
             new_id(), schema, self.node, tuple(names), tuple(exprs))
         return self
+
+    def _peel_complex_args(self, names: List[str],
+                           exprs: List[Expr]) -> List[Expr]:
+        """Materialize NESTED array/map-typed calls into chained
+        pre-projections: the complex-function appliers (ProjectOp /
+        exec/complex_fns.py) take their array/map inputs as COLUMNS,
+        so e.g. ngrams(split(s, ' '), 2) becomes
+        project(__cx0 := split(s, ' ')) then ngrams(__cx0, 2) — the
+        velox analog is the implicit intermediate vector every nested
+        vector-function call produces."""
+        from velox_tpu.expr.ir import Call, Cast, Lambda, TryExpr
+        from velox_tpu.types.types import ArrayType, MapType
+
+        pending: List[Tuple[str, Expr]] = []
+        counter = [0]
+
+        def peel(e: Expr, top: bool) -> Expr:
+            if isinstance(e, Lambda):
+                return e          # bodies evaluate in element space
+            if isinstance(e, Cast):
+                return Cast(e.dtype, peel(e.expr, False),
+                            e.null_on_failure)
+            if isinstance(e, TryExpr):
+                return TryExpr(e.dtype, peel(e.expr, False))
+            if not isinstance(e, Call):
+                return e
+            new_args = tuple(peel(a, False) for a in e.args)
+            if new_args != e.args:
+                e = Call(e.dtype, e.name, new_args)
+            if (not top and isinstance(e.dtype, (ArrayType, MapType))
+                    and e.name != "array_constructor"):
+                tmp = f"__cx{counter[0]}"
+                counter[0] += 1
+                pending.append((tmp, e))
+                return FieldRef(e.dtype, tmp)
+            return e
+
+        out = [peel(e, True) for e in exprs]
+        for tmp, te in pending:
+            src = self.node.output_type
+            pnames = list(src.names) + [tmp]
+            pexprs = [FieldRef(t, n)
+                      for n, t in zip(src.names, src.children)] + [te]
+            schema = row_type(pnames, [x.dtype for x in pexprs])
+            self.node = ProjectNode(
+                new_id(), schema, self.node, tuple(pnames),
+                tuple(pexprs))
+        return out
 
     # -------------------------------------------------------- aggregation
     def aggregate(

@@ -39,6 +39,9 @@ class TypeKind(enum.Enum):
     TIMESTAMP = "TIMESTAMP"
     DATE = "DATE"          # Velox models DATE as a logical type over INTEGER
     DECIMAL = "DECIMAL"    # short decimal: scaled int64
+    # interval types (velox/type/Type.h IntervalDayTime/IntervalYearMonth)
+    INTERVAL_DAY_TIME = "INTERVAL_DAY_TIME"      # int64 milliseconds
+    INTERVAL_YEAR_MONTH = "INTERVAL_YEAR_MONTH"  # int32 months
     # Complex kinds
     ARRAY = "ARRAY"
     MAP = "MAP"
@@ -65,6 +68,8 @@ _KIND_TO_DTYPE = {
     TypeKind.TIMESTAMP: np.dtype(np.int64),   # micros since epoch
     TypeKind.DATE: np.dtype(np.int32),        # days since epoch
     TypeKind.DECIMAL: np.dtype(np.int64),     # unscaled value
+    TypeKind.INTERVAL_DAY_TIME: np.dtype(np.int64),    # milliseconds
+    TypeKind.INTERVAL_YEAR_MONTH: np.dtype(np.int32),  # months
     TypeKind.UNKNOWN: np.dtype(np.int8),
 }
 
@@ -225,6 +230,8 @@ VARCHAR = DataType(TypeKind.VARCHAR)
 VARBINARY = DataType(TypeKind.VARBINARY)
 TIMESTAMP = DataType(TypeKind.TIMESTAMP)
 DATE = DataType(TypeKind.DATE)
+INTERVAL_DAY_TIME = DataType(TypeKind.INTERVAL_DAY_TIME)
+INTERVAL_YEAR_MONTH = DataType(TypeKind.INTERVAL_YEAR_MONTH)
 UNKNOWN = DataType(TypeKind.UNKNOWN)
 ROW = TypeKind.ROW
 ARRAY = TypeKind.ARRAY

@@ -79,6 +79,9 @@ def type_to_arrow(t: DataType) -> pa.DataType:
         # exported as arrow strings
         TypeKind.VARBINARY: pa.string(),
         TypeKind.DATE: pa.date32(), TypeKind.TIMESTAMP: pa.timestamp("us"),
+        # intervals export as their physical lanes (ms / months)
+        TypeKind.INTERVAL_DAY_TIME: pa.int64(),
+        TypeKind.INTERVAL_YEAR_MONTH: pa.int32(),
     }
     return rev[t.kind]
 

@@ -380,7 +380,12 @@ def make_array_column(
         valid = jnp.asarray(v)
     # elements get their own lane-padded power-of-two capacity
     ecap = max(128, 1 << (max(len(flat), 1) - 1).bit_length())
-    elements, _ = make_column(dtype.element, flat, ecap)
+    from velox_tpu.types.types import ArrayType as _AT
+
+    if isinstance(dtype.element, _AT):
+        elements = make_array_column(dtype.element, flat, ecap)
+    else:
+        elements, _ = make_column(dtype.element, flat, ecap)
     return ArrayColumn(
         dtype, jnp.asarray(starts), jnp.asarray(lengths), elements, valid)
 
