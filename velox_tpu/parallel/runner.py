@@ -32,10 +32,17 @@ from velox_tpu.parallel.mesh import make_mesh
 from velox_tpu.plan.nodes import AggStep
 
 
+#: how the LAST run_plan_distributed call executed — introspection for
+#: the all-22 rehearsal / coverage reporting (tools/distributed_rehearsal)
+last_strategy: str = ""
+
+
 def run_plan_distributed(plan, mesh=None, axis: str = "d"):
     """Execute a fused-aggregation plan SPMD over the mesh; returns an
     Arrow table. Falls back to serial Task execution for plan shapes the
     distributed runner doesn't cover yet."""
+    global last_strategy
+
     import pyarrow as pa
 
     from velox_tpu.plan.builder import PlanBuilder
@@ -56,16 +63,22 @@ def run_plan_distributed(plan, mesh=None, axis: str = "d"):
     joined = _try_broadcast_semi_join(
         pipelines, out_ops, mesh, n_dev, axis)
     if joined is not None:
+        last_strategy = "broadcast_semi_join"
         return joined
     from velox_tpu.parallel.pipeline import try_distributed_pipeline
 
     res = try_distributed_pipeline(pipelines, out_ops, mesh, n_dev, axis)
     if res is not None:
+        last_strategy = "distributed_pipeline"
         return res
     if not (len(out_ops) == 1 and isinstance(out_ops[0], FusedScanAggOp)
             and len(pipelines) == 1):
         # expansion joins / non-fusable shapes: serial fallback
-        return pa.concat_tables([to_arrow(b) for b in Task(plan).run()])
+        # (task.run_plan handles schema-typed EMPTY results)
+        last_strategy = "serial_fallback"
+        from velox_tpu.exec.task import run_plan as _serial_run
+
+        return _serial_run(plan)
 
     fused: FusedScanAggOp = out_ops[0]
     agg = fused.agg
@@ -115,6 +128,7 @@ def run_plan_distributed(plan, mesh=None, axis: str = "d"):
              for r in dreps],
         )
     agg.no_more_input()
+    last_strategy = "fused_scan_agg"
     out = []
     while True:
         b = agg.get_output()
