@@ -139,3 +139,47 @@ def test_query_under_cap_still_correct():
         PlanBuilder().values([b])
         .order_by(["v", "g"]).limit(10).build())
     assert got == want
+
+
+def test_concurrent_queries_under_arbitration():
+    """Two queries racing on separate host threads under one shared
+    root budget (velox/exec/fuzzer/MemoryArbitrationFuzzer.cpp at mini
+    scale): arbitration may spill either side at any point, but both
+    queries' results must match their serial runs, neither thread may
+    deadlock, and root accounting must settle to zero."""
+    import threading
+
+    b1, b2 = _batch(20000, 7), _batch(20000, 8)
+
+    def q(b):
+        return (PlanBuilder().values([b])
+                .aggregate(["g"], ["sum(v) as s"])
+                .order_by(["g"]))
+
+    want1 = run_plan_pydict(q(b1).build())
+    want2 = run_plan_pydict(q(b2).build())
+
+    config.spill_memory_budget_bytes = 200_000
+    results = {}
+    errors = []
+
+    def run(idx, b):
+        try:
+            for _ in range(5):
+                results[idx] = run_plan_pydict(q(b).build())
+        except Exception as e:  # noqa: BLE001 — surface in main thread
+            errors.append((idx, e))
+
+    t1 = threading.Thread(target=run, args=(1, b1))
+    t2 = threading.Thread(target=run, args=(2, b2))
+    t1.start()
+    t2.start()
+    t1.join(timeout=180)
+    t2.join(timeout=180)
+    alive = t1.is_alive() or t2.is_alive()
+    config.spill_memory_budget_bytes = None
+    assert not alive, "arbitration deadlock"
+    assert not errors, errors
+    assert results[1] == want1
+    assert results[2] == want2
+    assert mem.root_pool.used() == 0
