@@ -4241,9 +4241,10 @@ class MergeJoinProbeOp(HashProbeOp):
                 ("mj_probe_sorted3", col.values.dtype.name, has_valid),
                 lambda: (lambda v, sel, va: valid_ascending_code(
                     v, sel if va is None else jnp.logical_and(sel, va))))
-            code = _fetch_int(
-                f"mj_sorted:{self.node.id}",
-                chk(col.values, batch.sel, col.valid))
+            # a PLAIN blocking read, never fetch_int: this fetch only
+            # exists on memo misses, and a recorded fetch that later
+            # runs skip would diverge every first replay
+            code = int(chk(col.values, batch.sel, col.valid))
             if len(_MJ_SORTED_MEMO) > 4096:
                 _MJ_SORTED_MEMO.clear()
             _MJ_SORTED_MEMO[memo_key] = code

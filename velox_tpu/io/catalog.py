@@ -205,23 +205,29 @@ def ingest_splits(
     for start in starts:
         chunk = table.slice(start, batch_rows)
         rows = chunk.num_rows
+        # the RAGGED TAIL gets its own lane-rounded capacity: a fixed
+        # cap left the last TPC-H SF2 lineitem split 57% padding, and
+        # every downstream kernel (streaming agg, merge probes) pays
+        # for dead lanes; one extra compile per distinct tail shape
+        ccap = (cap if rows == batch_rows
+                else max(-(-rows // 128) * 128, 128))
         cols = {}
         for cname in names:
             if cname in encoded:
                 gdict, codes_np = encoded[cname]
-                vals = np.full(cap, -1, dtype=np.int32)
+                vals = np.full(ccap, -1, dtype=np.int32)
                 vals[:rows] = codes_np[start:start + rows]
                 valid = None
                 if (vals[:rows] < 0).any():
-                    v = np.zeros(cap, dtype=bool)
+                    v = np.zeros(ccap, dtype=bool)
                     v[:rows] = vals[:rows] >= 0
                     valid = jnp.asarray(v)
                 cols[cname] = Column(
                     type_from_arrow(chunk.column(cname).type),
                     jnp.asarray(vals), valid, gdict)
             else:
-                cols[cname] = _ingest_array(chunk.column(cname), cap)
-        sel = np.zeros(cap, dtype=bool)
+                cols[cname] = _ingest_array(chunk.column(cname), ccap)
+        sel = np.zeros(ccap, dtype=bool)
         sel[:rows] = True
         b = Batch(cols, jnp.asarray(sel), num_rows=rows)
         b._prefix_dense = True   # by construction — no sync to re-check
