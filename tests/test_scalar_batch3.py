@@ -181,3 +181,78 @@ def test_at_timezone_and_with_timezone():
         ZoneInfo("Europe/Berlin")).hour
     assert got["hk"][0] == (18 + 5) % 24  # +05:30 -> 23:30
     assert got["rt"][0] == 18  # with_timezone inverts at_timezone
+
+
+# ---------------------------------------------- round-5 breadth batch
+
+def test_round5_math_batch():
+    import pyarrow as pa
+
+    from velox_tpu.exec import run_plan_pydict
+    from velox_tpu.io.catalog import drop_table, register_arrow
+    from velox_tpu.plan import PlanBuilder
+
+    t = pa.table({"x": [1.0, None], "y": [2.0, 3.0],
+                  "a": pa.array([[3.0, 4.0], [1.0]],
+                                pa.list_(pa.float64())),
+                  "b": pa.array([[1.0, 2.0], [5.0]],
+                                pa.list_(pa.float64()))})
+    register_arrow("r5m", t, 8)
+    try:
+        out = run_plan_pydict(PlanBuilder().table_scan("r5m").project([
+            "atan2(x, y) AS a2",
+            "great_circle_distance(36.12, -86.67, 33.94, -118.40)"
+            " AS gc",
+            "distinct_from(x, y) AS df",
+            "distinct_from(x, x) AS sf",
+            "dot_product(a, b) AS dp",
+            "l2_squared(a, b) AS l2",
+            "l2_norm(a) AS n",
+            "bitwise_right_shift_arithmetic(-8, 1) AS brs",
+            "array_split_into_chunks(a, 1) AS ch",
+        ]).build())
+    finally:
+        drop_table("r5m")
+    import math
+
+    assert out["a2"][0] == pytest.approx(math.atan2(1.0, 2.0))
+    assert out["a2"][1] is None
+    # Presto doc example: Nashville-LA ~= 2886.45 km
+    assert out["gc"][0] == pytest.approx(2886.449, abs=0.01)
+    # IS DISTINCT FROM never returns NULL
+    assert out["df"] == [True, True]
+    assert out["sf"] == [False, False]
+    assert out["dp"] == [11.0, 5.0]
+    assert out["l2"] == [8.0, 16.0]
+    assert out["n"] == [5.0, 1.0]
+    assert out["brs"] == [-4, -4]
+    assert out["ch"] == [[[3.0], [4.0]], [[1.0]]]
+
+
+def test_round5_tdigest_readers():
+    import pyarrow as pa
+
+    from velox_tpu.exec import run_plan_pydict
+    from velox_tpu.io.catalog import drop_table, register_arrow
+    from velox_tpu.plan import PlanBuilder
+
+    # unsorted group lane: collect-family aggs take the hash path
+    t = pa.table({"g": [i % 2 for i in range(1000)],
+                  "v": [float(i // 2) for i in range(1000)]})
+    register_arrow("r5d", t, 1024)
+    try:
+        agg = (PlanBuilder().table_scan("r5d")
+               .aggregate(["g"], ["tdigest_agg(v) AS d"]))
+        out = run_plan_pydict(
+            agg.project([
+                "value_at_quantile(scale_tdigest(d, 2.0), 0.5) AS m",
+                "trimmed_mean(d, 0.25, 0.75) AS tm",
+            ]).build())
+    finally:
+        drop_table("r5d")
+    # scaling weights does not move quantiles (each group holds
+    # 0..499)
+    for m in out["m"]:
+        assert m == pytest.approx(249.5, rel=0.05)
+    for tm in out["tm"]:
+        assert tm == pytest.approx(249.5, rel=0.05)

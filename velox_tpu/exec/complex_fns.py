@@ -1103,3 +1103,23 @@ EXT_APPLIERS["combinations"] = _combinations
 EXT_APPLIERS["array_frequency"] = _array_frequency
 EXT_APPLIERS["multimap_from_entries"] = _multimap_from_entries
 EXT_APPLIERS["cosine_similarity"] = _cosine_similarity
+
+
+def _array_split_into_chunks(op, batch, e, out_t):
+    """array_split_into_chunks(array(T), n) -> array(array(T)) of
+    consecutive n-element chunks, last chunk ragged
+    (velox/functions/prestosql/ArrayFunctions.h)."""
+    src = batch.column(e.args[0].name)
+    n = int(e.args[1].value)
+    assert n > 0, "chunk size must be positive"
+    rows = src.to_pylist(batch.capacity)
+    out = []
+    for r in rows:
+        if r is None:
+            out.append(None)
+        else:
+            out.append([r[i:i + n] for i in range(0, len(r), n)])
+    return _host_rebuild(out, _pa_of(out_t), batch.capacity)
+
+
+EXT_APPLIERS["array_split_into_chunks"] = _array_split_into_chunks

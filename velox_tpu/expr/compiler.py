@@ -403,7 +403,8 @@ def resolve_types(expr: Expr, schema: RowType) -> Expr:
             if not isinstance(et, ArrayType):
                 raise TypeError("flatten expects ARRAY(ARRAY(T))")
             return Call(et, name, args)
-        if name in ("ngrams", "combinations"):
+        if name in ("ngrams", "combinations",
+                    "array_split_into_chunks"):
             from velox_tpu.types.types import ArrayType
             return Call(ArrayType(TypeKind.ARRAY, args[0].dtype),
                         name, args)
@@ -425,6 +426,40 @@ def resolve_types(expr: Expr, schema: RowType) -> Expr:
                 name, args)
         if name == "cosine_similarity":
             return Call(DOUBLE, name, args)
+        if name in ("dot_product", "l2_squared"):
+            # vector math over arrays rewrites onto the existing
+            # higher-order machinery (velox/functions/prestosql/
+            # ArrayVectorFunctions: elementwise combine + reduce)
+            lam_body = (
+                Call(None, "multiply",
+                     (FieldRef(None, "x"), FieldRef(None, "y")))
+                if name == "dot_product" else
+                Call(None, "multiply", (
+                    Call(None, "minus",
+                         (FieldRef(None, "x"), FieldRef(None, "y"))),
+                    Call(None, "minus",
+                         (FieldRef(None, "x"), FieldRef(None, "y"))))))
+            rewritten = Call(None, "array_sum", (
+                Call(None, "zip_with", (
+                    expr.args[0], expr.args[1],
+                    Lambda(None, ("x", "y"), lam_body))),))
+            return resolve_types(rewritten, schema)
+        if name == "l2_norm":
+            rewritten = Call(None, "sqrt", (
+                Call(None, "array_sum", (
+                    Call(None, "transform", (
+                        expr.args[0],
+                        Lambda(None, ("x",), Call(
+                            None, "multiply",
+                            (FieldRef(None, "x"),
+                             FieldRef(None, "x")))))),)),))
+            return resolve_types(rewritten, schema)
+        if name == "empty_approx_set":
+            import numpy as _np
+
+            from velox_tpu.functions.sketch import hll_build
+
+            return Literal(VARCHAR, hll_build(_np.zeros(0)))
         if name == "typeof":
             # compile-time type name as a constant string
             return Call(VARCHAR, "typeof", args)
@@ -1583,6 +1618,18 @@ def _bind_string_fn(name, args, dictionaries) -> Expr:
     return DictTransform(VARCHAR, codes_expr, table, nd)
 
 
+def _scale_tdigest_host(blob, factor):
+    from velox_tpu.functions.digest import scale_tdigest_blob
+
+    return scale_tdigest_blob(blob, float(factor))
+
+
+def _trimmed_mean_host(blob, lo, hi):
+    from velox_tpu.functions.digest import trimmed_mean_blob
+
+    return trimmed_mean_blob(blob, float(lo), float(hi))
+
+
 def _make_dict_value_fns():
     """name -> (result type, host fn) for the dict-value function family
     (regex/datetime-parse/JSON/URL/misc — velox/functions/lib/
@@ -1691,6 +1738,8 @@ def _make_dict_value_fns():
         # SetDigest / KHyperLogLog analogs of velox prestosql
         # HyperLogLogFunctions.h, SetDigestFunctions, KHyperLogLog)
         "sketch_cardinality": (BIGINT, _SK.sketch_cardinality),
+        "scale_tdigest": (VARCHAR, _scale_tdigest_host),
+        "trimmed_mean": (DOUBLE, _trimmed_mean_host),
         "hash_counts": (VARCHAR, _SK.hash_counts),
         "uniqueness_distribution": (VARCHAR,
                                     _SK.uniqueness_distribution),

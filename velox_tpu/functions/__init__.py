@@ -88,17 +88,17 @@ def all_scalar_function_names() -> "set[str]":
     names = set(registry)
     for table in (C._DICT_VALUE_FNS, C._STRING_MULTI_FNS,
                   C._STRING_HOST_FNS, C._INT_VALUE_FNS,
-                  C._PAIR_HOST_FNS):
+                  C._PAIR_HOST_FNS, CF.EXT_APPLIERS,
+                  C._HIGHER_ORDER_FUNCS):
         names |= set(table)
     for mod in (C, CF, OPS, P):
         names |= _dispatch_names(mod)
-    # the "2"-suffixed entries are arity overloads of the base name
-    names |= {n[:-1] for n in list(names)
-              if n.endswith("2") and n[:-1] in names or
-              (n.endswith("2") and n[:-1] in ("trim", "ltrim",
-                                              "rtrim"))}
-    names -= {n for n in names if n.endswith("2")
-              and n[:-1] in names}
+    # the trim family's "2"-suffixed entries are arity overloads of
+    # the base name (atan2/log2/... are real functions — keep them)
+    for base in ("trim", "ltrim", "rtrim"):
+        if base + "2" in names:
+            names.discard(base + "2")
+            names.add(base)
     names -= _NOT_FUNCTIONS
     return {n for n in names
             if n and not n.startswith("__")

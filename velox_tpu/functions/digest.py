@@ -166,3 +166,39 @@ def quantile_at_value(digest: str, v) -> Optional[float]:
     cum = np.cumsum(weights)
     mid = (cum - weights / 2.0) / n
     return float(np.interp(v, means, mid, left=0.0, right=1.0))
+
+
+def scale_tdigest_blob(blob: str, factor: float) -> "Optional[str]":
+    """scale_tdigest(tdigest, scale) — multiply every centroid weight
+    (velox/functions/prestosql/TDigestFunctions.h scale_tdigest;
+    blob format is this engine's ASCII centroid list)."""
+    if blob is None:
+        return None
+    factor = float(factor)
+    if factor <= 0:
+        raise ValueError("scale factor should be positive")
+    kind, n, lo, hi, means, weights = parse_digest(blob)
+    tag = blob.split("|", 1)[0]
+    return _serialize(tag, kind, n * factor, lo, hi, means,
+                      weights * factor)
+
+
+def trimmed_mean_blob(blob: str, lo_q: float, hi_q: float
+                      ) -> "Optional[float]":
+    """trimmed_mean(tdigest, lo, hi) — mean of the mass between the
+    two quantiles, partial centroids pro-rated
+    (velox/functions/prestosql/TDigestFunctions.h)."""
+    if blob is None:
+        return None
+    _kind, n, _lo, _hi, means, weights = parse_digest(blob)
+    if n <= 0 or len(means) == 0:
+        return None
+    lo_w, hi_w = float(lo_q) * n, float(hi_q) * n
+    cum = np.cumsum(weights)
+    start = cum - weights
+    take = np.clip(np.minimum(cum, hi_w) - np.maximum(start, lo_w),
+                   0.0, None)
+    tw = take.sum()
+    if tw <= 0:
+        return None
+    return float((means * take).sum() / tw)

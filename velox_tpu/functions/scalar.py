@@ -1593,3 +1593,46 @@ register_function(ScalarFunction(
 register_function(ScalarFunction(
     "__array_max_by", lambda a: a[3], _make_extremal_by(False),
     default_nulls=False))
+
+
+# --------------------------------------- round-5 math/bitwise breadth
+
+register_function(ScalarFunction(
+    "atan2", lambda a: DOUBLE, lambda a, b: jnp.arctan2(a, b)))
+register_function(ScalarFunction(
+    "bitwise_right_shift_arithmetic", lambda a: a[0],
+    lambda a, b: jnp.right_shift(a, b)))
+
+
+def _great_circle_distance(lat1, lon1, lat2, lon2):
+    """great_circle_distance(lat1, lon1, lat2, lon2) -> km (haversine,
+    Presto's earth radius 6371.01 — velox/functions/prestosql/
+    GreatCircleDistance.h semantics without the geometry stack)."""
+    r = 6371.01
+    p1, p2 = jnp.radians(lat1), jnp.radians(lat2)
+    dp = p2 - p1
+    dl = jnp.radians(lon2 - lon1)
+    h = (jnp.sin(dp / 2.0) ** 2
+         + jnp.cos(p1) * jnp.cos(p2) * jnp.sin(dl / 2.0) ** 2)
+    return 2.0 * r * jnp.arcsin(jnp.sqrt(jnp.clip(h, 0.0, 1.0)))
+
+
+register_function(ScalarFunction(
+    "great_circle_distance", lambda a: DOUBLE, _great_circle_distance))
+
+
+def _distinct_from_impl(pa_, pb_):
+    """IS DISTINCT FROM: null-safe inequality — NULLs compare EQUAL to
+    each other and DISTINCT from every value; never returns NULL
+    (velox/functions/prestosql/Comparisons.cpp distinct_from)."""
+    (a, va), (b, vb) = pa_, pb_
+    av = va if va is not None else _all_valid(a)
+    bv = vb if vb is not None else _all_valid(b)
+    neq = a != b
+    vals = jnp.where(av & bv, neq, av != bv)
+    return vals, None
+
+
+register_function(ScalarFunction(
+    "distinct_from", lambda a: BOOLEAN, _distinct_from_impl,
+    default_nulls=False))
