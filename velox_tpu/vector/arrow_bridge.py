@@ -283,6 +283,11 @@ def to_arrow(batch: Batch) -> pa.Table:
                 else decimal.Decimal(int(v)).scaleb(-s, ctx)
                 for v in vals
             ]
+            # pyarrow rejects declared precisions that disagree with
+            # the width it infers from the first element (seen at SF10
+            # where sums span 15+ digits); decimal128(38, s) accepts
+            # every valid value
+            at = pa.decimal128(38, s)
         arrays[name] = pa.array(vals, type=at)
     if any("." in n for n in arrays):
         return _restruct(arrays)
