@@ -245,3 +245,25 @@ def test_pallas_grouped_sum_interpret():
     exp = np.array([vals[gids == g].sum() for g in range(G)],
                    dtype=np.int64)
     assert (got == exp).all()
+
+
+def test_rank_in_sorted_matches_searchsorted():
+    """The bitonic-sort rank trick must agree with searchsorted on
+    both sides, duplicates and padding included (ops/join.py
+    _rank_in_sorted — the large-lane merge-probe path)."""
+    import numpy as np
+
+    from velox_tpu.ops.join import _rank_in_sorted
+
+    rng = np.random.default_rng(7)
+    for npr, nb in ((1 << 12, 300), (2048, 2048), (512, 1 << 11)):
+        pk = np.sort(rng.integers(0, 500, npr)).astype(np.int64)
+        bk = np.sort(rng.integers(0, 500, nb)).astype(np.int64)
+        bk[-5:] = np.iinfo(np.int64).max  # padding filler
+        bk = np.sort(bk)
+        pl = np.asarray(_rank_in_sorted(
+            jnp.asarray(pk), jnp.asarray(bk), "left"))
+        pr = np.asarray(_rank_in_sorted(
+            jnp.asarray(pk), jnp.asarray(bk), "right"))
+        assert (pl == np.searchsorted(pk, bk, side="left")).all()
+        assert (pr == np.searchsorted(pk, bk, side="right")).all()

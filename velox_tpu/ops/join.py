@@ -176,6 +176,28 @@ def probe_join_index_presorted(
     return first, count
 
 
+def _rank_in_sorted(pk: jax.Array, bk: jax.Array, side: str
+                    ) -> jax.Array:
+    """For every bk[i], the count of pk entries < it (side="left") or
+    <= it (side="right") — searchsorted semantics via ONE stable
+    2-key bitonic sort of the concatenation: a build element's merged
+    position minus its build rank IS its probe rank. The tag lane
+    breaks value ties per side (left: build sorts before equal probe;
+    right: after)."""
+    npr, nb = pk.shape[0], bk.shape[0]
+    n = npr + nb
+    vals = jnp.concatenate([pk, bk.astype(pk.dtype)])
+    tag = jnp.concatenate([
+        jnp.full((npr,), 1 if side == "left" else 0, jnp.int32),
+        jnp.full((nb,), 0 if side == "left" else 1, jnp.int32)])
+    ids = jnp.arange(n, dtype=jnp.int32)
+    _, _, sid = jax.lax.sort([vals, tag, ids], num_keys=2,
+                             is_stable=True)
+    pos_of = jnp.zeros((n,), jnp.int32).at[sid].set(
+        jnp.arange(n, dtype=jnp.int32), unique_indices=True)
+    return pos_of[npr:] - jnp.arange(nb, dtype=jnp.int32)
+
+
 def probe_join_index_merge(
     sorted_keys: jax.Array,
     n_active: jax.Array,
@@ -200,8 +222,18 @@ def probe_join_index_merge(
     bi = jnp.arange(nb, dtype=jnp.int32)
     act = bi < n_active
     # each build key's matching probe run [pl, pr)
-    pl = jnp.searchsorted(pk, sorted_keys, side="left").astype(jnp.int32)
-    pr = jnp.searchsorted(pk, sorted_keys, side="right").astype(jnp.int32)
+    if npr >= (1 << 20):
+        # searchsorted lowers to log2(npr) DEPENDENT gather rounds
+        # (~750ms at 4.2M-into-8.4M on v5e); at multi-M widths one
+        # bitonic sort of the concatenation ranks every build key in
+        # a single pass (~5x, measured) — the sort-merge rank trick
+        pl = _rank_in_sorted(pk, sorted_keys, "left")
+        pr = _rank_in_sorted(pk, sorted_keys, "right")
+    else:
+        pl = jnp.searchsorted(pk, sorted_keys,
+                              side="left").astype(jnp.int32)
+        pr = jnp.searchsorted(pk, sorted_keys,
+                              side="right").astype(jnp.int32)
     pl = jnp.where(act, pl, npr)
     pr = jnp.where(act, pr, npr)
     one = act.astype(jnp.int32)
