@@ -212,6 +212,32 @@ def main() -> None:
         # sanity: cardinality parity with the CPU engine on the same bytes
         assert result.num_rows == acero_out[name].num_rows, (
             name, result.num_rows, acero_out[name].num_rows)
+        # phase breakdown (round-4 verdict missing #2): for sync-free
+        # plans a direct Task run separates host enqueue, device
+        # compute (block_until_ready), and result transfer — the
+        # device-compute share of wall is the roofline-progress metric
+        if elided == 0:
+            import jax as _jax
+
+            from velox_tpu.exec.task import Task as _Task
+
+            t0 = time.time()
+            bs = list(_Task(plan).run())
+            enq_s = time.time() - t0
+            arrs = [c.values for b in bs for c in b.columns.values()
+                    if getattr(c, "values", None) is not None]
+            t0 = time.time()
+            _jax.block_until_ready(arrs)
+            dev_s = time.time() - t0
+            t0 = time.time()
+            for b in bs:
+                b.to_pydict()
+            xfer_s = time.time() - t0
+            detail[name]["phase_ms"] = {
+                "host_enqueue": round(enq_s * 1e3, 1),
+                "device_wait": round(dev_s * 1e3, 1),
+                "result_transfer": round(xfer_s * 1e3, 1),
+            }
         ratios.append(rows_s / base_rows_s)
         tpu_rows_s.append(rows_s)
         print(f"# {name}: med {best*1e3:.1f}ms spread "
