@@ -261,9 +261,11 @@ def test_rank_in_sorted_matches_searchsorted():
         bk = np.sort(rng.integers(0, 500, nb)).astype(np.int64)
         bk[-5:] = np.iinfo(np.int64).max  # padding filler
         bk = np.sort(bk)
-        pl = np.asarray(_rank_in_sorted(
-            jnp.asarray(pk), jnp.asarray(bk), "left"))
-        pr = np.asarray(_rank_in_sorted(
-            jnp.asarray(pk), jnp.asarray(bk), "right"))
-        assert (pl == np.searchsorted(pk, bk, side="left")).all()
-        assert (pr == np.searchsorted(pk, bk, side="right")).all()
+        for key_range in (None, (0, 499)):
+            pl = np.asarray(_rank_in_sorted(
+                jnp.asarray(pk), jnp.asarray(bk), "left", key_range))
+            pr = np.asarray(_rank_in_sorted(
+                jnp.asarray(pk), jnp.asarray(bk), "right", key_range))
+            assert (pl == np.searchsorted(pk, bk, side="left")).all()
+            assert (pr == np.searchsorted(pk, bk,
+                                          side="right")).all()

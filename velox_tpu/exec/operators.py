@@ -3782,6 +3782,11 @@ class HashProbeOp(AdaptiveOutput, Operator):
                 if use_table:
                     first, count = probe_join_table(
                         tables[0], tables[1], key_lo, key, valid, sel)
+                elif merge_flip:
+                    # host key stats enable the int32-packed rank sort
+                    first, count = index_probe(
+                        sorted_keys, n_active, key, valid, sel,
+                        key_range=codec.lohi)
                 else:
                     first, count = index_probe(
                         sorted_keys, n_active, key, valid, sel)

@@ -176,23 +176,43 @@ def probe_join_index_presorted(
     return first, count
 
 
-def _rank_in_sorted(pk: jax.Array, bk: jax.Array, side: str
-                    ) -> jax.Array:
+def _rank_in_sorted(pk: jax.Array, bk: jax.Array, side: str,
+                    key_range=None) -> jax.Array:
     """For every bk[i], the count of pk entries < it (side="left") or
-    <= it (side="right") — searchsorted semantics via ONE stable
-    2-key bitonic sort of the concatenation: a build element's merged
-    position minus its build rank IS its probe rank. The tag lane
-    breaks value ties per side (left: build sorts before equal probe;
-    right: after)."""
+    <= it (side="right") — searchsorted semantics via ONE bitonic sort
+    of the concatenation: a build element's merged position minus its
+    build rank IS its probe rank. A tag in the sort key breaks value
+    ties per side (left: build sorts before equal probe; right:
+    after); the id lane doubles as a strictly-increasing tie-break so
+    no is_stable flag is needed.
+
+    With host ``key_range`` (the build codec's (lo, hi) stats) and a
+    span under 2^29, (value, tag) packs into ONE int32 key: probe
+    values clamp to [lo-1, hi+1] first — out-of-range values keep
+    their order relative to every build key, and equal-value probe
+    swaps cannot change any build key's probe-count."""
     npr, nb = pk.shape[0], bk.shape[0]
     n = npr + nb
+    tag_probe = 1 if side == "left" else 0
+    ids = jnp.arange(n, dtype=jnp.int32)
+    if key_range is not None:
+        lo, hi = key_range
+        if (hi - lo + 3) * 2 < (1 << 31) - 2:
+            lo1 = lo - 1
+            pk2 = (jnp.clip(pk, lo1, hi + 1) - lo1).astype(jnp.int32)
+            bk2 = (jnp.clip(bk.astype(pk.dtype), lo1, hi + 1)
+                   - lo1).astype(jnp.int32)
+            vals = jnp.concatenate(
+                [pk2 * 2 + tag_probe, bk2 * 2 + (1 - tag_probe)])
+            _, sid = jax.lax.sort([vals, ids], num_keys=2)
+            pos_of = jnp.zeros((n,), jnp.int32).at[sid].set(
+                jnp.arange(n, dtype=jnp.int32), unique_indices=True)
+            return pos_of[npr:] - jnp.arange(nb, dtype=jnp.int32)
     vals = jnp.concatenate([pk, bk.astype(pk.dtype)])
     tag = jnp.concatenate([
-        jnp.full((npr,), 1 if side == "left" else 0, jnp.int32),
-        jnp.full((nb,), 0 if side == "left" else 1, jnp.int32)])
-    ids = jnp.arange(n, dtype=jnp.int32)
-    _, _, sid = jax.lax.sort([vals, tag, ids], num_keys=2,
-                             is_stable=True)
+        jnp.full((npr,), tag_probe, jnp.int32),
+        jnp.full((nb,), 1 - tag_probe, jnp.int32)])
+    _, _, sid = jax.lax.sort([vals, tag, ids], num_keys=3)
     pos_of = jnp.zeros((n,), jnp.int32).at[sid].set(
         jnp.arange(n, dtype=jnp.int32), unique_indices=True)
     return pos_of[npr:] - jnp.arange(nb, dtype=jnp.int32)
@@ -204,6 +224,7 @@ def probe_join_index_merge(
     probe_key: jax.Array,
     probe_valid: Optional[jax.Array],
     probe_sel: jax.Array,
+    key_range=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Flipped merge probe: requires the probe KEY LANE itself ascending
     (the merge-join plan contract; callers verify on device and fall
@@ -227,8 +248,8 @@ def probe_join_index_merge(
         # (~750ms at 4.2M-into-8.4M on v5e); at multi-M widths one
         # bitonic sort of the concatenation ranks every build key in
         # a single pass (~5x, measured) — the sort-merge rank trick
-        pl = _rank_in_sorted(pk, sorted_keys, "left")
-        pr = _rank_in_sorted(pk, sorted_keys, "right")
+        pl = _rank_in_sorted(pk, sorted_keys, "left", key_range)
+        pr = _rank_in_sorted(pk, sorted_keys, "right", key_range)
     else:
         pl = jnp.searchsorted(pk, sorted_keys,
                               side="left").astype(jnp.int32)
@@ -262,6 +283,7 @@ def probe_join_index_merge_repair(
     probe_key: jax.Array,
     probe_valid: Optional[jax.Array],
     probe_sel: jax.Array,
+    key_range=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Flipped merge probe for lanes whose VALID subsequence is
     ascending but whose inactive slots hold arbitrary values (batch
@@ -288,7 +310,8 @@ def probe_join_index_merge_repair(
     hi = jnp.iinfo(pk.dtype).max
     repaired = jnp.where(idx < cnt, pk, hi)
     return probe_join_index_merge(
-        sorted_keys, n_active, repaired, probe_valid, probe_sel)
+        sorted_keys, n_active, repaired, probe_valid, probe_sel,
+        key_range)
 
 
 def valid_ascending_code(values: jax.Array, ok: Optional[jax.Array]
