@@ -2159,6 +2159,36 @@ def _lane_kind(lane, dt) -> str:
             and _np.issubdtype(_np.dtype(dt), _np.integer) else "acc")
 
 
+_CONST_MEMO: Dict[tuple, "jax.Array"] = {}
+
+
+def _const_scalar(dtype, value):
+    key = ("s", jnp.dtype(dtype).name, value)
+    a = _CONST_MEMO.get(key)
+    if a is None:
+        a = jnp.asarray(value, dtype)
+        _CONST_MEMO[key] = a
+    return a
+
+
+def _const_zeros_bool(cap: int):
+    key = ("zb", cap)
+    a = _CONST_MEMO.get(key)
+    if a is None:
+        a = jnp.zeros((cap,), jnp.bool_)
+        _CONST_MEMO[key] = a
+    return a
+
+
+def _const_lane1(dtype, value):
+    key = ("l1", jnp.dtype(dtype).name, str(value))
+    a = _CONST_MEMO.get(key)
+    if a is None:
+        a = jnp.full((1,), value, dtype=dtype)
+        _CONST_MEMO[key] = a
+    return a
+
+
 class StreamingAggregationOp(HashAggregationOp):
     """velox/exec/StreamingAggregation.h:21 — aggregation over input
     CLUSTERED on the grouping keys: groups close as soon as the key
@@ -2188,7 +2218,7 @@ class StreamingAggregationOp(HashAggregationOp):
                 "collect aggregates need the hash aggregation")
         assert self.keys, "keyless aggregation has no streams to close"
         self._carry = None           # (keys, lanes-tuple-of-tuples) device
-        self._carry_present = jnp.asarray(False)
+        self._carry_present = _const_scalar(jnp.bool_, False)
         self._stream_jit = None
         self._stream_sig = None
         is_final = self.step == AggStep.FINAL
@@ -2908,14 +2938,15 @@ class StreamingAggregationOp(HashAggregationOp):
 
     # ------------------------------------------------------------ execute
     def _init_carry(self, batch: Batch):
+        # constant device scalars memoized process-wide: fresh eager
+        # zeros/full per run were ~15 mini-dispatches on the tunnel
         keys = []
         for k in self.keys:
             c = batch.column(k)
-            keys.append((jnp.zeros((), c.values.dtype),
-                         jnp.zeros((), jnp.bool_)))
+            keys.append((_const_scalar(c.values.dtype, 0),
+                         _const_scalar(jnp.bool_, False)))
         lanes = tuple(
-            tuple(jnp.full((1,), lane.init_of(at),
-                           dtype=lane.dtype_of(at))
+            tuple(_const_lane1(lane.dtype_of(at), lane.init_of(at))
                   for lane in fn.lanes)
             for fn, at in zip(self.fns, self.arg_types))
         return keys, lanes
@@ -3034,24 +3065,42 @@ class StreamingAggregationOp(HashAggregationOp):
             self._emitted = True
             if self._carry is None:
                 return None
-            # flush the open group as one final row
+            # flush the open group as one final row — ONE jitted
+            # program (the per-key/per-lane eager .at[0].set chain was
+            # ~30 separate mini-dispatches per run on the tunnel)
             ck, cl = self._carry
             cap = round_capacity(1)
-            sel0 = (jnp.zeros((cap,), jnp.bool_)
-                    .at[0].set(self._carry_present))
+            fns = self.fns
+
+            def make():
+                def flush(present, ck, cl):
+                    sel0 = (jnp.zeros((cap,), jnp.bool_)
+                            .at[0].set(present))
+                    keys_out = []
+                    for cv, cvd in ck:
+                        keys_out.append((
+                            jnp.zeros((cap,), cv.dtype).at[0].set(cv),
+                            jnp.zeros((cap,), jnp.bool_)
+                            .at[0].set(cvd)))
+                    aggs_out = []
+                    for fn, lanes in zip(fns, cl):
+                        full = tuple(
+                            jnp.zeros((cap,), l.dtype).at[0].set(l[0])
+                            for l in lanes)
+                        aggs_out.append(fn.extract(full, sel0))
+                    return sel0, keys_out, aggs_out
+                return flush
+
+            sel0, keys_out, aggs_out = cached_jit(
+                ("sagg_flush", self.node.id, cap), make)(
+                self._carry_present, ck, cl)
             cols = {}
-            for k, (cv, cvd) in zip(self.keys, ck):
-                vals = jnp.zeros((cap,), cv.dtype).at[0].set(cv)
-                valid = jnp.zeros((cap,), jnp.bool_).at[0].set(cvd)
+            for k, (vals, valid) in zip(self.keys, keys_out):
                 kt = self.output_type.find_child(k)
                 cols[k] = Column(
                     kt, vals, valid,
                     _key_dict_for(self._key_dicts, kt, k))
-            for name, fn, lanes in zip(self.agg_names, self.fns, cl):
-                full = tuple(
-                    jnp.zeros((cap,), l.dtype).at[0].set(l[0])
-                    for l in lanes)
-                vals, valid = fn.extract(full, sel0)
+            for name, (vals, valid) in zip(self.agg_names, aggs_out):
                 cols[name] = Column(
                     self.output_type.find_child(name), vals, valid)
             b = Batch(cols, sel0)
@@ -3558,7 +3607,7 @@ def build_bridge_state(bridge, node, big: Batch, index_build) -> None:
         br.codec = codec
         br.sorted_keys, br.perm, br.n_active = sorted_keys, perm, n_active
         br.tables, br.key_lo = tables, (rng_hint[0] if rng_hint else 0)
-        br.matched = jnp.zeros((big.capacity,), jnp.bool_)
+        br.matched = _const_zeros_bool(big.capacity)
         br.build_has_null_key = has_null    # device scalar; lazy sync
         br.mark_ready()
 

@@ -219,8 +219,13 @@ def attach_checks(tree: Dict[str, Any]) -> Dict[str, Any]:
     if not pending:
         return tree
     out = dict(tree)
-    out["__replay_checks__"] = jnp.stack(
-        [jnp.asarray(c) for c in pending])
+    from velox_tpu.exec.jitcache import cached_jit
+
+    stack = cached_jit(
+        ("replay_stack", len(pending)),
+        lambda: (lambda xs: jnp.stack(
+            [jnp.asarray(x) for x in xs])))
+    out["__replay_checks__"] = stack(tuple(pending))
     s.harvested = len(s.checks)
     return out
 

@@ -172,8 +172,41 @@ class Batch:
     def gather(self, indices: jax.Array, sel: jax.Array,
                num_rows: Optional[int] = None) -> "Batch":
         """Row gather of every column (indices may exceed capacity: clipped;
-        callers must mask garbage via ``sel``)."""
-        cols = {n: c.gather(indices) for n, c in self.columns.items()}
+        callers must mask garbage via ``sel``).
+
+        All flat lanes gather in ONE cached-jit program: per-column
+        eager ``jnp.take`` dispatches were ~6s of invisible (not in
+        any kernel profile) per-run work on TPC-H Q18's build paths —
+        eager ops neither fuse nor appear in jit_profile."""
+        flat = {n: c for n, c in self.columns.items()
+                if type(c) is Column}
+        cols = {n: c.gather(indices) for n, c in self.columns.items()
+                if type(c) is not Column}
+        if flat:
+            from velox_tpu.exec.jitcache import cached_jit
+
+            sig = tuple(sorted(
+                (n, str(c.values.dtype), c.valid is not None)
+                for n, c in flat.items()))
+
+            def make():
+                def run(vals, valids, idx):
+                    out_v = {n: jnp.take(v, idx, mode="clip")
+                             for n, v in vals.items()}
+                    out_m = {n: jnp.take(m, idx, mode="clip")
+                             for n, m in valids.items()}
+                    return out_v, out_m
+                return run
+
+            fn = cached_jit(("batch_gather", sig), make)
+            out_v, out_m = fn(
+                {n: c.values for n, c in flat.items()},
+                {n: c.valid for n, c in flat.items()
+                 if c.valid is not None},
+                indices)
+            for n, c in flat.items():
+                cols[n] = Column(c.dtype, out_v[n], out_m.get(n),
+                                 c.dictionary, c.stats)
         return Batch(cols, sel, num_rows)
 
     # ------------------------------------------------------------- queries
@@ -406,10 +439,8 @@ def concat_batches(
     assert cap >= total
 
     pad = cap - total
-    sel = jnp.concatenate(
-        [b.sel for b in batches]
-        + ([jnp.zeros(pad, dtype=jnp.bool_)] if pad else []))
     cols = {}
+    flat_sig = []
     for n in names:
         parts = [b.columns[n] for b in batches]
         if isinstance(parts[0], (ArrayColumn, MapColumn)):
@@ -420,24 +451,64 @@ def concat_batches(
         if isinstance(parts[0], _RC):
             cols[n] = _concat_row_columns(parts, pad)
             continue
-        # harmonize_dictionaries above guarantees a single shared
-        # dictionary per string column at this point
+        flat_sig.append((n, tuple(p.valid is not None for p in parts)))
+
+    # every flat lane concatenates + pads in ONE cached-jit program:
+    # per-column eager concats were a dominant dispatch-count cost on
+    # the tunneled backend (each eager op is a separate mini-program)
+    from velox_tpu.exec.jitcache import cached_jit
+
+    def make():
+        def run(sels, vtree, mtree):
+            out_sel = jnp.concatenate(
+                list(sels)
+                + ([jnp.zeros(pad, dtype=jnp.bool_)] if pad else []))
+            out_v, out_m = {}, {}
+            for n, flags in flat_sig:
+                parts = vtree[n]
+                segs = list(parts)
+                if pad:
+                    segs.append(jnp.zeros((pad,), segs[0].dtype))
+                out_v[n] = jnp.concatenate(segs)
+                if any(flags):
+                    mparts = []
+                    mi = 0
+                    for p, f in zip(parts, flags):
+                        if f:
+                            mparts.append(mtree[n][str(mi)])
+                            mi += 1
+                        else:
+                            mparts.append(
+                                jnp.ones(p.shape, jnp.bool_))
+                    if pad:
+                        mparts.append(jnp.zeros((pad,), jnp.bool_))
+                    out_m[n] = jnp.concatenate(mparts)
+            return out_sel, out_v, out_m
+        return run
+
+    key = ("concat_batches", len(batches), pad,
+           tuple((n, str(batches[0].columns[n].values.dtype), flags)
+                 for n, flags in flat_sig))
+    vtree = {n: tuple(b.columns[n].values for b in batches)
+             for n, _ in flat_sig}
+    mtree = {}
+    for n, flags in flat_sig:
+        if any(flags):
+            ms = [b.columns[n].valid for b, f in zip(batches, flags)
+                  if f]
+            mtree[n] = {str(i): m for i, m in enumerate(ms)}
+    sel, out_v, out_m = cached_jit(key, make)(
+        tuple(b.sel for b in batches), vtree, mtree)
+    for n, flags in flat_sig:
+        parts = [b.columns[n] for b in batches]
         dicts = [p.dictionary for p in parts if p.dictionary is not None]
         d = dicts[0] if dicts else None
-        vals = jnp.concatenate(
-            [p.values for p in parts]
-            + ([jnp.zeros(pad, dtype=parts[0].values.dtype)] if pad else []))
-        if any(p.valid is not None for p in parts):
-            valid = jnp.concatenate(
-                [p.validity() for p in parts]
-                + ([jnp.zeros(pad, dtype=jnp.bool_)] if pad else []))
-        else:
-            valid = None
         stats = None
         if all(p.stats is not None for p in parts):
             stats = (min(p.stats[0] for p in parts),
                      max(p.stats[1] for p in parts))
-        cols[n] = Column(parts[0].dtype, vals, valid, d, stats)
+        cols[n] = Column(parts[0].dtype, out_v[n], out_m.get(n), d,
+                         stats)
     nr = None
     if all(b.num_rows is not None for b in batches):
         nr = sum(b.num_rows for b in batches)
