@@ -3566,6 +3566,21 @@ def build_bridge_state(bridge, node, big: Batch, index_build) -> None:
     """Compute + install the build-side join state on a bridge. Shared
     by the normal build sink and the spilled-probe per-partition
     restore (one partition's build at a time)."""
+    # a SELECTIVE build (q18's 117 big orders arriving in a 4.2M-cap
+    # batch) would drag its dead capacity through every probe: the
+    # flip-probe rank sorts, table scatters and expand gathers all
+    # cost by BUILD CAPACITY. One count fetch (replay-elided on
+    # repeat runs) right-sizes it — measured 1.85s of the Q18 SF2
+    # steady wall
+    if big.capacity > (1 << 16):
+        cnt = big.selected_count()
+        if cnt * 8 < big.capacity:
+            if index_build is build_join_index_presorted:
+                # keep the sorted order: prefix-pack, not sort-pack
+                big = big.compact(cnt) if not big.is_prefix_dense() \
+                    else big.compact_prefix(cnt)
+            else:
+                big = big.compact(cnt)
     codec = JoinKeyCodec(big, node.right_keys)
     from velox_tpu.utils.config import config as _cfg
 
@@ -3796,10 +3811,13 @@ class HashProbeOp(AdaptiveOutput, Operator):
             "raw": probe_join_index_merge,
             "repair": probe_join_index_merge,
         }[merge_flip]
-        # the flipped merge probe (build-width searches + probe-width
-        # prefix sums) beats both the kArray double-gather and the
-        # probe-width binary search whenever the probe lane is sorted
-        use_table = len(br.tables) == 2 and not merge_flip
+        # kArray double-gather first whenever the range table exists:
+        # two span-table gathers (~100ms at 8.4M probe x 12M span on
+        # v5e) beat the flip probe's rank sorts (~260ms) and the
+        # probe-width binary search by a wide margin (round-5 on-chip
+        # measurement; the round-4 note claiming the flip won predates
+        # the sort-rank rework and the table path's range clipping)
+        use_table = len(br.tables) == 2
         key_lo = br.key_lo
 
         repair_tail = merge_flip == "repair"

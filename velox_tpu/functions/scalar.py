@@ -1200,6 +1200,37 @@ register_function(ScalarFunction(
 # velox/exec/HashProbe.cpp:419-444 value-set + bloom pushdown forms.
 
 def _in_table_impl(v, table):
+    """Membership of v in a sorted host-constant value table.
+
+    searchsorted's log2(n) DEPENDENT gather rounds made a pushed-down
+    117-value dynamic filter ~1s/batch at 8.4M rows on the tunneled
+    v5e — ~2s of TPC-H Q18's steady wall. The table is a bind-time
+    literal, so build a dense membership BITMASK over its span at
+    trace time: the filter becomes one clip + one gather. Huge spans
+    fall back to a fused compare chain (small sets) or searchsorted."""
+    import numpy as _np
+
+    try:
+        tb = _np.asarray(table)
+        lo, hi = int(tb[0]), int(tb[-1])
+    except Exception:          # traced (non-constant) table
+        tb = None
+    if tb is not None:
+        span = hi - lo + 1
+        if span <= (1 << 26):
+            mask = _np.zeros((span,), _np.bool_)
+            mask[tb.astype(_np.int64) - lo] = True
+            vv = v.astype(jnp.int64) - lo
+            inb = jnp.logical_and(vv >= 0, vv < span)
+            hit = jnp.take(jnp.asarray(mask),
+                           jnp.clip(vv, 0, span - 1).astype(jnp.int32),
+                           mode="clip")
+            return jnp.logical_and(inb, hit)
+        if tb.size <= 512:     # fused elementwise OR-chain
+            m = v == int(tb[0])
+            for c in tb[1:]:
+                m = jnp.logical_or(m, v == int(c))
+            return m
     idx = jnp.searchsorted(table, v.astype(table.dtype))
     inb = idx < table.shape[0]
     hit = jnp.take(table, jnp.clip(idx, 0, table.shape[0] - 1),
