@@ -2320,7 +2320,10 @@ def _eval_node_inner(expr, arrays, memo) -> ValuePair:
             return (jnp.zeros((), dtype=dt),
                     jnp.zeros((), dtype=jnp.bool_))
         if isinstance(expr.value, np.ndarray):
-            return jnp.asarray(expr.value), None
+            # keep table literals as HOST constants: converting under
+            # an active trace hands impls a tracer, so value-dependent
+            # specialization (the __in_table bitmask) can never fire
+            return expr.value, None
         if isinstance(expr.value, str):
             raise RuntimeError(
                 f"string literal {expr.value!r} reached device eval — "
